@@ -1,0 +1,187 @@
+"""Distributed point-in-time (as-of) join.
+
+Not present in the reference (its joins are exact-id hash joins,
+/root/reference/classes_io.py:294-386); required by the north rule. Design
+(SURVEY.md §2.5/§7.2-4): co-partition both sides by ``stable_hash(entity) % P``
+(the SAME partitioner as every other stage, so a pipeline reuses one
+partitioning key end-to-end), union them with a side tag and an aligned
+schema, then one ``groupby(_part).map_groups`` runs a per-partition ts-sorted
+``pandas.merge_asof`` (C sort-merge, ``by=entity``). One shuffle total. For a
+small right side use ``broadcast=True``: the right table is materialized once,
+``ray.put`` into the object store, read once per actor in ``__init__`` and
+merged per batch with zero shuffle.
+
+Semantics: ``direction='backward'`` matches the nearest right row with
+``right.ts <= left.ts`` per entity (point-in-time correct: never reads the
+future); ``'forward'`` matches nearest ``right.ts >= left.ts``. ``tolerance_s``
+bounds the match distance — the per-entity watermark: a right row further than
+the tolerance horizon can never influence a left row. Ties on equal ``ts``
+match (inclusive), the last right row at that ts winning — matching DuckDB
+``ASOF JOIN`` semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from rp_extract_ray.schema import DEFAULT_NUM_PARTITIONS
+from rp_extract_ray.stages.partition import PART_COL, _add_part
+
+SIDE_COL = "_side"
+
+
+def _arrow_schema(ds: Dataset) -> pa.Schema:
+    """Arrow schema of a Dataset whether its blocks are Arrow or pandas."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, typ in zip(s.names, s.types):
+        if isinstance(typ, pa.DataType):
+            fields.append(pa.field(name, typ))
+        else:  # numpy dtype from pandas blocks
+            dt = np.dtype(typ)
+            if dt == object:
+                fields.append(pa.field(name, pa.string()))
+            elif dt.kind == "M":
+                fields.append(pa.field(name, pa.timestamp("us")))
+            else:
+                fields.append(pa.field(name, pa.from_numpy_dtype(dt)))
+    return pa.schema(fields)
+
+
+def _merge_asof_frames(
+    left: pd.DataFrame,
+    right: pd.DataFrame,
+    *,
+    entity_col: str,
+    ts_col: str,
+    direction: str,
+    tolerance_s: float | None,
+    value_cols: Sequence[str],
+) -> pd.DataFrame:
+    """merge_asof with stable restoration of left column order/dtypes."""
+    left = left.sort_values(ts_col, kind="mergesort", ignore_index=True)
+    right = right.sort_values(ts_col, kind="mergesort", ignore_index=True)
+    tol = pd.Timedelta(seconds=tolerance_s) if tolerance_s is not None else None
+    merged = pd.merge_asof(
+        left,
+        right[[entity_col, ts_col, *value_cols]],
+        on=ts_col,
+        by=entity_col,
+        direction=direction,
+        tolerance=tol,
+    )
+    return merged
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    right_value_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance_s: float | None = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    broadcast: bool = False,
+) -> Dataset:
+    """As-of join ``right``'s value columns onto ``left`` (left outer).
+
+    Right value columns whose names collide with left columns are renamed
+    ``<name>_r`` before the merge.
+    """
+    left_schema = _arrow_schema(left)
+    right_schema = _arrow_schema(right)
+    left_names = list(left_schema.names)
+    if right_value_cols is None:
+        right_value_cols = [c for c in right_schema.names if c not in (entity_col, ts_col)]
+    rename = {c: (f"{c}_r" if c in left_names else c) for c in right_value_cols}
+    out_value_cols = [rename[c] for c in right_value_cols]
+    rtypes = {rename[c]: right_schema.field(c).type for c in right_value_cols}
+
+    if broadcast:
+        small = right.select_columns([entity_col, ts_col, *right_value_cols]).to_pandas()
+        small = small.rename(columns=rename)
+        right_ref = ray.put(small)
+
+        class BroadcastAsof:
+            def __init__(self):
+                self.right = ray.get(right_ref).sort_values(ts_col, ignore_index=True)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                return _merge_asof_frames(
+                    batch,
+                    self.right,
+                    entity_col=entity_col,
+                    ts_col=ts_col,
+                    direction=direction,
+                    tolerance_s=tolerance_s,
+                    value_cols=out_value_cols,
+                )
+
+        return left.map_batches(BroadcastAsof, batch_format="pandas", concurrency=(1, 8))
+
+    # ---- co-partitioned path (both sides large): align schemas, tag, union ----
+    unified = pa.schema(
+        [left_schema.field(n) for n in left_names]
+        + [pa.field(rename[c], right_schema.field(c).type) for c in right_value_cols]
+    )
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        arrays = [b.column(n).cast(left_schema.field(n).type) for n in left_names] + [
+            pa.nulls(len(b), rtypes[c]) for c in out_value_cols
+        ]
+        t = pa.Table.from_arrays(arrays, schema=unified)
+        t = _add_part(t, entity_col, num_partitions, None)
+        return t.append_column(SIDE_COL, pa.array(np.ones(len(b), dtype=np.int8)))
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        cols = {entity_col: b.column(entity_col), ts_col: b.column(ts_col)}
+        for c in right_value_cols:
+            cols[rename[c]] = b.column(c)
+        arrays = []
+        for f in unified:
+            if f.name in cols:
+                arrays.append(cols[f.name].cast(f.type))
+            else:
+                arrays.append(pa.nulls(len(b), f.type))
+        t = pa.Table.from_arrays(arrays, schema=unified)
+        t = _add_part(t, entity_col, num_partitions, None)
+        return t.append_column(SIDE_COL, pa.array(np.zeros(len(b), dtype=np.int8)))
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        side = group.column(SIDE_COL).to_numpy()
+        group = group.drop_columns([SIDE_COL, PART_COL])
+        lmask = pa.array(side == 1)
+        lpart = group.filter(lmask).drop_columns(out_value_cols).to_pandas()
+        rpart = group.filter(pa.array(side == 0)).select(
+            [entity_col, ts_col, *out_value_cols]
+        ).to_pandas()
+        if len(lpart) == 0:
+            return unified.empty_table()
+        merged = _merge_asof_frames(
+            lpart,
+            rpart,
+            entity_col=entity_col,
+            ts_col=ts_col,
+            direction=direction,
+            tolerance_s=tolerance_s,
+            value_cols=out_value_cols,
+        )
+        return pa.Table.from_pandas(merged, schema=unified, preserve_index=False)
+
+    unioned = lt.union(rt)
+    return unioned.groupby(PART_COL).map_groups(merge_group, batch_format="pyarrow")

@@ -1,0 +1,134 @@
+"""Lag / lead / gap / forward-fill (backfill) within entity, vectorized.
+
+These are the point-in-time primitives of the engine (SURVEY.md §7.2-4). All
+functions here operate on an entity-sorted partition frame (as delivered by
+``stages.partition.partitioned_apply``) using entity-boundary masks — one
+numpy shift per feature over the whole partition, never a per-entity loop.
+
+Causality: ``lag_k``/``gap``/``ffill`` read only rows at or before the current
+row; they are safe under salted chunking with ``overlap >= k``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+
+from ray.data import Dataset
+
+from rp_extract_ray.stages.partition import SaltSpec, entity_starts, partitioned_apply
+
+
+def _run_ends(starts: np.ndarray) -> np.ndarray:
+    """Per-row exclusive end index of this row's entity run."""
+    n = len(starts)
+    if n == 0:
+        return starts.astype(np.int64)
+    change = np.empty(n, dtype=bool)
+    change[:-1] = starts[1:] != starts[:-1]
+    change[-1] = True
+    bounds = np.flatnonzero(change) + 1  # exclusive end of each run
+    run_id = np.cumsum(np.concatenate([[False], change[:-1]]))
+    return bounds[run_id]
+
+
+def shifted(values: np.ndarray, k: int, starts: np.ndarray) -> np.ndarray:
+    """``values[i-k]`` where ``i-k`` stays inside this row's entity run, else
+    NaN/NaT/None. Positive ``k`` is a lag; negative ``k`` is a lead (reads the
+    future — only for explicitly non-point-in-time columns)."""
+    n = len(values)
+    idx = np.arange(n) - k
+    valid = idx >= starts if k >= 0 else idx < _run_ends(starts)
+    if values.dtype.kind in ("M", "m"):
+        out = np.full(n, np.datetime64("NaT"), dtype=values.dtype)
+    elif values.dtype == object:
+        out = np.full(n, None, dtype=object)
+    else:
+        out = np.full(n, np.nan, dtype=np.float64)
+        values = values.astype(np.float64, copy=False)
+    src = np.clip(idx, 0, max(n - 1, 0))
+    out[valid] = values[src][valid]
+    return out
+
+
+def gap_seconds(ts: np.ndarray, starts: np.ndarray, fill_first: float = 0.0) -> np.ndarray:
+    """Seconds since the previous turn of the same entity; ``fill_first`` at
+    entity starts (the reference's first-sample convention)."""
+    ts_i = ts.astype("datetime64[us]").astype(np.int64)
+    n = len(ts_i)
+    gap = np.empty(n, dtype=np.float64)
+    gap[1:] = (ts_i[1:] - ts_i[:-1]) / 1e6
+    gap[0] = fill_first
+    is_start = np.arange(n) == starts
+    gap[is_start] = fill_first
+    return gap
+
+
+def ffill_within(values: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Forward-fill NaN within each entity run (backfill primitive): last
+    non-null value at or before each row, never crossing an entity boundary."""
+    n = len(values)
+    v = values.astype(np.float64, copy=True)
+    has = ~np.isnan(v)
+    idx = np.where(has, np.arange(n), -1)
+    idx = np.maximum.accumulate(idx)
+    valid = (idx >= 0) & (idx >= starts)
+    out = np.full(n, np.nan)
+    out[valid] = v[idx[valid]]
+    return out
+
+
+def make_lag_frame_fn(
+    value_cols: Sequence[str],
+    lags: Sequence[int] = (1,),
+    leads: Sequence[int] = (),
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    ffill_cols: Sequence[str] = (),
+    gap: bool = True,
+):
+    """Build the per-partition fn computing lag/lead/gap/ffill columns."""
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        if gap:
+            pdf["gap_s"] = gap_seconds(pdf[ts_col].to_numpy(), starts)
+        for c in value_cols:
+            v = pdf[c].to_numpy()
+            for k in lags:
+                pdf[f"{c}_lag{k}"] = shifted(v, k, starts)
+            for k in leads:
+                pdf[f"{c}_lead{k}"] = shifted(v, -k, starts)
+        for c in ffill_cols:
+            pdf[f"{c}_ffill"] = ffill_within(pdf[c].to_numpy(dtype=np.float64), starts)
+        return pdf
+
+    return fn
+
+
+def add_lag_features(
+    ds: Dataset,
+    value_cols: Sequence[str],
+    *,
+    lags: Sequence[int] = (1,),
+    leads: Sequence[int] = (),
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] | None = None,
+    ffill_cols: Sequence[str] = (),
+    gap: bool = True,
+    num_partitions: int = 64,
+    salt: SaltSpec | None = None,
+) -> Dataset:
+    fn = make_lag_frame_fn(
+        value_cols, lags, leads, entity_col, ts_col, ffill_cols=ffill_cols, gap=gap
+    )
+    return partitioned_apply(
+        ds,
+        fn,
+        entity_col=entity_col,
+        order_cols=order_cols or (ts_col,),
+        num_partitions=num_partitions,
+        salt=salt,
+    )

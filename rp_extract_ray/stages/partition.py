@@ -1,0 +1,174 @@
+"""Conversation partitioning: the engine's one big shuffle.
+
+Design (SURVEY.md §7.4/§7.5-1): every temporal operator (windows, lag/lead,
+as-of, sessions) runs over **entity-partitioned, ts-sorted** frames. We add a
+small-int partition key ``_part = stable_hash(entity) % P`` in a vectorized
+``map_batches``, then ``groupby("_part").map_groups(fn)`` — a single
+all-to-all exchange keyed by an int32, after which ``fn`` sees a whole
+partition (a set of WHOLE conversations) as one sorted DataFrame and computes
+fully vectorized with entity-boundary masks. No per-conversation Python loop,
+no cross-batch mutable state to carry — the partition IS the state boundary.
+
+Skew (SURVEY.md §7.5-6): one conversation can dwarf the rest (heavy-tailed
+lengths). For **causal** operators (horizon of at most ``overlap`` past rows:
+sliding windows, lag, gap), :class:`SaltSpec` chunks conversations by
+``turn_idx`` into fixed-size salted chunks and duplicates the ``overlap`` tail
+rows of each chunk into the next chunk as ghost rows — the analogue of the
+reference's 50%-overlap spectrogram frames (/root/reference/rp_extract.py:186).
+Each chunk becomes its own partition unit; ghost rows provide full window
+context and are dropped from the output. This needs no pre-pass over the data
+(chunking is derived from ``turn_idx`` itself) and bounds any partition's size
+by ``chunk_turns + overlap`` rows per conversation.
+
+The stable hash is ``pandas.util.hash_array`` (SipHash with a fixed key) —
+deterministic across processes and nodes, unlike Python's seeded ``hash``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from rp_extract_ray.schema import DEFAULT_NUM_PARTITIONS
+
+PART_COL = "_part"
+GHOST_COL = "_ghost"
+CHUNK_COL = "_chunk"
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def stable_hash(values) -> np.ndarray:
+    """Deterministic uint64 hash of an array of keys (any dtype)."""
+    arr = np.asarray(values)
+    if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+        return pd.util.hash_array(arr.astype(object))
+    return pd.util.hash_array(arr)
+
+
+@dataclass(frozen=True)
+class SaltSpec:
+    """Causal chunking spec for skewed entities.
+
+    ``chunk_turns`` rows of an entity per chunk (by ``turn_col`` floor-div);
+    ``overlap`` trailing rows of each chunk are replicated into the next chunk
+    as ghost context. Only valid for operators whose output at row *i* depends
+    on at most ``overlap`` preceding rows of the same entity.
+    """
+
+    chunk_turns: int = 4096
+    overlap: int = 64
+    turn_col: str = "turn_idx"
+
+    def __post_init__(self):
+        if self.overlap >= self.chunk_turns:
+            raise ValueError("overlap must be < chunk_turns")
+
+
+def _chunk_part(ent_hash: np.ndarray, chunk: np.ndarray, num_partitions: int) -> np.ndarray:
+    mixed = (ent_hash + np.uint64(1) + chunk.astype(np.uint64)) * _MIX
+    mixed ^= mixed >> np.uint64(31)
+    return (mixed % np.uint64(num_partitions)).astype(np.int32)
+
+
+def _add_part(
+    batch: pa.Table, entity_col: str, num_partitions: int, salt: SaltSpec | None
+) -> pa.Table:
+    ent_hash = stable_hash(batch.column(entity_col).to_numpy(zero_copy_only=False))
+    if salt is None:
+        part = (ent_hash % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column(PART_COL, pa.array(part, pa.int32()))
+    turn = batch.column(salt.turn_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    chunk = turn // salt.chunk_turns
+    in_tail = (turn % salt.chunk_turns) >= (salt.chunk_turns - salt.overlap)
+
+    real = batch.append_column(GHOST_COL, pa.array(np.zeros(len(turn), dtype=bool)))
+    real = real.append_column(CHUNK_COL, pa.array(chunk, pa.int64()))
+    real = real.append_column(
+        PART_COL, pa.array(_chunk_part(ent_hash, chunk, num_partitions), pa.int32())
+    )
+    if not in_tail.any():
+        return real
+    # replicate tail rows into the NEXT chunk as ghost context; CHUNK_COL is
+    # the DESTINATION chunk so (entity, _chunk) is the window-state unit even
+    # when two chunks of one entity collide into the same partition
+    ghosts = batch.filter(pa.array(in_tail))
+    ghosts = ghosts.append_column(GHOST_COL, pa.array(np.ones(len(ghosts), dtype=bool)))
+    ghosts = ghosts.append_column(CHUNK_COL, pa.array(chunk[in_tail] + 1, pa.int64()))
+    ghosts = ghosts.append_column(
+        PART_COL,
+        pa.array(_chunk_part(ent_hash[in_tail], chunk[in_tail] + 1, num_partitions), pa.int32()),
+    )
+    return pa.concat_tables([real, ghosts])
+
+
+def entity_starts(*key_arrays: np.ndarray) -> np.ndarray:
+    """Per-row index of the first row of this row's key run.
+
+    Accepts one or more parallel key arrays (rows are in the same run iff all
+    keys are equal); arrays must be grouped (sorted) so equal keys are
+    contiguous. Returns int64 array, same length.
+    """
+    n = len(key_arrays[0])
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for arr in key_arrays:
+        change[1:] |= arr[1:] != arr[:-1]
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, n))
+    return np.repeat(starts, counts)
+
+
+def partitioned_apply(
+    ds: Dataset,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    *,
+    entity_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    salt: SaltSpec | None = None,
+) -> Dataset:
+    """Run ``fn`` over each entity-partitioned, sorted frame.
+
+    ``fn(sorted_pdf, starts) -> pdf`` receives a pandas DataFrame sorted by
+    ``(entity_col, *order_cols)`` containing only whole conversations (or
+    whole salted chunk-units with their ghost prefix) plus the per-row run
+    start indices (``starts``), and must be vectorized. With ``salt``, the
+    run unit is ``(entity, chunk)`` and ``fn``'s output for a row may depend
+    on at most ``salt.overlap`` preceding rows of the same entity; ghost rows
+    flow through ``fn`` (as context) and are dropped from the output here.
+    """
+    sort_cols = [entity_col, *order_cols]
+    if salt is not None:
+        sort_cols = [entity_col, CHUNK_COL, salt.turn_col]
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
+        ghost = chunk = None
+        if GHOST_COL in pdf.columns:
+            ghost = pdf.pop(GHOST_COL).to_numpy()
+            chunk = pdf.pop(CHUNK_COL).to_numpy()
+        pdf = pdf.drop(columns=[PART_COL])
+        keys = [pdf[entity_col].to_numpy()]
+        if chunk is not None:
+            keys.append(chunk)
+        starts = entity_starts(*keys)
+        out = fn(pdf, starts)
+        if ghost is not None and len(out) == len(ghost):
+            out = out.loc[~ghost]
+        return out
+
+    parted = ds.map_batches(
+        _add_part,
+        batch_format="pyarrow",
+        fn_kwargs={"entity_col": entity_col, "num_partitions": num_partitions, "salt": salt},
+    )
+    return parted.groupby(PART_COL).map_groups(run_group, batch_format="pandas")

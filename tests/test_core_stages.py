@@ -1,0 +1,148 @@
+"""Distributed temporal stages vs the single-process pandas oracle
+(numpy.allclose gate; SURVEY.md §5a). Covers turn stats, sessionization,
+lag/lead, sliding-window SSD features, the salted-chunk skew path, and both
+as-of join execution strategies."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from rp_extract_ray.pipelines import oracle as O
+from rp_extract_ray.stages.asof import asof_join
+from rp_extract_ray.stages.lag import add_lag_features
+from rp_extract_ray.stages.partition import SaltSpec
+from rp_extract_ray.stages.session import sessionize
+from rp_extract_ray.stages.turns import add_turn_stats
+from rp_extract_ray.stages.window import add_window_features
+
+K = 8
+ORDER = ("ts", "turn_idx")
+
+
+def _sorted(pdf):
+    return pdf.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def engine_result(corpus):
+    t, _ = corpus
+    ds = add_turn_stats(rd.from_arrow(t))
+    ds = sessionize(ds, order_cols=ORDER, num_partitions=8)
+    ds = add_lag_features(
+        ds, ["text_len"], lags=(1, 2), leads=(1,), gap=False,
+        order_cols=ORDER, num_partitions=8,
+    )
+    ds = add_window_features(ds, k=K, order_cols=ORDER, num_partitions=8)
+    return _sorted(ds.to_pandas())
+
+
+@pytest.fixture(scope="module")
+def oracle_result(corpus, enriched_oracle):
+    exp = O.oracle_lags(enriched_oracle, ["text_len"], lags=(1, 2), leads=(1,))
+    exp = O.oracle_window_features(exp, k=K)
+    return _sorted(exp)
+
+
+def test_row_count_and_text_roundtrip(engine_result, oracle_result):
+    assert len(engine_result) == len(oracle_result)
+    # byte-equal text round-trip under stable (conv_id, turn_idx) order
+    assert (
+        engine_result["text"].fillna("").to_numpy()
+        == oracle_result["text"].fillna("").to_numpy()
+    ).all()
+    assert (engine_result["ts"].to_numpy() == oracle_result["ts"].to_numpy()).all()
+
+
+def test_numeric_columns_allclose(engine_result, oracle_result):
+    skip = {"conv_id", "role", "text", "tool", "ts"}
+    checked = 0
+    for c in oracle_result.columns:
+        if c in skip:
+            continue
+        a = engine_result[c].to_numpy(dtype=np.float64)
+        b = oracle_result[c].to_numpy(dtype=np.float64)
+        assert np.allclose(a, b, equal_nan=True), c
+        checked += 1
+    assert checked > 30  # 3 series x (7 stats + 2 pctl) + lags + session etc.
+
+
+def test_salted_windows_match_unsalted(corpus, oracle_result):
+    t, _ = corpus
+    ds = add_turn_stats(rd.from_arrow(t))
+    ds = add_window_features(
+        ds, k=K, num_partitions=8, salt=SaltSpec(chunk_turns=32, overlap=K)
+    )
+    got = _sorted(ds.to_pandas())
+    assert len(got) == len(oracle_result)
+    for c in oracle_result.columns:
+        if "_w" not in c:
+            continue
+        a = got[c].to_numpy(dtype=np.float64)
+        b = oracle_result[c].to_numpy(dtype=np.float64)
+        assert np.allclose(a, b, equal_nan=True), c
+
+
+def test_salt_overlap_guard(corpus):
+    t, _ = corpus
+    with pytest.raises(ValueError, match="overlap"):
+        add_window_features(
+            rd.from_arrow(t), k=8, salt=SaltSpec(chunk_turns=32, overlap=4)
+        )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("broadcast", [False, True])
+def test_asof_join(corpus, direction, broadcast):
+    t, ev = corpus
+    j = asof_join(
+        rd.from_arrow(t),
+        rd.from_arrow(ev),
+        right_value_cols=["value"],
+        direction=direction,
+        num_partitions=8,
+        broadcast=broadcast,
+    )
+    got = _sorted(j.to_pandas())
+    exp = _sorted(
+        O.oracle_asof(
+            t.to_pandas(), ev.to_pandas(), value_cols=["value"], direction=direction
+        )
+    )
+    assert len(got) == len(exp)
+    assert np.allclose(
+        got["value"].to_numpy(dtype=np.float64),
+        exp["value"].to_numpy(dtype=np.float64),
+        equal_nan=True,
+    )
+
+
+def test_asof_tolerance(corpus):
+    t, ev = corpus
+    j = asof_join(
+        rd.from_arrow(t),
+        rd.from_arrow(ev),
+        right_value_cols=["value"],
+        tolerance_s=3600.0,
+        num_partitions=8,
+    )
+    got = _sorted(j.to_pandas())
+    exp = _sorted(
+        O.oracle_asof(t.to_pandas(), ev.to_pandas(), value_cols=["value"], tolerance_s=3600.0)
+    )
+    assert np.allclose(
+        got["value"].to_numpy(dtype=np.float64),
+        exp["value"].to_numpy(dtype=np.float64),
+        equal_nan=True,
+    )
+
+
+def test_single_turn_and_empty_text_convs(engine_result):
+    """F4 edge cases: single-turn convs yield valid (zero-ish) window stats."""
+    sizes = engine_result.groupby("conv_id").size()
+    singles = sizes[sizes == 1].index
+    assert len(singles) > 0
+    rows = engine_result[engine_result.conv_id.isin(singles)]
+    assert np.allclose(rows["gap_s"], 0.0)
+    assert np.allclose(rows["text_len_wvar"], 0.0)
+    assert np.allclose(rows["text_len_wmean"], rows["text_len"])
