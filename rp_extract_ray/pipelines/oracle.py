@@ -112,6 +112,74 @@ def oracle_lags(
     return out
 
 
+def oracle_rhythm(
+    pdf_enriched: pd.DataFrame,
+    series_cols=("text_len", "token_est", "gap_s"),
+    seg_len: int = 16,
+    step_width: int = 1,
+    skip: int = 1,
+    n_mod: int = 60,
+    log_transform: bool = True,
+    weighting: bool = True,
+) -> dict:
+    """Per-conv rhythm features via explicit loops (independent of the engine
+    kernels): returns {conv_id: {rp, rh, rh2, mvd, ssd, tssd, trh,
+    n_segments, segments: [...]}}."""
+    out = {}
+    import math
+
+    nfft = 2 ** max(
+        math.ceil(math.log2(max(seg_len, 1))), math.ceil(math.log2(2 * n_mod + 1))
+    )
+    f = np.arange(1, n_mod + 1, dtype=np.float64)
+    wcurve = 1.0 / (f / 4.0 + 4.0 / f)
+    for cid, g in pdf_enriched.groupby("conv_id", sort=False):
+        n = len(g)
+        # segment plan (reference M4 semantics)
+        if n < seg_len:
+            out[cid] = {"n_segments": 0, "n_turns": n}
+            continue
+        stride = seg_len * step_width
+        sk = skip
+        usable = n - 2 * sk * seg_len
+        if usable < seg_len:
+            sk, stride = 0, seg_len
+            usable = n
+        m = (usable - seg_len) // stride + 1
+        plan = [sk * seg_len + stride * j for j in range(m)]
+        series = np.stack([g[c].to_numpy(dtype=np.float64) for c in series_cols])
+        if log_transform:
+            series = np.log1p(np.maximum(series, 0.0))
+        segs = []
+        for p in plan:
+            B = series[:, p : p + seg_len]
+            ssd = np.concatenate([_stats7(B[i]) for i in range(B.shape[0])])
+            mag = np.abs(np.fft.rfft(B, n=nfft, axis=1))[:, 1 : n_mod + 1] / seg_len
+            rh = mag.sum(axis=0)
+            magw = mag * wcurve[None, :] if weighting else mag
+            rh2 = magw.sum(axis=0)
+            rp = magw.reshape(-1)
+            mvd = np.concatenate([_stats7(magw[:, i]) for i in range(n_mod)])
+            segs.append({"ssd": ssd, "rh": rh, "rh2": rh2, "rp": rp, "mvd": mvd})
+        rp_m = np.median(np.stack([s["rp"] for s in segs]), axis=0)
+        rh_m = np.median(np.stack([s["rh"] for s in segs]), axis=0)
+        ssd_mat = np.stack([s["ssd"] for s in segs])
+        rh_mat = np.stack([s["rh"] for s in segs])
+        out[cid] = {
+            "n_segments": m,
+            "n_turns": n,
+            "plan": plan,
+            "segments": segs,
+            "rp": rp_m,
+            "rh": rh_m,
+            "ssd": ssd_mat.mean(axis=0),
+            "mvd": np.stack([s["mvd"] for s in segs]).mean(axis=0),
+            "tssd": np.concatenate([_stats7(ssd_mat[:, i]) for i in range(ssd_mat.shape[1])]),
+            "trh": np.concatenate([_stats7(rh_mat[:, i]) for i in range(rh_mat.shape[1])]),
+        }
+    return out
+
+
 def oracle_asof(
     left: pd.DataFrame,
     right: pd.DataFrame,
