@@ -1,0 +1,180 @@
+"""Temporal feature queries over the driver ``events`` table.
+
+``events(event_id, ts, user_id, event_type, value, props)`` stands in for the
+transcript table with ``user_id`` as the entity key and ``(ts, event_id)`` as
+the stable order (TESTDATA.md / FIXTURES.md F2). Every function takes
+``sf_dir`` and returns a Dataset whose columns are named to match the DuckDB
+oracle SQL in ``__ray_entry__.oracle_sql`` exactly; float columns that pass
+through non-associative reductions are rounded on BOTH sides so the driver's
+value-hash is stable under parallel execution."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data import Dataset
+
+from rp_extract_ray.stages.lag import add_lag_features, ffill_within
+from rp_extract_ray.stages.partition import partitioned_apply
+from rp_extract_ray.stages.session import session_aggregate, sessionize
+from rp_extract_ray.stages.standardize import standardize
+from rp_extract_ray.stages.window import add_window_features
+from rp_extract_ray.stages.asof import asof_join
+
+ENTITY = "user_id"
+ORDER = ("ts", "event_id")
+NP = 32  # partitions for sf-scale correctness runs
+
+
+def _events(sf_dir: str, columns=None) -> Dataset:
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _round(ds: Dataset, cols: dict[str, int]) -> Dataset:
+    def f(b: pa.Table) -> pa.Table:
+        for c, nd in cols.items():
+            if c in b.column_names:
+                v = np.round(b.column(c).to_numpy(zero_copy_only=False).astype(np.float64), nd)
+                b = b.set_column(b.column_names.index(c), c, pa.array(v))
+        return b
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_lag_lead(sf_dir: str) -> Dataset:
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    ds = add_lag_features(
+        ds, ["value"], lags=(1, 2), leads=(1,), gap=True,
+        entity_col=ENTITY, ts_col="ts", order_cols=ORDER, num_partitions=NP,
+    )
+    ds = ds.select_columns(
+        ["event_id", "user_id", "ts", "value", "value_lag1", "value_lag2", "value_lead1", "gap_s"]
+    )
+    return _round(ds, {"gap_s": 6})
+
+
+def q_sessionize(sf_dir: str) -> Dataset:
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+    ds = sessionize(
+        ds, entity_col=ENTITY, ts_col="ts", order_cols=ORDER,
+        gap_threshold_s=1800.0, num_partitions=NP,
+    )
+
+    def cast(b: pa.Table) -> pa.Table:
+        i = b.column_names.index("session_id")
+        return b.set_column(i, "session_id", b.column("session_id").cast(pa.int64()))
+
+    ds = ds.map_batches(cast, batch_format="pyarrow")
+    return _round(ds.select_columns(["event_id", "user_id", "ts", "gap_s", "session_id"]), {"gap_s": 6})
+
+
+def q_session_agg(sf_dir: str) -> Dataset:
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    ds = session_aggregate(
+        ds, entity_col=ENTITY, ts_col="ts", order_cols=ORDER,
+        gap_threshold_s=1800.0, value_col="value", num_partitions=NP,
+    )
+
+    def cast(b: pa.Table) -> pa.Table:
+        i = b.column_names.index("session_id")
+        return b.set_column(i, "session_id", b.column("session_id").cast(pa.int64()))
+
+    ds = ds.map_batches(cast, batch_format="pyarrow")
+    return _round(
+        ds.select_columns(
+            ["user_id", "session_id", "n_events", "ts_min", "ts_max", "duration_s", "value_sum"]
+        ),
+        {"duration_s": 6, "value_sum": 6},
+    )
+
+
+def q_window_stats(sf_dir: str, k: int = 8) -> Dataset:
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    ds = add_window_features(
+        ds, ["value"], k=k, entity_col=ENTITY, ts_col="ts", order_cols=ORDER,
+        pctl=(), num_partitions=NP,
+    )
+    ds = ds.select_columns(
+        ["event_id", "user_id", "ts", "value",
+         "value_wmean", "value_wvar", "value_wmedian", "value_wmin", "value_wmax", "value_wcount"]
+    )
+    return _round(ds, {"value_wmean": 6, "value_wvar": 6, "value_wmedian": 6})
+
+
+def _typed_events(sf_dir: str, event_type: str, value_name: str) -> Dataset:
+    ds = _events(sf_dir, ["ts", "user_id", "event_type", "value"])
+
+    def f(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b.column("event_type"), event_type))
+        b = b.drop_columns(["event_type"])
+        # dedup (user, ts) inside the batch is NOT enough; do it in the group
+        return b.rename_columns(["ts", "user_id", value_name])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _dedup_right(ds: Dataset, value_name: str) -> Dataset:
+    """Collapse equal (user, ts) right rows to max(value) — makes the as-of
+    tie deterministic and identical to the SQL oracle's pre-aggregation."""
+    return ds.groupby(["user_id", "ts"]).max(value_name, ignore_nulls=True)
+
+
+def q_asof(sf_dir: str, direction: str, left_type: str, right_type: str, value_name: str) -> Dataset:
+    left = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def lf(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.equal(b.column("event_type"), left_type)).drop_columns(["event_type"])
+
+    left = left.map_batches(lf, batch_format="pyarrow")
+    right = _dedup_right(_typed_events(sf_dir, right_type, value_name), value_name)
+
+    def fix_right(b: pa.Table) -> pa.Table:
+        # groupby.max names the column "max(<value_name>)"
+        names = [value_name if n.startswith("max(") else n for n in b.column_names]
+        return b.rename_columns(names)
+
+    right = right.map_batches(fix_right, batch_format="pyarrow")
+    out = asof_join(
+        left, right, entity_col=ENTITY, ts_col="ts",
+        right_value_cols=[value_name], direction=direction, num_partitions=NP,
+    )
+    out = out.select_columns(["event_id", "user_id", "ts", "value", value_name])
+    return _round(out, {value_name: 6})
+
+
+def q_backfill(sf_dir: str) -> Dataset:
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def add_masked(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        masked = pc.if_else(
+            pc.equal(b.column("event_type"), "purchase"), b.column("value"), None
+        )
+        return b.append_column("purchase_value", masked)
+
+    ds = ds.map_batches(add_masked, batch_format="pyarrow")
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        pdf["last_purchase_value"] = ffill_within(
+            pdf["purchase_value"].to_numpy(dtype=np.float64), starts
+        )
+        return pdf
+
+    ds = partitioned_apply(
+        ds, fn, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )
+    return ds.select_columns(["event_id", "user_id", "ts", "last_purchase_value"])
+
+
+def q_standardize(sf_dir: str) -> Dataset:
+    ds = _events(sf_dir, ["event_id", "value"])
+    ds = standardize(ds, ["value"], round_to=6)
+    return ds.select_columns(["event_id", "value", "value_z"])

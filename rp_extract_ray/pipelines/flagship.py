@@ -1,0 +1,95 @@
+"""Flagship pipeline: point-in-time windowed feature backfill.
+
+The end-to-end analogue of the reference's batch extraction driver
+(/root/reference/rp_extract_batch.py §3.1): read the corpus, derive per-turn
+series, sessionize, compute sliding-window SSD-analogue descriptors at every
+turn, and as-of join the latest side-channel value — one feature row per
+``(entity, ts)``, zero temporal leakage. Used by ``__ray_entry__.entry()``
+(events-shaped) and ``bench.py`` (transcript-shaped)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data import Dataset
+
+from rp_extract_ray.stages.asof import asof_join
+from rp_extract_ray.stages.partition import SaltSpec
+from rp_extract_ray.stages.session import sessionize
+from rp_extract_ray.stages.turns import add_turn_stats
+from rp_extract_ray.stages.window import add_window_features
+
+
+def events_as_transcripts(sf_dir: str) -> Dataset:
+    """Shape the driver ``events`` table into the transcript schema:
+    user_id -> conv_id (entity), props -> text, event_type -> role."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": pc.cast(b.column("user_id"), pa.string()),
+                "turn_idx": pc.cast(b.column("event_id"), pa.int32()),
+                "role": b.column("event_type"),
+                "text": b.column("props"),
+                "tool": pa.nulls(len(b), pa.string()),
+                "ts": b.column("ts"),
+                "value": b.column("value"),
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
+def feature_backfill(
+    turns: Dataset,
+    events: Dataset | None = None,
+    *,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_cols=("ts", "turn_idx"),
+    k: int = 16,
+    session_gap_s: float = 1800.0,
+    num_partitions: int = 64,
+    salt: SaltSpec | None = None,
+    right_value_cols=("value",),
+) -> Dataset:
+    """turn stats -> sessionize -> sliding-window SSD features [-> as-of]."""
+    ds = add_turn_stats(turns)
+    ds = sessionize(
+        ds, entity_col=entity_col, ts_col=ts_col, order_cols=order_cols,
+        gap_threshold_s=session_gap_s, num_partitions=num_partitions,
+    )
+    ds = add_window_features(
+        ds, k=k, entity_col=entity_col, ts_col=ts_col, order_cols=order_cols,
+        num_partitions=num_partitions, salt=salt,
+    )
+    if events is not None:
+        ds = asof_join(
+            ds, events, entity_col=entity_col, ts_col=ts_col,
+            right_value_cols=list(right_value_cols), direction="backward",
+            num_partitions=num_partitions,
+        )
+    return ds
+
+
+def flagship_events_pipeline(sf_dir: str, num_partitions: int = 16) -> Dataset:
+    """entry() pipeline over the driver events table (sf0.001)."""
+    turns = events_as_transcripts(sf_dir)
+    purchases = turns.map_batches(
+        lambda b: b.filter(pc.equal(b.column("role"), "purchase")).select(
+            ["conv_id", "ts", "value"]
+        ),
+        batch_format="pyarrow",
+    )
+    return feature_backfill(
+        turns.drop_columns(["value"]),
+        purchases,
+        num_partitions=num_partitions,
+        right_value_cols=("value",),
+    )

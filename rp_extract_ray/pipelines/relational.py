@@ -1,0 +1,179 @@
+"""Relational queries over the driver testdata tables.
+
+Coverage of the reference's table operations (SURVEY.md §2.5/§2.6/§2.8):
+groupby-count (A3), HAVING-filter (A5), baseline share (A4), duplicate check
+(A6), exact dedup, broadcast inner join (J2/J3), semi/anti join (J1/J4/J5),
+multi-hop dimension join, top-k (§2.7). Column names match the DuckDB oracle
+SQL; non-associative float aggregates are rounded on both sides."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from rp_extract_ray.stages.join import broadcast_join, semi_anti_join
+
+
+def _read(sf_dir: str, table: str, columns=None) -> Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_cols(ds: Dataset, cols: dict[str, int]) -> Dataset:
+    def f(b: pa.Table) -> pa.Table:
+        for c, nd in cols.items():
+            v = np.round(b.column(c).to_numpy(zero_copy_only=False).astype(np.float64), nd)
+            b = b.set_column(b.column_names.index(c), c, pa.array(v))
+        return b
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_class_counts(sf_dir: str) -> Dataset:
+    """A3: /root/reference/classes_io.py:475-491."""
+    return (
+        _read(sf_dir, "documents", ["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_min_instances(sf_dir: str, min_n: int = 50) -> Dataset:
+    """A5: HAVING count >= N (/root/reference/classes_io.py:445-472)."""
+    counts = q_class_counts(sf_dir)
+    return counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"), min_n)),
+        batch_format="pyarrow",
+    )
+
+
+def q_baseline(sf_dir: str):
+    """A4: majority-class share (/root/reference/classes_io.py:507-517)."""
+    import pandas as pd
+
+    counts = q_class_counts(sf_dir).to_pandas()
+    n_total = int(counts["n"].sum())
+    n_max = int(counts["n"].max())
+    return pd.DataFrame(
+        {"n_total": [n_total], "n_max": [n_max], "baseline": [round(n_max / n_total, 6)]}
+    )
+
+
+def q_dup_check(sf_dir: str) -> Dataset:
+    """A6: duplicate-key detection (/root/reference/rp_feature_io.py:274-284)."""
+    g = (
+        _read(sf_dir, "documents", ["lang", "source"])
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n"))
+    )
+    return g.map_batches(
+        lambda b: b.filter(pc.greater(b.column("n"), 1)), batch_format="pyarrow"
+    )
+
+
+def q_dedup_exact(sf_dir: str) -> Dataset:
+    """Exact dedup: first (min doc_id) per identical text. Hash-partitioned
+    groupby on a content key (SURVEY.md §2.8)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.groupby("text").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n")
+    ).select_columns(["doc_id", "n"])
+
+
+def q_tpch_q1(sf_dir: str) -> Dataset:
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def add_rev(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return b.append_column("revenue", rev)
+
+    ds = ds.map_batches(add_rev, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("revenue", alias_name="sum_revenue"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="n"),
+    )
+    return _round_cols(out, {"sum_qty": 2, "sum_revenue": 2, "avg_disc": 6})
+
+
+def q_join_agg(sf_dir: str) -> Dataset:
+    """Broadcast inner join orders->customer (J2/J3 analogue) + aggregate."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(
+        orders, cust, on="o_custkey", small_on="c_custkey", value_cols=["c_mktsegment"]
+    )
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total")
+    )
+    return _round_cols(out, {"total": 2})
+
+
+def q_semi_join(sf_dir: str) -> Dataset:
+    """J1/J5: customers having orders (broadcast key-set semi join)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    keys = _read(sf_dir, "orders", ["o_custkey"])
+    return semi_anti_join(cust, keys, on="c_custkey", keys_on="o_custkey", anti=False)
+
+
+def q_anti_join(sf_dir: str) -> Dataset:
+    """J4 resume primitive: customers with no high-value (>400k) order
+    (/root/reference/rp_extract_batch.py:241-264)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    keys = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: b.filter(pc.greater(b.column("o_totalprice"), 400000.0)),
+        batch_format="pyarrow",
+    )
+    return semi_anti_join(cust, keys, on="c_custkey", keys_on="o_custkey", anti=True)
+
+
+def _rename_on(ds: Dataset, mapping: dict[str, str]) -> Dataset:
+    def f(b: pa.Table) -> pa.Table:
+        return b.rename_columns([mapping.get(n, n) for n in b.column_names])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_region_customers(sf_dir: str) -> Dataset:
+    """Multi-hop broadcast dimension join: region <- nation <- customer."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = broadcast_join(
+        cust, dim[["n_nationkey", "r_name"]], on="c_nationkey", small_on="n_nationkey",
+        value_cols=["r_name"],
+    )
+    return joined.groupby("r_name").aggregate(Count(alias_name="n_customers"))
+
+
+def q_topk(sf_dir: str, k: int = 10) -> Dataset:
+    """§2.7 top-k: ds.sort(...).limit(k) (ST4/KNN pattern)."""
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def q_filter_sort(sf_dir: str) -> Dataset:
+    """M25 filters + stable sort: high-value open orders."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"])
+
+    def f(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(b.column("o_orderstatus"), "O"),
+            pc.greater(b.column("o_totalprice"), 200000.0),
+        )
+        return b.filter(m)
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("o_orderkey")

@@ -1,0 +1,77 @@
+"""Broadcast hash joins and semi/anti joins.
+
+The reference's joins are all small-side in-memory id joins
+(/root/reference/classes_io.py:269-337, 340-386): a dict or key-set is built
+once and probed per record. The Ray-native equivalents broadcast the small
+side through the object store (``ray.put`` once; read per actor/task) and
+probe inside a vectorized ``map_batches`` — zero shuffle on the big side
+(SURVEY.md §2.5 J1/J3/J5)."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+
+
+def broadcast_join(
+    big: Dataset,
+    small: Dataset | pd.DataFrame,
+    *,
+    on: str,
+    small_on: str | None = None,
+    value_cols: Sequence[str] | None = None,
+    how: str = "inner",
+) -> Dataset:
+    """Hash-join ``small``'s value columns onto ``big`` (inner or left).
+
+    The small side is fully materialized (it must fit on one node — the same
+    assumption the reference makes for its label tables) and broadcast once.
+    """
+    small_on = small_on or on
+    small_pdf = small.to_pandas() if isinstance(small, Dataset) else small
+    if value_cols is None:
+        value_cols = [c for c in small_pdf.columns if c != small_on]
+    small_pdf = small_pdf[[small_on, *value_cols]].drop_duplicates(subset=[small_on])
+    ref = ray.put(small_pdf)
+
+    class Probe:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(
+                self.small, left_on=on, right_on=small_on, how=how
+            ).drop(columns=[small_on] if small_on != on else [])
+
+    return big.map_batches(Probe, batch_format="pandas", concurrency=(1, 8))
+
+
+def semi_anti_join(
+    big: Dataset, keys: Dataset | set, *, on: str, keys_on: str | None = None, anti: bool = False
+) -> Dataset:
+    """Semi (keep matching) / anti (keep non-matching) join via a broadcast
+    key set — the reference's resume primitive J4
+    (/root/reference/rp_extract_batch.py:241-264) and filename matcher J1."""
+    if isinstance(keys, Dataset):
+        key_set = set(keys.unique(keys_on or on))
+    else:
+        key_set = set(keys)
+    ref = ray.put(key_set)
+
+    class Filter:
+        def __init__(self):
+            self.keys = pa.array(sorted(ray.get(ref)))  # built once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch.column(on), value_set=self.keys)
+            if anti:
+                mask = pc.invert(mask)
+            return batch.filter(mask)
+
+    return big.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))

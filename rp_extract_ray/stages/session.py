@@ -58,6 +58,45 @@ def make_session_frame_fn(
     return fn
 
 
+def session_aggregate(
+    ds: Dataset,
+    *,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] | None = None,
+    gap_threshold_s: float = DEFAULT_SESSION_GAP_S,
+    value_col: str | None = None,
+    num_partitions: int = 64,
+) -> Dataset:
+    """One row per (entity, session): n_events, ts_min, ts_max, duration_s
+    (+ value_sum when ``value_col``). The per-session analogue of the
+    reference's per-segment aggregation (M20); sessions of one entity are
+    always local to a partition, so the groupby is in-memory pandas."""
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        _, session = session_ids(pdf[ts_col].to_numpy(), starts, gap_threshold_s)
+        pdf = pdf.assign(session_id=session)
+        aggs = {"n_events": (ts_col, "size"), "ts_min": (ts_col, "min"), "ts_max": (ts_col, "max")}
+        if value_col:
+            aggs["value_sum"] = (value_col, "sum")
+        out = (
+            pdf.groupby([entity_col, "session_id"], sort=False)
+            .agg(**aggs)
+            .reset_index()
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["duration_s"] = (out["ts_max"] - out["ts_min"]).dt.total_seconds()
+        return out
+
+    return partitioned_apply(
+        ds,
+        fn,
+        entity_col=entity_col,
+        order_cols=order_cols or (ts_col,),
+        num_partitions=num_partitions,
+    )
+
+
 def sessionize(
     ds: Dataset,
     *,

@@ -62,6 +62,7 @@ def window_stat_columns(
         stats = seven_stats_nan(w)
         for j, s in enumerate(STAT_NAMES):
             out[f"{c}_w{s}"] = stats[:, j]
+        out[f"{c}_wcount"] = (~np.isnan(w)).sum(axis=1).astype(np.int64)
         if len(pctl):
             with np.errstate(all="ignore"):
                 q = np.nanpercentile(w, pctl, axis=1)
