@@ -1,0 +1,143 @@
+"""Benchmark driver.
+
+Headline: as-of join + windowed feature backfill (the north-rule metric) over
+a deterministic synthetic transcript corpus (~1M turns, heavy-tailed conv
+lengths, cached under /tmp so every run and both scaling levels read the same
+bytes), plus representative per-query timings over $GRAFT_SF_DIR testdata.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+--scaling: runs the headline twice in fresh processes (num_cpus=8 and 32) on
+the same input and reports both throughputs + scaling efficiency
+(BASELINE.md protocol; 8 vs 32 CPUs stands in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CORPUS = os.environ.get("GRAFT_BENCH_CORPUS", "/tmp/graft_bench_corpus_v1")
+HEADLINE_ONLY = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY", "0") == "1"
+
+QUERY_NAMES = [
+    "lag_lead", "sessionize", "window_stats", "asof_backward",
+    "backfill", "tpch_q1", "dedup_exact", "join_agg",
+]
+
+
+def build_corpus() -> dict:
+    from rp_extract_ray.synth import write_corpus
+
+    return write_corpus(BENCH_CORPUS, n_convs=3000, seed=13, mean_turns=150)
+
+
+def run_headline(paths: dict) -> dict:
+    import ray.data as rd
+
+    from rp_extract_ray.pipelines.flagship import feature_backfill
+
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    rd.read_parquet(paths["transcripts"]).count()
+    n_turns = rd.read_parquet(paths["transcripts"]).count()
+
+    t0 = time.perf_counter()
+    ds = feature_backfill(
+        rd.read_parquet(paths["transcripts"]),
+        rd.read_parquet(paths["conv_events"]),
+        k=16,
+        num_partitions=max(4 * NUM_CPUS, 32),
+    )
+    out_rows = ds.count()
+    dt = time.perf_counter() - t0
+    assert out_rows == n_turns, (out_rows, n_turns)
+    return {"sec": dt, "turns": n_turns, "turns_per_sec": n_turns / dt}
+
+
+def run_queries(sf_dir: str) -> dict:
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in QUERY_NAMES:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def single_run() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    paths = build_corpus()
+    head = run_headline(paths)
+    queries = {} if HEADLINE_ONLY else run_queries(SF_DIR)
+    ray.shutdown()
+    return {
+        "metric": "asof_join_windowed_feature_backfill_sec",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "turns": head["turns"],
+        "turns_per_sec": round(head["turns_per_sec"], 1),
+    }
+
+
+def scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_HEADLINE_ONLY="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tps_lo, tps_hi = lo["turns_per_sec"], hi["turns_per_sec"]
+    eff = (tps_hi / tps_lo) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "turns_per_sec_8": tps_lo,
+        "turns_per_sec_32": tps_hi,
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "scaling_efficiency": round(eff, 3),
+        "turns": hi["turns"],
+    }
+
+
+if __name__ == "__main__":
+    result = scaling() if "--scaling" in sys.argv else single_run()
+    print(json.dumps(result))

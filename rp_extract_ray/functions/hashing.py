@@ -1,0 +1,114 @@
+"""Deterministic hashing kernels: shingles, MinHash, SimHash, rolling hash.
+
+Building blocks for the deduplication stages (stages/dedup.py). Everything is
+seeded/constant — no process-dependent state — so results are identical
+across workers, runs and cluster sizes. Vectorized with numpy over lists of
+token arrays; per-batch cost is O(tokens)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+_M61 = np.uint64((1 << 61) - 1)
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def hash64(tokens: np.ndarray) -> np.ndarray:
+    """Stable 64-bit hash of an array of (byte)strings via FNV-1a, vectorized
+    per element (C loop in numpy via frombuffer is overkill; this is called
+    on token vocabularies per batch)."""
+    import zlib
+
+    # crc32 of utf-8 bytes, widened and mixed — deterministic and fast
+    out = np.fromiter(
+        (zlib.crc32(t.encode() if isinstance(t, str) else t) for t in tokens),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+    out = (out * _MIX) ^ (out >> np.uint64(17))
+    return out
+
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """k-char shingle hashes of a string (uint64, deduplicated)."""
+    if len(text) < k:
+        return hash64(np.array([text], dtype=object)) if text else np.empty(0, np.uint64)
+    sh = [text[i : i + k] for i in range(len(text) - k + 1)]
+    return np.unique(hash64(np.array(sh, dtype=object)))
+
+
+def minhash_signature(
+    shingle_hashes: np.ndarray, num_perm: int = 64, seed: int = 1
+) -> np.ndarray:
+    """num_perm-wide MinHash signature via the universal-hash family
+    a*x+b mod p (p = 2^61-1). Empty input -> all-max signature."""
+    if len(shingle_hashes) == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    x = (shingle_hashes % _M61)[None, :]
+    hv = (a[:, None] * x + b[:, None]) % _M61
+    return hv.min(axis=1)
+
+
+class MinHasher:
+    """Precomputed permutation coefficients (build once per actor)."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 1, shingle_k: int = 5):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = char_shingles(text, self.shingle_k)
+        if len(sh) == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        x = (sh % _M61)[None, :]
+        return ((self.a[:, None] * x + self.b[:, None]) % _M61).min(axis=1)
+
+
+def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> np.uint64:
+    """64-bit SimHash of token hashes (optionally weighted)."""
+    if len(token_hashes) == 0:
+        return np.uint64(0)
+    bits = ((token_hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.float64
+    )
+    w = weights[:, None] if weights is not None else 1.0
+    score = (bits * 2.0 - 1.0) * w
+    agg = score.sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if agg[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.uint64) -> np.ndarray:
+    """Per-element Hamming distance of uint64 array vs scalar."""
+    x = np.bitwise_xor(a, b)
+    return np.array([bin(int(v)).count("1") for v in x], dtype=np.int32)
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique uint64 shingle sets."""
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return inter / (len(a) + len(b) - inter)
+
+
+def rolling_fingerprint(text: str, window: int = 16, keep: int = 8) -> np.ndarray:
+    """Winnowing-style document fingerprint: the ``keep`` smallest k-gram
+    hashes (a deterministic content signature; reference analogue of the
+    feature-vector id, SURVEY.md extension ops)."""
+    sh = char_shingles(text, window)
+    if len(sh) == 0:
+        return np.zeros(keep, dtype=np.uint64)
+    smallest = np.sort(sh)[:keep]
+    if len(smallest) < keep:
+        smallest = np.pad(smallest, (0, keep - len(smallest)), constant_values=0)
+    return smallest

@@ -61,17 +61,48 @@ def seven_stats(matrix: np.ndarray, axis: int = 1) -> np.ndarray:
     return out
 
 
-def seven_stats_nan(windows: np.ndarray) -> np.ndarray:
+def nan_sorted_percentiles(
+    sorted_w: np.ndarray, cnt: np.ndarray, qs: np.ndarray
+) -> np.ndarray:
+    """Percentiles (numpy 'linear' interpolation) from a row-sorted window
+    matrix whose NaNs sit at the row ends. ``cnt`` = valid count per row.
+    Returns (len(qs), N); rows with cnt==0 yield 0.0.
+
+    This replaces ``np.nanpercentile``/``np.nanmedian`` on 2-D input, which
+    fall back to a Python loop per row (``apply_along_axis``) — the single
+    ``np.sort`` path is ~100x faster on (N, K) window matrices.
+    """
+    n = sorted_w.shape[0]
+    rows = np.arange(n)
+    safe = np.maximum(cnt, 1)
+    out = np.empty((len(qs), n), dtype=np.float64)
+    for i, q in enumerate(np.asarray(qs, dtype=np.float64)):
+        pos = (safe - 1) * (q / 100.0)
+        lo = np.floor(pos).astype(np.int64)
+        hi = np.ceil(pos).astype(np.int64)
+        frac = pos - lo
+        vals = sorted_w[rows, lo] * (1.0 - frac) + sorted_w[rows, hi] * frac
+        out[i] = np.where(cnt > 0, vals, 0.0)
+    return out
+
+
+def seven_stats_nan(
+    windows: np.ndarray, sorted_w: np.ndarray | None = None, cnt: np.ndarray | None = None
+) -> np.ndarray:
     """NaN-aware 7-stat summary along axis 1 of a ``(N, K)`` window matrix.
 
     NaN cells are "not in this window" (masked by conversation boundaries).
     Rows that are entirely NaN yield all-zero stats. Output ``(N, 7)``.
+    ``sorted_w``/``cnt`` may be passed in when the caller already sorted the
+    matrix (shared with the percentile computation).
     """
     w = np.asarray(windows, dtype=np.float64)
     if w.ndim != 2:
         raise ValueError(f"expected 2-D window matrix, got shape {w.shape}")
     valid = ~np.isnan(w)
-    cnt = valid.sum(axis=1).astype(np.float64)
+    if cnt is None:
+        cnt = valid.sum(axis=1)
+    cnt = np.asarray(cnt)
     safe_cnt = np.maximum(cnt, 1.0)
     filled0 = np.where(valid, w, 0.0)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -82,15 +113,19 @@ def seven_stats_nan(windows: np.ndarray) -> np.ndarray:
         m4 = (dev**4).sum(axis=1) / safe_cnt
         skew = m3 / m2**1.5
         kurt = m4 / (m2 * m2)
-    out = np.empty((w.shape[0], N_STATS), dtype=np.float64)
+    if sorted_w is None:
+        sorted_w = np.sort(w, axis=1)  # NaNs sort to the row end
+    n = w.shape[0]
+    rows = np.arange(n)
+    last = np.maximum(cnt, 1) - 1
+    out = np.empty((n, N_STATS), dtype=np.float64)
     out[:, 0] = mean
     out[:, 1] = m2
     out[:, 2] = skew
     out[:, 3] = kurt
-    with np.errstate(all="ignore"):
-        out[:, 4] = np.nanmedian(w, axis=1)
-        out[:, 5] = np.nanmin(w, axis=1)
-        out[:, 6] = np.nanmax(w, axis=1)
+    out[:, 4] = nan_sorted_percentiles(sorted_w, cnt, np.array([50.0]))[0]
+    out[:, 5] = sorted_w[:, 0]          # min = first sorted
+    out[:, 6] = sorted_w[rows, last]    # max = last valid
     empty = cnt == 0
     if empty.any():
         out[empty] = 0.0

@@ -55,25 +55,57 @@ def feature_backfill(
     order_cols=("ts", "turn_idx"),
     k: int = 16,
     session_gap_s: float = 1800.0,
+    series_cols=("text_len", "token_est", "gap_s"),
     num_partitions: int = 64,
-    salt: SaltSpec | None = None,
+    broadcast_asof: bool = True,
     right_value_cols=("value",),
+    fused: bool = True,
 ) -> Dataset:
-    """turn stats -> sessionize -> sliding-window SSD features [-> as-of]."""
+    """turn stats -> sessionize + sliding-window SSD features [-> as-of].
+
+    Scale design: the gap/session/window computations FUSE into a single
+    ``partitioned_apply`` — ONE all-to-all exchange for the whole feature
+    chain instead of one per stage (SURVEY.md §7.4: pick one partitioning key
+    and reuse it). The as-of side defaults to the broadcast strategy (zero
+    additional shuffle); set ``broadcast_asof=False`` when the right side is
+    too large for one node. The fused path runs unsalted (session ids need
+    whole conversations); for extreme single-conversation skew use the
+    standalone salted ``add_window_features`` + ``asof_join`` composition.
+    """
     ds = add_turn_stats(turns)
-    ds = sessionize(
-        ds, entity_col=entity_col, ts_col=ts_col, order_cols=order_cols,
-        gap_threshold_s=session_gap_s, num_partitions=num_partitions,
-    )
-    ds = add_window_features(
-        ds, k=k, entity_col=entity_col, ts_col=ts_col, order_cols=order_cols,
-        num_partitions=num_partitions, salt=salt,
-    )
+    if fused:
+        from rp_extract_ray.stages.lag import gap_seconds
+        from rp_extract_ray.stages.partition import partitioned_apply
+        from rp_extract_ray.stages.session import session_ids
+        from rp_extract_ray.stages.window import window_stat_columns
+
+        def fn(pdf, starts):
+            gap, session = session_ids(
+                pdf[ts_col].to_numpy(), starts, session_gap_s
+            )
+            pdf["gap_s"] = gap
+            pdf["session_id"] = session
+            cols = window_stat_columns(pdf, series_cols, k, starts)
+            return pdf.assign(**cols)
+
+        ds = partitioned_apply(
+            ds, fn, entity_col=entity_col, order_cols=order_cols,
+            num_partitions=num_partitions,
+        )
+    else:
+        ds = sessionize(
+            ds, entity_col=entity_col, ts_col=ts_col, order_cols=order_cols,
+            gap_threshold_s=session_gap_s, num_partitions=num_partitions,
+        )
+        ds = add_window_features(
+            ds, series_cols, k=k, entity_col=entity_col, ts_col=ts_col,
+            order_cols=order_cols, num_partitions=num_partitions,
+        )
     if events is not None:
         ds = asof_join(
             ds, events, entity_col=entity_col, ts_col=ts_col,
             right_value_cols=list(right_value_cols), direction="backward",
-            num_partitions=num_partitions,
+            num_partitions=num_partitions, broadcast=broadcast_asof,
         )
     return ds
 

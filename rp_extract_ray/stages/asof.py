@@ -111,25 +111,25 @@ def asof_join(
 
     if broadcast:
         small = right.select_columns([entity_col, ts_col, *right_value_cols]).to_pandas()
-        small = small.rename(columns=rename)
+        small = small.rename(columns=rename).sort_values(ts_col, ignore_index=True)
         right_ref = ray.put(small)
 
-        class BroadcastAsof:
-            def __init__(self):
-                self.right = ray.get(right_ref).sort_values(ts_col, ignore_index=True)
+        # stateless TASKS, not an actor pool: ray.get of the broadcast table
+        # is a cheap local object-store read, and a task pool scales to every
+        # free CPU instead of a fixed actor count (an actor pool here also
+        # gets operator-fused with upstream stages and caps their parallelism)
+        def broadcast_merge(batch: pd.DataFrame) -> pd.DataFrame:
+            return _merge_asof_frames(
+                batch,
+                ray.get(right_ref),
+                entity_col=entity_col,
+                ts_col=ts_col,
+                direction=direction,
+                tolerance_s=tolerance_s,
+                value_cols=out_value_cols,
+            )
 
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                return _merge_asof_frames(
-                    batch,
-                    self.right,
-                    entity_col=entity_col,
-                    ts_col=ts_col,
-                    direction=direction,
-                    tolerance_s=tolerance_s,
-                    value_cols=out_value_cols,
-                )
-
-        return left.map_batches(BroadcastAsof, batch_format="pandas", concurrency=(1, 8))
+        return left.map_batches(broadcast_merge, batch_format="pandas")
 
     # ---- co-partitioned path (both sides large): align schemas, tag, union ----
     unified = pa.schema(

@@ -1,0 +1,258 @@
+"""Deduplication suite: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Training-data-pipeline extensions (round-1 brief). Scale shapes:
+
+* exact     — content-hash column in a vectorized ``map_batches``, then
+              ``groupby(hash)`` keep-first (one shuffle keyed by the hash).
+* minhash   — per-doc signatures in an actor pool (permutation coefficients
+              built once per actor), explode to (band, band_hash) rows,
+              ``groupby`` the band buckets, emit candidate pairs, verify with
+              exact shingle Jaccard. Sketches are mergeable; the shuffle
+              carries only (band_hash, doc_id) pairs, never the text.
+* simhash   — 64-bit signature + banded buckets on 16-bit sub-keys, verify by
+              Hamming distance.
+* embedding — cosine near-dup via normalized vectors bucketed by random
+              hyperplane signs (LSH); exact verify within buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min
+
+from rp_extract_ray.functions.hashing import MinHasher, char_shingles, jaccard
+from rp_extract_ray.stages.partition import stable_hash
+
+
+def exact_dedup(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """Keep the first (min id) row per identical content. Returns
+    (id, content_hash, n_dups). SURVEY.md §2.8 / A6 generalized to drop."""
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = stable_hash(b.column(text_col).to_numpy(zero_copy_only=False))
+        return b.append_column("content_hash", pa.array(h.astype(np.int64)))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    return hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="n_dups")
+    )
+
+
+def minhash_lsh_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.6,
+    verify: bool = True,
+    concurrency=(1, 8),
+) -> Dataset:
+    """Near-duplicate candidate pairs via MinHash + banded LSH.
+
+    rows (id_a, id_b, est_jaccard[, jaccard]) with id_a < id_b, deduplicated
+    across bands. ``bands`` bands of ``num_perm/bands`` rows each: the usual
+    S-curve threshold is (1/bands)^(bands/num_perm) ~ 0.5-0.7 for 16x4.
+    """
+    rows_per_band = num_perm // bands
+
+    class Signatures:
+        def __init__(self):
+            self.mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            sigs = np.stack(
+                [self.mh.signature(t or "") for t in batch[text_col].fillna("")]
+            )  # (n, num_perm)
+            bh = np.empty((len(batch), bands), dtype=np.int64)
+            for b in range(bands):
+                seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+                bh[:, b] = pd.util.hash_pandas_object(
+                    pd.DataFrame(seg.astype(np.int64)), index=False
+                ).to_numpy().astype(np.int64)
+            out = pd.DataFrame(
+                {
+                    id_col: np.repeat(batch[id_col].to_numpy(), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), len(batch)),
+                    "band_hash": bh.reshape(-1),
+                }
+            )
+            return out
+
+    exploded = ds.map_batches(Signatures, batch_format="pandas", concurrency=concurrency)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    uniq = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
+    if not verify:
+        return uniq
+
+    # verify candidates with exact shingle Jaccard. Only the candidate docs'
+    # texts are pulled: a broadcast key-set semi-join prunes the corpus
+    # distributed-side before the (small) candidate set reaches the driver.
+    from rp_extract_ray.stages.join import semi_anti_join
+
+    cand_pdf = uniq.to_pandas()
+    needed = set(int(x) for x in cand_pdf["id_a"]) | set(int(x) for x in cand_pdf["id_b"])
+    texts = semi_anti_join(
+        ds.map_batches(lambda b: b.select([id_col, text_col]), batch_format="pyarrow"),
+        needed,
+        on=id_col,
+    ).to_pandas()
+    sh = {
+        int(i): char_shingles(t or "", shingle_k)
+        for i, t in zip(texts[id_col], texts[text_col])
+    }
+    jac = np.array(
+        [
+            jaccard(sh.get(int(a), np.empty(0, np.uint64)), sh.get(int(b), np.empty(0, np.uint64)))
+            for a, b in zip(cand_pdf["id_a"], cand_pdf["id_b"])
+        ]
+    )
+    cand_pdf["jaccard"] = np.round(jac, 6)
+    out = cand_pdf[cand_pdf["jaccard"] >= jaccard_threshold].reset_index(drop=True)
+    import ray.data as rd
+
+    return rd.from_pandas(out)
+
+
+def simhash_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    concurrency=(1, 8),
+) -> Dataset:
+    """Near-dup pairs by SimHash banding (4 x 16-bit bands: any pair within
+    Hamming distance 3 shares at least one exact band) + Hamming verify."""
+    from rp_extract_ray.functions.hashing import hash64, simhash64
+    import re
+
+    class Sigs:
+        def __init__(self):
+            self.tok = re.compile(r"\w+", re.ASCII)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            sh = np.array(
+                [
+                    np.uint64(
+                        simhash64(hash64(np.array(self.tok.findall((t or "").lower()), dtype=object)))
+                    )
+                    for t in batch[text_col].fillna("")
+                ],
+                dtype=np.uint64,
+            )
+            rows = {
+                id_col: np.repeat(batch[id_col].to_numpy(), 4),
+                "band": np.tile(np.arange(4, dtype=np.int32), len(batch)),
+                "band_key": np.stack(
+                    [((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64) for b in range(4)],
+                    axis=1,
+                ).reshape(-1),
+                "simhash": np.repeat(sh.astype(np.int64), 4),
+            }
+            return pd.DataFrame(rows)
+
+    exploded = ds.map_batches(Sigs, batch_format="pandas", concurrency=concurrency)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sigs = g["simhash"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int32)})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ham = np.array(
+            [bin(int(sigs[a] ^ sigs[b])).count("1") for a, b in zip(ia, ib)],
+            dtype=np.int32,
+        )
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": ham[keep]}
+        )
+
+    pairs = exploded.groupby(["band", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
+def embedding_near_dup(
+    ds: Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    cos_threshold: float = 0.9,
+    n_planes: int = 8,
+    seed: int = 5,
+    exhaustive: bool = False,
+) -> Dataset:
+    """Cosine near-dup pairs over an embedding column.
+
+    Scale path: LSH-bucket by the sign pattern of ``n_planes`` random
+    hyperplanes, exact-verify within buckets (recall < 1 by design — near-dups
+    at cos >= threshold almost always share the full sign pattern for high
+    thresholds). ``exhaustive=True`` verifies ALL pairs inside one partition
+    per bucket-free group — only for small corpora / tests.
+    """
+    def add_bucket(b: pa.Table) -> pa.Table:
+        vecs = np.stack(b.column(vec_col).to_pylist()).astype(np.float64)
+        # same seed in every task -> identical hyperplanes everywhere
+        planes = np.random.default_rng(seed).normal(size=(vecs.shape[1], n_planes))
+        signs = (vecs @ planes) > 0
+        bucket = np.zeros(len(vecs), dtype=np.int64)
+        if not exhaustive:
+            for j in range(n_planes):
+                bucket |= signs[:, j].astype(np.int64) << j
+        norm = np.linalg.norm(vecs, axis=1)
+        norm[norm == 0] = 1.0
+        unit = vecs / norm[:, None]
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "bucket": pa.array(bucket),
+                "unit": pa.array(list(unit.astype(np.float32))),
+            }
+        )
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "cos": pd.Series([], dtype=np.float64)})
+        U = np.stack(g["unit"].to_numpy()).astype(np.float64)
+        sim = U @ U.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        cos = sim[ia, ib]
+        keep = cos >= cos_threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos": np.round(cos[keep], 6)}
+        )
+
+    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")

@@ -40,16 +40,14 @@ def broadcast_join(
     small_pdf = small_pdf[[small_on, *value_cols]].drop_duplicates(subset=[small_on])
     ref = ray.put(small_pdf)
 
-    class Probe:
-        def __init__(self):
-            self.small = ray.get(ref)
+    # stateless tasks: the broadcast read is a local object-store get, and a
+    # task pool uses every free CPU (an actor pool would cap + fuse upstream)
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(
+            ray.get(ref), left_on=on, right_on=small_on, how=how
+        ).drop(columns=[small_on] if small_on != on else [])
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(
-                self.small, left_on=on, right_on=small_on, how=how
-            ).drop(columns=[small_on] if small_on != on else [])
-
-    return big.map_batches(Probe, batch_format="pandas", concurrency=(1, 8))
+    return big.map_batches(probe, batch_format="pandas")
 
 
 def semi_anti_join(
@@ -62,16 +60,12 @@ def semi_anti_join(
         key_set = set(keys.unique(keys_on or on))
     else:
         key_set = set(keys)
-    ref = ray.put(key_set)
+    ref = ray.put(pa.array(sorted(key_set)))
 
-    class Filter:
-        def __init__(self):
-            self.keys = pa.array(sorted(ray.get(ref)))  # built once per actor
+    def filt(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(on), value_set=ray.get(ref))
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch.column(on), value_set=self.keys)
-            if anti:
-                mask = pc.invert(mask)
-            return batch.filter(mask)
-
-    return big.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
+    return big.map_batches(filt, batch_format="pyarrow")

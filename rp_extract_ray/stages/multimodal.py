@@ -1,0 +1,111 @@
+"""Multimodal (binary-payload) column stages — Ray plumbing real, codecs stubbed.
+
+The reference's decode path shells out to ffmpeg/mpg123/lame
+(/root/reference/audiofile_read.py:139-212); those binaries and the image/
+audio libraries are not in this container, so the DECODE KERNEL is stubbed —
+either a clearly-marked NotImplementedError or a deterministic fake — while
+everything Ray-side is real and tested: schema (opaque ``binary`` payload +
+typed metadata), actor-pool signature, batch sizing for large rows, output
+layout.
+
+At 100 TB the rules encoded here: small ``batch_size`` (large rows), actor
+pools with per-actor codec state, payload column dropped as soon as features
+are extracted (never shuffle decoded tensors)."""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("kind", pa.string()),        # image | audio | video
+        pa.field("payload", pa.binary()),     # opaque encoded bytes
+        pa.field("mime", pa.string()),
+        pa.field("width", pa.int32()),        # typed metadata (nullable)
+        pa.field("height", pa.int32()),
+        pa.field("sample_rate", pa.int32()),
+        pa.field("duration_ms", pa.int32()),
+    ]
+)
+
+
+def synth_media_table(n: int = 64, seed: int = 21) -> pa.Table:
+    """Deterministic fake media rows for plumbing tests (payload bytes are
+    seeded noise, not decodable)."""
+    rng = np.random.default_rng(seed)
+    kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
+    payloads = [rng.bytes(int(rng.integers(256, 4096))) for _ in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(kinds),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["application/octet-stream"] * n),
+            "width": pa.array(rng.integers(32, 2048, n, dtype=np.int32)),
+            "height": pa.array(rng.integers(32, 2048, n, dtype=np.int32)),
+            "sample_rate": pa.array(np.full(n, 16000, dtype=np.int32)),
+            "duration_ms": pa.array(rng.integers(100, 60000, n, dtype=np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: decode -> feature-extract binary payloads.
+
+    ``mode='stub'`` raises NotImplementedError from the decode kernel (the
+    honest production placeholder); ``mode='fake'`` produces a deterministic
+    payload-derived feature vector so the full pipeline (schema, batching,
+    output layout) is testable end-to-end. A real deployment replaces
+    ``_decode`` only.
+    """
+
+    FEAT_DIM = 16
+
+    def __init__(self, mode: Literal["stub", "fake"] = "fake"):
+        self.mode = mode  # per-actor init: real impl loads codec/model here
+
+    def _decode(self, payload: bytes, kind: str) -> np.ndarray:
+        if self.mode == "stub":
+            raise NotImplementedError(
+                "media codecs unavailable in this environment; "
+                "plug a real decoder here (PIL / torchaudio / pyav)"
+            )
+        # deterministic fake: byte histogram as the 'decoded signal'
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+        return arr
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        feats = np.zeros((len(batch), self.FEAT_DIM), dtype=np.float64)
+        for i, (payload, kind) in enumerate(zip(batch["payload"], batch["kind"])):
+            sig = self._decode(payload, kind)
+            hist, _ = np.histogram(sig, bins=self.FEAT_DIM, range=(0, 256))
+            feats[i] = hist / max(len(sig), 1)
+        out = batch.drop(columns=["payload"])  # NEVER ship payloads downstream
+        out["media_feat"] = [row for row in feats]
+        return out
+
+
+def extract_media_features(
+    ds: Dataset,
+    mode: Literal["stub", "fake"] = "fake",
+    *,
+    batch_size: int = 64,       # large binary rows -> small batches
+    concurrency=(1, 8),
+    num_cpus: float = 1,
+) -> Dataset:
+    return ds.map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs={"mode": mode},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )

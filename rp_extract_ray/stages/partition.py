@@ -135,6 +135,8 @@ def partitioned_apply(
     order_cols: Sequence[str] = ("ts", "turn_idx"),
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     salt: SaltSpec | None = None,
+    metrics_sink=None,
+    metrics_stage: str = "partitioned_apply",
 ) -> Dataset:
     """Run ``fn`` over each entity-partitioned, sorted frame.
 
@@ -151,6 +153,12 @@ def partitioned_apply(
         sort_cols = [entity_col, CHUNK_COL, salt.turn_col]
 
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows_in = len(pdf)
+        part_id = int(pdf[PART_COL].iloc[0]) if rows_in else -1
+        if metrics_sink is not None:
+            from rp_extract_ray.state.metrics import PartitionMetrics
+
+            pm = PartitionMetrics(part_id, metrics_stage)
         pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
         ghost = chunk = None
         if GHOST_COL in pdf.columns:
@@ -164,6 +172,12 @@ def partitioned_apply(
         out = fn(pdf, starts)
         if ghost is not None and len(out) == len(ghost):
             out = out.loc[~ghost]
+        if metrics_sink is not None:
+            import ray as _ray
+
+            # blocking: the metrics row is durable once the partition task
+            # reports success (one tiny actor call per PARTITION, not per row)
+            _ray.get(metrics_sink.add.remote(pm.row(rows_in, len(out))))
         return out
 
     parted = ds.map_batches(

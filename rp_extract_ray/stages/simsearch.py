@@ -1,0 +1,157 @@
+"""Similarity search over an embedding column (list<float>).
+
+The distributed generalization of the reference's NearestNeighbors tutorial
+stage (ST4, SURVEY.md §2.4): top-k by cosine against one or more query
+vectors.
+
+* Brute force — the baseline: queries broadcast once (``ray.put``), each
+  Arrow batch does one float64 matmul, per-batch top-k partials are merged by
+  a tiny final reduction (never a global sort of all scores).
+* IVF — the scale path: k-means coarse centroids (fit on a bounded sample),
+  each row assigned to its nearest centroid inside ``map_batches``; queries
+  probe only ``n_probe`` nearest lists. Same merge.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.stack(col.to_pylist()).astype(np.float64)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def knn_cosine(
+    ds: Dataset,
+    queries: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> pd.DataFrame:
+    """Exact top-k by cosine for each query row; returns a DataFrame
+    (query_idx, vec_id, cos, rank) — ties broken by id for determinism."""
+    q = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    q_ref = ray.put(q)
+
+    class PartialTopK:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _unit(_as_matrix(batch.column(vec_col)))
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            sims = vecs @ self.q.T  # (n, nq)
+            out_q, out_id, out_cos = [], [], []
+            kk = min(k, len(ids))
+            for j in range(self.q.shape[0]):
+                s = sims[:, j]
+                part = np.argpartition(-s, kk - 1)[:kk]
+                out_q.append(np.full(kk, j, dtype=np.int32))
+                out_id.append(ids[part])
+                out_cos.append(s[part])
+            return pa.table(
+                {
+                    "query_idx": pa.array(np.concatenate(out_q)),
+                    id_col: pa.array(np.concatenate(out_id)),
+                    "cos": pa.array(np.concatenate(out_cos)),
+                }
+            )
+
+    partials = ds.map_batches(
+        PartialTopK, batch_format="pyarrow", concurrency=(1, 8)
+    ).to_pandas()
+    rows = []
+    for j, g in partials.groupby("query_idx"):
+        top = heapq.nsmallest(k, zip(-g["cos"], g[id_col]))
+        for rank, (neg, vid) in enumerate(top):
+            rows.append((int(j), int(vid), round(-neg, 6), rank))
+    return pd.DataFrame(rows, columns=["query_idx", id_col, "cos", "rank"])
+
+
+def kmeans_fit(sample: np.ndarray, n_clusters: int, n_iter: int = 10, seed: int = 3) -> np.ndarray:
+    """Plain Lloyd k-means on a driver-side sample (bounded; centroids are the
+    broadcastable small state)."""
+    rng = np.random.default_rng(seed)
+    X = _unit(sample)
+    C = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(n_iter):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _unit(C)
+    return C
+
+
+def ivf_index(
+    ds: Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    sample_rows: int = 10_000,
+    seed: int = 3,
+) -> tuple[Dataset, np.ndarray]:
+    """(assigned dataset with ``list_id`` column, centroids). The assignment
+    is a pure map (no shuffle); downstream search probes selected lists."""
+    sample = _as_matrix(
+        ds.limit(sample_rows).select_columns([vec_col]).to_pandas()[vec_col]
+    ) if False else np.stack(
+        ds.limit(sample_rows).to_pandas()[vec_col].to_numpy()
+    ).astype(np.float64)
+    C = kmeans_fit(sample, n_clusters, seed=seed)
+    c_ref = ray.put(C)
+
+    class Assign:
+        def __init__(self):
+            self.C = ray.get(c_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _unit(_as_matrix(batch.column(vec_col)))
+            lid = (vecs @ self.C.T).argmax(axis=1).astype(np.int32)
+            return batch.append_column("list_id", pa.array(lid))
+
+    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8)), C
+
+
+def ivf_search(
+    assigned: Dataset,
+    centroids: np.ndarray,
+    queries: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_probe: int = 4,
+) -> pd.DataFrame:
+    """Approximate top-k: scan only rows whose list_id is among each query's
+    ``n_probe`` closest centroids (single shared scan with a per-batch list
+    filter — at scale the index would be written as list_id-partitioned
+    Parquet and pruned at the read)."""
+    q = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    probe = np.argsort(-(q @ centroids.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    wanted = set(probe.reshape(-1).tolist())
+
+    filtered = assigned.map_batches(
+        lambda b: b.filter(
+            pa.compute.is_in(b.column("list_id"), value_set=pa.array(sorted(wanted), pa.int32()))
+        ),
+        batch_format="pyarrow",
+    )
+    res = knn_cosine(filtered, q, vec_col=vec_col, id_col=id_col, k=k)
+    return res

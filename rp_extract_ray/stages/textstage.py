@@ -1,0 +1,141 @@
+"""Text analysis stages over document tables: token counting, quality
+scoring, n-gram language ID, document fingerprinting.
+
+Large-scale training-data-pipeline extensions (round-1 brief): each stage is
+a vectorized ``map_batches``; language-ID holds compiled n-gram profiles in
+actor state (loaded once per actor, ST2 pattern,
+/root/reference/rp_classify.py:126-158)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from rp_extract_ray.stages.turns import TOKEN_PATTERN
+
+# Tiny per-language character/trigram profiles — a deterministic heuristic
+# (public-knowledge approach: rank-order n-gram profiles a la Cavnar-Trenkle).
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", " an", "and", "ing", " of", "ion", "tio", " to"),
+    "de": ("en ", "er ", " de", "der", "ie ", "ein", "sch", "ich", "nde", "die"),
+    "fr": (" de", "es ", "de ", " le", "ent", "le ", "la ", " la", "tio", "ne "),
+    "es": (" de", "de ", "os ", " la", "la ", "el ", " el", "ión", "ent", "as "),
+    "zh": tuple("的一是不了人在有我他这中大来上国个到说们为子和你地"),
+}
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    text = pc.fill_null(batch.column(text_col), "")
+    n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_PATTERN), pa.int64())
+    n_ws_tokens = pc.cast(
+        pc.count_substring_regex(text, r"\S+"), pa.int64()
+    )  # whitespace tokenization
+    return batch.append_column("n_tokens", n_tokens).append_column(
+        "n_ws_tokens", n_ws_tokens
+    )
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length / character-class ratios (the M25-filter analogue for text
+    corpora): alpha_ratio, digit_ratio, space_ratio, mean_word_len, plus a
+    composite quality in [0,1]."""
+    text = pc.fill_null(batch.column(text_col), "")
+    n = pc.cast(pc.utf8_length(text), pa.int64())
+    n_np = np.maximum(n.to_numpy(zero_copy_only=False), 1).astype(np.float64)
+    n_alpha = pc.count_substring_regex(text, r"[a-zA-Z]").to_numpy(zero_copy_only=False)
+    n_digit = pc.count_substring_regex(text, r"[0-9]").to_numpy(zero_copy_only=False)
+    n_space = pc.count_substring_regex(text, r"\s").to_numpy(zero_copy_only=False)
+    n_words = np.maximum(
+        pc.count_substring_regex(text, r"\S+").to_numpy(zero_copy_only=False), 1
+    )
+    alpha_ratio = n_alpha / n_np
+    digit_ratio = n_digit / n_np
+    space_ratio = n_space / n_np
+    mean_word_len = (n_np - n_space) / n_words
+    quality = np.clip(
+        0.5 * alpha_ratio
+        + 0.3 * np.clip(space_ratio / 0.2, 0, 1)
+        + 0.2 * (1.0 - np.clip(digit_ratio / 0.3, 0, 1)),
+        0.0,
+        1.0,
+    )
+    for name, v in (
+        ("alpha_ratio", alpha_ratio),
+        ("digit_ratio", digit_ratio),
+        ("space_ratio", space_ratio),
+        ("mean_word_len", mean_word_len),
+        ("quality", quality),
+    ):
+        batch = batch.append_column(name, pa.array(np.round(v, 6)))
+    return batch
+
+
+class LangId:
+    """n-gram-profile language classifier; profiles compiled once per actor."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.langs = list(_LANG_PROFILES)
+        self.grams = [set(g) for g in _LANG_PROFILES.values()]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.text_col].fillna("").str.lower()
+        scores = np.zeros((len(texts), len(self.langs)), dtype=np.float64)
+        for j, grams in enumerate(self.grams):
+            for g in grams:
+                scores[:, j] += texts.str.count(__import__("re").escape(g)).to_numpy()
+        total = np.maximum(scores.sum(axis=1), 1e-9)
+        best = scores.argmax(axis=1)
+        batch["lang_pred"] = np.array(self.langs)[best]
+        batch["lang_conf"] = np.round(scores[np.arange(len(texts)), best] / total, 6)
+        batch.loc[scores.max(axis=1) == 0, "lang_pred"] = "unk"
+        return batch
+
+
+def add_token_counts(ds: Dataset, text_col: str = "text") -> Dataset:
+    return ds.map_batches(
+        token_count_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
+    )
+
+
+def add_quality_scores(ds: Dataset, text_col: str = "text") -> Dataset:
+    return ds.map_batches(
+        quality_score_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
+    )
+
+
+def add_langid(ds: Dataset, text_col: str = "text", concurrency=(1, 8)) -> Dataset:
+    return ds.map_batches(
+        LangId, batch_format="pandas", fn_constructor_kwargs={"text_col": text_col},
+        concurrency=concurrency,
+    )
+
+
+def add_fingerprints(ds: Dataset, text_col: str = "text", concurrency=(1, 8)) -> Dataset:
+    """Winnowing-style rolling-hash fingerprints + simhash per document."""
+    from rp_extract_ray.functions.hashing import (
+        hash64,
+        rolling_fingerprint,
+        simhash64,
+    )
+    import re
+
+    class Fingerprint:
+        def __init__(self):
+            self.tok = re.compile(r"\w+", re.ASCII)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            fps, shs = [], []
+            for t in batch[text_col].fillna(""):
+                fps.append(rolling_fingerprint(t).astype(np.int64))
+                toks = np.array(self.tok.findall(t.lower()), dtype=object)
+                shs.append(np.int64(simhash64(hash64(toks)).astype(np.int64)))
+            batch["fingerprint"] = fps
+            batch["simhash"] = np.array(shs, dtype=np.int64)
+            return batch
+
+    return ds.map_batches(Fingerprint, batch_format="pandas", concurrency=concurrency)

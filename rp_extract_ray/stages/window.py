@@ -29,7 +29,7 @@ from numpy.lib.stride_tricks import sliding_window_view
 
 from ray.data import Dataset
 
-from rp_extract_ray.functions.stats import seven_stats_nan
+from rp_extract_ray.functions.stats import nan_sorted_percentiles, seven_stats_nan
 from rp_extract_ray.schema import DEFAULT_WINDOW_TURNS, STAT_NAMES, TRACKED_SERIES
 from rp_extract_ray.stages.lag import gap_seconds
 from rp_extract_ray.stages.partition import SaltSpec, entity_starts, partitioned_apply
@@ -59,14 +59,14 @@ def window_stat_columns(
     out: dict[str, np.ndarray] = {}
     for c in series_cols:
         w = window_matrix(pdf_sorted[c].to_numpy(dtype=np.float64), k, starts)
-        stats = seven_stats_nan(w)
+        cnt = (~np.isnan(w)).sum(axis=1)
+        sorted_w = np.sort(w, axis=1)  # one sort feeds median/min/max/pctl
+        stats = seven_stats_nan(w, sorted_w=sorted_w, cnt=cnt)
         for j, s in enumerate(STAT_NAMES):
             out[f"{c}_w{s}"] = stats[:, j]
-        out[f"{c}_wcount"] = (~np.isnan(w)).sum(axis=1).astype(np.int64)
+        out[f"{c}_wcount"] = cnt.astype(np.int64)
         if len(pctl):
-            with np.errstate(all="ignore"):
-                q = np.nanpercentile(w, pctl, axis=1)
-            q = np.nan_to_num(q, nan=0.0)
+            q = nan_sorted_percentiles(sorted_w, cnt, np.asarray(pctl))
             for j, p in enumerate(pctl):
                 out[f"{c}_wp{int(p)}"] = q[j]
     return out

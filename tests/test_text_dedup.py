@@ -1,0 +1,154 @@
+"""Text analysis + deduplication + similarity-search stages."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from rp_extract_ray.functions.hashing import char_shingles, jaccard
+from rp_extract_ray.stages.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from rp_extract_ray.stages.simsearch import ivf_index, ivf_search, knn_cosine
+from rp_extract_ray.stages.textstage import (
+    add_fingerprints,
+    add_langid,
+    add_quality_scores,
+    add_token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs():
+    base = [
+        "the quick brown fox jumps over the lazy dog in the yard",
+        "a completely different sentence about ray data pipelines",
+        "der schnelle braune fuchs springt über den faulen hund",
+        "le renard brun rapide saute par dessus le chien paresseux",
+        "数据 处理 引擎 的 快速 测试 文本 这 是 一 个",
+        "numbers 12345 67890 11111 22222 33333 44444 55555",
+    ]
+    rows = []
+    for i in range(60):
+        t = base[i % len(base)]
+        if i >= 48:  # near-duplicates of doc 0 with small edits
+            t = base[0] + f" extra{i}"
+        if i == 59:
+            t = ""  # empty doc
+        rows.append({"doc_id": i, "text": t})
+    return pd.DataFrame(rows)
+
+
+def test_token_and_quality(docs):
+    ds = add_quality_scores(add_token_counts(rd.from_pandas(docs)))
+    out = ds.to_pandas().sort_values("doc_id", ignore_index=True)
+    assert out.loc[0, "n_ws_tokens"] == len(docs.loc[0, "text"].split())
+    assert out.loc[59, "n_tokens"] == 0
+    assert ((out["alpha_ratio"] >= 0) & (out["alpha_ratio"] <= 1)).all()
+    digits = out[out.doc_id % 6 == 5].iloc[0]
+    assert digits["digit_ratio"] > 0.5
+    assert digits["quality"] < out.loc[0, "quality"]
+
+
+def test_langid(docs):
+    out = add_langid(rd.from_pandas(docs)).to_pandas()
+    byid = out.set_index("doc_id")["lang_pred"]
+    assert byid[0] == "en"
+    assert byid[2] == "de"
+    assert byid[4] == "zh"
+    assert byid[59] == "unk"
+
+
+def test_fingerprints_deterministic(docs):
+    a = add_fingerprints(rd.from_pandas(docs)).to_pandas().set_index("doc_id")
+    b = add_fingerprints(rd.from_pandas(docs)).to_pandas().set_index("doc_id")
+    assert (a["simhash"] == b["simhash"]).all()
+    # identical texts share fingerprints; distinct texts don't
+    assert a.loc[0, "simhash"] == a.loc[6, "simhash"]
+    assert a.loc[0, "simhash"] != a.loc[1, "simhash"]
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(rd.from_pandas(docs)).to_pandas()
+    n_unique_texts = docs["text"].nunique()
+    assert len(out) == n_unique_texts
+    # keep-first: doc 0's text appears 8x (i%6==0) -> min id 0
+    row = out[out["doc_id"] == 0].iloc[0]
+    assert row["n_dups"] == (docs["text"] == docs.loc[0, "text"]).sum()
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = minhash_lsh_pairs(
+        rd.from_pandas(docs), jaccard_threshold=0.5, num_perm=64, bands=16
+    ).to_pandas()
+    assert len(pairs) > 0
+    # every returned pair really is near-dup by exact jaccard
+    assert (pairs["jaccard"] >= 0.5).all()
+    # the planted near-dups of doc 0 (ids 48..58) must be found
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    planted = [(0, 48), (0, 54)]  # identical-base pairs with small suffix
+    hits = sum(1 for p in planted if p in found)
+    assert hits >= 1
+    # exact duplicates (0, 6) share everything
+    assert (0, 6) in found
+
+
+def test_simhash_pairs(docs):
+    out = simhash_pairs(rd.from_pandas(docs), max_hamming=4).to_pandas()
+    found = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert (0, 6) in found  # identical docs -> hamming 0
+    assert (out["hamming"] <= 4).all()
+
+
+def test_jaccard_kernel():
+    a = char_shingles("hello world how are you", 5)
+    assert jaccard(a, a) == 1.0
+    b = char_shingles("completely different text here", 5)
+    assert jaccard(a, b) < 0.2
+
+
+@pytest.fixture(scope="module")
+def emb():
+    rng = np.random.default_rng(8)
+    base = rng.normal(size=(20, 16)).astype(np.float32)
+    rows = []
+    for i in range(100):
+        if i >= 80:  # pairs (80,90),(81,91),...: tiny perturbations of one base
+            v = base[i % 10] + rng.normal(scale=0.01, size=16).astype(np.float32)
+        else:
+            v = base[i % 20] + rng.normal(scale=1.0, size=16).astype(np.float32)
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+    return pd.DataFrame(rows)
+
+
+def test_knn_cosine(emb):
+    q = np.array(emb.loc[0, "embedding"])
+    res = knn_cosine(rd.from_pandas(emb), q[None, :], k=5)
+    assert len(res) == 5
+    assert res.iloc[0]["vec_id"] == 0 and res.iloc[0]["cos"] == 1.0
+    assert (np.diff(res["cos"].to_numpy()) <= 1e-12).all()  # descending
+
+
+def test_ivf_matches_brute_force_mostly(emb):
+    ds = rd.from_pandas(emb)
+    q = np.array(emb.loc[80, "embedding"])
+    exact = knn_cosine(ds, q[None, :], k=5)
+    assigned, C = ivf_index(ds, n_clusters=8, seed=3)
+    approx = ivf_search(assigned, C, q[None, :], k=5, n_probe=4)
+    # top-1 must agree; recall@5 >= 3/5 with 4/8 lists probed
+    assert approx.iloc[0]["vec_id"] == exact.iloc[0]["vec_id"]
+    assert len(set(approx["vec_id"]) & set(exact["vec_id"])) >= 3
+
+
+def test_embedding_near_dup(emb):
+    pairs = embedding_near_dup(
+        rd.from_pandas(emb), cos_threshold=0.99, exhaustive=True
+    ).to_pandas()
+    # the 80..99 rows are tiny perturbations of base vectors -> near-dups of
+    # their earlier copies exist
+    assert len(pairs) > 0
+    assert (pairs["cos"] >= 0.99).all()
