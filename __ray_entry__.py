@@ -27,6 +27,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from rp_extract_ray.pipelines import documents as D
     from rp_extract_ray.pipelines import events as E
     from rp_extract_ray.pipelines import relational as R
 
@@ -53,6 +54,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_customers": R.q_region_customers,
         "topk": R.q_topk,
         "filter_sort": R.q_filter_sort,
+        # text analysis / dedup / similarity (training-data extensions)
+        "token_count": D.q_token_count,
+        "text_quality": D.q_text_quality,
+        "langid": D.q_langid,                       # rows-only
+        "fingerprint": D.q_fingerprint,             # rows-only
+        "minhash_pairs": D.q_minhash_pairs,         # rows-only
+        "simhash_pairs": D.q_simhash_pairs,         # rows-only
+        "embedding_near_dup": D.q_embedding_near_dup,  # rows-only
+        "knn_cosine": D.q_knn,
+        "embedding_label_stats": D.q_embedding_label_stats,
+        # full windowed/rhythm feature stages (rows-only; pytest oracles)
+        "window_features_full": E.q_window_features_full,
+        "rhythm_features": E.q_rhythm,
+        "flagship_backfill": E.q_flagship,
     }
     return q
 
@@ -175,4 +190,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
             WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0
             ORDER BY o_orderkey""",
+        "token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+                     AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                     AS n_ws_tokens
+            FROM documents""",
+        "text_quality": r"""
+            SELECT doc_id,
+                   round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                         / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS alpha_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS digit_ratio,
+                   round((length(text) - length(regexp_replace(text, '\s', '', 'g')))
+                         / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS space_ratio
+            FROM documents""",
+        "knn_cosine": """
+            SELECT vec_id,
+                   round(CAST(list_cosine_similarity(
+                       embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE),
+                         4) AS cos
+            FROM embeddings
+            ORDER BY list_cosine_similarity(
+                       embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                     vec_id
+            LIMIT 10""",
+        "embedding_label_stats": """
+            SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+                   round(avg(sqrt(list_sum(
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+                     AS mean_norm
+            FROM embeddings GROUP BY label""",
     }

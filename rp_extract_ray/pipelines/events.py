@@ -34,10 +34,12 @@ def _events(sf_dir: str, columns=None) -> Dataset:
 
 
 def _round(ds: Dataset, cols: dict[str, int]) -> Dataset:
+    from rp_extract_ray.functions.rounding import round_half_away
+
     def f(b: pa.Table) -> pa.Table:
         for c, nd in cols.items():
             if c in b.column_names:
-                v = np.round(b.column(c).to_numpy(zero_copy_only=False).astype(np.float64), nd)
+                v = round_half_away(b.column(c).to_numpy(zero_copy_only=False), nd)
                 b = b.set_column(b.column_names.index(c), c, pa.array(v))
         return b
 
@@ -172,6 +174,36 @@ def q_backfill(sf_dir: str) -> Dataset:
         ds, fn, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
     )
     return ds.select_columns(["event_id", "user_id", "ts", "last_purchase_value"])
+
+
+def q_window_features_full(sf_dir: str, k: int = 8) -> Dataset:
+    """Rows-only: the FULL windowed descriptor set (incl. skew / Pearson
+    kurtosis / percentiles — not SQL-expressible with matching semantics;
+    validated against the pandas oracle in pytest instead)."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    return add_window_features(
+        ds, ["value"], k=k, entity_col=ENTITY, ts_col="ts", order_cols=ORDER,
+        num_partitions=NP,
+    )
+
+
+def q_rhythm(sf_dir: str) -> Dataset:
+    """Rows-only: rhythm-analogue conversation descriptors (RP/RH/MVD/TSSD/
+    TRH via modulation FFT) over the per-user event series."""
+    from rp_extract_ray.stages.rhythm import rhythm_features
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    return rhythm_features(
+        ds, series_cols=("value", "gap_s"), entity_col=ENTITY, ts_col="ts",
+        order_cols=ORDER, seg_len=32, n_mod=16, num_partitions=NP,
+    )
+
+
+def q_flagship(sf_dir: str) -> Dataset:
+    """Rows-only: the full flagship point-in-time backfill pipeline."""
+    from rp_extract_ray.pipelines.flagship import flagship_events_pipeline
+
+    return flagship_events_pipeline(sf_dir, num_partitions=NP)
 
 
 def q_standardize(sf_dir: str) -> Dataset:

@@ -60,6 +60,7 @@ def feature_backfill(
     broadcast_asof: bool = True,
     right_value_cols=("value",),
     fused: bool = True,
+    add_stats: bool = True,
 ) -> Dataset:
     """turn stats -> sessionize + sliding-window SSD features [-> as-of].
 
@@ -72,7 +73,7 @@ def feature_backfill(
     whole conversations); for extreme single-conversation skew use the
     standalone salted ``add_window_features`` + ``asof_join`` composition.
     """
-    ds = add_turn_stats(turns)
+    ds = add_turn_stats(turns) if add_stats else turns
     if fused:
         from rp_extract_ray.stages.lag import gap_seconds
         from rp_extract_ray.stages.partition import partitioned_apply
@@ -108,6 +109,102 @@ def feature_backfill(
             num_partitions=num_partitions, broadcast=broadcast_asof,
         )
     return ds
+
+
+def feature_backfill_payload_light(
+    shard_paths: list[str],
+    events: Dataset | None = None,
+    *,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    turn_col: str = "turn_idx",
+    k: int = 16,
+    session_gap_s: float = 1800.0,
+    series_cols=("text_len", "token_est", "gap_s"),
+    num_partitions: int = 64,
+    payload_cols=("text",),
+    right_value_cols=("value",),
+) -> Dataset:
+    """Payload-light backfill: the heavy ``text`` payload NEVER enters the
+    all-to-all exchange.
+
+    The payload-through pipeline saturates on object-store/shuffle bandwidth
+    once the corpus outgrows memory (measured: 8 and 32 CPUs hit the same
+    wall time at 4M turns). Here each input shard is projected to its numeric
+    series + provenance ``(_shard, _pos)`` (~100 B/row through the shuffle
+    instead of the ~kB payload); features are computed in the usual
+    entity-partitioned exchange; then a second small shuffle groups feature
+    rows BY SOURCE SHARD and each group re-reads its shard's payload columns
+    straight from storage (page cache / S3 — never the object store) and
+    zips them back by row position. Output rows = input rows with full
+    payload + features; text is read twice but shuffled zero times.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rp_extract_ray.stages.turns import add_turn_stats_batch
+    from rp_extract_ray.stages.lag import gap_seconds
+    from rp_extract_ray.stages.partition import partitioned_apply
+    from rp_extract_ray.stages.session import session_ids
+    from rp_extract_ray.stages.window import window_stat_columns
+
+    shard_index = {p: i for i, p in enumerate(shard_paths)}
+    paths_ds = rd.from_items([{"path": p} for p in shard_paths])
+
+    # role/tool are tiny dictionary-encoded columns — cheap to carry through
+    # the shuffle; only the heavy payload_cols stay behind
+    numeric_cols = [entity_col, turn_col, ts_col, "role", "tool"]
+
+    def project(batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch.column("path").to_pylist():
+            t = pq.read_table(p, columns=numeric_cols + list(payload_cols))
+            stats = add_turn_stats_batch(t)  # text_len/token_est/role flags
+            stats = stats.drop_columns(list(payload_cols))
+            n = len(stats)
+            stats = stats.append_column(
+                "_shard", pa.array(np.full(n, shard_index[p], dtype=np.int32))
+            )
+            stats = stats.append_column("_pos", pa.array(np.arange(n, dtype=np.int64)))
+            out.append(stats)
+        return pa.concat_tables(out)
+
+    slim = paths_ds.map_batches(project, batch_format="pyarrow", batch_size=1)
+
+    def fn(pdf, starts):
+        gap, session = session_ids(pdf[ts_col].to_numpy(), starts, session_gap_s)
+        pdf["gap_s"] = gap
+        pdf["session_id"] = session
+        cols = window_stat_columns(pdf, series_cols, k, starts)
+        return pdf.assign(**cols)
+
+    feats = partitioned_apply(
+        slim, fn, entity_col=entity_col, order_cols=(ts_col, turn_col),
+        num_partitions=num_partitions,
+    )
+    if events is not None:
+        feats = asof_join(
+            feats, events, entity_col=entity_col, ts_col=ts_col,
+            right_value_cols=list(right_value_cols), direction="backward",
+            num_partitions=num_partitions, broadcast=True,
+        )
+
+    payload = list(payload_cols)
+
+    def rejoin(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return group
+        shard = int(group.column("_shard")[0].as_py())
+        pos = group.column("_pos").to_numpy(zero_copy_only=False)
+        order = np.argsort(pos)
+        group = group.take(pa.array(order))
+        src = pq.read_table(shard_paths[shard], columns=payload)
+        taken = src.take(pa.array(pos[order]))
+        for c in payload:
+            group = group.append_column(c, taken.column(c))
+        return group.drop_columns(["_shard", "_pos"])
+
+    return feats.groupby("_shard").map_groups(rejoin, batch_format="pyarrow")
 
 
 def flagship_events_pipeline(sf_dir: str, num_partitions: int = 16) -> Dataset:

@@ -24,9 +24,11 @@ def _read(sf_dir: str, table: str, columns=None) -> Dataset:
 
 
 def _round_cols(ds: Dataset, cols: dict[str, int]) -> Dataset:
+    from rp_extract_ray.functions.rounding import round_half_away
+
     def f(b: pa.Table) -> pa.Table:
         for c, nd in cols.items():
-            v = np.round(b.column(c).to_numpy(zero_copy_only=False).astype(np.float64), nd)
+            v = round_half_away(b.column(c).to_numpy(zero_copy_only=False), nd)
             b = b.set_column(b.column_names.index(c), c, pa.array(v))
         return b
 

@@ -100,36 +100,44 @@ def asof_join(
     Right value columns whose names collide with left columns are renamed
     ``<name>_r`` before the merge.
     """
-    left_schema = _arrow_schema(left)
-    right_schema = _arrow_schema(right)
-    left_names = list(left_schema.names)
+    right_schema = _arrow_schema(right)  # right side is small/cheap to probe
     if right_value_cols is None:
         right_value_cols = [c for c in right_schema.names if c not in (entity_col, ts_col)]
-    rename = {c: (f"{c}_r" if c in left_names else c) for c in right_value_cols}
-    out_value_cols = [rename[c] for c in right_value_cols]
-    rtypes = {rename[c]: right_schema.field(c).type for c in right_value_cols}
 
     if broadcast:
+        # IMPORTANT: never call left.schema() here — on a transformed Dataset
+        # that launches a limit-1 probe job which still executes the full
+        # upstream all-to-all sort (doubling pipeline cost). Column-collision
+        # renaming is resolved per batch instead (consistent by construction).
         small = right.select_columns([entity_col, ts_col, *right_value_cols]).to_pandas()
-        small = small.rename(columns=rename).sort_values(ts_col, ignore_index=True)
+        small = small.sort_values(ts_col, ignore_index=True)
         right_ref = ray.put(small)
+        rvc = list(right_value_cols)
 
         # stateless TASKS, not an actor pool: ray.get of the broadcast table
         # is a cheap local object-store read, and a task pool scales to every
         # free CPU instead of a fixed actor count (an actor pool here also
         # gets operator-fused with upstream stages and caps their parallelism)
         def broadcast_merge(batch: pd.DataFrame) -> pd.DataFrame:
+            small_loc = ray.get(right_ref)
+            ren = {c: (f"{c}_r" if c in batch.columns else c) for c in rvc}
             return _merge_asof_frames(
                 batch,
-                ray.get(right_ref),
+                small_loc.rename(columns=ren),
                 entity_col=entity_col,
                 ts_col=ts_col,
                 direction=direction,
                 tolerance_s=tolerance_s,
-                value_cols=out_value_cols,
+                value_cols=[ren[c] for c in rvc],
             )
 
         return left.map_batches(broadcast_merge, batch_format="pandas")
+
+    left_schema = _arrow_schema(left)
+    left_names = list(left_schema.names)
+    rename = {c: (f"{c}_r" if c in left_names else c) for c in right_value_cols}
+    out_value_cols = [rename[c] for c in right_value_cols]
+    rtypes = {rename[c]: right_schema.field(c).type for c in right_value_cols}
 
     # ---- co-partitioned path (both sides large): align schemas, tag, union ----
     unified = pa.schema(

@@ -47,7 +47,9 @@ def standardize(
             v = batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
             z = (v - m) / s
             if round_to is not None:
-                z = np.round(z, round_to)
+                from rp_extract_ray.functions.rounding import round_half_away
+
+                z = round_half_away(z, round_to)
             batch = batch.append_column(f"{c}{suffix}", pa.array(z))
         return batch
 

@@ -15,7 +15,12 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
+from rp_extract_ray.functions.rounding import round_half_away
 from rp_extract_ray.stages.turns import TOKEN_PATTERN
+
+
+def _r6(v):
+    return round_half_away(v, 6)
 
 # Tiny per-language character/trigram profiles — a deterministic heuristic
 # (public-knowledge approach: rank-order n-gram profiles a la Cavnar-Trenkle).
@@ -70,7 +75,7 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         ("mean_word_len", mean_word_len),
         ("quality", quality),
     ):
-        batch = batch.append_column(name, pa.array(np.round(v, 6)))
+        batch = batch.append_column(name, pa.array(_r6(v)))
     return batch
 
 

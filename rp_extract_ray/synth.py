@@ -134,19 +134,44 @@ def generate_conv_events(
     )
 
 
-def write_corpus(out_dir: str, n_convs: int = 100, seed: int = 7, mean_turns: int = 24) -> dict:
-    """Write transcripts.parquet + conv_events.parquet under ``out_dir``.
+def write_corpus(
+    out_dir: str,
+    n_convs: int = 100,
+    seed: int = 7,
+    mean_turns: int = 24,
+    shards: int = 1,
+) -> dict:
+    """Write transcripts (``shards`` parquet files) + conv_events under
+    ``out_dir``.
 
-    Idempotent cache: skips generation when files already exist (used by
-    bench.py so both scaling runs read identical bytes).
+    Sharding matters for read parallelism: one giant file caps the read (and
+    every fused downstream map) at its row-group count — at 100 TB input is
+    always many files, so the bench mirrors that. Idempotent cache: skips
+    generation when files already exist (both scaling runs read identical
+    bytes).
     """
     os.makedirs(out_dir, exist_ok=True)
-    t_path = os.path.join(out_dir, "transcripts.parquet")
     e_path = os.path.join(out_dir, "conv_events.parquet")
-    if not (os.path.exists(t_path) and os.path.exists(e_path)):
+    if shards == 1:
+        t_path = os.path.join(out_dir, "transcripts.parquet")
+        have = os.path.exists(t_path)
+    else:
+        t_path = os.path.join(out_dir, "transcripts")
+        have = os.path.isdir(t_path) and len(os.listdir(t_path)) == shards
+    if not (have and os.path.exists(e_path)):
         t = generate_transcripts(n_convs=n_convs, seed=seed, mean_turns=mean_turns)
-        pq.write_table(t, t_path + ".tmp", row_group_size=64 * 1024)
-        os.replace(t_path + ".tmp", t_path)
+        if shards == 1:
+            pq.write_table(t, t_path + ".tmp", row_group_size=64 * 1024)
+            os.replace(t_path + ".tmp", t_path)
+        else:
+            os.makedirs(t_path, exist_ok=True)
+            n = t.num_rows
+            step = -(-n // shards)
+            for i in range(shards):
+                piece = t.slice(i * step, step)
+                p = os.path.join(t_path, f"shard-{i:04d}.parquet")
+                pq.write_table(piece, p + ".tmp", row_group_size=32 * 1024)
+                os.replace(p + ".tmp", p)
         pq.write_table(generate_conv_events(t, seed=seed + 4), e_path + ".tmp")
         os.replace(e_path + ".tmp", e_path)
     return {"transcripts": t_path, "conv_events": e_path}

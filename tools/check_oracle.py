@@ -69,13 +69,14 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            got = canon(to_pandas(fn(sf_dir)))
+            raw = to_pandas(fn(sf_dir))
+            if name not in oracles:
+                print(f"{name:18s} rows-only: {len(raw)} rows, cols={sorted(raw.columns)}")
+                continue
+            got = canon(raw)
         except Exception as e:
             print(f"{name:18s} RAY ERROR: {type(e).__name__}: {e}")
             failed.append(name)
-            continue
-        if name not in oracles:
-            print(f"{name:18s} rows-only: {len(got)} rows, cols={list(got.columns)}")
             continue
         exp = canon(con.execute(oracles[name]).fetchdf())
         problems = []
