@@ -1,0 +1,136 @@
+"""Feature-table IO, invariants, and the train/score seam."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from rp_extract_ray.classify import (
+    FeatureClassifier,
+    cross_validate,
+    score_dataset,
+    train_on_dataset,
+)
+from rp_extract_ray.sources.csvio import (
+    check_duplicates,
+    check_id_consistency,
+    concat_feature_tables,
+    concatenate_feature_columns,
+    read_class_file,
+    read_feature_csv,
+    read_manifest,
+    read_multi_class_file,
+    write_feature_csv,
+    write_manifest,
+)
+
+
+def _make_features(n=120, d=6, seed=4):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(scale=4.0, size=(3, d))
+    y = rng.integers(0, 3, size=n)
+    X = centers[y] + rng.normal(size=(n, d))
+    labels = np.array(["rock", "jazz", "pop"])[y]
+    return X, labels
+
+
+def test_feature_csv_roundtrip(tmp_path):
+    X, labels = _make_features()
+    ids = [f"song_{i:03d}.mp3" for i in range(len(X))]
+    import pyarrow as pa
+
+    t = pa.table(
+        {"id": pa.array(ids),
+         "vec": pa.FixedSizeListArray.from_arrays(pa.array(X.reshape(-1)), X.shape[1])}
+    )
+    p = str(tmp_path / "feat.csv")
+    write_feature_csv(rd.from_arrow(t), p)
+    back = read_feature_csv(p).to_pandas()
+    assert list(back["id"]) == ids
+    assert np.allclose(np.stack(back["vec"].to_numpy()), X)
+
+
+def test_invariants(tmp_path):
+    with pytest.raises(ValueError, match="duplicate"):
+        check_duplicates(np.array(["a", "b", "a"]))
+    with pytest.raises(ValueError, match="disagree"):
+        check_id_consistency(np.array(["a", "b"]), np.array(["a", "c"]))
+    check_id_consistency(np.array(["b", "a"]), np.array(["a", "b"]))
+
+
+def test_class_files(tmp_path):
+    p = str(tmp_path / "labels.tsv")
+    with open(p, "w") as f:
+        f.write("a.mp3\trock\nb.mp3\tjazz\n")
+    pdf = read_class_file(p)
+    assert pdf.set_index("id")["label"]["a.mp3"] == "rock"
+
+    m = str(tmp_path / "multi.tsv")
+    with open(m, "w") as f:
+        f.write("id\trock\tjazz\na.mp3\tx\t\nb.mp3\t\tx\n")
+    wide = read_multi_class_file(m)
+    assert wide["rock"].tolist() == [1, 0]
+    bad = str(tmp_path / "bad.tsv")
+    with open(bad, "w") as f:
+        f.write("id\trock\na.mp3\tq\n")
+    with pytest.raises(ValueError, match="invalid cell"):
+        read_multi_class_file(bad)
+
+
+def test_manifest(tmp_path):
+    p = str(tmp_path / "list.txt")
+    write_manifest(["x.parquet", "y.parquet"], p)
+    assert read_manifest(p) == ["x.parquet", "y.parquet"]
+
+
+def test_concat_columns_and_tables():
+    import pyarrow as pa
+
+    def tab(offset):
+        m1 = np.arange(8, dtype=np.float64).reshape(4, 2) + offset
+        m2 = np.arange(12, dtype=np.float64).reshape(4, 3) + offset
+        return pa.table(
+            {"id": pa.array([f"d{offset}_{i}" for i in range(4)]),
+             "rp": pa.FixedSizeListArray.from_arrays(pa.array(m1.reshape(-1)), 2),
+             "ssd": pa.FixedSizeListArray.from_arrays(pa.array(m2.reshape(-1)), 3)}
+        )
+
+    ds = concat_feature_tables([rd.from_arrow(tab(0)), rd.from_arrow(tab(100))])
+    assert ds.count() == 8
+    out = concatenate_feature_columns(ds, ["rp", "ssd"]).to_pandas()
+    v = np.stack(out["vec"].to_numpy())
+    assert v.shape == (8, 5)  # rp(2) + ssd(3), series order preserved
+    row0 = out[out["id"] == "d0_0"].iloc[0]["vec"]
+    assert list(row0[:2]) == [0.0, 1.0] and list(row0[2:]) == [0.0, 1.0, 2.0]
+
+
+def test_train_score_seam():
+    X, labels = _make_features()
+    clf = FeatureClassifier().fit(X, labels)
+    assert clf.accuracy(X, labels) > 0.9
+    mean_acc, std_acc = cross_validate(FeatureClassifier, X, labels, folds=5)
+    assert mean_acc > 0.85
+
+    # dimension check at predict time (reference rp_classify.py:313-315)
+    with pytest.raises(ValueError, match="dim"):
+        clf.predict(X[:, :3])
+
+
+def test_persistence_and_distributed_scoring(tmp_path):
+    import pyarrow as pa
+
+    X, labels = _make_features()
+    ids = np.arange(len(X))
+    t = pa.table(
+        {"id": pa.array(ids),
+         "vec": pa.FixedSizeListArray.from_arrays(pa.array(X.reshape(-1)), X.shape[1]),
+         "label": pa.array(labels)}
+    )
+    ds = rd.from_arrow(t)
+    clf = train_on_dataset(ds, "vec", "label")
+    p = str(tmp_path / "model.pkl")
+    clf.save(p)
+    loaded = FeatureClassifier.load(p)
+    scored = score_dataset(ds, loaded, "vec").to_pandas()
+    acc = (scored["pred"] == scored["label"]).mean()
+    assert acc > 0.9
