@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_forward": lambda sf: E.q_asof(sf, "forward", "view", "error", "fvalue"),
         "backfill": E.q_backfill,
         "standardize": E.q_standardize,
+        "time_grid": E.q_time_grid,
         # relational coverage (SURVEY.md §2.5-§2.8)
         "class_counts": R.q_class_counts,
         "min_instances": R.q_min_instances,
@@ -138,6 +139,13 @@ def oracle_sql() -> dict[str, str]:
                    last_value(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
                      OVER ({_W} ROWS UNBOUNDED PRECEDING) AS last_purchase_value
             FROM events""",
+        "time_grid": """
+            SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 6) AS value_sum,
+                   round(avg(value), 6) AS value_mean,
+                   min(value) AS value_min, max(value) AS value_max
+            FROM events GROUP BY user_id, bucket""",
         "standardize": """
             SELECT event_id, value,
                    round((value - avg(value) OVER ()) / stddev_pop(value) OVER (), 6)

@@ -206,6 +206,20 @@ def q_flagship(sf_dir: str) -> Dataset:
     return flagship_events_pipeline(sf_dir, num_partitions=NP)
 
 
+def q_time_grid(sf_dir: str) -> Dataset:
+    """Tumbling 1-hour time buckets per user (S6 resample analogue)."""
+    from rp_extract_ray.stages.timegrid import time_grid_aggregate
+
+    ds = _events(sf_dir, ["ts", "user_id", "value"])
+    out = time_grid_aggregate(
+        ds, entity_col=ENTITY, ts_col="ts", value_col="value", interval_s=3600.0
+    )
+    out = out.select_columns(
+        ["user_id", "bucket", "n", "value_sum", "value_mean", "value_min", "value_max"]
+    )
+    return _round(out, {"value_sum": 6, "value_mean": 6})
+
+
 def q_standardize(sf_dir: str) -> Dataset:
     ds = _events(sf_dir, ["event_id", "value"])
     ds = standardize(ds, ["value"], round_to=6)

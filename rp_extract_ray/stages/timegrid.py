@@ -1,0 +1,56 @@
+"""Time-grid regularization — the resample analogue (S6,
+/root/reference/audiofile_read.py:96-124): put each entity's irregular event
+series onto a fixed time grid (tumbling time buckets), aggregating rows per
+bucket. Unlike turn-count windows (stages/window.py) these are TIME windows.
+
+Pure vectorized map + groupby: bucket = floor(ts / interval) computed per
+batch (no per-entity state needed), then one grouped aggregate. Partial
+aggregation happens inside Ray's sort-based aggregate; keys are
+(entity, bucket) so the shuffle carries one row per pair at most after
+map-side combine."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def add_time_bucket(
+    ds: Dataset, *, ts_col: str = "ts", interval_s: float = 3600.0,
+    bucket_col: str = "bucket",
+) -> Dataset:
+    """Append the bucket start timestamp (floor of ts to the interval)."""
+    us = np.int64(interval_s * 1e6)
+
+    def f(b: pa.Table) -> pa.Table:
+        t = b.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        start = (t // us) * us
+        return b.append_column(
+            bucket_col, pa.array(start).cast(pa.timestamp("us"))
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def time_grid_aggregate(
+    ds: Dataset,
+    *,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    interval_s: float = 3600.0,
+) -> Dataset:
+    """One row per (entity, bucket): n events [+ sum/mean/min/max of value]."""
+    b = add_time_bucket(ds, ts_col=ts_col, interval_s=interval_s)
+    aggs = [Count(alias_name="n")]
+    if value_col:
+        aggs += [
+            Sum(value_col, alias_name="value_sum"),
+            Mean(value_col, alias_name="value_mean"),
+            Min(value_col, alias_name="value_min"),
+            Max(value_col, alias_name="value_max"),
+        ]
+    return b.groupby([entity_col, "bucket"]).aggregate(*aggs)

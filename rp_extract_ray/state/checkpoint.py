@@ -37,22 +37,31 @@ def _manifest_path(out_dir: str) -> str:
 
 
 def completed_partitions(out_dir: str) -> set[int]:
+    """Union of per-partition ``.done`` markers and any summary manifest.
+
+    Markers are one file per partition so concurrent partition tasks never
+    contend (a shared JSON would race read-modify-write across workers /
+    nodes)."""
+    done: set[int] = set()
+    try:
+        for f in os.listdir(out_dir):
+            if f.startswith("part-") and f.endswith(".done"):
+                done.add(int(f[5:10]))
+    except FileNotFoundError:
+        pass
     try:
         with open(_manifest_path(out_dir)) as f:
-            return set(json.load(f)["completed"])
+            done |= set(json.load(f)["completed"])
     except (FileNotFoundError, json.JSONDecodeError, KeyError):
-        return set()
+        pass
+    return done
 
 
 def _mark_complete(out_dir: str, part_id: int) -> None:
-    """Append to the manifest atomically (read-modify-write + rename; single
-    writer per partition id, so last-writer-wins is safe)."""
-    done = completed_partitions(out_dir)
-    done.add(int(part_id))
-    tmp = _manifest_path(out_dir) + f".tmp.{os.getpid()}.{part_id}"
+    tmp = os.path.join(out_dir, f".tmp.done.{os.getpid()}.{part_id}")
     with open(tmp, "w") as f:
-        json.dump({"completed": sorted(done)}, f)
-    os.replace(tmp, _manifest_path(out_dir))
+        f.write("ok")
+    os.replace(tmp, os.path.join(out_dir, f"part-{part_id:05d}.done"))
 
 
 def write_partitioned(
@@ -108,11 +117,42 @@ def write_partitioned(
         .map_groups(write_group, batch_format="pyarrow")
         .to_pandas()
     )
+    # the full input stream was consumed -> job complete (empty partitions
+    # legitimately have no file); record the terminal flag for compute_or_load
+    final = {"completed": sorted(completed_partitions(out_dir)), "complete": True}
+    tmp = _manifest_path(out_dir) + ".tmp.final"
+    with open(tmp, "w") as f:
+        json.dump(final, f)
+    os.replace(tmp, _manifest_path(out_dir))
     return {
         "written": sorted(int(p) for p in report.get("part_id", pd.Series(dtype=int))),
         "skipped": sorted(done),
         "rows_written": int(report["rows"].sum()) if len(report) else 0,
     }
+
+
+def compute_or_load(
+    out_dir: str,
+    make_dataset,
+    *,
+    entity_col: str = "conv_id",
+    num_partitions: int = 64,
+):
+    """Compute-or-read-cache dispatch (S18 analogue,
+    /root/reference/rp_feature_io.py:695-745): if ``out_dir`` holds a
+    complete partitioned output (terminal manifest flag), read it back;
+    otherwise run ``make_dataset()`` and write it (resuming any partial
+    progress)."""
+    try:
+        with open(_manifest_path(out_dir)) as f:
+            if json.load(f).get("complete"):
+                return read_partitioned(out_dir)
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+    write_partitioned(
+        make_dataset(), out_dir, entity_col=entity_col, num_partitions=num_partitions
+    )
+    return read_partitioned(out_dir)
 
 
 def read_partitioned(out_dir: str):

@@ -30,19 +30,17 @@ def test_checkpoint_write_resume(corpus, tmp_path_factory):
     assert r1["rows_written"] == t.num_rows
     assert completed_partitions(out) == set(r1["written"])
 
-    # simulate a crash that lost two partitions: remove their files+manifest entries
-    import json
-
+    # simulate a crash that lost two partitions: remove their data + markers
+    # and the terminal manifest
     lost = r1["written"][:2]
     for p in lost:
         os.remove(os.path.join(out, f"part-{p:05d}.parquet"))
-    manifest = {"completed": sorted(set(r1["written"]) - set(lost))}
-    with open(os.path.join(out, "_manifest.json"), "w") as f:
-        json.dump(manifest, f)
+        os.remove(os.path.join(out, f"part-{p:05d}.done"))
+    os.remove(os.path.join(out, "_manifest.json"))
 
     r2 = write_partitioned(rd.from_arrow(t), out, num_partitions=8)
     assert sorted(r2["written"]) == sorted(lost)          # only lost work redone
-    assert set(r2["skipped"]) == set(manifest["completed"])
+    assert set(r2["skipped"]) == set(r1["written"]) - set(lost)
 
     back = read_partitioned(out).to_pandas()
     assert len(back) == t.num_rows
