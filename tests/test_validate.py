@@ -1,0 +1,38 @@
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from rp_extract_ray.stages.validate import validate_transcripts
+
+
+def _mk(rows):
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
+    pdf["turn_idx"] = pdf["turn_idx"].astype(np.int32)
+    return rd.from_pandas(pdf)
+
+
+def test_clean_passes(corpus):
+    t, _ = corpus
+    out = validate_transcripts(rd.from_arrow(t), num_partitions=4)
+    assert out.count() == t.num_rows
+
+
+def test_duplicate_keys_rejected():
+    ds = _mk([("a", 0, 10), ("a", 1, 20), ("a", 1, 30)])
+    with pytest.raises(Exception, match="duplicate"):
+        validate_transcripts(ds, num_partitions=2).count()
+
+
+def test_duplicate_keys_dropped():
+    ds = _mk([("a", 0, 10), ("a", 1, 20), ("a", 1, 30), ("b", 0, 5)])
+    out = validate_transcripts(ds, errors="drop", num_partitions=2).to_pandas()
+    assert len(out) == 3
+    assert out[out.conv_id == "a"]["turn_idx"].tolist() == [0, 1]
+
+
+def test_nonmonotone_ts_rejected():
+    ds = _mk([("a", 0, 100), ("a", 1, 50)])
+    with pytest.raises(Exception, match="decreases"):
+        validate_transcripts(ds, num_partitions=2).count()
