@@ -1,0 +1,84 @@
+"""Hypothesis property tests for the temporal kernels (pure numpy — no Ray
+needed) and a cross-stage composition check."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rp_extract_ray.functions.rounding import round_half_away
+from rp_extract_ray.stages.lag import _run_ends, ffill_within, shifted
+from rp_extract_ray.stages.partition import entity_starts
+from rp_extract_ray.stages.session import session_ids
+
+
+@st.composite
+def entity_runs(draw):
+    """Sorted entity array as run lengths."""
+    lens = draw(st.lists(st.integers(1, 6), min_size=1, max_size=6))
+    ent = np.repeat(np.arange(len(lens)), lens)
+    return ent
+
+
+@settings(max_examples=80, deadline=None)
+@given(entity_runs(), st.integers(-3, 3))
+def test_shifted_matches_pandas_groupby_shift(ent, k):
+    rng = np.random.default_rng(len(ent) * 7 + k + 3)
+    vals = rng.normal(size=len(ent))
+    starts = entity_starts(ent)
+    got = shifted(vals, k, starts)
+    exp = pd.Series(vals).groupby(ent).shift(k).to_numpy()
+    assert np.allclose(got, exp, equal_nan=True)
+
+
+@settings(max_examples=50, deadline=None)
+@given(entity_runs())
+def test_run_ends_and_starts_consistent(ent):
+    starts = entity_starts(ent)
+    ends = _run_ends(starts)
+    for i in range(len(ent)):
+        assert starts[i] <= i < ends[i]
+        assert (ent[starts[i] : ends[i]] == ent[i]).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(entity_runs(), st.floats(0.05, 0.95))
+def test_ffill_matches_pandas(ent, nan_frac):
+    rng = np.random.default_rng(int(nan_frac * 1000) + len(ent))
+    vals = rng.normal(size=len(ent))
+    vals[rng.random(len(ent)) < nan_frac] = np.nan
+    starts = entity_starts(ent)
+    got = ffill_within(vals, starts)
+    exp = pd.Series(vals).groupby(ent).ffill().to_numpy()
+    assert np.allclose(got, exp, equal_nan=True)
+
+
+@settings(max_examples=60, deadline=None)
+@given(entity_runs(), st.floats(1.0, 100.0))
+def test_session_ids_match_pandas(ent, gap_thr):
+    rng = np.random.default_rng(len(ent) + int(gap_thr))
+    gaps = rng.exponential(scale=gap_thr, size=len(ent))
+    ts = np.cumsum(gaps)
+    # reset ts to increasing within each run only (runs are independent convs)
+    ts_us = (ts * 1e6).astype(np.int64).astype("datetime64[us]")
+    starts = entity_starts(ent)
+    _, got = session_ids(ts_us, starts, gap_thr)
+    pdf = pd.DataFrame({"e": ent, "ts": ts})
+    def per(g):
+        gap = g["ts"].diff().fillna(0.0)
+        return (gap > gap_thr).cumsum()
+    exp = pdf.groupby("e", group_keys=False).apply(per).to_numpy()
+    assert (got == exp).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(-1e9, 1e9, allow_nan=False), st.integers(0, 8))
+def test_round_half_away_matches_decimal(x, nd):
+    import decimal
+
+    got = float(round_half_away(np.array([x]), nd)[0])
+    d = decimal.Decimal(x).quantize(
+        decimal.Decimal(1).scaleb(-nd), rounding=decimal.ROUND_HALF_UP
+    )
+    # float representation limits: compare within one ulp of the scale
+    assert abs(got - float(d)) <= abs(x) * 1e-15 + 10.0**-nd * 1e-6
