@@ -137,6 +137,7 @@ def partitioned_apply(
     salt: SaltSpec | None = None,
     metrics_sink=None,
     metrics_stage: str = "partitioned_apply",
+    expose_ghost: bool = False,
 ) -> Dataset:
     """Run ``fn`` over each entity-partitioned, sorted frame.
 
@@ -162,8 +163,13 @@ def partitioned_apply(
         pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
         ghost = chunk = None
         if GHOST_COL in pdf.columns:
-            ghost = pdf.pop(GHOST_COL).to_numpy()
-            chunk = pdf.pop(CHUNK_COL).to_numpy()
+            if expose_ghost:
+                ghost_kept = pdf[GHOST_COL].to_numpy()
+                chunk = pdf.pop(CHUNK_COL).to_numpy()
+                ghost = None  # fn handles ghosts itself (aggregating output)
+            else:
+                ghost = pdf.pop(GHOST_COL).to_numpy()
+                chunk = pdf.pop(CHUNK_COL).to_numpy()
         pdf = pdf.drop(columns=[PART_COL])
         keys = [pdf[entity_col].to_numpy()]
         if chunk is not None:

@@ -113,3 +113,109 @@ def sessionize(
         order_cols=order_cols or (ts_col,),
         num_partitions=num_partitions,
     )
+
+
+def sessionize_salted(
+    ds: Dataset,
+    *,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    turn_col: str = "turn_idx",
+    gap_threshold_s: float = DEFAULT_SESSION_GAP_S,
+    num_partitions: int = 64,
+    chunk_turns: int = 4096,
+) -> Dataset:
+    """Sessionize under salted chunking — the skew-proof path.
+
+    ``session_id`` is a prefix count of boundaries from the conversation
+    START, which is not causal-bounded, so the plain salted path can't
+    compute it. Two phases (SURVEY.md §7.5-6 re-merge of partial window
+    states):
+
+    1. chunked pass (overlap=1: the gap at a chunk's first row needs one
+       ghost predecessor) computes LOCAL boundary flags and emits a tiny
+       per-(entity, chunk) boundary-count table;
+    2. the count table — one row per 4096 turns — is collected, per-entity
+       prefix-summed into chunk offsets, broadcast, and added to the local
+       prefix counts in a second chunked pass.
+
+    Shuffle volume: the numeric columns twice + a negligible side table; no
+    partition ever holds more than ``chunk_turns + 1`` rows of one entity.
+    """
+    import ray
+
+    from rp_extract_ray.stages.partition import SaltSpec
+
+    salt = SaltSpec(chunk_turns=chunk_turns, overlap=1, turn_col=turn_col)
+
+    def local_counts(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        from rp_extract_ray.stages.partition import GHOST_COL
+
+        ghost = pdf[GHOST_COL].to_numpy() if GHOST_COL in pdf.columns else np.zeros(
+            len(pdf), dtype=bool
+        )
+        _, local = session_ids(pdf[ts_col].to_numpy(), starts, gap_threshold_s)
+        run_start_rows = np.unique(starts)
+        run_end = np.append(run_start_rows[1:], len(pdf))
+        ent = pdf[entity_col].to_numpy()
+        chunk = pdf[turn_col].to_numpy() // chunk_turns
+        rows = []
+        for s, e in zip(run_start_rows, run_end):
+            real = np.flatnonzero(~ghost[s:e]) + s
+            if len(real) == 0:
+                continue  # ghost-only run: entity ended at a chunk tail
+            rows.append((ent[s], int(chunk[real[-1]]), int(local[e - 1])))
+        return pd.DataFrame(rows, columns=[entity_col, "_chunk_id", "n_bounds"])
+
+    counts = partitioned_apply(
+        ds.select_columns([entity_col, turn_col, ts_col]),
+        local_counts,
+        entity_col=entity_col,
+        order_cols=(ts_col, turn_col),
+        num_partitions=num_partitions,
+        salt=salt,
+        expose_ghost=True,
+    ).to_pandas()
+    # Ghost first rows are run starts and never boundaries, so local[e-1]
+    # counts exactly the boundaries at real rows of the chunk.
+    # Scale note: this side table is one row per (entity, chunk) = per
+    # chunk_turns input rows, collected and broadcast. Beyond ~10^8 chunks
+    # the broadcast dict should become a co-partitioned join (route each
+    # offset row to partition(entity, chunk) with the same partitioner).
+    counts = counts.sort_values([entity_col, "_chunk_id"])
+    counts["offset"] = (
+        counts.groupby(entity_col)["n_bounds"].cumsum() - counts["n_bounds"]
+    )
+    offsets = {
+        (e, int(c)): int(o)
+        for e, c, o in zip(counts[entity_col], counts["_chunk_id"], counts["offset"])
+    }
+    ref = ray.put(offsets)
+
+    def final(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        from rp_extract_ray.stages.lag import _run_ends
+
+        offs = ray.get(ref)
+        gap, local = session_ids(pdf[ts_col].to_numpy(), starts, gap_threshold_s)
+        ent = pdf[entity_col].to_numpy()
+        chunk = pdf[turn_col].to_numpy() // chunk_turns
+        # a run's chunk id = chunk of its LAST (always real) row — the ghost
+        # first row of a run belongs to the previous chunk by turn_idx
+        run_chunk = chunk[_run_ends(starts) - 1]
+        base = np.fromiter(
+            (offs.get((e, int(c)), 0) for e, c in zip(ent, run_chunk)),
+            dtype=np.int64,
+            count=len(ent),
+        )
+        pdf["gap_s"] = gap
+        pdf["session_id"] = (local.astype(np.int64) + base).astype(np.int32)
+        return pdf
+
+    return partitioned_apply(
+        ds,
+        final,
+        entity_col=entity_col,
+        order_cols=(ts_col, turn_col),
+        num_partitions=num_partitions,
+        salt=salt,
+    )

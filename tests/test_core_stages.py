@@ -146,3 +146,20 @@ def test_single_turn_and_empty_text_convs(engine_result):
     assert np.allclose(rows["gap_s"], 0.0)
     assert np.allclose(rows["text_len_wvar"], 0.0)
     assert np.allclose(rows["text_len_wmean"], rows["text_len"])
+
+
+def test_salted_sessionize_matches_unsalted(corpus, enriched_oracle):
+    from rp_extract_ray.stages.session import sessionize_salted
+
+    t, _ = corpus
+    got = (
+        sessionize_salted(
+            rd.from_arrow(t), num_partitions=8, chunk_turns=32
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    )
+    exp = _sorted(enriched_oracle)
+    assert len(got) == len(exp)
+    assert (got["session_id"].to_numpy() == exp["session_id"].to_numpy()).all()
+    assert np.allclose(got["gap_s"].to_numpy(), exp["gap_s"].to_numpy())
