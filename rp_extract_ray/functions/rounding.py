@@ -12,7 +12,12 @@ import numpy as np
 
 
 def round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
-    """Element-wise round-half-away-from-zero to ``decimals`` places."""
+    """Element-wise round-half-away-from-zero to ``decimals`` places.
+
+    Precision domain: exact w.r.t. decimal semantics while
+    ``|x| * 10**decimals`` stays well inside 2**52 (beyond that the scaling
+    multiply itself rounds — the same double-precision limit SQL ROUND has).
+    """
     x = np.asarray(x, dtype=np.float64)
     scale = 10.0**decimals
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
