@@ -27,7 +27,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_CORPUS = os.environ.get("GRAFT_BENCH_CORPUS", "/tmp/graft_bench_corpus_v3")
+BENCH_CORPUS = os.environ.get("GRAFT_BENCH_CORPUS", "/tmp/graft_bench_corpus_v4")
 HEADLINE_ONLY = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY", "0") == "1"
 
 QUERY_NAMES = [

@@ -39,17 +39,28 @@ _WORDS = np.array(
 _EPOCH_US = np.int64(1_700_000_000) * 1_000_000  # 2023-11-14T22:13:20Z
 
 
-def _make_text(rng: np.random.Generator, n: int) -> list[str]:
-    """Deterministic pseudo-text, length 0..~4kB, ~3% empty strings."""
-    n_words = rng.geometric(0.02, size=n).clip(1, 600)
-    n_words[rng.random(n) < 0.03] = 0
+def _make_text(rng: np.random.Generator, n: int, pool_size: int = 50_000) -> list[str]:
+    """Deterministic pseudo-text, length 0..~4kB, ~3% empty strings.
+
+    Texts are drawn from a seeded pool (with a per-row numeric suffix so most
+    rows stay distinct): building ``pool_size`` strings costs seconds where
+    per-row joins cost minutes at bench scale, and duplicate-ish text is
+    realistic for transcripts anyway."""
+    pool_n = min(pool_size, max(n, 1))
+    n_words = rng.geometric(0.02, size=pool_n).clip(1, 600)
     idx = rng.integers(0, len(_WORDS), size=int(n_words.sum()))
     words = _WORDS[idx]
-    out = []
+    pool = []
     pos = 0
     for k in n_words:
-        out.append(" ".join(words[pos : pos + k]))
+        pool.append(" ".join(words[pos : pos + k]))
         pos += k
+    pick = rng.integers(0, pool_n, size=n)
+    suffix = rng.integers(0, 1_000_000, size=n)
+    out = [f"{pool[p]} #{s}" for p, s in zip(pick, suffix)]
+    empty = rng.random(n) < 0.03
+    for i in np.flatnonzero(empty):
+        out[i] = ""
     return out
 
 
