@@ -1,0 +1,100 @@
+"""Production backfill job — the `ray job submit` entry point.
+
+Composes the whole north-rule pipeline: validate -> payload-light windowed
+feature backfill (+ as-of join) -> checkpointed partitioned Parquet output
+with per-partition lineage metrics sidecar. Re-running after a crash skips
+completed partitions.
+
+Usage (single node; on a cluster submit with `ray job submit -- python
+tools/run_backfill.py ...`):
+
+    python tools/run_backfill.py --input /tmp/corpus/transcripts \
+        --events /tmp/corpus/conv_events.parquet --output /tmp/backfill_out \
+        [--k 16] [--partitions 128] [--num-cpus 32]
+
+This script OWNS its Ray session (guarded init); the library never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="transcript parquet file or shard dir")
+    ap.add_argument("--events", default=None, help="as-of right-side parquet")
+    ap.add_argument("--output", required=True, help="partitioned output dir")
+    ap.add_argument("--k", type=int, default=16)
+    ap.add_argument("--partitions", type=int, default=128)
+    ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--session-gap-s", type=float, default=1800.0)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from rp_extract_ray.pipelines.flagship import feature_backfill_payload_light
+    from rp_extract_ray.state.checkpoint import write_partitioned
+    from rp_extract_ray.state.metrics import MetricsSink, drain_metrics
+
+    if os.path.isdir(args.input):
+        shards = sorted(
+            os.path.join(args.input, f)
+            for f in os.listdir(args.input)
+            if f.endswith(".parquet")
+        )
+    else:
+        shards = [args.input]
+    events = rd.read_parquet(args.events) if args.events else None
+
+    sink = MetricsSink.remote()
+    t0 = time.perf_counter()
+    ds = feature_backfill_payload_light(
+        shards,
+        events,
+        k=args.k,
+        session_gap_s=args.session_gap_s,
+        num_partitions=args.partitions,
+    )
+    report = write_partitioned(
+        ds, args.output, num_partitions=args.partitions, resume=not args.no_resume
+    )
+    wall = time.perf_counter() - t0
+
+    metrics = drain_metrics(sink)
+    if len(metrics):
+        metrics.to_parquet(os.path.join(args.output, "_metrics.parquet"))
+    summary = {
+        "rows_written": report["rows_written"],
+        "partitions_written": len(report["written"]),
+        "partitions_skipped": len(report["skipped"]),
+        "wall_s": round(wall, 2),
+        "rows_per_sec": round(report["rows_written"] / wall, 1) if wall else None,
+        "output": args.output,
+    }
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
