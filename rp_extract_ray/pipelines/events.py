@@ -114,16 +114,9 @@ def _typed_events(sf_dir: str, event_type: str, value_name: str) -> Dataset:
 
         b = b.filter(pc.equal(b.column("event_type"), event_type))
         b = b.drop_columns(["event_type"])
-        # dedup (user, ts) inside the batch is NOT enough; do it in the group
         return b.rename_columns(["ts", "user_id", value_name])
 
     return ds.map_batches(f, batch_format="pyarrow")
-
-
-def _dedup_right(ds: Dataset, value_name: str) -> Dataset:
-    """Collapse equal (user, ts) right rows to max(value) — makes the as-of
-    tie deterministic and identical to the SQL oracle's pre-aggregation."""
-    return ds.groupby(["user_id", "ts"]).max(value_name, ignore_nulls=True)
 
 
 def q_asof(sf_dir: str, direction: str, left_type: str, right_type: str, value_name: str) -> Dataset:
@@ -135,17 +128,11 @@ def q_asof(sf_dir: str, direction: str, left_type: str, right_type: str, value_n
         return b.filter(pc.equal(b.column("event_type"), left_type)).drop_columns(["event_type"])
 
     left = left.map_batches(lf, batch_format="pyarrow")
-    right = _dedup_right(_typed_events(sf_dir, right_type, value_name), value_name)
-
-    def fix_right(b: pa.Table) -> pa.Table:
-        # groupby.max names the column "max(<value_name>)"
-        names = [value_name if n.startswith("max(") else n for n in b.column_names]
-        return b.rename_columns(names)
-
-    right = right.map_batches(fix_right, batch_format="pyarrow")
+    right = _typed_events(sf_dir, right_type, value_name)
     out = asof_join(
         left, right, entity_col=ENTITY, ts_col="ts",
         right_value_cols=[value_name], direction=direction, num_partitions=NP,
+        dedup_right="max",
     )
     out = out.select_columns(["event_id", "user_id", "ts", "value", value_name])
     return _round(out, {value_name: 6})

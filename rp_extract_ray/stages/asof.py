@@ -67,9 +67,15 @@ def _merge_asof_frames(
     direction: str,
     tolerance_s: float | None,
     value_cols: Sequence[str],
+    dedup_right: str | None = None,
 ) -> pd.DataFrame:
     """merge_asof with stable restoration of left column order/dtypes."""
     left = left.sort_values(ts_col, kind="mergesort", ignore_index=True)
+    if dedup_right:
+        right = (
+            right.groupby([entity_col, ts_col], sort=False, as_index=False)
+            .agg({c: dedup_right for c in value_cols})
+        )
     right = right.sort_values(ts_col, kind="mergesort", ignore_index=True)
     tol = pd.Timedelta(seconds=tolerance_s) if tolerance_s is not None else None
     merged = pd.merge_asof(
@@ -94,11 +100,15 @@ def asof_join(
     tolerance_s: float | None = None,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     broadcast: bool = False,
+    dedup_right: str | None = None,
 ) -> Dataset:
     """As-of join ``right``'s value columns onto ``left`` (left outer).
 
     Right value columns whose names collide with left columns are renamed
-    ``<name>_r`` before the merge.
+    ``<name>_r`` before the merge. ``dedup_right='max'|'min'`` collapses
+    duplicate ``(entity, ts)`` right rows to a deterministic winner INSIDE
+    the merge (cheaper than a separate distributed groupby, and required for
+    ties to match SQL ASOF semantics deterministically).
     """
     right_schema = _arrow_schema(right)  # right side is small/cheap to probe
     if right_value_cols is None:
@@ -129,6 +139,7 @@ def asof_join(
                 direction=direction,
                 tolerance_s=tolerance_s,
                 value_cols=[ren[c] for c in rvc],
+                dedup_right=dedup_right,
             )
 
         return left.map_batches(broadcast_merge, batch_format="pandas")
@@ -188,6 +199,7 @@ def asof_join(
             direction=direction,
             tolerance_s=tolerance_s,
             value_cols=out_value_cols,
+            dedup_right=dedup_right,
         )
         return pa.Table.from_pandas(merged, schema=unified, preserve_index=False)
 
