@@ -108,9 +108,15 @@ def q_tpch_q1(sf_dir: str) -> Dataset:
 
 
 def q_join_agg(sf_dir: str) -> Dataset:
-    """Broadcast inner join orders->customer (J2/J3 analogue) + aggregate."""
+    """Broadcast inner join orders->customer (J2/J3 analogue) + aggregate.
+    The small side is read driver-side with pyarrow (a dimension table does
+    not need a Ray job of its own)."""
+    import pyarrow.parquet as pq
+
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
     joined = broadcast_join(
         orders, cust, on="o_custkey", small_on="c_custkey", value_cols=["c_mktsegment"]
     )
@@ -122,9 +128,14 @@ def q_join_agg(sf_dir: str) -> Dataset:
 
 def q_semi_join(sf_dir: str) -> Dataset:
     """J1/J5: customers having orders (broadcast key-set semi join)."""
+    import pyarrow.parquet as pq
+
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    keys = _read(sf_dir, "orders", ["o_custkey"])
-    return semi_anti_join(cust, keys, on="c_custkey", keys_on="o_custkey", anti=False)
+    keys = set(
+        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .column("o_custkey").to_pylist()
+    )
+    return semi_anti_join(cust, keys, on="c_custkey", anti=False)
 
 
 def q_anti_join(sf_dir: str) -> Dataset:

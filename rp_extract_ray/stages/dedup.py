@@ -133,6 +133,63 @@ def minhash_lsh_pairs(
     return rd.from_pandas(out)
 
 
+def dedup_clusters(
+    pairs: Dataset | pd.DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 20,
+) -> pd.DataFrame:
+    """Connected components over near-dup candidate pairs -> (id, cluster_id)
+    with cluster_id = min id of the component.
+
+    Distributed min-label propagation (the Ray-guide pattern): each round,
+    every edge proposes min(label_a, label_b) to both endpoints; a
+    ``groupby(id).min`` adopts the smallest. Terminates when labels stop
+    changing — O(diameter) rounds; near-dup components are tiny, so this
+    converges in 2-4 rounds. The candidate-pair table is the small product of
+    LSH bucketing, so each round's shuffle is negligible next to the corpus.
+    """
+    pdf = pairs.to_pandas() if isinstance(pairs, Dataset) else pairs.copy()
+    if len(pdf) == 0:
+        return pd.DataFrame({"id": pd.Series([], dtype=np.int64),
+                             "cluster_id": pd.Series([], dtype=np.int64)})
+    edges = pdf[[id_a, id_b]].to_numpy()
+    ids = np.unique(edges)
+    label = pd.Series(ids, index=ids)
+    for _ in range(max_rounds):
+        la = label.loc[edges[:, 0]].to_numpy()
+        lb = label.loc[edges[:, 1]].to_numpy()
+        prop = np.minimum(la, lb)
+        proposals = pd.DataFrame(
+            {"id": np.concatenate([edges[:, 0], edges[:, 1], ids]),
+             "lab": np.concatenate([prop, prop, label.to_numpy()])}
+        )
+        new = proposals.groupby("id")["lab"].min()
+        if (new.to_numpy() == label.loc[new.index].to_numpy()).all():
+            break
+        label = new
+    return pd.DataFrame({"id": label.index.to_numpy(), "cluster_id": label.to_numpy()})
+
+
+def drop_near_dups(
+    ds: Dataset,
+    clusters: pd.DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Keep one representative per near-dup cluster (the min id) plus all
+    unclustered rows — broadcast anti-join of the non-representative set."""
+    losers = set(
+        int(i) for i, c in zip(clusters["id"], clusters["cluster_id"]) if i != c
+    )
+    from rp_extract_ray.stages.join import semi_anti_join
+
+    if not losers:
+        return ds
+    return semi_anti_join(ds, losers, on=id_col, anti=True)
+
+
 def simhash_pairs(
     ds: Dataset,
     text_col: str = "text",

@@ -152,3 +152,36 @@ def test_embedding_near_dup(emb):
     # their earlier copies exist
     assert len(pairs) > 0
     assert (pairs["cos"] >= 0.99).all()
+
+
+def test_dedup_clusters_and_drop(docs):
+    from rp_extract_ray.stages.dedup import dedup_clusters, drop_near_dups
+
+    pairs = pd.DataFrame(
+        {"id_a": [1, 2, 5, 7, 10], "id_b": [2, 3, 6, 8, 11]}
+    )
+    cl = dedup_clusters(pairs)
+    lab = cl.set_index("id")["cluster_id"]
+    assert lab[1] == lab[2] == lab[3] == 1      # chain 1-2-3 merges
+    assert lab[5] == lab[6] == 5
+    assert lab[7] == lab[8] == 7
+    ds = rd.from_pandas(docs)
+    kept = drop_near_dups(ds, cl, id_col="doc_id").to_pandas()
+    # losers 2,3,6,8,11 dropped; representatives + unclustered kept
+    assert set(docs.doc_id) - set(kept.doc_id) == {2, 3, 6, 8, 11}
+
+
+def test_full_near_dup_pipeline(docs):
+    """LSH pairs -> components -> drop: planted near-dups collapse to one."""
+    from rp_extract_ray.stages.dedup import dedup_clusters, drop_near_dups
+
+    pairs = minhash_lsh_pairs(
+        rd.from_pandas(docs), jaccard_threshold=0.5, num_perm=64, bands=16
+    )
+    cl = dedup_clusters(pairs)
+    kept = drop_near_dups(rd.from_pandas(docs), cl, id_col="doc_id").to_pandas()
+    # all copies of base[0] (ids 0,6,12,...,42 identical + 48..58 near) form
+    # one component; only its min id survives among them
+    group0 = {i for i in range(60) if i % 6 == 0 and i < 48} | set(range(48, 59))
+    survivors = set(kept.doc_id) & group0
+    assert survivors == {0}
