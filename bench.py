@@ -115,6 +115,9 @@ def single_run() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     paths = build_corpus()
     head = run_headline(paths)

@@ -55,6 +55,9 @@ def main() -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entrymod
