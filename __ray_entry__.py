@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "backfill": E.q_backfill,
         "standardize": E.q_standardize,
         "time_grid": E.q_time_grid,
+        "json_extract": E.q_json_extract,
         # relational coverage (SURVEY.md §2.5-§2.8)
         "class_counts": R.q_class_counts,
         "min_instances": R.q_min_instances,
@@ -138,6 +139,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, ts,
                    last_value(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
                      OVER ({_W} ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+            FROM events""",
+        "json_extract": r"""
+            SELECT event_id,
+                   CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
             FROM events""",
         "time_grid": """
             SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,

@@ -193,6 +193,22 @@ def q_flagship(sf_dir: str) -> Dataset:
     return flagship_events_pipeline(sf_dir, num_partitions=NP)
 
 
+def q_json_extract(sf_dir: str) -> Dataset:
+    """Parser op: pull the integer field k out of the JSON ``props`` column
+    with a vectorized RE2 extract (same engine DuckDB's regexp_extract uses,
+    so the oracle is exact)."""
+    import pyarrow.compute as pc
+
+    ds = _events(sf_dir, ["event_id", "props"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(pc.fill_null(b.column("props"), ""), r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        return pa.table({"event_id": b.column("event_id"), "k": k})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_time_grid(sf_dir: str) -> Dataset:
     """Tumbling 1-hour time buckets per user (S6 resample analogue)."""
     from rp_extract_ray.stages.timegrid import time_grid_aggregate

@@ -191,6 +191,14 @@ def make_rhythm_fn(
             "n_turns": pa.array(np.array(n_turns, dtype=np.int64)),
             "n_segments": pa.array(np.array(n_segs, dtype=np.int32)),
         }
+        # dominant modulation frequency (1-based bin of the RH peak) — the
+        # BPM-from-RH argmax of the reference tutorial (SURVEY.md §2.7)
+        dom = np.array(
+            [int(np.argmax(v)) + 1 if len(v) and not np.isnan(v[0]) else 0
+             for v in acc["rh"]],
+            dtype=np.int32,
+        )
+        cols["dominant_mod_freq"] = pa.array(dom)
         # n_segments==0 rows carry NaN-filled vectors (numeric, not null —
         # keeps the column a plain fixed_size_list<double>)
         for k, dim in dims.items():

@@ -88,3 +88,12 @@ def test_segment_ts_is_causal(corpus):
     for _, row in got.head(50).iterrows():
         g = src[src.conv_id == row["conv_id"]].reset_index(drop=True)
         assert g.loc[row["turn_start"] + SEG - 1, "ts"] == row["ts_end"]
+
+
+def test_dominant_mod_freq(conv_features, oracle_features):
+    for cid, exp in oracle_features.items():
+        if exp["n_segments"] == 0:
+            continue
+        got = conv_features.loc[cid]
+        assert got["dominant_mod_freq"] == int(np.argmax(exp["rh"])) + 1
+        break
