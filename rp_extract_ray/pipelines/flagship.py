@@ -16,7 +16,6 @@ import ray.data as rd
 from ray.data import Dataset
 
 from rp_extract_ray.stages.asof import asof_join
-from rp_extract_ray.stages.partition import SaltSpec
 from rp_extract_ray.stages.session import sessionize
 from rp_extract_ray.stages.turns import add_turn_stats
 from rp_extract_ray.stages.window import add_window_features

@@ -8,13 +8,12 @@ SQL; non-associative float aggregates are rounded on both sides."""
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data import Dataset
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Mean, Min, Sum
 
 from rp_extract_ray.stages.join import broadcast_join, semi_anti_join
 

@@ -18,7 +18,7 @@ import pandas as pd
 
 from ray.data import Dataset
 
-from rp_extract_ray.stages.partition import SaltSpec, entity_starts, partitioned_apply
+from rp_extract_ray.stages.partition import SaltSpec, partitioned_apply
 
 
 def _run_ends(starts: np.ndarray) -> np.ndarray:

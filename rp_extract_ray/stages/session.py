@@ -26,7 +26,7 @@ from ray.data import Dataset
 
 from rp_extract_ray.schema import DEFAULT_SESSION_GAP_S
 from rp_extract_ray.stages.lag import gap_seconds
-from rp_extract_ray.stages.partition import entity_starts, partitioned_apply
+from rp_extract_ray.stages.partition import partitioned_apply
 
 
 def session_ids(

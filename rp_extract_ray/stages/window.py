@@ -32,7 +32,7 @@ from ray.data import Dataset
 from rp_extract_ray.functions.stats import nan_sorted_percentiles, seven_stats_nan
 from rp_extract_ray.schema import DEFAULT_WINDOW_TURNS, STAT_NAMES, TRACKED_SERIES
 from rp_extract_ray.stages.lag import gap_seconds
-from rp_extract_ray.stages.partition import SaltSpec, entity_starts, partitioned_apply
+from rp_extract_ray.stages.partition import SaltSpec, partitioned_apply
 
 PCTL = (25.0, 75.0)
 
