@@ -121,6 +121,16 @@ def add_lag_features(
     num_partitions: int = 64,
     salt: SaltSpec | None = None,
 ) -> Dataset:
+    if salt is not None:
+        if ffill_cols:
+            # forward-fill looks back UNBOUNDED (the last non-null can be
+            # arbitrarily far); a salted chunk only carries `overlap` context
+            raise ValueError("ffill is not causal-bounded; run it unsalted")
+        horizon = max([*lags, *(k for k in leads), 1])
+        if salt.overlap < horizon:
+            raise ValueError(
+                f"salt.overlap={salt.overlap} < max lag horizon {horizon}"
+            )
     fn = make_lag_frame_fn(
         value_cols, lags, leads, entity_col, ts_col, ffill_cols=ffill_cols, gap=gap
     )

@@ -6,6 +6,7 @@ IDENTICAL. The windowed stages read only rows at or before the as-of point by
 construction; this test proves it empirically."""
 
 import numpy as np
+import pytest
 import pyarrow as pa
 import ray.data as rd
 
@@ -63,3 +64,62 @@ def test_future_poisoning(corpus):
         # bit-identical: same rows, same sequential per-conv computation
         same = (a == b) | (np.isnan(a) & np.isnan(b))
         assert same.all(), (c, np.flatnonzero(~same)[:5])
+
+
+def test_rhythm_future_poisoning(corpus):
+    """Per-segment rhythm vectors available at ts_end <= t0 are identical
+    when every row after t0 is corrupted."""
+    from rp_extract_ray.stages.rhythm import rhythm_features
+
+    t, _ = corpus
+    pdf = t.to_pandas()
+    t0 = pdf["ts"].quantile(0.6)
+
+    def run(table):
+        ds = add_turn_stats(rd.from_arrow(table))
+        return (
+            rhythm_features(
+                ds, seg_len=8, n_mod=8, order_cols=ORDER, per_segment=True,
+                num_partitions=8,
+            )
+            .to_pandas()
+            .sort_values(["conv_id", "seg_idx"], ignore_index=True)
+        )
+
+    clean = run(t)
+    poisoned = pdf.copy()
+    fut = poisoned["ts"] > t0
+    poisoned.loc[fut, "text"] = "GARBAGE " * 100
+    dirty = run(pa.Table.from_pandas(poisoned, preserve_index=False))
+
+    past = clean["ts_end"] <= t0
+    assert past.any()
+    a = clean.loc[past].reset_index(drop=True)
+    b = dirty.loc[
+        dirty.set_index(["conv_id", "seg_idx"]).index.isin(
+            a.set_index(["conv_id", "seg_idx"]).index
+        )
+    ].reset_index(drop=True)
+    assert len(a) <= len(b)
+    b = b.iloc[: len(a)]
+    for k in ("rp", "rh", "ssd", "mvd"):
+        av = np.stack(a[k].to_numpy())
+        bv = np.stack(b[k].to_numpy())
+        assert (av == bv).all(), k
+
+
+def test_salted_lag_guards(corpus):
+    from rp_extract_ray.stages.lag import add_lag_features
+    from rp_extract_ray.stages.partition import SaltSpec
+
+    t, _ = corpus
+    with pytest.raises(ValueError, match="ffill"):
+        add_lag_features(
+            rd.from_arrow(t), ["text_len"], ffill_cols=["text_len"],
+            salt=SaltSpec(chunk_turns=64, overlap=8),
+        )
+    with pytest.raises(ValueError, match="horizon"):
+        add_lag_features(
+            rd.from_arrow(t), ["text_len"], lags=(10,),
+            salt=SaltSpec(chunk_turns=64, overlap=4),
+        )
