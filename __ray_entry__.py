@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_customers": R.q_region_customers,
         "topk": R.q_topk,
         "filter_sort": R.q_filter_sort,
+        "distinct": R.q_distinct,
         # text analysis / dedup / similarity (training-data extensions)
         "token_count": D.q_token_count,
         "text_quality": D.q_text_quality,
@@ -203,6 +204,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
             WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0
             ORDER BY o_orderkey""",
+        "distinct": """
+            SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkeys,
+                   (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem)
+                     AS n_partkeys
+            FROM orders""",
         "token_count": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)

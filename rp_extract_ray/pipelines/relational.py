@@ -168,6 +168,17 @@ def q_region_customers(sf_dir: str) -> Dataset:
     return joined.groupby("r_name").aggregate(Count(alias_name="n_customers"))
 
 
+def q_distinct(sf_dir: str):
+    """§2.8 set op: distinct keys + count per table column (Ray ``unique``)."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    n_cust = len(orders.unique("o_custkey"))
+    li = _read(sf_dir, "lineitem", ["l_partkey"])
+    n_part = len(li.unique("l_partkey"))
+    return pd.DataFrame({"n_custkeys": [n_cust], "n_partkeys": [n_part]})
+
+
 def q_topk(sf_dir: str, k: int = 10) -> Dataset:
     """§2.7 top-k: ds.sort(...).limit(k) (ST4/KNN pattern)."""
     return (

@@ -103,19 +103,21 @@ def generate_transcripts(
 
     text = _make_text(rng, total)
 
-    table = pa.table(
+    # permute BEFORE building the Arrow table (out-of-order arrival): a
+    # post-hoc table.take overflows 32-bit string offsets past ~2 GB of text
+    perm = rng.permutation(total)
+    tool_col = np.where(tool_null_mask, None, tool)
+    return pa.table(
         {
-            "conv_id": pa.array(conv_id, pa.string()),
-            "turn_idx": pa.array(turn_idx, pa.int32()),
-            "role": pa.array(role, pa.string()),
-            "text": pa.array(text, pa.string()),
-            "tool": pa.array(np.where(tool_null_mask, None, tool), pa.string()),
-            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "conv_id": pa.array(conv_id[perm], pa.string()),
+            "turn_idx": pa.array(turn_idx[perm], pa.int32()),
+            "role": pa.array(role[perm], pa.string()),
+            "text": pa.array([text[i] for i in perm], pa.string()),
+            "tool": pa.array(tool_col[perm], pa.string()),
+            "ts": pa.array(ts_us[perm], pa.timestamp("us")),
         },
         schema=TRANSCRIPT_SCHEMA,
     )
-    perm = rng.permutation(total)  # out-of-order arrival
-    return table.take(perm)
 
 
 def generate_conv_events(
