@@ -25,6 +25,11 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# All-to-all exchanges live in the object store; the default ~43% of RAM
+# starts spilling at ~10M turns and halves throughput. Must be set before
+# ray.init.
+os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.55")
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_CORPUS = os.environ.get("GRAFT_BENCH_CORPUS", "/tmp/graft_bench_corpus_v4")
