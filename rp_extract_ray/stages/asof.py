@@ -101,6 +101,7 @@ def asof_join(
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     broadcast: bool = False,
     dedup_right: str | None = None,
+    left_schema: pa.Schema | None = None,
 ) -> Dataset:
     """As-of join ``right``'s value columns onto ``left`` (left outer).
 
@@ -109,6 +110,11 @@ def asof_join(
     duplicate ``(entity, ts)`` right rows to a deterministic winner INSIDE
     the merge (cheaper than a separate distributed groupby, and required for
     ties to match SQL ASOF semantics deterministically).
+
+    Co-partitioned path only: if ``left`` is a TRANSFORMED Dataset, calling
+    ``left.schema()`` launches a limit-1 probe job that executes any upstream
+    all-to-all — pass ``left_schema`` explicitly to skip it (the broadcast
+    path never needs it).
     """
     right_schema = _arrow_schema(right)  # right side is small/cheap to probe
     if right_value_cols is None:
@@ -144,7 +150,8 @@ def asof_join(
 
         return left.map_batches(broadcast_merge, batch_format="pandas")
 
-    left_schema = _arrow_schema(left)
+    if left_schema is None:
+        left_schema = _arrow_schema(left)
     left_names = list(left_schema.names)
     rename = {c: (f"{c}_r" if c in left_names else c) for c in right_value_cols}
     out_value_cols = [rename[c] for c in right_value_cols]
