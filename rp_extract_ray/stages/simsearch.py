@@ -129,6 +129,58 @@ def ivf_index(
     return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8)), C
 
 
+def ivf_write(
+    ds: Dataset,
+    index_dir: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    seed: int = 3,
+) -> np.ndarray:
+    """Materialize the IVF index as list_id-partitioned Parquet + centroids.
+
+    This is the scale path the brief asks for: at query time only the probed
+    lists' files are READ AT ALL (partition pruning at the read — no scan of
+    unprobed rows, no filter stage). Centroids are persisted next to the data.
+    """
+    import os
+
+    assigned, C = ivf_index(
+        ds, vec_col=vec_col, id_col=id_col, n_clusters=n_clusters, seed=seed
+    )
+    assigned.write_parquet(index_dir, partition_cols=["list_id"])
+    np.save(os.path.join(index_dir, "_centroids.npy"), C)
+    return C
+
+
+def ivf_query(
+    index_dir: str,
+    queries: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_probe: int = 4,
+) -> pd.DataFrame:
+    """Query a written IVF index: read ONLY the probed list partitions."""
+    import os
+
+    import ray.data as rd
+
+    C = np.load(os.path.join(index_dir, "_centroids.npy"))
+    q = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    probe = np.argsort(-(q @ C.T), axis=1)[:, :n_probe]
+    wanted = sorted(set(int(x) for x in probe.reshape(-1)))
+    files = []
+    for lid in wanted:
+        d = os.path.join(index_dir, f"list_id={lid}")
+        if os.path.isdir(d):
+            files += [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+    ds = rd.read_parquet(files)  # pruned read: unprobed lists never touched
+    return knn_cosine(ds, q, vec_col=vec_col, id_col=id_col, k=k)
+
+
 def ivf_search(
     assigned: Dataset,
     centroids: np.ndarray,

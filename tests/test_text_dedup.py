@@ -185,3 +185,24 @@ def test_full_near_dup_pipeline(docs):
     group0 = {i for i in range(60) if i % 6 == 0 and i < 48} | set(range(48, 59))
     survivors = set(kept.doc_id) & group0
     assert survivors == {0}
+
+
+def test_ivf_partitioned_index(emb, tmp_path_factory):
+    """Written IVF index: only probed list partitions are read; results match
+    the in-memory IVF search."""
+    import os
+
+    from rp_extract_ray.stages.simsearch import ivf_query, ivf_write
+
+    idx = str(tmp_path_factory.mktemp("ivf"))
+    ds = rd.from_pandas(emb)
+    C = ivf_write(ds, idx, n_clusters=8, seed=3)
+    assert C.shape[0] == 8
+    parts = [d for d in os.listdir(idx) if d.startswith("list_id=")]
+    assert len(parts) >= 4  # clusters materialized as partitions
+
+    q = np.array(emb.loc[80, "embedding"])
+    res = ivf_query(idx, q[None, :], k=5, n_probe=4)
+    exact = knn_cosine(ds, q[None, :], k=5)
+    assert res.iloc[0]["vec_id"] == exact.iloc[0]["vec_id"]
+    assert len(set(res["vec_id"]) & set(exact["vec_id"])) >= 3
