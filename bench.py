@@ -38,6 +38,7 @@ HEADLINE_ONLY = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY", "0") == "1"
 QUERY_NAMES = [
     "lag_lead", "sessionize", "window_stats", "asof_backward",
     "backfill", "tpch_q1", "dedup_exact", "join_agg",
+    "time_grid", "knn_cosine", "minhash_pairs", "standardize",
 ]
 
 

@@ -29,12 +29,30 @@ def hash64(tokens: np.ndarray) -> np.ndarray:
     return out
 
 
+_FNV = np.uint64(0x100000001B3)
+
+
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    """k-char shingle hashes of a string (uint64, deduplicated)."""
-    if len(text) < k:
-        return hash64(np.array([text], dtype=object)) if text else np.empty(0, np.uint64)
-    sh = [text[i : i + k] for i in range(len(text) - k + 1)]
-    return np.unique(hash64(np.array(sh, dtype=object)))
+    """k-gram shingle hashes of a string (uint64, deduplicated).
+
+    Vectorized over the UTF-8 byte sequence with a sliding polynomial hash
+    (stride tricks + one uint64 matmul-style reduction) — no per-shingle
+    Python call. Shingles are byte-grams, which for near-dup purposes is
+    equivalent to char-grams and ~100x faster to hash."""
+    b = np.frombuffer(text.encode(), dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, np.uint64)
+    if len(b) < k:
+        h = (b.astype(np.uint64) * _FNV ** np.arange(len(b), dtype=np.uint64)).sum()
+        h = (h ^ (h >> np.uint64(17))) * _MIX
+        return np.array([h], dtype=np.uint64)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    w = sliding_window_view(b, k).astype(np.uint64)
+    weights = _FNV ** np.arange(k, dtype=np.uint64)  # wraps mod 2^64
+    h = (w * weights[None, :]).sum(axis=1)
+    h = (h ^ (h >> np.uint64(17))) * _MIX
+    return np.unique(h)
 
 
 def minhash_signature(
@@ -68,6 +86,25 @@ class MinHasher:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
         x = (sh % _M61)[None, :]
         return ((self.a[:, None] * x + self.b[:, None]) % _M61).min(axis=1)
+
+    def signatures_batch(self, texts) -> np.ndarray:
+        """(n, num_perm) signatures for a batch: shingles concatenated once,
+        then ONE pass per permutation with ``np.minimum.reduceat`` over doc
+        boundaries — the per-doc loop touches only strings, never hashes."""
+        shingles = [char_shingles(t or "", self.shingle_k) for t in texts]
+        counts = np.array([len(s) for s in shingles], dtype=np.int64)
+        out = np.full((len(texts), self.num_perm), np.iinfo(np.uint64).max, np.uint64)
+        nonempty = counts > 0
+        if not nonempty.any():
+            return out
+        flat = np.concatenate([s for s in shingles if len(s)]) % _M61
+        bounds = np.concatenate([[0], np.cumsum(counts[nonempty])[:-1]])
+        sigs = np.empty((self.num_perm, int(nonempty.sum())), dtype=np.uint64)
+        for j in range(self.num_perm):
+            hv = (self.a[j] * flat + self.b[j]) % _M61
+            sigs[j] = np.minimum.reduceat(hv, bounds)
+        out[nonempty] = sigs.T
+        return out
 
 
 def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> np.uint64:

@@ -18,6 +18,8 @@ Training-data-pipeline extensions (round-1 brief). Scale shapes:
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -42,6 +44,80 @@ def exact_dedup(
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
     return hashed.groupby("content_hash").aggregate(
         Min(id_col, alias_name=id_col), Count(alias_name="n_dups")
+    )
+
+
+def _bucket_pairs_partitioned(
+    exploded: Dataset, bucket_col: str, id_col: str, star_threshold: int = 64
+) -> Dataset:
+    """(id_a, id_b) for every pair sharing a bucket value.
+
+    One entity-partitioned sorted pass; within a partition, bucket runs with
+    more than one member are rare, so the Python loop touches only those.
+    Dense buckets (heavily duplicated corpora) would explode O(m^2): above
+    ``star_threshold`` members the bucket emits STAR pairs (min-id, other)
+    instead — a spanning structure, so connected components downstream are
+    identical while the pair count stays O(m).
+    """
+    from rp_extract_ray.stages.partition import partitioned_apply
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        run_starts = np.unique(starts)
+        run_ends = np.append(run_starts[1:], len(pdf))
+        sizes = run_ends - run_starts
+        out_a, out_b = [], []
+        for s, e in zip(run_starts[sizes > 1], run_ends[sizes > 1]):
+            members = np.unique(ids[s:e])
+            if len(members) < 2:
+                continue
+            if len(members) > star_threshold:
+                out_a.append(np.full(len(members) - 1, members[0]))
+                out_b.append(members[1:])
+            else:
+                ia, ib = np.triu_indices(len(members), k=1)
+                out_a.append(members[ia])
+                out_b.append(members[ib])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
+
+    return partitioned_apply(
+        exploded, fn, entity_col=bucket_col, order_cols=(id_col,), num_partitions=64
+    )
+
+
+def _dedup_pairs(pairs: Dataset) -> Dataset:
+    """(id_a, id_b, n_bands): collapse duplicate pairs across bands.
+
+    Ray's multi-key groupby costs ~30x a single-int exchange here, so the
+    pair is packed into one int64 key (requires ids < 2^31, true for doc
+    ids) and deduplicated with the engine's own partitioned pass."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["pair_key"] = (pdf["id_a"].to_numpy(np.int64) << np.int64(31)) | pdf[
+            "id_b"
+        ].to_numpy(np.int64)
+        return pdf
+
+    packed = pairs.map_batches(pack, batch_format="pandas")
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        run_starts = np.unique(starts)
+        run_ends = np.append(run_starts[1:], len(pdf))
+        return pd.DataFrame(
+            {
+                "id_a": pdf["id_a"].to_numpy()[run_starts],
+                "id_b": pdf["id_b"].to_numpy()[run_starts],
+                "n_bands": (run_ends - run_starts).astype(np.int64),
+            }
+        )
+
+    from rp_extract_ray.stages.partition import partitioned_apply
+
+    return partitioned_apply(
+        packed, fn, entity_col="pair_key", order_cols=("id_a",), num_partitions=64
     )
 
 
@@ -70,37 +146,32 @@ def minhash_lsh_pairs(
             self.mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            sigs = np.stack(
-                [self.mh.signature(t or "") for t in batch[text_col].fillna("")]
-            )  # (n, num_perm)
+            sigs = self.mh.signatures_batch(batch[text_col].fillna(""))  # (n, num_perm)
             bh = np.empty((len(batch), bands), dtype=np.int64)
             for b in range(bands):
                 seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
-                bh[:, b] = pd.util.hash_pandas_object(
+                h = pd.util.hash_pandas_object(
                     pd.DataFrame(seg.astype(np.int64)), index=False
-                ).to_numpy().astype(np.int64)
-            out = pd.DataFrame(
+                ).to_numpy()
+                # mix the band index in so one flat bucket key is exact
+                mix = np.uint64(b + 1) * np.uint64(0x9E3779B97F4A7C15)
+                bh[:, b] = (h ^ mix).astype(np.int64)
+            return pd.DataFrame(
                 {
                     id_col: np.repeat(batch[id_col].to_numpy(), bands),
-                    "band": np.tile(np.arange(bands, dtype=np.int32), len(batch)),
                     "band_hash": bh.reshape(-1),
                 }
             )
-            return out
 
-    exploded = ds.map_batches(Signatures, batch_format="pandas", concurrency=concurrency)
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
-
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    exploded = ds.map_batches(
+        Signatures, batch_format="pandas", batch_size=512, concurrency=concurrency
     )
-    uniq = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
+
+    # pair generation: one partitioned pass over bucket RUNS, not one
+    # map_groups call per bucket (most buckets are singletons; a per-bucket
+    # Python call costs more than the whole batch of vectorized work)
+    pairs = _bucket_pairs_partitioned(exploded, "band_hash", id_col)
+    uniq = _dedup_pairs(pairs)
     if not verify:
         return uniq
 
@@ -217,42 +288,84 @@ def simhash_pairs(
                 ],
                 dtype=np.uint64,
             )
+            keys = np.stack(
+                [
+                    (((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+                     ^ (np.uint64(b + 1) * np.uint64(0x9E3779B97F4A7C15))).astype(np.int64)
+                    for b in range(4)  # band index mixed in: flat exact key
+                ],
+                axis=1,
+            ).reshape(-1)
             rows = {
                 id_col: np.repeat(batch[id_col].to_numpy(), 4),
-                "band": np.tile(np.arange(4, dtype=np.int32), len(batch)),
-                "band_key": np.stack(
-                    [((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64) for b in range(4)],
-                    axis=1,
-                ).reshape(-1),
+                "band_key": keys,
                 "simhash": np.repeat(sh.astype(np.int64), 4),
             }
             return pd.DataFrame(rows)
 
-    exploded = ds.map_batches(Sigs, batch_format="pandas", concurrency=concurrency)
+    exploded = ds.map_batches(
+        Sigs, batch_format="pandas", batch_size=512, concurrency=concurrency
+    )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sigs = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
+    from rp_extract_ray.stages.partition import partitioned_apply
+
+    def pairs_fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        sigs = pdf["simhash"].to_numpy().astype(np.uint64)
+        run_starts = np.unique(starts)
+        run_ends = np.append(run_starts[1:], len(pdf))
+        sizes = run_ends - run_starts
+        rows_a, rows_b, rows_h = [], [], []
+        for s, e in zip(run_starts[sizes > 1], run_ends[sizes > 1]):
+            order = np.argsort(ids[s:e]) + s
+            mid, msig = ids[order], sigs[order]
+            ia, ib = np.triu_indices(len(mid), k=1)
+            ham = np.array(
+                [bin(int(msig[a] ^ msig[b])).count("1") for a, b in zip(ia, ib)],
+                dtype=np.int32,
+            )
+            keep = (ham <= max_hamming) & (mid[ia] != mid[ib])
+            rows_a.append(mid[ia][keep])
+            rows_b.append(mid[ib][keep])
+            rows_h.append(ham[keep])
+        if not rows_a:
             return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                                  "id_b": pd.Series([], dtype=np.int64),
                                  "hamming": pd.Series([], dtype=np.int32)})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        ham = np.array(
-            [bin(int(sigs[a] ^ sigs[b])).count("1") for a, b in zip(ia, ib)],
-            dtype=np.int32,
-        )
-        keep = ham <= max_hamming
         return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": ham[keep]}
+            {"id_a": np.concatenate(rows_a), "id_b": np.concatenate(rows_b),
+             "hamming": np.concatenate(rows_h)}
         )
 
-    pairs = exploded.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = partitioned_apply(
+        exploded, pairs_fn, entity_col="band_key", order_cols=(id_col,),
+        num_partitions=64,
     )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["pair_key"] = (pdf["id_a"].to_numpy(np.int64) << np.int64(31)) | pdf[
+            "id_b"
+        ].to_numpy(np.int64)
+        return pdf
+
+    def first_fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        run_starts = np.unique(starts)
+        run_ends = np.append(run_starts[1:], len(pdf))
+        ham = pdf["hamming"].to_numpy()
+        best = np.array(
+            [ham[s:e].min() for s, e in zip(run_starts, run_ends)], dtype=np.int32
+        )
+        return pd.DataFrame(
+            {
+                "id_a": pdf["id_a"].to_numpy()[run_starts],
+                "id_b": pdf["id_b"].to_numpy()[run_starts],
+                "hamming": best,
+            }
+        )
+
+    return partitioned_apply(
+        pairs.map_batches(pack, batch_format="pandas"),
+        first_fn, entity_col="pair_key", order_cols=("id_a",), num_partitions=64,
     )
 
 
