@@ -47,33 +47,30 @@ def knn_cosine(
     q = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     q_ref = ray.put(q)
 
-    class PartialTopK:
-        def __init__(self):
-            self.q = ray.get(q_ref)
+    # stateless tasks (broadcast query matrix via object store): scales to
+    # all free CPUs, no actor-pool cap or startup latency
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        vecs = _unit(_as_matrix(batch.column(vec_col)))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sims = vecs @ qm.T  # (n, nq)
+        out_q, out_id, out_cos = [], [], []
+        kk = min(k, len(ids))
+        for j in range(qm.shape[0]):
+            s = sims[:, j]
+            part = np.argpartition(-s, kk - 1)[:kk]
+            out_q.append(np.full(kk, j, dtype=np.int32))
+            out_id.append(ids[part])
+            out_cos.append(s[part])
+        return pa.table(
+            {
+                "query_idx": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "cos": pa.array(np.concatenate(out_cos)),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _unit(_as_matrix(batch.column(vec_col)))
-            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            sims = vecs @ self.q.T  # (n, nq)
-            out_q, out_id, out_cos = [], [], []
-            kk = min(k, len(ids))
-            for j in range(self.q.shape[0]):
-                s = sims[:, j]
-                part = np.argpartition(-s, kk - 1)[:kk]
-                out_q.append(np.full(kk, j, dtype=np.int32))
-                out_id.append(ids[part])
-                out_cos.append(s[part])
-            return pa.table(
-                {
-                    "query_idx": pa.array(np.concatenate(out_q)),
-                    id_col: pa.array(np.concatenate(out_id)),
-                    "cos": pa.array(np.concatenate(out_cos)),
-                }
-            )
-
-    partials = ds.map_batches(
-        PartialTopK, batch_format="pyarrow", concurrency=(1, 8)
-    ).to_pandas()
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
     rows = []
     for j, g in partials.groupby("query_idx"):
         top = heapq.nsmallest(k, zip(-g["cos"], g[id_col]))
@@ -109,9 +106,7 @@ def ivf_index(
 ) -> tuple[Dataset, np.ndarray]:
     """(assigned dataset with ``list_id`` column, centroids). The assignment
     is a pure map (no shuffle); downstream search probes selected lists."""
-    sample = _as_matrix(
-        ds.limit(sample_rows).select_columns([vec_col]).to_pandas()[vec_col]
-    ) if False else np.stack(
+    sample = np.stack(
         ds.limit(sample_rows).to_pandas()[vec_col].to_numpy()
     ).astype(np.float64)
     C = kmeans_fit(sample, n_clusters, seed=seed)

@@ -15,7 +15,6 @@ import numpy as np
 import pyarrow as pa
 
 from ray.data import Dataset
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
 def add_time_bucket(
