@@ -60,6 +60,7 @@ def rhythm_features_for_segments(
     n_mod: int = N_MOD_FREQ,
     weighting: bool = True,
     mod_freq_res: float = 1.0,
+    filterbank: np.ndarray | None = None,
 ) -> dict[str, np.ndarray]:
     """Per-segment rhythm descriptor set.
 
@@ -75,6 +76,10 @@ def rhythm_features_for_segments(
         [seven_stats(segments[j]).reshape(-1) for j in range(m)]
     ) if m else np.empty((0, n_series * 7))
     mag = modulation_spectrum(segments, n_mod)
+    if filterbank is not None:
+        # M10 analogue: compress the mod-freq axis through triangular bands
+        mag = mag @ filterbank.T
+        n_mod = filterbank.shape[0]
     rh = mag.sum(axis=1)  # pre-weighting (/root/reference/rp_extract.py:719-721)
     if weighting:
         mag = mag * fluctuation_weights(n_mod, mod_freq_res)[None, None, :]

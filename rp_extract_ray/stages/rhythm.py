@@ -87,12 +87,22 @@ def make_rhythm_fn(
     log_transform: bool,
     weighting: bool,
     per_segment: bool,
+    filterbank_out: int | None = None,
+    series_map=None,
 ):
     n_series = len(series_cols)
+    fb = None
+    if filterbank_out is not None:
+        # M10 analogue (triangular filterbank over mod-freq bins); built once
+        # here and serialized into the task closure (ST1 constant pattern)
+        from rp_extract_ray.functions.transforms import triangular_filterbank
+
+        fb = triangular_filterbank(n_mod, filterbank_out)
+    eff_mod = filterbank_out if filterbank_out is not None else n_mod
     dim_rp, dim_rh, dim_mvd, dim_ssd = (
-        n_series * n_mod,
-        n_mod,
-        n_mod * 7,
+        n_series * eff_mod,
+        eff_mod,
+        eff_mod * 7,
         n_series * 7,
     )
 
@@ -105,6 +115,8 @@ def make_rhythm_fn(
         )  # (n_series, n_rows)
         if log_transform:
             series = np.log1p(np.maximum(series, 0.0))  # dB-transform analogue (M12)
+        if series_map is not None:
+            series = series_map(series)  # M13/M14 piecewise-map seam
         ts = pdf[ts_col].to_numpy()
 
         out_ent, seg_idx, turn_start, ts_start, ts_end = [], [], [], [], []
@@ -121,7 +133,7 @@ def make_rhythm_fn(
             S = series[:, lo:hi]
             sw = sliding_window_view(S, seg_len, axis=1)  # (n_series, n-seg+1, seg)
             segs = np.ascontiguousarray(sw[:, plan, :].transpose(1, 0, 2))
-            feats = rhythm_features_for_segments(segs, n_mod, weighting)
+            feats = rhythm_features_for_segments(segs, n_mod, weighting, filterbank=fb)
             if per_segment:
                 out_ent.extend([ent[lo]] * m)
                 seg_idx.extend(range(m))
@@ -225,6 +237,8 @@ def rhythm_features(
     log_transform: bool = True,
     weighting: bool = True,
     per_segment: bool = False,
+    filterbank_out: int | None = None,
+    series_map=None,
     num_partitions: int = 64,
 ) -> Dataset:
     """Rhythm-analogue features. Requires whole conversations per partition
@@ -242,6 +256,8 @@ def rhythm_features(
         log_transform=log_transform,
         weighting=weighting,
         per_segment=per_segment,
+        filterbank_out=filterbank_out,
+        series_map=series_map,
     )
     return partitioned_apply(
         ds,

@@ -97,3 +97,34 @@ def test_dominant_mod_freq(conv_features, oracle_features):
         got = conv_features.loc[cid]
         assert got["dominant_mod_freq"] == int(np.argmax(exp["rh"])) + 1
         break
+
+
+def test_transform_toggles(corpus):
+    """M10/M13/M14 analogues: filterbank compresses the mod axis; piecewise
+    maps transform series; both flow through the full stage."""
+    from rp_extract_ray.functions.transforms import (
+        compressive_map,
+        piecewise_table_map,
+        triangular_filterbank,
+    )
+
+    fb = triangular_filterbank(16, 6)
+    assert fb.shape == (6, 16)
+    assert (fb.sum(axis=1) > 0).all()
+    x = np.array([0.0, 20.0, 40.0, 60.0])
+    y = compressive_map(x)
+    assert y[2] == 1.0 and y[3] == 4.0 and 0 <= y[1] < 1
+    t = piecewise_table_map(np.array([5.0]), np.array([0.0, 10.0]), np.array([0.0, 100.0]))
+    assert t[0] == 50.0
+
+    tcorp, _ = corpus
+    ds = add_turn_stats(rd.from_arrow(tcorp))
+    out = rhythm_features(
+        ds, seg_len=SEG, n_mod=16, filterbank_out=6,
+        series_map=lambda s: compressive_map(s, knee=4.0),
+        order_cols=ORDER, num_partitions=8,
+    ).to_pandas()
+    row = out[out.n_segments > 0].iloc[0]
+    assert len(row["rh"]) == 6             # mod axis compressed 16 -> 6
+    assert len(row["rp"]) == NSER * 6
+    assert len(row["mvd"]) == 6 * 7
