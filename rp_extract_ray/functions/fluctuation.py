@@ -81,15 +81,17 @@ def rhythm_features_for_segments(
         mag = mag @ filterbank.T
         n_mod = filterbank.shape[0]
     rh = mag.sum(axis=1)  # pre-weighting (/root/reference/rp_extract.py:719-721)
-    if weighting:
-        mag = mag * fluctuation_weights(n_mod, mod_freq_res)[None, None, :]
-    rh2 = mag.sum(axis=1)
-    rp = mag.reshape(m, n_series * n_mod)
+    # MVD from PRE-weighting magnitudes, like the reference (rp_extract.py:713-716
+    # runs calc_statistical_features before the fluctuation-strength loop at :726)
     mvd = (
         np.stack([seven_stats(mag[j].T).reshape(-1) for j in range(m)])
         if m
         else np.empty((0, n_mod * 7))
     )
+    if weighting:
+        mag = mag * fluctuation_weights(n_mod, mod_freq_res)[None, None, :]
+    rh2 = mag.sum(axis=1)
+    rp = mag.reshape(m, n_series * n_mod)
     return {"rp": rp, "rh": rh, "rh2": rh2, "mvd": mvd, "ssd": ssd}
 
 

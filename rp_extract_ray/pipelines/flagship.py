@@ -123,6 +123,7 @@ def feature_backfill_payload_light(
     num_partitions: int = 64,
     payload_cols=("text",),
     right_value_cols=("value",),
+    metrics_sink=None,
 ) -> Dataset:
     """Payload-light backfill: the heavy ``text`` payload NEVER enters the
     all-to-all exchange.
@@ -180,6 +181,7 @@ def feature_backfill_payload_light(
     feats = partitioned_apply(
         slim, fn, entity_col=entity_col, order_cols=(ts_col, turn_col),
         num_partitions=num_partitions,
+        metrics_sink=metrics_sink, metrics_stage="feature_backfill",
     )
     if events is not None:
         feats = asof_join(

@@ -159,7 +159,8 @@ def oracle_rhythm(
             magw = mag * wcurve[None, :] if weighting else mag
             rh2 = magw.sum(axis=0)
             rp = magw.reshape(-1)
-            mvd = np.concatenate([_stats7(magw[:, i]) for i in range(n_mod)])
+            # MVD on PRE-weighting magnitudes (reference rp_extract.py:713-716)
+            mvd = np.concatenate([_stats7(mag[:, i]) for i in range(n_mod)])
             segs.append({"ssd": ssd, "rh": rh, "rh2": rh2, "rp": rp, "mvd": mvd})
         rp_m = np.median(np.stack([s["rp"] for s in segs]), axis=0)
         rh_m = np.median(np.stack([s["rh"] for s in segs]), axis=0)

@@ -169,14 +169,24 @@ def q_region_customers(sf_dir: str) -> Dataset:
 
 
 def q_distinct(sf_dir: str):
-    """§2.8 set op: distinct keys + count per table column (Ray ``unique``)."""
+    """§2.8 set op: distinct-key counts WITHOUT driver materialization.
+
+    ``Dataset.unique`` pulls every distinct key to the driver; at 100x key
+    cardinality that is a scale-killer. Instead: distributed
+    ``groupby(col).aggregate(Count)`` (map-side combine + one shuffle keyed
+    by the column) and ``.count()`` the grouped rows — only the final int
+    reaches the driver."""
     import pandas as pd
 
-    orders = _read(sf_dir, "orders", ["o_custkey"])
-    n_cust = len(orders.unique("o_custkey"))
-    li = _read(sf_dir, "lineitem", ["l_partkey"])
-    n_part = len(li.unique("l_partkey"))
-    return pd.DataFrame({"n_custkeys": [n_cust], "n_partkeys": [n_part]})
+    n_cust = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey").aggregate(Count(alias_name="n")).count()
+    )
+    n_part = (
+        _read(sf_dir, "lineitem", ["l_partkey"])
+        .groupby("l_partkey").aggregate(Count(alias_name="n")).count()
+    )
+    return pd.DataFrame({"n_custkeys": [int(n_cust)], "n_partkeys": [int(n_part)]})
 
 
 def q_topk(sf_dir: str, k: int = 10) -> Dataset:

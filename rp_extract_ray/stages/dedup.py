@@ -28,7 +28,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
 from rp_extract_ray.functions.hashing import MinHasher, char_shingles, jaccard
-from rp_extract_ray.stages.partition import stable_hash
+from rp_extract_ray.stages.partition import run_bounds, stable_hash
 
 
 def exact_dedup(
@@ -63,8 +63,7 @@ def _bucket_pairs_partitioned(
 
     def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
-        run_starts = np.unique(starts)
-        run_ends = np.append(run_starts[1:], len(pdf))
+        run_starts, run_ends = run_bounds(starts, len(pdf))
         sizes = run_ends - run_starts
         out_a, out_b = [], []
         for s, e in zip(run_starts[sizes > 1], run_ends[sizes > 1]):
@@ -104,8 +103,7 @@ def _dedup_pairs(pairs: Dataset) -> Dataset:
     packed = pairs.map_batches(pack, batch_format="pandas")
 
     def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
-        run_starts = np.unique(starts)
-        run_ends = np.append(run_starts[1:], len(pdf))
+        run_starts, run_ends = run_bounds(starts, len(pdf))
         return pd.DataFrame(
             {
                 "id_a": pdf["id_a"].to_numpy()[run_starts],
@@ -312,8 +310,7 @@ def simhash_pairs(
     def pairs_fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
         sigs = pdf["simhash"].to_numpy().astype(np.uint64)
-        run_starts = np.unique(starts)
-        run_ends = np.append(run_starts[1:], len(pdf))
+        run_starts, run_ends = run_bounds(starts, len(pdf))
         sizes = run_ends - run_starts
         rows_a, rows_b, rows_h = [], [], []
         for s, e in zip(run_starts[sizes > 1], run_ends[sizes > 1]):
@@ -349,8 +346,7 @@ def simhash_pairs(
         return pdf
 
     def first_fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
-        run_starts = np.unique(starts)
-        run_ends = np.append(run_starts[1:], len(pdf))
+        run_starts, run_ends = run_bounds(starts, len(pdf))
         ham = pdf["hamming"].to_numpy()
         best = np.array(
             [ham[s:e].min() for s, e in zip(run_starts, run_ends)], dtype=np.int32

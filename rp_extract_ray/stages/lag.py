@@ -126,10 +126,18 @@ def add_lag_features(
             # forward-fill looks back UNBOUNDED (the last non-null can be
             # arbitrarily far); a salted chunk only carries `overlap` context
             raise ValueError("ffill is not causal-bounded; run it unsalted")
-        horizon = max([*lags, *(k for k in leads), 1])
+        horizon = max([*lags, 1])
         if salt.overlap < horizon:
             raise ValueError(
                 f"salt.overlap={salt.overlap} < max lag horizon {horizon}"
+            )
+        if leads and salt.lead_overlap < max(leads):
+            # backward ghosts give PAST context only; a lead at a chunk tail
+            # needs the next chunk's head rows (forward ghosts) or it is
+            # silently NaN where the unsalted path has real values
+            raise ValueError(
+                f"salt.lead_overlap={salt.lead_overlap} < max lead horizon "
+                f"{max(leads)}; set SaltSpec(lead_overlap=...)"
             )
     fn = make_lag_frame_fn(
         value_cols, lags, leads, entity_col, ts_col, ffill_cols=ffill_cols, gap=gap

@@ -60,15 +60,24 @@ class SaltSpec:
     ``overlap`` trailing rows of each chunk are replicated into the next chunk
     as ghost context. Only valid for operators whose output at row *i* depends
     on at most ``overlap`` preceding rows of the same entity.
+
+    ``lead_overlap`` additionally replicates the first ``lead_overlap`` rows
+    of each chunk into the PREVIOUS chunk as forward-ghost context, so
+    operators that read up to ``lead_overlap`` FUTURE rows (leads) are exact
+    at chunk tails too. Without it, a lead column under salting is silently
+    NaN at every chunk tail where the unsalted path has real values.
     """
 
     chunk_turns: int = 4096
     overlap: int = 64
     turn_col: str = "turn_idx"
+    lead_overlap: int = 0
 
     def __post_init__(self):
         if self.overlap >= self.chunk_turns:
             raise ValueError("overlap must be < chunk_turns")
+        if self.lead_overlap >= self.chunk_turns:
+            raise ValueError("lead_overlap must be < chunk_turns")
 
 
 def _chunk_part(ent_hash: np.ndarray, chunk: np.ndarray, num_partitions: int) -> np.ndarray:
@@ -93,19 +102,33 @@ def _add_part(
     real = real.append_column(
         PART_COL, pa.array(_chunk_part(ent_hash, chunk, num_partitions), pa.int32())
     )
-    if not in_tail.any():
-        return real
-    # replicate tail rows into the NEXT chunk as ghost context; CHUNK_COL is
-    # the DESTINATION chunk so (entity, _chunk) is the window-state unit even
-    # when two chunks of one entity collide into the same partition
-    ghosts = batch.filter(pa.array(in_tail))
-    ghosts = ghosts.append_column(GHOST_COL, pa.array(np.ones(len(ghosts), dtype=bool)))
-    ghosts = ghosts.append_column(CHUNK_COL, pa.array(chunk[in_tail] + 1, pa.int64()))
-    ghosts = ghosts.append_column(
-        PART_COL,
-        pa.array(_chunk_part(ent_hash[in_tail], chunk[in_tail] + 1, num_partitions), pa.int32()),
-    )
-    return pa.concat_tables([real, ghosts])
+    parts = [real]
+    if in_tail.any():
+        # replicate tail rows into the NEXT chunk as ghost context; CHUNK_COL
+        # is the DESTINATION chunk so (entity, _chunk) is the window-state
+        # unit even when two chunks of one entity collide into one partition
+        ghosts = batch.filter(pa.array(in_tail))
+        ghosts = ghosts.append_column(GHOST_COL, pa.array(np.ones(len(ghosts), dtype=bool)))
+        ghosts = ghosts.append_column(CHUNK_COL, pa.array(chunk[in_tail] + 1, pa.int64()))
+        ghosts = ghosts.append_column(
+            PART_COL,
+            pa.array(_chunk_part(ent_hash[in_tail], chunk[in_tail] + 1, num_partitions), pa.int32()),
+        )
+        parts.append(ghosts)
+    if salt.lead_overlap:
+        # forward ghosts: each chunk's head rows into the PREVIOUS chunk so
+        # leads are exact at chunk tails (chunk 0 has no predecessor)
+        in_head = ((turn % salt.chunk_turns) < salt.lead_overlap) & (chunk > 0)
+        if in_head.any():
+            fwd = batch.filter(pa.array(in_head))
+            fwd = fwd.append_column(GHOST_COL, pa.array(np.ones(len(fwd), dtype=bool)))
+            fwd = fwd.append_column(CHUNK_COL, pa.array(chunk[in_head] - 1, pa.int64()))
+            fwd = fwd.append_column(
+                PART_COL,
+                pa.array(_chunk_part(ent_hash[in_head], chunk[in_head] - 1, num_partitions), pa.int32()),
+            )
+            parts.append(fwd)
+    return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
 
 def entity_starts(*key_arrays: np.ndarray) -> np.ndarray:
@@ -125,6 +148,20 @@ def entity_starts(*key_arrays: np.ndarray) -> np.ndarray:
     starts = np.flatnonzero(change)
     counts = np.diff(np.append(starts, n))
     return np.repeat(starts, counts)
+
+
+def run_bounds(starts: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(run_starts, run_ends) index pairs of the key runs encoded by a
+    per-row ``starts`` array (as produced by :func:`entity_starts`).
+
+    Handles the empty-frame case: ``np.append(run_starts[1:], n)`` on an
+    empty input yields a shape-(1,) array against shape-(0,) ``run_starts``
+    and every downstream arithmetic broadcast raises — groupby CAN deliver
+    empty partition frames, so every partition fn must use this helper."""
+    run_starts = np.unique(starts).astype(np.int64)
+    if len(run_starts) == 0:
+        return run_starts, run_starts.copy()
+    return run_starts, np.append(run_starts[1:], n).astype(np.int64)
 
 
 def partitioned_apply(

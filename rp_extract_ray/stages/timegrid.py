@@ -50,7 +50,11 @@ def time_grid_aggregate(
     ~30x on the many-tiny-groups shapes of the dedup pair tables)."""
     import pandas as pd
 
-    from rp_extract_ray.stages.partition import entity_starts, partitioned_apply
+    from rp_extract_ray.stages.partition import (
+        entity_starts,
+        partitioned_apply,
+        run_bounds,
+    )
 
     b = add_time_bucket(ds, ts_col=ts_col, interval_s=interval_s)
 
@@ -58,8 +62,7 @@ def time_grid_aggregate(
         sub = entity_starts(
             pdf[entity_col].to_numpy(), pdf["bucket"].to_numpy()
         )
-        run_starts = np.unique(sub)
-        run_ends = np.append(run_starts[1:], len(pdf))
+        run_starts, run_ends = run_bounds(sub, len(pdf))
         out = {
             entity_col: pdf[entity_col].to_numpy()[run_starts],
             "bucket": pdf["bucket"].to_numpy()[run_starts],

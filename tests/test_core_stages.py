@@ -83,6 +83,35 @@ def test_salted_windows_match_unsalted(corpus, oracle_result):
         assert np.allclose(a, b, equal_nan=True), c
 
 
+def test_salted_leads_match_unsalted(corpus, oracle_result):
+    """Leads under salted chunking need forward ghosts: every chunk-tail row
+    must see the next chunk's head rows or lead columns are silently NaN."""
+    t, _ = corpus
+    ds = add_turn_stats(rd.from_arrow(t))
+    ds = add_lag_features(
+        ds, ["text_len"], lags=(1, 2), leads=(1,), gap=False, order_cols=ORDER,
+        num_partitions=8,
+        salt=SaltSpec(chunk_turns=32, overlap=2, lead_overlap=1),
+    )
+    got = _sorted(ds.to_pandas())
+    assert len(got) == len(oracle_result)
+    for c in ("text_len_lag1", "text_len_lag2", "text_len_lead1"):
+        assert np.allclose(
+            got[c].to_numpy(dtype=np.float64),
+            oracle_result[c].to_numpy(dtype=np.float64),
+            equal_nan=True,
+        ), c
+
+
+def test_salted_lead_guard(corpus):
+    t, _ = corpus
+    with pytest.raises(ValueError, match="lead_overlap"):
+        add_lag_features(
+            add_turn_stats(rd.from_arrow(t)), ["text_len"], leads=(1,),
+            salt=SaltSpec(chunk_turns=32, overlap=4),
+        )
+
+
 def test_salt_overlap_guard(corpus):
     t, _ = corpus
     with pytest.raises(ValueError, match="overlap"):

@@ -75,6 +75,7 @@ def main() -> int:
         k=args.k,
         session_gap_s=args.session_gap_s,
         num_partitions=args.partitions,
+        metrics_sink=sink,
     )
     report = write_partitioned(
         ds, args.output, num_partitions=args.partitions, resume=not args.no_resume
