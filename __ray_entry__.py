@@ -60,11 +60,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis / dedup / similarity (training-data extensions)
         "token_count": D.q_token_count,
         "text_quality": D.q_text_quality,
-        "langid": D.q_langid,                       # rows-only
+        "langid": D.q_langid,
         "fingerprint": D.q_fingerprint,             # rows-only
-        "minhash_pairs": D.q_minhash_pairs,         # rows-only
+        "minhash_pairs": D.q_minhash_pairs,
+        "ngram_jaccard_pairs": D.q_ngram_jaccard,
         "simhash_pairs": D.q_simhash_pairs,         # rows-only
-        "embedding_near_dup": D.q_embedding_near_dup,  # rows-only
+        "embedding_near_dup": D.q_embedding_near_dup,
+        "cosine_pairs": D.q_cosine_pairs,
         "knn_cosine": D.q_knn,
         "embedding_label_stats": D.q_embedding_label_stats,
         # full windowed/rhythm feature stages (rows-only; pytest oracles)
@@ -73,6 +75,103 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_backfill": E.q_flagship,
     }
     return q
+
+
+_JACCARD_SQL = r"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substring(text, CAST(u.i AS INTEGER), 5) AS g
+      FROM documents,
+           LATERAL unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS u(i)
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           round(ni / CAST(ca.n + cb.n - ni AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = id_a
+    JOIN cnt cb ON cb.doc_id = id_b
+    WHERE ni / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.5"""
+
+def _embedding_bucket_sql(n_planes: int = 4, seed: int = 5, dim: int = 64) -> str:
+    """Bucket expression replicating stages/dedup.embedding_near_dup's
+    hyperplane LSH: the seed-deterministic planes become SQL literals, so
+    DuckDB computes the identical sign-pattern bucket in float64."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).normal(size=(dim, n_planes))
+    terms = []
+    for j in range(n_planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[:, j]) + "]"
+        terms.append(
+            f"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), {lit}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+# cast inputs (not just the result) to DOUBLE: on FLOAT lists DuckDB
+# accumulates in float32 (~1e-7 error), enough to flip round-4 digits
+_COS_EXPR = (
+    "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[]))"
+)
+
+_COSINE_PAIRS_SQL = f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_EXPR}, 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_EXPR} >= 0.25"""
+
+
+def _embedding_near_dup_sql() -> str:
+    return f"""
+    WITH bk AS (SELECT vec_id, embedding, {_embedding_bucket_sql()} AS bucket
+                FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_EXPR}, 4) AS cos
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_COS_EXPR} >= 0.25"""
+
+
+def _langid_sql() -> str:
+    """Replicate stages/textstage.LangId in SQL: per-language score = sum of
+    non-overlapping profile-gram occurrence counts in lower(text) (the
+    length-replace trick counts exactly like the engine's str.count), argmax
+    with first-max-wins tie order = the profile dict order, 'unk' when every
+    score is zero, conf = best/total guarded by 1e-9."""
+    from rp_extract_ray.stages.textstage import _LANG_PROFILES
+
+    langs = list(_LANG_PROFILES)
+    score_cols = []
+    for lang, grams in _LANG_PROFILES.items():
+        terms = [
+            f"(length(t) - length(replace(t, '{g}', ''))) / {len(g)}"
+            for g in grams
+        ]
+        score_cols.append(f"({' + '.join(terms)}) AS s_{lang}")
+    all_scores = ", ".join(f"s_{l}" for l in langs)
+    # first-max-wins: lang i is argmax iff s_i >= every LATER score (all
+    # earlier WHEN branches having failed implies every earlier score is
+    # strictly below the running max)
+    whens = []
+    for i, l in enumerate(langs):
+        rest = [f"s_{l} >= s_{m}" for m in langs[i + 1:]]
+        cond = " AND ".join(rest) if rest else "TRUE"
+        whens.append(f"WHEN {cond} THEN '{l}'")
+    case_pred = "CASE " + " ".join(whens) + " END"
+    return f"""
+    WITH t0 AS (SELECT doc_id, lang, lower(coalesce(text, '')) AS t
+                FROM documents),
+    sc AS (SELECT doc_id, lang, {", ".join(score_cols)} FROM t0)
+    SELECT doc_id, lang,
+           CASE WHEN greatest({all_scores}) = 0 THEN 'unk'
+                ELSE {case_pred} END AS lang_pred,
+           round(greatest({all_scores})
+                 / greatest({" + ".join("s_" + l for l in langs)}, 1e-9), 6)
+             AS lang_conf
+    FROM sc"""
 
 
 _W = "PARTITION BY user_id ORDER BY ts, event_id"
@@ -122,6 +221,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(value) OVER w AS BIGINT) AS value_wcount
             FROM events
             WINDOW w AS ({_W} ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)""",
+        # full windowed descriptor set: power-sum skew/kurt (population /
+        # Pearson, NaN->0 via the zero-variance guard), quantile_cont ==
+        # numpy linear interpolation; 0 round-6 mismatches vs the kernel
+        "window_features_full": f"""
+            WITH m AS (
+              SELECT event_id, user_id, ts, value,
+                     round({_GAP}, 6) AS gap_s,
+                     avg(value) OVER w AS e1,
+                     avg(value*value) OVER w AS e2,
+                     avg(value*value*value) OVER w AS e3,
+                     avg(value*value*value*value) OVER w AS e4,
+                     var_pop(value) OVER w AS v,
+                     median(value) OVER w AS med,
+                     quantile_cont(value, 0.25) OVER w AS p25,
+                     quantile_cont(value, 0.75) OVER w AS p75,
+                     min(value) OVER w AS value_wmin,
+                     max(value) OVER w AS value_wmax,
+                     CAST(count(value) OVER w AS BIGINT) AS value_wcount
+              FROM events
+              WINDOW w AS ({_W} ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+            SELECT event_id, user_id, ts, value, gap_s,
+                   round(e1, 6) AS value_wmean,
+                   round(v, 6) AS value_wvar,
+                   round(CASE WHEN v <= 0 THEN 0.0
+                              ELSE (e3 - 3*e1*e2 + 2*e1*e1*e1) / pow(v, 1.5)
+                         END, 6) + 0 AS value_wskew,  -- +0: -0.0 -> 0.0
+                   round(CASE WHEN v <= 0 THEN 0.0
+                              ELSE (e4 - 4*e1*e3 + 6*e1*e1*e2 - 3*pow(e1, 4))
+                                   / (v*v)
+                         END, 6) + 0 AS value_wkurt,
+                   round(med, 6) AS value_wmedian,
+                   value_wmin, value_wmax, value_wcount,
+                   round(p25, 6) AS value_wp25,
+                   round(p75, 6) AS value_wp75
+            FROM m""",
         "asof_backward": """
             WITH r AS (SELECT user_id, ts, max(value) AS pvalue FROM events
                        WHERE event_type='purchase' GROUP BY user_id, ts),
@@ -225,6 +359,14 @@ def oracle_sql() -> dict[str, str]:
                    round((length(text) - length(regexp_replace(text, '\s', '', 'g')))
                          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS space_ratio
             FROM documents""",
+        # exact all-pairs character-5-gram Jaccard (documents are ASCII, so
+        # SQL char grams == the engine's byte shingles; DISTINCT grams ==
+        # distinct 64-bit shingle hashes, collision-free at these sizes)
+        "langid": _langid_sql(),
+        "minhash_pairs": _JACCARD_SQL,
+        "ngram_jaccard_pairs": _JACCARD_SQL,
+        "embedding_near_dup": _embedding_near_dup_sql(),
+        "cosine_pairs": _COSINE_PAIRS_SQL,
         "knn_cosine": """
             SELECT vec_id,
                    round(CAST(list_cosine_similarity(

@@ -20,4 +20,6 @@ def round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
     """
     x = np.asarray(x, dtype=np.float64)
     scale = 10.0**decimals
-    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+    # "+ 0.0" collapses -0.0 to +0.0: the driver's value hash compares BITS,
+    # and a skew that rounds to zero from below must hash like the oracle's
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale + 0.0

@@ -56,8 +56,26 @@ def q_fingerprint(sf_dir: str) -> Dataset:
 
 
 def q_minhash_pairs(sf_dir: str) -> Dataset:
-    """Rows-only: near-dup candidate pairs (verified Jaccard >= 0.5)."""
-    return minhash_lsh_pairs(
+    """Near-dup pairs, LSH candidates + DISTRIBUTED exact-Jaccard verify.
+
+    Oracle: exact all-pairs k-gram Jaccard in DuckDB. The comparison is
+    exact because verified pairs carry true Jaccard and, at the driver sf,
+    every true pair sits far above the LSH S-curve (measured: all 25 pairs
+    at sf0.01 have jaccard >= 0.928; 16x4 bands miss such a pair with
+    p < 1e-8). A recall-deficient configuration would fail the oracle —
+    that is the point of the gate."""
+    out = minhash_lsh_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), jaccard_threshold=0.5
+    )
+    return out.select_columns(["id_a", "id_b", "jaccard"])
+
+
+def q_ngram_jaccard(sf_dir: str) -> Dataset:
+    """EXACT distributed n-gram Jaccard sweep (shingle explode + pair-count
+    + size join) — same oracle SQL, exact by construction."""
+    from rp_extract_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
         _docs(sf_dir, ["doc_id", "text"]), jaccard_threshold=0.5
     )
 
@@ -68,10 +86,22 @@ def q_simhash_pairs(sf_dir: str) -> Dataset:
 
 
 def q_embedding_near_dup(sf_dir: str) -> Dataset:
-    """Rows-only: high-cosine pairs via hyperplane-LSH buckets (threshold
-    0.25 fits the synthetic embeddings' similarity range so the result is
-    non-empty; production near-dup would use ~0.95)."""
+    """High-cosine pairs via hyperplane-LSH buckets + tiled exact verify.
+
+    Oracle: the SAME bucketing replicated in SQL (the seed-5 hyperplanes are
+    embedded as literal constants in the oracle, list_dot sign pattern ==
+    the engine's) — so bucketing AND verification are both gated, recall
+    included. Threshold 0.25 fits the synthetic embeddings' similarity
+    range; production near-dup would use ~0.95."""
     return embedding_near_dup(_emb(sf_dir), cos_threshold=0.25, n_planes=4)
+
+
+def q_cosine_pairs(sf_dir: str) -> Dataset:
+    """EXACT distributed all-pairs cosine sweep (block-pair tasks over
+    object-store Arrow blocks; oracle: cross-join list_cosine_similarity)."""
+    from rp_extract_ray.stages.dedup import exact_cosine_pairs
+
+    return exact_cosine_pairs(_emb(sf_dir), cos_threshold=0.25)
 
 
 def q_knn(sf_dir: str, query_id: int = 0, k: int = 10):

@@ -48,7 +48,9 @@ def exact_dedup(
 
 
 def _bucket_pairs_partitioned(
-    exploded: Dataset, bucket_col: str, id_col: str, star_threshold: int = 64
+    exploded: Dataset, bucket_col: str, id_col: str,
+    star_threshold: int | None = 64,
+    drop_above: int | None = None,
 ) -> Dataset:
     """(id_a, id_b) for every pair sharing a bucket value.
 
@@ -57,7 +59,9 @@ def _bucket_pairs_partitioned(
     Dense buckets (heavily duplicated corpora) would explode O(m^2): above
     ``star_threshold`` members the bucket emits STAR pairs (min-id, other)
     instead — a spanning structure, so connected components downstream are
-    identical while the pair count stays O(m).
+    identical while the pair count stays O(m). ``star_threshold=None``
+    disables the cap (needed when every co-occurrence pair must be counted,
+    e.g. exact Jaccard intersection counting).
     """
     from rp_extract_ray.stages.partition import partitioned_apply
 
@@ -70,7 +74,9 @@ def _bucket_pairs_partitioned(
             members = np.unique(ids[s:e])
             if len(members) < 2:
                 continue
-            if len(members) > star_threshold:
+            if drop_above is not None and len(members) > drop_above:
+                continue  # stopword-gram guard: skip ultra-common buckets
+            if star_threshold is not None and len(members) > star_threshold:
                 out_a.append(np.full(len(members) - 1, members[0]))
                 out_b.append(members[1:])
             else:
@@ -152,7 +158,8 @@ def minhash_lsh_pairs(
                     pd.DataFrame(seg.astype(np.int64)), index=False
                 ).to_numpy()
                 # mix the band index in so one flat bucket key is exact
-                mix = np.uint64(b + 1) * np.uint64(0x9E3779B97F4A7C15)
+                # wraparound intended; scalar uint64 mult warns, so mask in int
+                mix = np.uint64(((b + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
                 bh[:, b] = (h ^ mix).astype(np.int64)
             return pd.DataFrame(
                 {
@@ -172,34 +179,141 @@ def minhash_lsh_pairs(
     uniq = _dedup_pairs(pairs)
     if not verify:
         return uniq
+    return verify_pairs_jaccard(
+        uniq, ds, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold,
+    )
 
-    # verify candidates with exact shingle Jaccard. Only the candidate docs'
-    # texts are pulled: a broadcast key-set semi-join prunes the corpus
-    # distributed-side before the (small) candidate set reaches the driver.
-    from rp_extract_ray.stages.join import semi_anti_join
 
-    cand_pdf = uniq.to_pandas()
-    needed = set(int(x) for x in cand_pdf["id_a"]) | set(int(x) for x in cand_pdf["id_b"])
-    texts = semi_anti_join(
-        ds.map_batches(lambda b: b.select([id_col, text_col]), batch_format="pyarrow"),
-        needed,
-        on=id_col,
-    ).to_pandas()
-    sh = {
-        int(i): char_shingles(t or "", shingle_k)
-        for i, t in zip(texts[id_col], texts[text_col])
-    }
-    jac = np.array(
+def _packed_u64_slices(col: pa.ChunkedArray):
+    """(flat uint64 ndarray, element offsets) of a binary column whose cells
+    are ``np.uint64.tobytes()`` payloads — zero-copy via the Arrow value
+    buffer. (Arrow's hash join rejects list<> payload columns, so shingle
+    sets travel as packed binary.)"""
+    arr = col.combine_chunks()
+    byte_off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    flat = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[byte_off[0]: byte_off[-1]]
+    flat = (
+        flat.view(np.uint64)
+        if byte_off[0] % 8 == 0
+        else np.frombuffer(flat.tobytes(), dtype=np.uint64)
+    )
+    return flat, (byte_off - byte_off[0]) // 8
+
+
+def verify_pairs_jaccard(
+    uniq: Dataset,
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.6,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Exact-shingle-Jaccard verification of candidate pairs — DISTRIBUTED.
+
+    Nothing touches the driver: candidate doc ids are deduplicated with a
+    groupby, the corpus is pruned by a hash semi-join, per-doc shingle sets
+    are computed once (vectorized byte k-grams, functions/hashing.py), then
+    TWO hash joins attach each pair's shingle sets and a ``map_batches``
+    computes exact Jaccard per pair (``np.intersect1d`` on sorted-unique
+    sets — per-pair work is intrinsic; the loop body is a C kernel). The
+    shuffle payload is the candidate pairs' shingle sets, bounded by the LSH
+    candidate count (star expansion keeps that O(corpus)), never the corpus.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    if num_partitions is None:
+        # each Join spawns num_partitions aggregator actors at 0.125 CPU;
+        # the final plan holds TWO joins concurrently — size so both fit
+        # beside the map tasks even on small sessions, and grow with the
+        # cluster (partition count scales with CPUs at real scale)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 4)
+
+    # the pair table feeds two consumers (candidate-id extraction AND the
+    # final joins); without a materialize Ray replays the whole LSH lineage
+    # once per consumer. Blocks stay in the object store — NOT the driver —
+    # and the table is bounded by the LSH candidate count (star expansion
+    # keeps that O(corpus)), so this is scale-safe.
+    uniq = uniq.materialize()
+
+    def flat_ids(b: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [b.column("id_a").to_numpy(zero_copy_only=False),
+             b.column("id_b").to_numpy(zero_copy_only=False)]
+        ).astype(np.int64)
+        return pa.table({id_col: pa.array(ids)})
+
+    cand_ids = (
+        uniq.map_batches(flat_ids, batch_format="pyarrow")
+        .groupby(id_col).aggregate(Count(alias_name="_n"))
+        .select_columns([id_col])
+    )
+
+    docs = ds.map_batches(
+        lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
+    ).join(cand_ids, "left_semi", num_partitions, on=(id_col,))
+
+    def shingle_sets(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pylist()
+        sets = [char_shingles(t or "", shingle_k).tobytes() for t in texts]
+        return pa.table(
+            {
+                id_col: b.column(id_col).cast(pa.int64()),
+                "_sh": pa.array(sets, type=pa.binary()),
+            }
+        )
+
+    # consumed twice (side a / side b joins) — same materialize rationale
+    docs_sh = docs.map_batches(shingle_sets, batch_format="pyarrow").materialize()
+
+    def as_side(side: str):
+        def f(b: pa.Table) -> pa.Table:
+            return b.rename_columns([f"id_{side}", f"_sh_{side}"])
+        return f
+
+    sh_a = docs_sh.map_batches(as_side("a"), batch_format="pyarrow")
+    sh_b = docs_sh.map_batches(as_side("b"), batch_format="pyarrow")
+    joined = uniq.join(sh_a, "inner", num_partitions, on=("id_a",)).join(
+        sh_b, "inner", num_partitions, on=("id_b",)
+    )
+
+    out_schema = pa.schema(
         [
-            jaccard(sh.get(int(a), np.empty(0, np.uint64)), sh.get(int(b), np.empty(0, np.uint64)))
-            for a, b in zip(cand_pdf["id_a"], cand_pdf["id_b"])
+            pa.field("id_a", pa.int64()),
+            pa.field("id_b", pa.int64()),
+            pa.field("n_bands", pa.int64()),
+            pa.field("jaccard", pa.float64()),
         ]
     )
-    cand_pdf["jaccard"] = np.round(jac, 6)
-    out = cand_pdf[cand_pdf["jaccard"] >= jaccard_threshold].reset_index(drop=True)
-    import ray.data as rd
 
-    return rd.from_pandas(out)
+    def batch_jaccard(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return out_schema.empty_table()
+        fa, oa = _packed_u64_slices(b.column("_sh_a"))
+        fb, ob = _packed_u64_slices(b.column("_sh_b"))
+        jac = np.empty(len(b), dtype=np.float64)
+        for i in range(len(b)):
+            jac[i] = jaccard(fa[oa[i]:oa[i + 1]], fb[ob[i]:ob[i + 1]])
+        jac = np.round(jac, 6)
+        keep = jac >= jaccard_threshold
+        t = pa.table(
+            {
+                "id_a": b.column("id_a").cast(pa.int64()),
+                "id_b": b.column("id_b").cast(pa.int64()),
+                "n_bands": b.column("n_bands").cast(pa.int64()),
+                "jaccard": pa.array(jac),
+            }
+        )
+        return t.filter(pa.array(keep)).cast(out_schema)
+
+    return joined.map_batches(batch_jaccard, batch_format="pyarrow")
 
 
 def dedup_clusters(
@@ -289,7 +403,7 @@ def simhash_pairs(
             keys = np.stack(
                 [
                     (((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF))
-                     ^ (np.uint64(b + 1) * np.uint64(0x9E3779B97F4A7C15))).astype(np.int64)
+                     ^ np.uint64(((b + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)).astype(np.int64)
                     for b in range(4)  # band index mixed in: flat exact key
                 ],
                 axis=1,
@@ -365,31 +479,124 @@ def simhash_pairs(
     )
 
 
+def _vec_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    """(n, d) float64 matrix from a list<float>/fixed_size_list<float>
+    column — zero-copy flatten + reshape (classify.py:141 pattern), never
+    ``to_pylist``/``np.stack`` per element."""
+    arr = col.combine_chunks()
+    if isinstance(arr, pa.FixedSizeListArray):
+        d = arr.type.list_size
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), d).astype(np.float64)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    d = int(widths[0]) if len(widths) else 0
+    if len(widths) and not (widths == d).all():
+        raise ValueError("ragged embedding column")
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    return flat[offsets[0]: offsets[-1]].reshape(-1, d).astype(np.float64)
+
+
+def _unpack_f64(col: pa.ChunkedArray, d: int) -> np.ndarray:
+    """(n, d) float64 from a binary column of packed float64 rows."""
+    arr = col.combine_chunks()
+    byte_off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    flat = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[byte_off[0]: byte_off[-1]]
+    out = (
+        flat.view(np.float64)
+        if byte_off[0] % 8 == 0
+        else np.frombuffer(flat.tobytes(), dtype=np.float64)
+    )
+    return out.reshape(-1, d)
+
+
+def _pair_block(
+    ids_a: np.ndarray, U_a: np.ndarray, ids_b: np.ndarray, U_b: np.ndarray,
+    threshold: float, *, upper_only: bool, tile: int = 2048,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Thresholded cosine pairs between two unit-vector blocks, TILED so the
+    similarity matrix never exceeds tile^2 floats regardless of block size
+    (the dense-bucket guard the round-1 version lacked)."""
+    out_a, out_b, out_c = [], [], []
+    for i0 in range(0, len(ids_a), tile):
+        A = U_a[i0 : i0 + tile]
+        for j0 in range(0, len(ids_b), tile):
+            if upper_only and j0 + tile <= i0:
+                continue  # tile entirely below the diagonal
+            B = U_b[j0 : j0 + tile]
+            sim = A @ B.T
+            ia, ib = np.nonzero(sim >= threshold)
+            if upper_only:
+                keep = (i0 + ia) < (j0 + ib)
+                ia, ib = ia[keep], ib[keep]
+            if len(ia):
+                out_a.append(ids_a[i0 + ia])
+                out_b.append(ids_b[j0 + ib])
+                out_c.append(sim[ia, ib])
+    if not out_a:
+        z = np.empty(0, np.int64)
+        return z, z.copy(), np.empty(0, np.float64)
+    return (
+        np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_c)
+    )
+
+
+_COS_SCHEMA = pa.schema(
+    [pa.field("id_a", pa.int64()), pa.field("id_b", pa.int64()),
+     pa.field("cos", pa.float64())]
+)
+
+
+def _cos_table(a: np.ndarray, b: np.ndarray, c: np.ndarray, id_col: str) -> pa.Table:
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    swap = a > b  # canonical id_a < id_b regardless of block order
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    return pa.table(
+        {"id_a": pa.array(a2.astype(np.int64)), "id_b": pa.array(b2.astype(np.int64)),
+         "cos": pa.array(round_half_away(c, 4))}
+    ).cast(_COS_SCHEMA)
+
+
 def embedding_near_dup(
     ds: Dataset,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     *,
     cos_threshold: float = 0.9,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     seed: int = 5,
     exhaustive: bool = False,
+    tile: int = 2048,
 ) -> Dataset:
-    """Cosine near-dup pairs over an embedding column.
+    """Cosine near-dup pairs over an embedding column (id_a, id_b, cos).
 
     Scale path: LSH-bucket by the sign pattern of ``n_planes`` random
-    hyperplanes, exact-verify within buckets (recall < 1 by design — near-dups
-    at cos >= threshold almost always share the full sign pattern for high
-    thresholds). ``exhaustive=True`` verifies ALL pairs inside one partition
-    per bucket-free group — only for small corpora / tests.
+    hyperplanes, exact-verify within buckets (recall < 1 by design — pairs
+    at cos >= threshold usually share the sign pattern for high thresholds;
+    tests/test_text_dedup.py measures recall vs the exact sweep).
+    ``n_planes=None`` scales the plane count with corpus size (mean bucket
+    ~256 rows). Within-bucket verification is TILED (``tile``): memory is
+    bounded by tile^2 floats even for a degenerate all-in-one-bucket corpus
+    — the round-1 O(m^2)-per-bucket materialization is gone.
+    ``exhaustive=True`` puts everything in one bucket (exact; small inputs /
+    oracles only — for a distributed exact sweep use
+    :func:`exact_cosine_pairs`).
     """
+    if n_planes is None:
+        n = ds.count()
+        n_planes = int(np.clip(np.ceil(np.log2(max(n, 2) / 256.0)), 4, 24))
+
     def add_bucket(b: pa.Table) -> pa.Table:
-        vecs = np.stack(b.column(vec_col).to_pylist()).astype(np.float64)
+        vecs = _vec_matrix(b.column(vec_col))
         # same seed in every task -> identical hyperplanes everywhere
         planes = np.random.default_rng(seed).normal(size=(vecs.shape[1], n_planes))
-        signs = (vecs @ planes) > 0
         bucket = np.zeros(len(vecs), dtype=np.int64)
         if not exhaustive:
+            signs = (vecs @ planes) > 0
             for j in range(n_planes):
                 bucket |= signs[:, j].astype(np.int64) << j
         norm = np.linalg.norm(vecs, axis=1)
@@ -397,28 +604,199 @@ def embedding_near_dup(
         unit = vecs / norm[:, None]
         return pa.table(
             {
-                id_col: b.column(id_col),
+                id_col: b.column(id_col).cast(pa.int64()),
                 "bucket": pa.array(bucket),
-                "unit": pa.array(list(unit.astype(np.float32))),
+                "unit": pa.array([u.tobytes() for u in unit], type=pa.binary()),
             }
         )
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    dim_holder: dict = {}
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                                 "id_b": pd.Series([], dtype=np.int64),
-                                 "cos": pd.Series([], dtype=np.float64)})
-        U = np.stack(g["unit"].to_numpy()).astype(np.float64)
-        sim = U @ U.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        cos = sim[ia, ib]
-        keep = cos >= cos_threshold
-        return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos": np.round(cos[keep], 6)}
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        if len(g) < 2:
+            return _COS_SCHEMA.empty_table()
+        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        first = g.column("unit")[0].as_py()
+        d = len(first) // 8
+        U = _unpack_f64(g.column("unit"), d)
+        order = np.argsort(ids)
+        ids, U = ids[order], U[order]
+        a, b2, c = _pair_block(
+            ids, U, ids, U, cos_threshold, upper_only=True, tile=tile
+        )
+        return _cos_table(a, b2, c, id_col)
+
+    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+
+
+def exact_cosine_pairs(
+    ds: Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    cos_threshold: float = 0.9,
+    num_blocks: int | None = None,
+    tile: int = 2048,
+) -> Dataset:
+    """EXACT all-pairs cosine near-dup sweep, distributed by block pairs.
+
+    The O(n^2) work is decomposed into B*(B+1)/2 independent block-pair
+    tasks: the normalized matrix is partitioned into B Arrow blocks held in
+    the OBJECT STORE (``to_arrow_refs`` — never the driver), and each
+    stateless task reads two blocks zero-copy and emits its thresholded
+    pairs via the tiled kernel. Raw Ray tasks are used because a block-pair
+    cross product is not expressible as a Dataset transform (same pattern as
+    the stateless partial-top-k tasks in stages/simsearch.py). Compute is
+    inherently quadratic — this is the oracle/exact path; the scale path is
+    :func:`embedding_near_dup`.
+    """
+    import ray
+    import ray.data as rd
+
+    if num_blocks is None:
+        num_blocks = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+
+    def pack(b: pa.Table) -> pa.Table:
+        vecs = _vec_matrix(b.column(vec_col))
+        norm = np.linalg.norm(vecs, axis=1)
+        norm[norm == 0] = 1.0
+        unit = vecs / norm[:, None]
+        return pa.table(
+            {
+                id_col: b.column(id_col).cast(pa.int64()),
+                "unit": pa.array([u.tobytes() for u in unit], type=pa.binary()),
+            }
         )
 
-    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    packed = ds.map_batches(pack, batch_format="pyarrow").repartition(num_blocks)
+    refs = packed.to_arrow_refs()
+
+    @ray.remote
+    def block_pairs(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        if len(ta) == 0 or len(tb) == 0:
+            return _COS_SCHEMA.empty_table()
+        ids_a = ta.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids_b = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = len(ta.column("unit")[0].as_py()) // 8
+        U_a = _unpack_f64(ta.column("unit"), d)
+        U_b = _unpack_f64(tb.column("unit"), d)
+        if same:
+            order = np.argsort(ids_a)
+            ids_a = ids_b = ids_a[order]
+            U_a = U_b = U_a[order]
+        a, b2, c = _pair_block(
+            ids_a, U_a, ids_b, U_b, cos_threshold, upper_only=same, tile=tile
+        )
+        if not same:  # distinct blocks may still pair ids both ways; canon + drop self
+            keep = a != b2
+            a, b2, c = a[keep], b2[keep], c[keep]
+        return _cos_table(a, b2, c, id_col)
+
+    tasks = [
+        block_pairs.remote(refs[i], refs[j], i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    tables = [t for t in ray.get(tasks) if len(t)]
+    if not tables:
+        return rd.from_arrow(_COS_SCHEMA.empty_table())
+    return rd.from_arrow(pa.concat_tables(tables))
+
+
+def ngram_jaccard_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    drop_above: int | None = None,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """EXACT n-gram (character k-shingle) Jaccard near-dup pairs, distributed.
+
+    The exact counterpart of :func:`minhash_lsh_pairs` (the brief's "n-gram
+    Jaccard" dedup modality): explode each doc to its distinct shingle
+    hashes, one entity-partitioned pass over shingle runs emits every
+    co-occurring (id_a, id_b), a pair-keyed count gives |A∩B| (each shared
+    shingle contributes the pair exactly once since per-doc shingles are
+    distinct), and per-doc set sizes are hash-joined back so
+    ``jaccard = ni / (n_a + n_b - ni)`` is exact. Nothing driver-side.
+
+    Scale notes: the exploded table is O(total text bytes) through ONE
+    int64-keyed shuffle; co-occurrence pairs are O(sum_sh df(sh)^2), which a
+    near-dup-heavy corpus inflates — ``drop_above`` skips shingles appearing
+    in more than that many docs (a stopword-gram guard; result becomes a
+    lower bound on jaccard for pairs sharing only ultra-common grams). For
+    web-scale inputs prefer minhash_lsh_pairs (candidates) + distributed
+    exact verify; this operator is the exact sweep / oracle path.
+    ids must be < 2^31 (pair packing, see _dedup_pairs).
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 4)
+
+    def explode(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pylist()
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sets = [char_shingles(t or "", shingle_k) for t in texts]
+        counts = np.array([len(s) for s in sets], dtype=np.int64)
+        flat = (
+            np.concatenate(sets).astype(np.int64, copy=False)
+            if len(sets)
+            else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, counts)),
+                "sh": pa.array(flat.view(np.int64)),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    # per-doc set sizes (distributed; reused by the final jaccard join)
+    sizes = exploded.groupby(id_col).aggregate(Count(alias_name="n_sh"))
+
+    pairs = _bucket_pairs_partitioned(
+        exploded, "sh", id_col, star_threshold=None, drop_above=drop_above
+    )
+    counted = _dedup_pairs(pairs)  # n_bands == |A ∩ B| here
+
+    sz_a = sizes.map_batches(
+        lambda b: b.rename_columns(["id_a", "n_a"]), batch_format="pyarrow"
+    )
+    sz_b = sizes.map_batches(
+        lambda b: b.rename_columns(["id_b", "n_b"]), batch_format="pyarrow"
+    )
+    joined = counted.join(sz_a, "inner", num_partitions, on=("id_a",)).join(
+        sz_b, "inner", num_partitions, on=("id_b",)
+    )
+
+    out_schema = pa.schema(
+        [pa.field("id_a", pa.int64()), pa.field("id_b", pa.int64()),
+         pa.field("jaccard", pa.float64())]
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return out_schema.empty_table()
+        ni = b.column("n_bands").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = b.column("n_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = b.column("n_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = np.round(ni / (na + nb - ni), 6)
+        keep = jac >= jaccard_threshold
+        t = pa.table(
+            {
+                "id_a": b.column("id_a").cast(pa.int64()),
+                "id_b": b.column("id_b").cast(pa.int64()),
+                "jaccard": pa.array(jac),
+            }
+        )
+        return t.filter(pa.array(keep)).cast(out_schema)
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -96,7 +96,10 @@ class LangId:
         total = np.maximum(scores.sum(axis=1), 1e-9)
         best = scores.argmax(axis=1)
         batch["lang_pred"] = np.array(self.langs)[best]
-        batch["lang_conf"] = np.round(scores[np.arange(len(texts)), best] / total, 6)
+        # round_half_away, not np.round: the DuckDB oracle rounds half away
+        batch["lang_conf"] = round_half_away(
+            scores[np.arange(len(texts)), best] / total, 6
+        )
         batch.loc[scores.max(axis=1) == 0, "lang_pred"] = "unk"
         return batch
 

@@ -206,3 +206,103 @@ def test_ivf_partitioned_index(emb, tmp_path_factory):
     exact = knn_cosine(ds, q[None, :], k=5)
     assert res.iloc[0]["vec_id"] == exact.iloc[0]["vec_id"]
     assert len(set(res["vec_id"]) & set(exact["vec_id"])) >= 3
+
+
+def test_ngram_jaccard_exact_matches_bruteforce(docs):
+    """Distributed exact sweep == brute-force all-pairs Jaccard."""
+    import itertools
+
+    from rp_extract_ray.stages.dedup import ngram_jaccard_pairs
+
+    out = (
+        ngram_jaccard_pairs(rd.from_pandas(docs), jaccard_threshold=0.5)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    sh = {int(i): char_shingles(t or "", 5) for i, t in zip(docs["doc_id"], docs["text"])}
+    expected = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        j = jaccard(sh[a], sh[b])
+        if len(sh[a]) and len(sh[b]) and j >= 0.5:
+            expected[(a, b)] = round(j, 6)
+    got = {(int(r.id_a), int(r.id_b)): r.jaccard for r in out.itertuples()}
+    assert got.keys() == expected.keys()
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-9, k
+
+
+def test_minhash_verify_distributed_dup_heavy():
+    """The distributed verify stage handles a duplicate-heavy corpus (every
+    doc near-dups every other in its group) without driver materialization:
+    same pairs as brute-force exact Jaccard over the LSH candidates."""
+    rows = []
+    for i in range(240):
+        rows.append({"doc_id": i, "text": "shared boilerplate text block %d" % (i % 3)})
+    pdf = pd.DataFrame(rows)
+    pairs = minhash_lsh_pairs(
+        rd.from_pandas(pdf), jaccard_threshold=0.9
+    ).to_pandas()
+    # texts differ only in the trailing digit, so cross-group pairs sit at
+    # ~0.93 — every emitted pair must clear the threshold, and star
+    # expansion keeps the pair count O(n), not O(n^2) (= 28,680 all-pairs)
+    assert (pairs["jaccard"] >= 0.9).all()
+    assert len(pairs) > 0
+    assert len(pairs) < 2000
+
+
+def test_exact_cosine_pairs_matches_bruteforce(emb):
+    from rp_extract_ray.functions.rounding import round_half_away
+    from rp_extract_ray.stages.dedup import exact_cosine_pairs
+
+    out = (
+        exact_cosine_pairs(rd.from_pandas(emb), cos_threshold=0.9, num_blocks=3)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    U = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = U @ U.T
+    ia, ib = np.triu_indices(len(U), k=1)
+    keep = S[ia, ib] >= 0.9
+    expected = {
+        (int(a), int(b)): round_half_away(np.array([c]), 4)[0]
+        for a, b, c in zip(ia[keep], ib[keep], S[ia, ib][keep])
+    }
+    got = {(int(r.id_a), int(r.id_b)): r.cos for r in out.itertuples()}
+    assert got == expected
+
+
+def test_embedding_lsh_recall_and_tiling(emb):
+    """LSH path: every emitted pair is >= threshold (verify is exact), and
+    recall vs the exact sweep is high at a high threshold; a tiny tile size
+    exercises the tiled kernel against the single-tile result."""
+    from rp_extract_ray.stages.dedup import exact_cosine_pairs
+
+    exact = exact_cosine_pairs(rd.from_pandas(emb), cos_threshold=0.99).to_pandas()
+    lsh = embedding_near_dup(
+        rd.from_pandas(emb), cos_threshold=0.99, n_planes=4, tile=8
+    ).to_pandas()
+    assert (lsh["cos"] >= 0.99).all()
+    e = set(map(tuple, exact[["id_a", "id_b"]].to_numpy()))
+    l = set(map(tuple, lsh[["id_a", "id_b"]].to_numpy()))
+    assert l <= e
+    assert len(l) >= 0.5 * len(e)  # 4-plane recall on near-identical pairs
+    # tiled == untiled
+    lsh_big = embedding_near_dup(
+        rd.from_pandas(emb), cos_threshold=0.99, n_planes=4, tile=4096
+    ).to_pandas()
+    assert l == set(map(tuple, lsh_big[["id_a", "id_b"]].to_numpy()))
+
+
+def test_embedding_hot_bucket_bounded(emb):
+    """Degenerate all-in-one-bucket corpus (exhaustive=True) with a small
+    tile: memory stays tile^2-bounded and results match the exact sweep."""
+    from rp_extract_ray.stages.dedup import exact_cosine_pairs
+
+    one = embedding_near_dup(
+        rd.from_pandas(emb), cos_threshold=0.95, exhaustive=True, tile=16
+    ).to_pandas()
+    exact = exact_cosine_pairs(rd.from_pandas(emb), cos_threshold=0.95).to_pandas()
+    assert set(map(tuple, one[["id_a", "id_b"]].to_numpy())) == set(
+        map(tuple, exact[["id_a", "id_b"]].to_numpy())
+    )
