@@ -126,15 +126,11 @@ def q_join_agg(sf_dir: str) -> Dataset:
 
 
 def q_semi_join(sf_dir: str) -> Dataset:
-    """J1/J5: customers having orders (broadcast key-set semi join)."""
-    import pyarrow.parquet as pq
-
+    """J1/J5: customers having orders — DISTRIBUTED hash semi join (the key
+    side stays a Dataset; nothing materializes on the driver)."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    keys = set(
-        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-        .column("o_custkey").to_pylist()
-    )
-    return semi_anti_join(cust, keys, on="c_custkey", anti=False)
+    keys = _read(sf_dir, "orders", ["o_custkey"])
+    return semi_anti_join(cust, keys, on="c_custkey", keys_on="o_custkey", anti=False)
 
 
 def q_anti_join(sf_dir: str) -> Dataset:

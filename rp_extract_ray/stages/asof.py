@@ -150,38 +150,42 @@ def asof_join(
 
         return left.map_batches(broadcast_merge, batch_format="pandas")
 
-    if left_schema is None:
-        left_schema = _arrow_schema(left)
-    left_names = list(left_schema.names)
-    rename = {c: (f"{c}_r" if c in left_names else c) for c in right_value_cols}
-    out_value_cols = [rename[c] for c in right_value_cols]
-    rtypes = {rename[c]: right_schema.field(c).type for c in right_value_cols}
-
-    # ---- co-partitioned path (both sides large): align schemas, tag, union ----
-    unified = pa.schema(
-        [left_schema.field(n) for n in left_names]
-        + [pa.field(rename[c], right_schema.field(c).type) for c in right_value_cols]
+    # ---- co-partitioned path (both sides large): tag, union, merge ----
+    # No left-side schema probe: Ray's union/shuffle unifies heterogeneous
+    # block schemas (columns missing on one side arrive as nulls), so the
+    # left Dataset is NEVER executed early — the old ``left.schema()`` call
+    # launched a limit-1 probe job that ran the whole upstream all-to-all.
+    # With an explicit ``left_schema`` the exact output schema is enforced
+    # and value-column collisions are renamed; without it collisions raise.
+    rtypes = {c: right_schema.field(c).type for c in right_value_cols}
+    rename = None
+    if left_schema is not None:
+        left_names = list(left_schema.names)
+        rename = {c: (f"{c}_r" if c in left_names else c) for c in right_value_cols}
+    out_value_cols = (
+        [rename[c] for c in right_value_cols] if rename else list(right_value_cols)
     )
+    out_rtypes = {
+        (rename[c] if rename else c): rtypes[c] for c in right_value_cols
+    }
+    vset = set(out_value_cols)
 
     def tag_left(b: pa.Table) -> pa.Table:
-        arrays = [b.column(n).cast(left_schema.field(n).type) for n in left_names] + [
-            pa.nulls(len(b), rtypes[c]) for c in out_value_cols
-        ]
-        t = pa.Table.from_arrays(arrays, schema=unified)
-        t = _add_part(t, entity_col, num_partitions, None)
+        if rename is None:
+            clash = vset & set(b.column_names)
+            if clash:
+                raise ValueError(
+                    f"left columns collide with right value columns {sorted(clash)}; "
+                    "pass left_schema= to enable _r renaming"
+                )
+        t = _add_part(b, entity_col, num_partitions, None)
         return t.append_column(SIDE_COL, pa.array(np.ones(len(b), dtype=np.int8)))
 
     def tag_right(b: pa.Table) -> pa.Table:
         cols = {entity_col: b.column(entity_col), ts_col: b.column(ts_col)}
         for c in right_value_cols:
-            cols[rename[c]] = b.column(c)
-        arrays = []
-        for f in unified:
-            if f.name in cols:
-                arrays.append(cols[f.name].cast(f.type))
-            else:
-                arrays.append(pa.nulls(len(b), f.type))
-        t = pa.Table.from_arrays(arrays, schema=unified)
+            cols[rename[c] if rename else c] = b.column(c)
+        t = pa.table(cols)
         t = _add_part(t, entity_col, num_partitions, None)
         return t.append_column(SIDE_COL, pa.array(np.zeros(len(b), dtype=np.int8)))
 
@@ -191,13 +195,18 @@ def asof_join(
     def merge_group(group: pa.Table) -> pa.Table:
         side = group.column(SIDE_COL).to_numpy()
         group = group.drop_columns([SIDE_COL, PART_COL])
+        # a partition may hold rows of only one side: add any missing value
+        # columns as typed nulls so the merge schema is uniform
+        for c in out_value_cols:
+            if c not in group.column_names:
+                group = group.append_column(c, pa.nulls(len(group), out_rtypes[c]))
         lmask = pa.array(side == 1)
         lpart = group.filter(lmask).drop_columns(out_value_cols).to_pandas()
         rpart = group.filter(pa.array(side == 0)).select(
             [entity_col, ts_col, *out_value_cols]
         ).to_pandas()
         if len(lpart) == 0:
-            return unified.empty_table()
+            return group.slice(0, 0)  # empty; schemas unify across blocks
         merged = _merge_asof_frames(
             lpart,
             rpart,
@@ -208,7 +217,13 @@ def asof_join(
             value_cols=out_value_cols,
             dedup_right=dedup_right,
         )
-        return pa.Table.from_pandas(merged, schema=unified, preserve_index=False)
+        if left_schema is not None:
+            unified = pa.schema(
+                [left_schema.field(n) for n in left_schema.names]
+                + [pa.field(c, out_rtypes[c]) for c in out_value_cols]
+            )
+            return pa.Table.from_pandas(merged, schema=unified, preserve_index=False)
+        return pa.Table.from_pandas(merged, preserve_index=False)
 
     unioned = lt.union(rt)
     return unioned.groupby(PART_COL).map_groups(merge_group, batch_format="pyarrow")

@@ -322,17 +322,34 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 20,
-) -> pd.DataFrame:
+    mode: str = "auto",
+) -> pd.DataFrame | Dataset:
     """Connected components over near-dup candidate pairs -> (id, cluster_id)
     with cluster_id = min id of the component.
 
-    Distributed min-label propagation (the Ray-guide pattern): each round,
-    every edge proposes min(label_a, label_b) to both endpoints; a
-    ``groupby(id).min`` adopts the smallest. Terminates when labels stop
-    changing — O(diameter) rounds; near-dup components are tiny, so this
-    converges in 2-4 rounds. The candidate-pair table is the small product of
-    LSH bucketing, so each round's shuffle is negligible next to the corpus.
+    Min-label propagation: each round every edge proposes min(label_a,
+    label_b) to both endpoints; a ``groupby(id).min`` adopts the smallest.
+    Terminates when labels stop changing — O(diameter) rounds; near-dup
+    components are tiny, so this converges in 2-4 rounds.
+
+    ``mode``: ``"driver"`` runs the rounds on one node (a pandas frame; fine
+    while pairs fit in memory), ``"distributed"`` runs them as Ray joins +
+    groupbys with nothing on the driver (the 100-TB path for dup-heavy
+    corpora), ``"auto"`` picks by input type (DataFrame -> driver,
+    Dataset -> distributed). Driver mode returns a DataFrame, distributed a
+    Dataset (id, cluster_id).
     """
+    if mode == "auto":
+        mode = "driver" if isinstance(pairs, pd.DataFrame) else "distributed"
+    if mode == "distributed":
+        ds_pairs = pairs
+        if isinstance(ds_pairs, pd.DataFrame):
+            import ray.data as rd
+
+            ds_pairs = rd.from_pandas(ds_pairs)
+        return dedup_clusters_distributed(
+            ds_pairs, id_a=id_a, id_b=id_b, max_rounds=max_rounds
+        )
     pdf = pairs.to_pandas() if isinstance(pairs, Dataset) else pairs.copy()
     if len(pdf) == 0:
         return pd.DataFrame({"id": pd.Series([], dtype=np.int64),
@@ -355,19 +372,118 @@ def dedup_clusters(
     return pd.DataFrame({"id": label.index.to_numpy(), "cluster_id": label.to_numpy()})
 
 
+def dedup_clusters_distributed(
+    pairs: Dataset,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 20,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Distributed connected components: min-label propagation as Ray hash
+    joins + groupby-min rounds. The pair table and the label table live in
+    the object store end-to-end; the driver sees ONE scalar per round (the
+    label sum — strictly decreasing until the fixed point, so equality is
+    the convergence test). Rounds are O(component diameter): 2-4 for
+    near-dup graphs."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 4)
+
+    edges = pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "eid_a": b.column(id_a).cast(pa.int64()),
+                "eid_b": b.column(id_b).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # reused every round
+
+    def flat(b: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [b.column("eid_a").to_numpy(zero_copy_only=False),
+             b.column("eid_b").to_numpy(zero_copy_only=False)]
+        ).astype(np.int64)
+        return pa.table({"id": pa.array(ids), "lab": pa.array(ids)})
+
+    labels = (
+        edges.map_batches(flat, batch_format="pyarrow")
+        .groupby("id").aggregate(Min("lab", alias_name="lab"))
+        .materialize()
+    )
+    if labels.count() == 0:
+        return rd.from_arrow(
+            pa.schema(
+                [pa.field("id", pa.int64()), pa.field("cluster_id", pa.int64())]
+            ).empty_table()
+        )
+    prev_sum = None
+    for _ in range(max_rounds):
+        la = labels.map_batches(
+            lambda b: b.rename_columns(["eid_a", "lab_a"]), batch_format="pyarrow"
+        )
+        lb = labels.map_batches(
+            lambda b: b.rename_columns(["eid_b", "lab_b"]), batch_format="pyarrow"
+        )
+        tagged = edges.join(la, "inner", num_partitions, on=("eid_a",)).join(
+            lb, "inner", num_partitions, on=("eid_b",)
+        )
+
+        def props(b: pa.Table) -> pa.Table:
+            pa_ = b.column("lab_a").to_numpy(zero_copy_only=False)
+            pb_ = b.column("lab_b").to_numpy(zero_copy_only=False)
+            prop = np.minimum(pa_, pb_)
+            ids = np.concatenate(
+                [b.column("eid_a").to_numpy(zero_copy_only=False),
+                 b.column("eid_b").to_numpy(zero_copy_only=False)]
+            ).astype(np.int64)
+            return pa.table(
+                {"id": pa.array(ids), "lab": pa.array(np.tile(prop, 2))}
+            )
+
+        proposals = tagged.map_batches(props, batch_format="pyarrow")
+        labels = (
+            proposals.union(labels)
+            .groupby("id").aggregate(Min("lab", alias_name="lab"))
+            .materialize()
+        )
+        s = labels.aggregate(Sum("lab", alias_name="s"))["s"]
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+    return labels.map_batches(
+        lambda b: b.rename_columns(["id", "cluster_id"]), batch_format="pyarrow"
+    )
+
+
 def drop_near_dups(
     ds: Dataset,
-    clusters: pd.DataFrame,
+    clusters: pd.DataFrame | Dataset,
     *,
     id_col: str = "doc_id",
 ) -> Dataset:
     """Keep one representative per near-dup cluster (the min id) plus all
-    unclustered rows — broadcast anti-join of the non-representative set."""
+    unclustered rows. A DataFrame cluster table anti-joins by broadcast key
+    set; a Dataset cluster table (the distributed CC output) flows through
+    the distributed hash anti-join — nothing on the driver."""
+    from rp_extract_ray.stages.join import semi_anti_join
+
+    if isinstance(clusters, Dataset):
+        losers = clusters.map_batches(
+            lambda b: b.filter(
+                pa.compute.not_equal(b.column("id"), b.column("cluster_id"))
+            ).select(["id"]),
+            batch_format="pyarrow",
+        )
+        return semi_anti_join(ds, losers, on=id_col, keys_on="id", anti=True)
     losers = set(
         int(i) for i, c in zip(clusters["id"], clusters["cluster_id"]) if i != c
     )
-    from rp_extract_ray.stages.join import semi_anti_join
-
     if not losers:
         return ds
     return semi_anti_join(ds, losers, on=id_col, anti=True)

@@ -51,16 +51,38 @@ def broadcast_join(
 
 
 def semi_anti_join(
-    big: Dataset, keys: Dataset | set, *, on: str, keys_on: str | None = None, anti: bool = False
+    big: Dataset,
+    keys: Dataset | set,
+    *,
+    on: str,
+    keys_on: str | None = None,
+    anti: bool = False,
+    num_partitions: int | None = None,
 ) -> Dataset:
-    """Semi (keep matching) / anti (keep non-matching) join via a broadcast
-    key set — the reference's resume primitive J4
-    (/root/reference/rp_extract_batch.py:241-264) and filename matcher J1."""
+    """Semi (keep matching) / anti (keep non-matching) join — the
+    reference's resume primitive J4
+    (/root/reference/rp_extract_batch.py:241-264) and filename matcher J1.
+
+    Two strategies by key-side type:
+
+    * plain ``set``/sequence — broadcast: ``ray.put`` once, vectorized
+      ``is_in`` probe per batch, zero shuffle. Right for key sets that fit
+      on one node (the reference's own assumption).
+    * ``Dataset`` — DISTRIBUTED hash semi/anti join (``Dataset.join``
+      left_semi/left_anti): both sides shuffle by key hash, nothing ever
+      materializes on the driver. Right when the key side can outgrow a
+      node (resume sets / filter keys at 100x corpus scale).
+    """
+    keys_on = keys_on or on
     if isinstance(keys, Dataset):
-        key_set = set(keys.unique(keys_on or on))
-    else:
-        key_set = set(keys)
-    ref = ray.put(pa.array(sorted(key_set)))
+        if num_partitions is None:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            num_partitions = max(2, cpus // 2)
+        side = keys.select_columns([keys_on])
+        how = "left_anti" if anti else "left_semi"
+        return big.join(side, how, num_partitions, on=(on,), right_on=(keys_on,))
+
+    ref = ray.put(pa.array(sorted(set(keys))))
 
     def filt(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch.column(on), value_set=ray.get(ref))

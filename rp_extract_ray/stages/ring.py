@@ -39,7 +39,15 @@ from rp_extract_ray.schema import DEFAULT_WINDOW_TURNS, STAT_NAMES, TRACKED_SERI
 class RingFeaturizer:
     """map_batches actor: per-conversation ring buffers of the last K values
     of each tracked series (plus the previous ts for gap_s); emits the same
-    window-stat columns as ``stages.window`` for every incoming row."""
+    window-stat columns as ``stages.window`` for every incoming row.
+
+    Vectorized: rows of one conversation arrive contiguously (the ordering
+    contract above), so the batch is processed as conversation RUNS — the
+    Python loop touches only run boundaries. Each run prepends its carried
+    ring state to the run's series, builds one ``window_matrix`` (C strides)
+    over the concatenation, and the 7-stat + percentile kernels then run
+    ONCE over the whole batch's stacked window matrix per series. Measured
+    >=50x over the round-1 per-row loop (see BASELINE.md)."""
 
     def __init__(
         self,
@@ -56,10 +64,10 @@ class RingFeaturizer:
         self.ts_col = ts_col
         self.pctl = list(pctl)
         self.session_gap_s = session_gap_s
-        # state: conv -> {series: ring ndarray}, count, prev_ts, session
+        # state: conv -> {series: last<=k values chronological}, prev_ts, session
         self.buf: dict = defaultdict(
             lambda: {
-                "rings": {c: np.full(self.k, np.nan) for c in self.series_cols},
+                "tails": {c: np.empty(0, np.float64) for c in self.series_cols},
                 "n": 0,
                 "prev_ts": None,
                 "session": 0,
@@ -67,53 +75,85 @@ class RingFeaturizer:
         )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        n = len(batch)
-        out = {
-            f"{c}_w{s}": np.empty(n) for c in self.series_cols for s in STAT_NAMES
-        }
-        for c in self.series_cols:
-            out[f"{c}_wcount"] = np.empty(n, dtype=np.int64)
-            for p in self.pctl:
-                out[f"{c}_wp{int(p)}"] = np.empty(n)
-        gaps = np.empty(n)
-        sessions = np.empty(n, dtype=np.int32)
+        from rp_extract_ray.stages.partition import entity_starts, run_bounds
+        from rp_extract_ray.stages.window import window_matrix
 
+        n = len(batch)
         ents = batch[self.entity_col].to_numpy()
         ts = batch[self.ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        starts = entity_starts(ents)
+        run_starts, run_ends = run_bounds(starts, n)
+
+        # ---- gap_s: one vectorized diff; run heads read carried prev_ts ----
+        gaps = np.empty(n)
+        if n:
+            gaps[1:] = (ts[1:] - ts[:-1]) / 1e6
+            gaps[0] = 0.0
+        head_prev = np.array(
+            [
+                self.buf[ents[s]]["prev_ts"] if self.buf[ents[s]]["prev_ts"] is not None else -1
+                for s in run_starts
+            ],
+            dtype=np.float64,
+        )
+        gaps[run_starts] = np.where(
+            head_prev >= 0, (ts[run_starts] - head_prev) / 1e6, 0.0
+        )
+
+        # ---- session ids: cumulative boundary count + carried base ----
+        sessions = None
+        if self.session_gap_s is not None:
+            boundary = (gaps > self.session_gap_s).astype(np.int64)
+            cs = np.cumsum(boundary)
+            base = np.array(
+                [self.buf[ents[s]]["session"] for s in run_starts], dtype=np.int64
+            )
+            # per-run: session = base + cs - (cs at run start - boundary at start)
+            is_start = np.zeros(n, dtype=np.int64)
+            is_start[run_starts] = 1
+            run_id = np.cumsum(is_start) - 1
+            cs_at_start = (cs - boundary)[run_starts]
+            sessions = (base[run_id] + cs - cs_at_start[run_id]).astype(np.int32)
+
+        # ---- window stats: per-run matrices, batch-level kernels ----
         series_vals = {
-            c: batch[c].to_numpy(dtype=np.float64)
+            c: (gaps if c == "gap_s" else batch[c].to_numpy(dtype=np.float64))
             for c in self.series_cols
-            if c in batch.columns
         }
-        for i in range(n):
-            st = self.buf[ents[i]]
-            gap = 0.0 if st["prev_ts"] is None else (ts[i] - st["prev_ts"]) / 1e6
-            st["prev_ts"] = ts[i]
-            gaps[i] = gap
-            if self.session_gap_s is not None and gap > self.session_gap_s:
-                st["session"] += 1
-            sessions[i] = st["session"]
-            pos = st["n"] % self.k
-            for c in self.series_cols:
-                v = gap if c == "gap_s" else series_vals[c][i]
-                ring = st["rings"][c]
-                ring[pos] = v
-                w = ring[None, :]
-                cnt = np.array([min(st["n"] + 1, self.k)])
-                sw = np.sort(w, axis=1)
-                stats = seven_stats_nan(w, sorted_w=sw, cnt=cnt)[0]
-                for j, s in enumerate(STAT_NAMES):
-                    out[f"{c}_w{s}"][i] = stats[j]
-                out[f"{c}_wcount"][i] = cnt[0]
-                if self.pctl:
-                    q = nan_sorted_percentiles(sw, cnt, np.asarray(self.pctl))
-                    for jj, p in enumerate(self.pctl):
-                        out[f"{c}_wp{int(p)}"][i] = q[jj, 0]
-            st["n"] += 1
+        out: dict[str, np.ndarray] = {}
+        for c in self.series_cols:
+            v = series_vals[c]
+            mats = []
+            for s, e in zip(run_starts, run_ends):
+                st = self.buf[ents[s]]
+                tail = st["tails"][c]
+                ser = np.concatenate([tail, v[s:e]])
+                w = window_matrix(ser, self.k, np.zeros(len(ser), dtype=np.int64))
+                mats.append(w[len(tail):])
+                st["tails"][c] = ser[-self.k:]
+            w_all = np.vstack(mats) if mats else np.empty((0, self.k))
+            cnt = (~np.isnan(w_all)).sum(axis=1)
+            sorted_w = np.sort(w_all, axis=1)
+            stats = seven_stats_nan(w_all, sorted_w=sorted_w, cnt=cnt)
+            for j, s_name in enumerate(STAT_NAMES):
+                out[f"{c}_w{s_name}"] = stats[:, j]
+            out[f"{c}_wcount"] = cnt.astype(np.int64)
+            if self.pctl:
+                q = nan_sorted_percentiles(sorted_w, cnt, np.asarray(self.pctl))
+                for jj, p in enumerate(self.pctl):
+                    out[f"{c}_wp{int(p)}"] = q[jj]
+
+        # ---- commit per-run scalar state ----
+        for s, e in zip(run_starts, run_ends):
+            st = self.buf[ents[s]]
+            st["prev_ts"] = ts[e - 1]
+            st["n"] += e - s
+            if sessions is not None:
+                st["session"] = int(sessions[e - 1])
 
         res = batch.copy()
         res["gap_s"] = gaps
-        if self.session_gap_s is not None:
+        if sessions is not None:
             res["session_id"] = sessions
         for name, arr in out.items():
             res[name] = arr

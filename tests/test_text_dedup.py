@@ -8,6 +8,7 @@ import ray.data as rd
 
 from rp_extract_ray.functions.hashing import char_shingles, jaccard
 from rp_extract_ray.stages.dedup import (
+    dedup_clusters,
     embedding_near_dup,
     exact_dedup,
     minhash_lsh_pairs,
@@ -306,3 +307,28 @@ def test_embedding_hot_bucket_bounded(emb):
     assert set(map(tuple, one[["id_a", "id_b"]].to_numpy())) == set(
         map(tuple, exact[["id_a", "id_b"]].to_numpy())
     )
+
+
+def test_dedup_clusters_distributed_matches_driver():
+    """Distributed label propagation == driver-mode components, including a
+    long chain (multi-round propagation) and disjoint components."""
+    pairs = pd.DataFrame(
+        {
+            "id_a": [1, 2, 3, 4, 10, 20, 30, 7],
+            "id_b": [2, 3, 4, 5, 11, 21, 31, 8],
+        }
+    )
+    drv = (
+        dedup_clusters(pairs, mode="driver")
+        .sort_values("id", ignore_index=True)
+    )
+    dist = (
+        dedup_clusters(rd.from_pandas(pairs), mode="distributed")
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    assert (drv["id"].to_numpy() == dist["id"].to_numpy()).all()
+    assert (drv["cluster_id"].to_numpy() == dist["cluster_id"].to_numpy()).all()
+    # chain 1-2-3-4-5 all collapse to 1 (needs >1 round)
+    lab = dist.set_index("id")["cluster_id"]
+    assert lab[5] == 1 and lab[4] == 1
