@@ -174,6 +174,90 @@ def _langid_sql() -> str:
     FROM sc"""
 
 
+def _flagship_sql() -> str:
+    """Generated oracle for the flagship backfill: events shaped to the
+    transcript schema, turn stats, sessionize, k=16 window descriptors over
+    (text_len, token_est, gap_s) via power sums + quantile_cont, backward
+    ASOF join of the latest purchase value (ties collapsed by max, matching
+    the pipeline's dedup_right='max')."""
+    w = "PARTITION BY conv_id ORDER BY ts, turn_idx"
+    f = f"{w} ROWS BETWEEN 15 PRECEDING AND CURRENT ROW"
+    gap = (
+        f"coalesce(date_diff('microsecond', lag(ts) OVER ({w}), ts)"
+        "/1000000.0, 0)"
+    )
+    pieces, outs = [], []
+    for s in ("text_len", "token_est", "gap_s"):
+        mag = 2 if s == "gap_s" else 6  # see q_flagship: magnitude-bound
+        pieces.append(
+            f"""avg({s}) OVER wf AS {s}_e1,
+             avg({s}*{s}) OVER wf AS {s}_e2,
+             avg({s}*{s}*{s}) OVER wf AS {s}_e3,
+             avg({s}*{s}*{s}*{s}) OVER wf AS {s}_e4,
+             var_pop({s}) OVER wf AS {s}_v,
+             median({s}) OVER wf AS {s}_med,
+             quantile_cont({s}, 0.25) OVER wf AS {s}_p25,
+             quantile_cont({s}, 0.75) OVER wf AS {s}_p75,
+             min({s}) OVER wf AS {s}_wmin,
+             max({s}) OVER wf AS {s}_wmax,
+             CAST(count({s}) OVER wf AS BIGINT) AS {s}_wcount"""
+        )
+        outs.append(
+            f"""round({s}_e1, {mag}) AS {s}_wmean,
+           round({s}_v, {mag}) AS {s}_wvar,
+           round(CASE WHEN {s}_v <= 0 THEN 0.0
+                      ELSE ({s}_e3 - 3*{s}_e1*{s}_e2 + 2*{s}_e1*{s}_e1*{s}_e1)
+                           / pow({s}_v, 1.5) END, 6) + 0 AS {s}_wskew,
+           round(CASE WHEN {s}_v <= 0 THEN 0.0
+                      ELSE ({s}_e4 - 4*{s}_e1*{s}_e3 + 6*{s}_e1*{s}_e1*{s}_e2
+                            - 3*pow({s}_e1, 4)) / ({s}_v*{s}_v) END, 6) + 0
+             AS {s}_wkurt,
+           round({s}_med, {mag}) AS {s}_wmedian,
+           CAST({s}_wmin AS DOUBLE) AS {s}_wmin,
+           CAST({s}_wmax AS DOUBLE) AS {s}_wmax,
+           {s}_wcount,
+           round({s}_p25, {mag}) AS {s}_wp25,
+           round({s}_p75, {mag}) AS {s}_wp75"""
+        )
+    return rf"""
+    WITH t0 AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(event_id AS INTEGER) AS turn_idx,
+             event_type AS role, props AS text,
+             CAST(NULL AS VARCHAR) AS tool, ts, value
+      FROM events),
+    t1 AS (
+      SELECT conv_id, turn_idx, role, text, tool, ts,
+             CAST(length(coalesce(text, '')) AS BIGINT) AS text_len,
+             CAST(len(regexp_extract_all(coalesce(text, ''), '\w+|[^\w\s]'))
+               AS BIGINT) AS token_est,
+             CAST(CASE WHEN role = 'user' THEN 1 ELSE 0 END AS TINYINT) AS is_user,
+             CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS TINYINT)
+               AS is_assistant,
+             CAST(CASE WHEN role = 'tool' THEN 1 ELSE 0 END AS TINYINT) AS is_tool,
+             CAST(0 AS TINYINT) AS has_tool,
+             {gap} AS gap_s
+      FROM t0),
+    t2 AS (
+      SELECT *,
+             CAST(sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END)
+                  OVER ({w} ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id,
+             {",".join(pieces)}
+      FROM t1
+      WINDOW wf AS ({f})),
+    pur AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id, ts, max(value) AS pvalue
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT t2.conv_id AS conv_id, turn_idx, role, text, tool, t2.ts AS ts,
+           text_len, token_est,
+           is_user, is_assistant, is_tool, has_tool,
+           round(gap_s, 6) AS gap_s, session_id,
+           {",".join(outs)},
+           round(pur.pvalue, 6) AS value
+    FROM t2 ASOF LEFT JOIN pur
+      ON t2.conv_id = pur.conv_id AND t2.ts >= pur.ts"""
+
+
 _W = "PARTITION BY user_id ORDER BY ts, event_id"
 _GAP = f"coalesce(date_diff('microsecond', lag(ts) OVER ({_W}), ts)/1000000.0, 0)"
 
@@ -362,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
         # exact all-pairs character-5-gram Jaccard (documents are ASCII, so
         # SQL char grams == the engine's byte shingles; DISTINCT grams ==
         # distinct 64-bit shingle hashes, collision-free at these sizes)
+        "flagship_backfill": _flagship_sql(),
         "langid": _langid_sql(),
         "minhash_pairs": _JACCARD_SQL,
         "ngram_jaccard_pairs": _JACCARD_SQL,

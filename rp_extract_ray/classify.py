@@ -157,3 +157,56 @@ def score_dataset(
     return ds.map_batches(
         Scorer, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
     )
+
+
+def align_predictions(
+    pred: Dataset,
+    truth: Dataset,
+    *,
+    on: str = "id",
+    strip: bool = True,
+    lower: bool = False,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Align a prediction table with a ground-truth table on normalized id
+    (J6 — /root/reference/classes_io.py:389-416 align_predictions_and_
+    groundtruth).
+
+    Reference semantics preserved: (a) the two tables must carry IDENTICAL
+    column names (else ValueError); (b) ids are matched after optional
+    path/ext stripping and lowercasing; (c) only matched ids survive, both
+    sides aligned row-for-row. Ray-native shape: instead of two reindexed
+    frames, ONE distributed hash join keyed by the normalized id — truth
+    columns carry the ``_truth`` suffix; nothing materializes driver-side.
+    """
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.functions.ids import strip_ids
+
+    pred_cols = list(pred.schema().names)
+    truth_cols = list(truth.schema().names)
+    if pred_cols != truth_cols:
+        raise ValueError(
+            f"column names in groundtruth and predictions do not match: "
+            f"{pred_cols} != {truth_cols}"
+        )
+    if on not in pred_cols:
+        raise ValueError(f"id column {on!r} missing")
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 2)
+
+    def norm(b: pa.Table) -> pa.Table:
+        key = b.column(on)
+        if strip:
+            key = strip_ids(key)
+        if lower:
+            key = pc.utf8_lower(key)
+        i = b.column_names.index(on)
+        return b.set_column(i, on, key)
+
+    left = pred.map_batches(norm, batch_format="pyarrow")
+    right = truth.map_batches(norm, batch_format="pyarrow")
+    return left.join(
+        right, "inner", num_partitions, on=(on,), right_suffix="_truth"
+    )

@@ -149,3 +149,39 @@ def rolling_fingerprint(text: str, window: int = 16, keep: int = 8) -> np.ndarra
     if len(smallest) < keep:
         smallest = np.pad(smallest, (0, keep - len(smallest)), constant_values=0)
     return smallest
+
+
+def tokens_hash_batch(token_lists: list) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64 hashes, per-doc counts) for a batch of token arrays —
+    ONE vectorized ``pd.util.hash_array`` over the concatenated tokens
+    instead of a per-token Python loop (the round-1 crc32 fromiter)."""
+    import pandas as pd
+
+    counts = np.array([len(t) for t in token_lists], dtype=np.int64)
+    if counts.sum() == 0:
+        return np.empty(0, np.uint64), counts
+    flat = np.concatenate([t for t in token_lists if len(t)])
+    return pd.util.hash_array(flat.astype(object)), counts
+
+
+def simhash64_batch(flat_hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-doc 64-bit SimHash from a flat token-hash array + doc counts.
+
+    Vectorized: one (T, 64) bit expansion + ``np.add.reduceat`` over doc
+    boundaries; a doc's bit j is set iff more than half its token hashes
+    have bit j set (equivalent to the +-1 sum rule). Empty docs hash to 0.
+    """
+    n_docs = len(counts)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    nonempty = counts > 0
+    if not nonempty.any():
+        return out
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((flat_hashes[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+    bounds = np.concatenate([[0], np.cumsum(counts[nonempty])[:-1]]).astype(np.int64)
+    ones = np.add.reduceat(bits, bounds, axis=0)  # (docs_nonempty, 64)
+    cnt = counts[nonempty][:, None]
+    sig_bits = (2 * ones > cnt).astype(np.uint64)
+    sigs = (sig_bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = sigs
+    return out

@@ -127,7 +127,9 @@ def q_embedding_label_stats(sf_dir: str) -> Dataset:
     """Per-label count + mean vector norm (SQL: list_transform/list_sum)."""
 
     def add_norm(b: pa.Table) -> pa.Table:
-        vecs = np.stack(b.column("embedding").to_pylist()).astype(np.float64)
+        from rp_extract_ray.stages.dedup import _vec_matrix
+
+        vecs = _vec_matrix(b.column("embedding"))
         nrm = np.sqrt((vecs * vecs).sum(axis=1))
         return pa.table({"label": b.column("label"), "norm": pa.array(nrm)})
 

@@ -196,10 +196,25 @@ def q_rhythm(sf_dir: str) -> Dataset:
 
 
 def q_flagship(sf_dir: str) -> Dataset:
-    """Rows-only: the full flagship point-in-time backfill pipeline."""
+    """The full flagship point-in-time backfill pipeline, oracle-gated:
+    turn stats + sessionize + k=16 windows over three series + backward
+    as-of of the latest purchase value — every stage replicated in the
+    generated SQL oracle (power-sum skew/kurt, quantile_cont, ASOF JOIN)."""
     from rp_extract_ray.pipelines.flagship import flagship_events_pipeline
 
-    return flagship_events_pipeline(sf_dir, num_partitions=NP)
+    out = flagship_events_pipeline(sf_dir, num_partitions=NP)
+    rnd = {"gap_s": 6, "value": 6}
+    for s in ("text_len", "token_est", "gap_s"):
+        # gap_s windows reach ~5e9 (variance of second-scale gaps): the 6th
+        # decimal there is beyond double precision, so round magnitude-bound
+        # columns to 2; normalized skew/kurt stay at 6
+        mag = 2 if s == "gap_s" else 6
+        for st, nd in (
+            ("wmean", mag), ("wvar", mag), ("wskew", 6), ("wkurt", 6),
+            ("wmedian", mag), ("wp25", mag), ("wp75", mag),
+        ):
+            rnd[f"{s}_{st}"] = nd
+    return _round(out, rnd)
 
 
 def q_json_extract(sf_dir: str) -> Dataset:

@@ -60,6 +60,7 @@ def feature_backfill(
     right_value_cols=("value",),
     fused: bool = True,
     add_stats: bool = True,
+    dedup_right: str | None = None,
 ) -> Dataset:
     """turn stats -> sessionize + sliding-window SSD features [-> as-of].
 
@@ -106,6 +107,7 @@ def feature_backfill(
             ds, events, entity_col=entity_col, ts_col=ts_col,
             right_value_cols=list(right_value_cols), direction="backward",
             num_partitions=num_partitions, broadcast=broadcast_asof,
+            dedup_right=dedup_right,
         )
     return ds
 
@@ -217,9 +219,12 @@ def flagship_events_pipeline(sf_dir: str, num_partitions: int = 16) -> Dataset:
         ),
         batch_format="pyarrow",
     )
+    # dedup_right="max": duplicate (conv, ts) purchase rows would otherwise
+    # resolve by unstable sort order; max matches SQL ASOF + GROUP BY max
     return feature_backfill(
         turns.drop_columns(["value"]),
         purchases,
         num_partitions=num_partitions,
         right_value_cols=("value",),
+        dedup_right="max",
     )

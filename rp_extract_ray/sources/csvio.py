@@ -28,24 +28,59 @@ from ray.data import Dataset
 
 
 def read_feature_csv(
-    path: str, dim: int | None = None, id_col: str = "id", vec_col: str = "vec"
+    path: str,
+    dim: int | None = None,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    id2: bool = False,
+    id2_col: str = "id2",
 ) -> Dataset:
-    """Read a reference-style headerless feature CSV -> Dataset(id, vec)."""
+    """Read a reference-style headerless feature CSV -> Dataset(id[, id2],
+    vec). ``id2=True`` reads a SECOND id column (the reference's optional
+    numeric/index id, /root/reference/rp_feature_io.py:302-356 id_column
+    list form) before the feature values."""
     pdf = pd.read_csv(path, header=None)
     ids = pdf.iloc[:, 0].astype(str)
-    mat = pdf.iloc[:, 1:].to_numpy(dtype=np.float64)
+    first_feat = 2 if id2 else 1
+    mat = pdf.iloc[:, first_feat:].to_numpy(dtype=np.float64)
     if dim is not None and mat.shape[1] != dim:
         raise ValueError(f"expected dim {dim}, file has {mat.shape[1]}")
     check_duplicates(ids.to_numpy())
-    t = pa.table(
-        {
-            id_col: pa.array(ids, pa.string()),
-            vec_col: pa.FixedSizeListArray.from_arrays(
-                pa.array(mat.reshape(-1)), mat.shape[1]
-            ),
-        }
+    cols = {id_col: pa.array(ids, pa.string())}
+    if id2:
+        cols[id2_col] = pa.array(pdf.iloc[:, 1].astype(str), pa.string())
+    cols[vec_col] = pa.FixedSizeListArray.from_arrays(
+        pa.array(mat.reshape(-1)), mat.shape[1]
     )
-    return rd.from_arrow(t)
+    return rd.from_arrow(pa.table(cols))
+
+
+def read_feature_csvs(
+    stub: str,
+    exts: tuple[str, ...] = ("rh", "ssd", "rp"),
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    id2: bool = False,
+) -> dict[str, Dataset]:
+    """Multi-feature-type dispatch (S17 tail): read ``<stub>.<ext>`` per
+    feature type into {ext: Dataset(id, vec)} and enforce the reference's
+    cross-type id-consistency invariant
+    (/root/reference/rp_feature_io.py:286-295, 359-427): every type file
+    must carry the SAME id set in the SAME order."""
+    out: dict[str, Dataset] = {}
+    ref_ids: np.ndarray | None = None
+    for ext in exts:
+        ds = read_feature_csv(f"{stub}.{ext}", id_col=id_col, vec_col=vec_col, id2=id2)
+        ids = np.asarray(
+            pd.read_csv(f"{stub}.{ext}", header=None, usecols=[0]).iloc[:, 0].astype(str)
+        )
+        if ref_ids is None:
+            ref_ids = ids
+        elif len(ids) != len(ref_ids) or (ids != ref_ids).any():
+            raise ValueError(f"IDs not matching across feature files: .{ext}")
+        out[ext] = ds
+    return out
 
 
 def write_feature_csv(ds: Dataset, path: str, id_col: str = "id", vec_col: str = "vec") -> int:

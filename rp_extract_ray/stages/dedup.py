@@ -499,7 +499,7 @@ def simhash_pairs(
 ) -> Dataset:
     """Near-dup pairs by SimHash banding (4 x 16-bit bands: any pair within
     Hamming distance 3 shares at least one exact band) + Hamming verify."""
-    from rp_extract_ray.functions.hashing import hash64, simhash64
+    from rp_extract_ray.functions.hashing import simhash64_batch, tokens_hash_batch
     import re
 
     class Sigs:
@@ -507,15 +507,14 @@ def simhash_pairs(
             self.tok = re.compile(r"\w+", re.ASCII)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            sh = np.array(
-                [
-                    np.uint64(
-                        simhash64(hash64(np.array(self.tok.findall((t or "").lower()), dtype=object)))
-                    )
-                    for t in batch[text_col].fillna("")
-                ],
-                dtype=np.uint64,
-            )
+            # per-doc work = one regex findall; hashing + bit aggregation
+            # run ONCE over the batch's concatenated token stream
+            toks = [
+                np.array(self.tok.findall((t or "").lower()), dtype=object)
+                for t in batch[text_col].fillna("")
+            ]
+            flat, counts = tokens_hash_batch(toks)
+            sh = simhash64_batch(flat, counts)
             keys = np.stack(
                 [
                     (((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF))

@@ -27,27 +27,65 @@ def broadcast_join(
     small_on: str | None = None,
     value_cols: Sequence[str] | None = None,
     how: str = "inner",
+    normalize_ids: dict | None = None,
 ) -> Dataset:
     """Hash-join ``small``'s value columns onto ``big`` (inner or left).
 
     The small side is fully materialized (it must fit on one node — the same
     assumption the reference makes for its label tables) and broadcast once.
+    ``normalize_ids`` (strip_ids kwargs) matches on path/ext-stripped,
+    optionally lowercased keys — the reference's filename matching
+    (/root/reference/classes_io.py:340-386) — while original columns pass
+    through untouched.
     """
     small_on = small_on or on
+    norm = _normalizer(normalize_ids)
     small_pdf = small.to_pandas() if isinstance(small, Dataset) else small
     if value_cols is None:
         value_cols = [c for c in small_pdf.columns if c != small_on]
-    small_pdf = small_pdf[[small_on, *value_cols]].drop_duplicates(subset=[small_on])
+    small_pdf = small_pdf[[small_on, *value_cols]].copy()
+    right_key = small_on
+    if norm is not None:
+        # rename the key so the merge never collides with big's own column
+        right_key = "_rkey"
+        small_pdf[right_key] = norm(small_pdf[small_on].to_numpy()).to_numpy(
+            zero_copy_only=False
+        )
+        small_pdf = small_pdf[[right_key, *value_cols]]
+    small_pdf = small_pdf.drop_duplicates(subset=[right_key])
     ref = ray.put(small_pdf)
 
     # stateless tasks: the broadcast read is a local object-store get, and a
     # task pool uses every free CPU (an actor pool would cap + fuse upstream)
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(
-            ray.get(ref), left_on=on, right_on=small_on, how=how
-        ).drop(columns=[small_on] if small_on != on else [])
+        left_key = on
+        if norm is not None:
+            batch = batch.copy()
+            batch["_norm_key"] = norm(batch[on].to_numpy()).to_numpy(
+                zero_copy_only=False
+            )
+            left_key = "_norm_key"
+        out = batch.merge(
+            ray.get(ref), left_on=left_key, right_on=right_key, how=how
+        )
+        drop = ["_norm_key", "_rkey"] + ([small_on] if small_on != on else [])
+        return out.drop(columns=[c for c in drop if c in out.columns])
 
     return big.map_batches(probe, batch_format="pandas")
+
+
+def _normalizer(normalize_ids: dict | None):
+    """Key-normalization fn from a strip_ids kwargs dict (M26 tail:
+    cut_path/cut_ext/lower — /root/reference/classes_io.py:546-558). None ->
+    identity."""
+    if normalize_ids is None:
+        return None
+    from rp_extract_ray.functions.ids import strip_ids
+
+    def norm(arr):
+        return strip_ids(arr, **normalize_ids)
+
+    return norm
 
 
 def semi_anti_join(
@@ -58,6 +96,7 @@ def semi_anti_join(
     keys_on: str | None = None,
     anti: bool = False,
     num_partitions: int | None = None,
+    normalize_ids: dict | None = None,
 ) -> Dataset:
     """Semi (keep matching) / anti (keep non-matching) join — the
     reference's resume primitive J4
@@ -74,18 +113,40 @@ def semi_anti_join(
       node (resume sets / filter keys at 100x corpus scale).
     """
     keys_on = keys_on or on
+    norm = _normalizer(normalize_ids)
     if isinstance(keys, Dataset):
         if num_partitions is None:
             cpus = int(ray.cluster_resources().get("CPU", 8))
             num_partitions = max(2, cpus // 2)
-        side = keys.select_columns([keys_on])
         how = "left_anti" if anti else "left_semi"
-        return big.join(side, how, num_partitions, on=(on,), right_on=(keys_on,))
+        if norm is None:
+            side = keys.select_columns([keys_on])
+            return big.join(side, how, num_partitions, on=(on,), right_on=(keys_on,))
+        # match on a normalized temp key; original columns pass through
+        KEY = "_norm_key"
 
-    ref = ray.put(pa.array(sorted(set(keys))))
+        def add_key_big(b: pa.Table) -> pa.Table:
+            return b.append_column(KEY, norm(b.column(on)))
+
+        def key_only(b: pa.Table) -> pa.Table:
+            return pa.table({KEY: norm(b.column(keys_on))})
+
+        out = big.map_batches(add_key_big, batch_format="pyarrow").join(
+            keys.map_batches(key_only, batch_format="pyarrow"),
+            how, num_partitions, on=(KEY,),
+        )
+        return out.map_batches(
+            lambda b: b.drop_columns([KEY]), batch_format="pyarrow"
+        )
+
+    key_arr = pa.array(sorted(set(keys)))
+    if norm is not None:
+        key_arr = norm(key_arr)
+    ref = ray.put(key_arr)
 
     def filt(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch.column(on), value_set=ray.get(ref))
+        probe = batch.column(on) if norm is None else norm(batch.column(on))
+        mask = pc.is_in(probe, value_set=ray.get(ref))
         if anti:
             mask = pc.invert(mask)
         return batch.filter(mask)

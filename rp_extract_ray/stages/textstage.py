@@ -124,11 +124,15 @@ def add_langid(ds: Dataset, text_col: str = "text", concurrency=(1, 8)) -> Datas
 
 
 def add_fingerprints(ds: Dataset, text_col: str = "text", concurrency=(1, 8)) -> Dataset:
-    """Winnowing-style rolling-hash fingerprints + simhash per document."""
+    """Winnowing-style rolling-hash fingerprints + simhash per document.
+
+    SimHash is computed by the batch kernel (one hash pass + one reduceat
+    over the batch's concatenated token stream); the per-doc loop holds only
+    the C-vectorized shingle hash of the winnowing fingerprint."""
     from rp_extract_ray.functions.hashing import (
-        hash64,
         rolling_fingerprint,
-        simhash64,
+        simhash64_batch,
+        tokens_hash_batch,
     )
     import re
 
@@ -137,13 +141,15 @@ def add_fingerprints(ds: Dataset, text_col: str = "text", concurrency=(1, 8)) ->
             self.tok = re.compile(r"\w+", re.ASCII)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            fps, shs = [], []
-            for t in batch[text_col].fillna(""):
-                fps.append(rolling_fingerprint(t).astype(np.int64))
-                toks = np.array(self.tok.findall(t.lower()), dtype=object)
-                shs.append(np.int64(simhash64(hash64(toks)).astype(np.int64)))
-            batch["fingerprint"] = fps
-            batch["simhash"] = np.array(shs, dtype=np.int64)
+            texts = batch[text_col].fillna("")
+            batch["fingerprint"] = [
+                rolling_fingerprint(t).astype(np.int64) for t in texts
+            ]
+            toks = [
+                np.array(self.tok.findall(t.lower()), dtype=object) for t in texts
+            ]
+            flat, counts = tokens_hash_batch(toks)
+            batch["simhash"] = simhash64_batch(flat, counts).astype(np.int64)
             return batch
 
     return ds.map_batches(Fingerprint, batch_format="pandas", concurrency=concurrency)

@@ -134,3 +134,103 @@ def test_persistence_and_distributed_scoring(tmp_path):
     scored = score_dataset(ds, loaded, "vec").to_pandas()
     acc = (scored["pred"] == scored["label"]).mean()
     assert acc > 0.9
+
+
+def test_strip_ids_and_classes_from_ids():
+    from rp_extract_ray.functions.ids import classes_from_ids, strip_ids
+
+    ids = ["pop/track01.wav", "rock/sub/track02.MP3", "Jazz\\track03.wav", "plain"]
+    stripped = strip_ids(ids).to_pylist()
+    assert stripped == ["track01", "track02", "track03", "plain"]
+    assert strip_ids(ids, cut_ext=False).to_pylist()[0] == "track01.wav"
+    assert strip_ids(["A/B.WAV"], lower=True).to_pylist() == ["b"]
+    labels = classes_from_ids(["pop/a.wav", "pop/b.wav", "rock/c.wav"])
+    assert list(labels) == ["pop", "pop", "rock"]
+    # GTZAN-style split on '.'
+    labels = classes_from_ids(["pop.0001.wav", "pop.0002.wav", "rock.0001.wav"], ".")
+    assert list(labels) == ["pop", "pop", "rock"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="label file"):
+        classes_from_ids(["a/x.wav", "b/y.wav", "c/z.wav"])
+
+
+def test_normalized_join_helpers():
+    import pandas as pd
+    import ray.data as rd
+
+    from rp_extract_ray.stages.join import broadcast_join, semi_anti_join
+
+    big = rd.from_pandas(
+        pd.DataFrame({"fid": ["dir/a.wav", "dir/b.wav", "x/c.wav"], "v": [1, 2, 3]})
+    )
+    labels = pd.DataFrame({"fid": ["a", "b"], "label": ["pop", "rock"]})
+    joined = broadcast_join(
+        big, labels, on="fid", normalize_ids={"cut_path": True, "cut_ext": True}
+    ).to_pandas().sort_values("v", ignore_index=True)
+    assert list(joined["label"]) == ["pop", "rock"]
+    assert joined["fid"].iloc[0] == "dir/a.wav"  # original ids untouched
+
+    kept = semi_anti_join(
+        big, {"A"}, on="fid",
+        normalize_ids={"cut_path": True, "cut_ext": True, "lower": True},
+    ).to_pandas()
+    assert list(kept["fid"]) == ["dir/a.wav"]
+    # Dataset key side through the distributed path
+    keys = rd.from_pandas(pd.DataFrame({"k": ["b.flac"]}))
+    kept2 = semi_anti_join(
+        big, keys, on="fid", keys_on="k",
+        normalize_ids={"cut_path": True, "cut_ext": True},
+    ).to_pandas()
+    assert list(kept2["fid"]) == ["dir/b.wav"]
+
+
+def test_align_predictions():
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data as rd
+
+    from rp_extract_ray.classify import align_predictions
+
+    pred = rd.from_pandas(
+        pd.DataFrame({"id": ["p/a.wav", "p/b.wav", "p/zz.wav"], "label": ["x", "y", "q"]})
+    )
+    truth = rd.from_pandas(
+        pd.DataFrame({"id": ["a", "b", "c"], "label": ["x", "z", "w"]})
+    )
+    out = (
+        align_predictions(pred, truth, on="id")
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    assert list(out["id"]) == ["a", "b"]       # only matched ids survive
+    assert list(out["label"]) == ["x", "y"]
+    assert list(out["label_truth"]) == ["x", "z"]
+    bad = rd.from_pandas(pd.DataFrame({"id": ["a"], "other": ["x"]}))
+    with _pytest.raises(ValueError, match="do not match"):
+        align_predictions(pred, bad)
+
+
+def test_feature_csv_id2_and_multitype(tmp_path):
+    import pandas as pd
+
+    from rp_extract_ray.sources.csvio import read_feature_csv, read_feature_csvs
+
+    stub = str(tmp_path / "feat")
+    for ext, d in (("rh", 3), ("ssd", 2)):
+        rows = [[f"f{i}", str(100 + i)] + [float(i * 10 + j) for j in range(d)] for i in range(4)]
+        pd.DataFrame(rows).to_csv(f"{stub}.{ext}", header=False, index=False)
+    ds = read_feature_csv(f"{stub}.rh", id2=True)
+    pdf = ds.to_pandas()
+    assert list(pdf.columns) == ["id", "id2", "vec"]
+    assert pdf["id2"].iloc[0] == "100"
+    assert len(pdf["vec"].iloc[0]) == 3
+    tables = read_feature_csvs(stub, exts=("rh", "ssd"), id2=True)
+    assert set(tables) == {"rh", "ssd"}
+    # mismatched ids raise
+    rows = [["OTHER", "1", 0.0, 1.0]]
+    pd.DataFrame(rows).to_csv(f"{stub}.bad", header=False, index=False)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="IDs not matching"):
+        read_feature_csvs(stub, exts=("rh", "bad"), id2=True)
