@@ -125,9 +125,9 @@ def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> np
 
 
 def hamming64(a: np.ndarray, b: np.uint64) -> np.ndarray:
-    """Per-element Hamming distance of uint64 array vs scalar."""
-    x = np.bitwise_xor(a, b)
-    return np.array([bin(int(v)).count("1") for v in x], dtype=np.int32)
+    """Per-element Hamming distance of uint64 array vs scalar (vectorized
+    via :func:`popcount64`)."""
+    return popcount64(np.bitwise_xor(np.asarray(a, dtype=np.uint64), np.uint64(b)))
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -185,3 +185,15 @@ def simhash64_batch(flat_hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
     sigs = (sig_bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
     out[nonempty] = sigs
     return out
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized population count of a uint64 array (byte-LUT; numpy<2 has
+    no bitwise_count). Returns int32, same length."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    if len(x) == 0:
+        return np.empty(0, np.int32)
+    return _POP8[x.view(np.uint8)].reshape(len(x), 8).sum(axis=1).astype(np.int32)

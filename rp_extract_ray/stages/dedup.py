@@ -250,11 +250,9 @@ def verify_pairs_jaccard(
         ).astype(np.int64)
         return pa.table({id_col: pa.array(ids)})
 
-    cand_ids = (
-        uniq.map_batches(flat_ids, batch_format="pyarrow")
-        .groupby(id_col).aggregate(Count(alias_name="_n"))
-        .select_columns([id_col])
-    )
+    # no dedup groupby needed: left_semi keeps a left row once regardless of
+    # duplicate right keys, so the raw (id_a ∪ id_b) stream joins directly
+    cand_ids = uniq.map_batches(flat_ids, batch_format="pyarrow")
 
     docs = ds.map_batches(
         lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
@@ -546,10 +544,9 @@ def simhash_pairs(
             order = np.argsort(ids[s:e]) + s
             mid, msig = ids[order], sigs[order]
             ia, ib = np.triu_indices(len(mid), k=1)
-            ham = np.array(
-                [bin(int(msig[a] ^ msig[b])).count("1") for a, b in zip(ia, ib)],
-                dtype=np.int32,
-            )
+            from rp_extract_ray.functions.hashing import popcount64
+
+            ham = popcount64(msig[ia] ^ msig[ib])
             keep = (ham <= max_hamming) & (mid[ia] != mid[ib])
             rows_a.append(mid[ia][keep])
             rows_b.append(mid[ib][keep])

@@ -175,6 +175,8 @@ def partitioned_apply(
     metrics_sink=None,
     metrics_stage: str = "partitioned_apply",
     expose_ghost: bool = False,
+    side: Dataset | None = None,
+    side_cols: Sequence[str] = (),
 ) -> Dataset:
     """Run ``fn`` over each entity-partitioned, sorted frame.
 
@@ -185,10 +187,20 @@ def partitioned_apply(
     run unit is ``(entity, chunk)`` and ``fn``'s output for a row may depend
     on at most ``salt.overlap`` preceding rows of the same entity; ghost rows
     flow through ``fn`` (as context) and are dropped from the output here.
+
+    ``side``: optional CO-PARTITIONED side table — a Dataset that already
+    carries :data:`PART_COL` values computed with the SAME partitioner, so
+    each side row rides the one exchange into its data partition (the
+    broadcast-free alternative for side state too large for ``ray.put``).
+    Its rows are split off before sorting and handed to ``fn`` as a third
+    argument ``fn(pdf, starts, side_pdf)`` with columns
+    ``[entity_col, *side_cols]``; the data frame never sees ``side_cols``.
     """
     sort_cols = [entity_col, *order_cols]
     if salt is not None:
         sort_cols = [entity_col, CHUNK_COL, salt.turn_col]
+
+    SIDE_MARK = "_side_row"
 
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
         rows_in = len(pdf)
@@ -197,6 +209,12 @@ def partitioned_apply(
             from rp_extract_ray.state.metrics import PartitionMetrics
 
             pm = PartitionMetrics(part_id, metrics_stage)
+        side_pdf = None
+        if side is not None:
+            mark = pdf[SIDE_MARK].fillna(False).to_numpy(dtype=bool)
+            side_pdf = pdf.loc[mark, [entity_col, *side_cols]].reset_index(drop=True)
+            pdf = pdf.loc[~mark].drop(columns=[SIDE_MARK, *side_cols])
+            rows_in = len(pdf)
         pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
         ghost = chunk = None
         if GHOST_COL in pdf.columns:
@@ -205,14 +223,17 @@ def partitioned_apply(
                 chunk = pdf.pop(CHUNK_COL).to_numpy()
                 ghost = None  # fn handles ghosts itself (aggregating output)
             else:
-                ghost = pdf.pop(GHOST_COL).to_numpy()
-                chunk = pdf.pop(CHUNK_COL).to_numpy()
+                # dtype=bool matters: after a heterogeneous union (side
+                # tables) the column arrives as object, and ~object_array
+                # yields Python ints (-1), not a boolean mask
+                ghost = pdf.pop(GHOST_COL).to_numpy(dtype=bool)
+                chunk = pdf.pop(CHUNK_COL).to_numpy(dtype=np.int64)
         pdf = pdf.drop(columns=[PART_COL])
         keys = [pdf[entity_col].to_numpy()]
         if chunk is not None:
             keys.append(chunk)
         starts = entity_starts(*keys)
-        out = fn(pdf, starts)
+        out = fn(pdf, starts) if side is None else fn(pdf, starts, side_pdf)
         if ghost is not None and len(out) == len(ghost):
             out = out.loc[~ghost]
         if metrics_sink is not None:
@@ -228,4 +249,14 @@ def partitioned_apply(
         batch_format="pyarrow",
         fn_kwargs={"entity_col": entity_col, "num_partitions": num_partitions, "salt": salt},
     )
+    if side is not None:
+        def mark_side(b: pa.Table) -> pa.Table:
+            return b.append_column(SIDE_MARK, pa.array(np.ones(len(b), dtype=bool)))
+
+        def mark_data(b: pa.Table) -> pa.Table:
+            return b.append_column(SIDE_MARK, pa.array(np.zeros(len(b), dtype=bool)))
+
+        parted = parted.map_batches(mark_data, batch_format="pyarrow").union(
+            side.map_batches(mark_side, batch_format="pyarrow")
+        )
     return parted.groupby(PART_COL).map_groups(run_group, batch_format="pandas")

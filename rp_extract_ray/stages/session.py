@@ -124,6 +124,8 @@ def sessionize_salted(
     gap_threshold_s: float = DEFAULT_SESSION_GAP_S,
     num_partitions: int = 64,
     chunk_turns: int = 4096,
+    offsets: str = "auto",
+    broadcast_limit: int = 5_000_000,
 ) -> Dataset:
     """Sessionize under salted chunking — the skew-proof path.
 
@@ -135,16 +137,32 @@ def sessionize_salted(
     1. chunked pass (overlap=1: the gap at a chunk's first row needs one
        ghost predecessor) computes LOCAL boundary flags and emits a tiny
        per-(entity, chunk) boundary-count table;
-    2. the count table — one row per 4096 turns — is collected, per-entity
-       prefix-summed into chunk offsets, broadcast, and added to the local
+    2. the count table — one row per ``chunk_turns`` input rows — is
+       per-entity prefix-summed into chunk offsets and added to the local
        prefix counts in a second chunked pass.
+
+    Offset delivery (``offsets=``): ``"broadcast"`` collects the offset
+    table driver-side and ships it via ``ray.put`` (right while chunks are
+    few); ``"copartition"`` keeps it distributed — the offsets are routed
+    through the SAME salted partitioner (each row tagged with the
+    destination ``_part`` of its (entity, chunk) unit) and ride the second
+    exchange as a co-partitioned side table, so nothing ever materializes
+    on the driver (the 10^12-turn path, where one row per 4096 turns is
+    still 2.4e8 rows). ``"auto"`` picks by counting the (materialized,
+    tiny) offset table against ``broadcast_limit``.
 
     Shuffle volume: the numeric columns twice + a negligible side table; no
     partition ever holds more than ``chunk_turns + 1`` rows of one entity.
     """
     import ray
 
-    from rp_extract_ray.stages.partition import SaltSpec
+    from rp_extract_ray.stages.partition import (
+        PART_COL,
+        SaltSpec,
+        _chunk_part,
+        run_bounds,
+        stable_hash,
+    )
 
     salt = SaltSpec(chunk_turns=chunk_turns, overlap=1, turn_col=turn_col)
 
@@ -155,8 +173,7 @@ def sessionize_salted(
             len(pdf), dtype=bool
         )
         _, local = session_ids(pdf[ts_col].to_numpy(), starts, gap_threshold_s)
-        run_start_rows = np.unique(starts)
-        run_end = np.append(run_start_rows[1:], len(pdf))
+        run_start_rows, run_end = run_bounds(starts, len(pdf))
         ent = pdf[entity_col].to_numpy()
         chunk = pdf[turn_col].to_numpy() // chunk_turns
         rows = []
@@ -167,7 +184,7 @@ def sessionize_salted(
             rows.append((ent[s], int(chunk[real[-1]]), int(local[e - 1])))
         return pd.DataFrame(rows, columns=[entity_col, "_chunk_id", "n_bounds"])
 
-    counts = partitioned_apply(
+    counts_ds = partitioned_apply(
         ds.select_columns([entity_col, turn_col, ts_col]),
         local_counts,
         entity_col=entity_col,
@@ -175,27 +192,29 @@ def sessionize_salted(
         num_partitions=num_partitions,
         salt=salt,
         expose_ghost=True,
-    ).to_pandas()
+    ).materialize()
     # Ghost first rows are run starts and never boundaries, so local[e-1]
     # counts exactly the boundaries at real rows of the chunk.
-    # Scale note: this side table is one row per (entity, chunk) = per
-    # chunk_turns input rows, collected and broadcast. Beyond ~10^8 chunks
-    # the broadcast dict should become a co-partitioned join (route each
-    # offset row to partition(entity, chunk) with the same partitioner).
-    counts = counts.sort_values([entity_col, "_chunk_id"])
-    counts["offset"] = (
-        counts.groupby(entity_col)["n_bounds"].cumsum() - counts["n_bounds"]
-    )
-    offsets = {
-        (e, int(c)): int(o)
-        for e, c, o in zip(counts[entity_col], counts["_chunk_id"], counts["offset"])
-    }
-    ref = ray.put(offsets)
 
-    def final(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+    def prefix_fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        pdf = pdf.reset_index(drop=True)
+        nb = pdf["n_bounds"].to_numpy(dtype=np.int64)
+        cs = np.cumsum(nb)
+        # exclusive per-entity prefix: boundaries in all EARLIER chunks
+        pdf["offset"] = cs - nb - (cs[starts] - nb[starts])
+        return pdf[[entity_col, "_chunk_id", "offset"]]
+
+    offsets_ds = partitioned_apply(
+        counts_ds,
+        prefix_fn,
+        entity_col=entity_col,
+        order_cols=("_chunk_id",),
+        num_partitions=num_partitions,
+    )
+
+    def apply_offsets(pdf: pd.DataFrame, starts: np.ndarray, offs: dict) -> pd.DataFrame:
         from rp_extract_ray.stages.lag import _run_ends
 
-        offs = ray.get(ref)
         gap, local = session_ids(pdf[ts_col].to_numpy(), starts, gap_threshold_s)
         ent = pdf[entity_col].to_numpy()
         chunk = pdf[turn_col].to_numpy() // chunk_turns
@@ -211,11 +230,52 @@ def sessionize_salted(
         pdf["session_id"] = (local.astype(np.int64) + base).astype(np.int32)
         return pdf
 
+    mode = offsets
+    if mode == "auto":
+        mode = "broadcast" if counts_ds.count() <= broadcast_limit else "copartition"
+
+    if mode == "broadcast":
+        off_pdf = offsets_ds.to_pandas()
+        off_map = {
+            (e, int(c)): int(o)
+            for e, c, o in zip(
+                off_pdf[entity_col], off_pdf["_chunk_id"], off_pdf["offset"]
+            )
+        }
+        ref = ray.put(off_map)
+
+        def final(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+            offs = ray.get(ref)
+            return apply_offsets(pdf, starts, offs)
+
+        return partitioned_apply(
+            ds, final, entity_col=entity_col, order_cols=(ts_col, turn_col),
+            num_partitions=num_partitions, salt=salt,
+        )
+
+    # ---- co-partitioned offsets: route each row to its (entity, chunk)
+    # partition with the SAME salted partitioner, ride the one exchange ----
+    def add_part_side(b):
+        import pyarrow as pa
+
+        ent_hash = stable_hash(b.column(entity_col).to_numpy(zero_copy_only=False))
+        chunk = b.column("_chunk_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        part = _chunk_part(ent_hash, chunk, num_partitions)
+        return b.append_column(PART_COL, pa.array(part, pa.int32()))
+
+    side = offsets_ds.map_batches(add_part_side, batch_format="pyarrow")
+
+    def final_side(pdf: pd.DataFrame, starts: np.ndarray, side_pdf: pd.DataFrame) -> pd.DataFrame:
+        offs = {
+            (e, int(c)): int(o)
+            for e, c, o in zip(
+                side_pdf[entity_col], side_pdf["_chunk_id"], side_pdf["offset"]
+            )
+        }
+        return apply_offsets(pdf, starts, offs)
+
     return partitioned_apply(
-        ds,
-        final,
-        entity_col=entity_col,
-        order_cols=(ts_col, turn_col),
-        num_partitions=num_partitions,
-        salt=salt,
+        ds, final_side, entity_col=entity_col, order_cols=(ts_col, turn_col),
+        num_partitions=num_partitions, salt=salt,
+        side=side, side_cols=("_chunk_id", "offset"),
     )

@@ -192,3 +192,23 @@ def test_salted_sessionize_matches_unsalted(corpus, enriched_oracle):
     assert len(got) == len(exp)
     assert (got["session_id"].to_numpy() == exp["session_id"].to_numpy()).all()
     assert np.allclose(got["gap_s"].to_numpy(), exp["gap_s"].to_numpy())
+
+
+def test_salted_sessionize_copartitioned_offsets(corpus, enriched_oracle):
+    """Co-partitioned offset delivery (zero driver materialization) ==
+    broadcast delivery == unsalted sessionize."""
+    from rp_extract_ray.stages.session import sessionize_salted
+
+    t, _ = corpus
+    got = (
+        sessionize_salted(
+            rd.from_arrow(t), num_partitions=8, chunk_turns=32,
+            offsets="copartition",
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    )
+    exp = _sorted(enriched_oracle)
+    assert len(got) == len(exp)
+    assert (got["session_id"].to_numpy() == exp["session_id"].to_numpy()).all()
+    assert np.allclose(got["gap_s"].to_numpy(), exp["gap_s"].to_numpy())
