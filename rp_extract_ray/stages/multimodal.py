@@ -60,34 +60,51 @@ def synth_media_table(n: int = 64, seed: int = 21) -> pa.Table:
 class MediaFeatureExtractor:
     """Actor-pool stage: decode -> feature-extract binary payloads.
 
+    ``mode='wav'`` is a REAL decode path: uncompressed RIFF/PCM payloads are
+    parsed by the from-scratch numpy codec (functions/wav.py — the S1
+    `wavio.readwav` analogue, no external libs) and featurized with the
+    reference's normalize -> mono-project -> 7-stat chain (M1-M3 + M15).
     ``mode='stub'`` raises NotImplementedError from the decode kernel (the
-    honest production placeholder); ``mode='fake'`` produces a deterministic
+    honest placeholder for COMPRESSED codecs — mp3/jpeg/h264 libs are not in
+    this environment); ``mode='fake'`` produces a deterministic
     payload-derived feature vector so the full pipeline (schema, batching,
-    output layout) is testable end-to-end. A real deployment replaces
-    ``_decode`` only.
+    output layout) is testable end-to-end regardless of codec availability.
     """
 
     FEAT_DIM = 16
 
-    def __init__(self, mode: Literal["stub", "fake"] = "fake"):
+    def __init__(self, mode: Literal["stub", "fake", "wav"] = "fake"):
         self.mode = mode  # per-actor init: real impl loads codec/model here
 
     def _decode(self, payload: bytes, kind: str) -> np.ndarray:
         if self.mode == "stub":
             raise NotImplementedError(
-                "media codecs unavailable in this environment; "
+                "compressed-media codecs unavailable in this environment; "
                 "plug a real decoder here (PIL / torchaudio / pyav)"
             )
+        if self.mode == "wav":
+            from rp_extract_ray.functions.wav import normalize_pcm, parse_wav_bytes
+
+            rate, sampwidth, data = parse_wav_bytes(payload)
+            mono = normalize_pcm(data, sampwidth).mean(axis=1)  # M1/M3
+            return mono
         # deterministic fake: byte histogram as the 'decoded signal'
         arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
         return arr
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from rp_extract_ray.functions.stats import seven_stats
+
         feats = np.zeros((len(batch), self.FEAT_DIM), dtype=np.float64)
         for i, (payload, kind) in enumerate(zip(batch["payload"], batch["kind"])):
             sig = self._decode(payload, kind)
-            hist, _ = np.histogram(sig, bins=self.FEAT_DIM, range=(0, 256))
-            feats[i] = hist / max(len(sig), 1)
+            if self.mode == "wav":
+                st = seven_stats(sig[None, :])[0]  # M15 kernel on the signal
+                rms = float(np.sqrt(np.mean(sig * sig))) if len(sig) else 0.0
+                feats[i, :9] = [*st, rms, float(len(sig))]
+            else:
+                hist, _ = np.histogram(sig, bins=self.FEAT_DIM, range=(0, 256))
+                feats[i] = hist / max(len(sig), 1)
         out = batch.drop(columns=["payload"])  # NEVER ship payloads downstream
         out["media_feat"] = [row for row in feats]
         return out
