@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": R.q_anti_join,
         "region_customers": R.q_region_customers,
         "topk": R.q_topk,
+        "sample": R.q_sample,
+        "top_terms": R.q_top_terms,
         "filter_sort": R.q_filter_sort,
         "distinct": R.q_distinct,
         # text analysis / dedup / similarity (training-data extensions)
@@ -418,6 +420,17 @@ def oracle_sql() -> dict[str, str]:
         "topk": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        # Knuth multiplicative hash replicated exactly (BIGINT arithmetic
+        # stays far below 2^63 for these keys)
+        "sample": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE (o_orderkey * 2654435761 + 1 * 2654435769) % 4294967296
+                  < CAST(0.05 * 4294967296 AS BIGINT)""",
+        "top_terms": r"""
+            SELECT t AS token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[0-9a-z_]+'))
+                    AS t FROM documents)
+            GROUP BY t ORDER BY n DESC, t LIMIT 20""",
         "filter_sort": """
             SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
             WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0

@@ -39,6 +39,7 @@ QUERY_NAMES = [
     "lag_lead", "sessionize", "window_stats", "asof_backward",
     "backfill", "tpch_q1", "dedup_exact", "join_agg",
     "time_grid", "knn_cosine", "minhash_pairs", "standardize",
+    "window_features_full", "cosine_pairs", "top_terms",
 ]
 
 

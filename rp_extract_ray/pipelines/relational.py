@@ -206,3 +206,56 @@ def q_filter_sort(sf_dir: str) -> Dataset:
         return b.filter(m)
 
     return ds.map_batches(f, batch_format="pyarrow").sort("o_orderkey")
+
+
+def deterministic_sample(
+    ds: Dataset, key_col: str, rate: float, seed: int = 1
+) -> Dataset:
+    """Deterministic keyed Bernoulli sample (§2.7 sampling): keep a row iff
+    ``(key * 2654435761 + seed * 2654435769) mod 2^32 < rate * 2^32`` —
+    Knuth's multiplicative hash, chosen over ``Dataset.random_sample``
+    because it is reproducible across runs/cluster sizes AND exactly
+    replicable in the SQL oracle. Stateless vectorized filter; zero shuffle.
+    """
+    import numpy as np
+
+    threshold = np.uint64(int(rate * 2**32))
+
+    def f(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = (
+            k.astype(np.uint64) * np.uint64(2654435761)
+            + np.uint64(seed) * np.uint64(2654435769)
+        ) & np.uint64(0xFFFFFFFF)
+        return b.filter(pa.array(h < threshold))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_sample(sf_dir: str, rate: float = 0.05, seed: int = 1) -> Dataset:
+    """Keyed deterministic 5% sample of orders."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return deterministic_sample(ds, "o_orderkey", rate, seed)
+
+
+def q_top_terms(sf_dir: str, k: int = 20) -> Dataset:
+    """Vocabulary head: token explode (flat_map pattern) -> distributed
+    count -> global top-k. The training-data vocab-building op; tokens are
+    lowercased ``\\w+`` runs matching the SQL oracle's regexp_extract_all."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
+        counts = toks.str.len().to_numpy()
+        flat = np.concatenate([np.array(t, dtype=object) for t in toks]) if counts.sum() else np.array([], dtype=object)
+        return pd.DataFrame({"token": flat})
+
+    counted = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Count(alias_name="n"))
+    )
+    return counted.sort(["n", "token"], descending=[True, False]).limit(k)

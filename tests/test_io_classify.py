@@ -234,3 +234,21 @@ def test_feature_csv_id2_and_multitype(tmp_path):
 
     with _pytest.raises(ValueError, match="IDs not matching"):
         read_feature_csvs(stub, exts=("rh", "bad"), id2=True)
+
+
+def test_deterministic_sample_reproducible():
+    import pandas as pd
+    import ray.data as rd
+
+    from rp_extract_ray.pipelines.relational import deterministic_sample
+
+    ds = rd.from_pandas(pd.DataFrame({"k": list(range(10_000))}))
+    a = deterministic_sample(ds, "k", 0.1, seed=1).to_pandas()
+    b = deterministic_sample(ds, "k", 0.1, seed=1).to_pandas()
+    c = deterministic_sample(ds, "k", 0.1, seed=2).to_pandas()
+    assert (a["k"].to_numpy() == b["k"].to_numpy()).all()  # reproducible
+    assert abs(len(a) / 10_000 - 0.1) < 0.02               # ~rate
+    assert set(a["k"]) != set(c["k"])                      # seed-sensitive
+    # nested property: a 5% sample with the same seed is a subset of 10%
+    d = deterministic_sample(ds, "k", 0.05, seed=1).to_pandas()
+    assert set(d["k"]) <= set(a["k"])
