@@ -185,12 +185,11 @@ def q_distinct(sf_dir: str):
     return pd.DataFrame({"n_custkeys": [int(n_cust)], "n_partkeys": [int(n_part)]})
 
 
-def q_topk(sf_dir: str, k: int = 10) -> Dataset:
-    """§2.7 top-k: ds.sort(...).limit(k) (ST4/KNN pattern)."""
-    return (
-        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
-        .limit(k)
+def q_topk(sf_dir: str, k: int = 10):
+    """§2.7 top-k via per-block partials + tiny merge (no global sort)."""
+    return distributed_topk(
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+        ["o_totalprice", "o_orderkey"], [True, False], k,
     )
 
 
@@ -258,4 +257,30 @@ def q_top_terms(sf_dir: str, k: int = 20) -> Dataset:
         .groupby("token")
         .aggregate(Count(alias_name="n"))
     )
-    return counted.sort(["n", "token"], descending=[True, False]).limit(k)
+    return distributed_topk(counted, ["n", "token"], [True, False], k)
+
+
+def distributed_topk(
+    ds: Dataset, cols: list[str], descending: list[bool], k: int
+):
+    """Global top-k WITHOUT a global sort: each block keeps its local top-k
+    (vectorized Arrow sort per batch), and only the tiny partials
+    (k x n_blocks rows) reach the final merge. A `Dataset.sort().limit(k)`
+    moves every block through an all-to-all range shuffle to discard all but
+    k rows — this keeps the exchange at O(k) per block. Returns a pandas
+    DataFrame of exactly k rows with deterministic tie order."""
+    import pandas as pd
+
+    keys = [
+        (c, "descending" if d else "ascending") for c, d in zip(cols, descending)
+    ]
+
+    def partial(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=keys)
+        return b.take(idx[:k])
+
+    small = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    small = small.sort_values(
+        cols, ascending=[not d for d in descending], ignore_index=True, kind="mergesort"
+    )
+    return small.head(k).reset_index(drop=True)
