@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "backfill": E.q_backfill,
         "standardize": E.q_standardize,
         "time_grid": E.q_time_grid,
+        "time_window": E.q_time_window,
         "json_extract": E.q_json_extract,
         # relational coverage (SURVEY.md §2.5-§2.8)
         "class_counts": R.q_class_counts,
@@ -372,6 +373,16 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 6) AS value_mean,
                    min(value) AS value_min, max(value) AS value_max
             FROM events GROUP BY user_id, bucket""",
+        "time_window": """
+            SELECT event_id, user_id, ts, value,
+                   round(sum(value) OVER w, 6) AS value_tsum,
+                   CAST(count(value) OVER w AS BIGINT) AS value_tcnt,
+                   round(sum(value) OVER w
+                         / greatest(count(value) OVER w, 1), 6) AS value_tmean
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)""",
         "standardize": """
             SELECT event_id, value,
                    round((value - avg(value) OVER ()) / stddev_pop(value) OVER (), 6)

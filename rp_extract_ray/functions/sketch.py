@@ -1,0 +1,84 @@
+"""Mergeable cardinality sketch: HyperLogLog over a Dataset column.
+
+The "novel sketch" class of custom operator (round-2 brief): a distributed
+approximate COUNT DISTINCT whose shuffle volume is CONSTANT — each block
+contributes one m-byte register row regardless of row count, and the merge
+is an elementwise max. The exact alternative (`groupby(col).count()` row
+count, pipelines/relational.q_distinct) shuffles every distinct key; at
+100x key cardinality the sketch is the scale path when a ~1.6% (p=12)
+estimate suffices.
+
+Classic HLL (public algorithm: Flajolet et al. 2007): stable 64-bit hash,
+low ``p`` bits pick a register, the rank = trailing-zero count of the
+remaining bits + 1, registers keep the max rank, harmonic-mean estimator
+with the small-range (linear counting) correction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ray.data import Dataset
+
+from rp_extract_ray.functions.hashing import popcount64
+from rp_extract_ray.stages.partition import stable_hash
+
+
+def hll_accumulate(values, p: int = 12, registers: np.ndarray | None = None) -> np.ndarray:
+    """Fold an array of values into an HLL register vector (uint8, len 2^p).
+
+    Fully vectorized: one stable hash pass, one trailing-zero popcount, one
+    ``np.maximum.at`` scatter."""
+    m = 1 << p
+    if registers is None:
+        registers = np.zeros(m, dtype=np.uint8)
+    h = stable_hash(np.asarray(values))
+    idx = (h & np.uint64(m - 1)).astype(np.int64)
+    w = h >> np.uint64(p)
+    # trailing zeros, exactly: popcount((w & -w) - 1); w == 0 -> 64 - p
+    low = w & (np.uint64(0) - w)
+    tz = popcount64(low - np.uint64(1))
+    tz[w == 0] = 64 - p
+    rank = (tz + 1).astype(np.uint8)
+    np.maximum.at(registers, idx, rank)
+    return registers
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Registers merge by elementwise max (the sketch's mergeability)."""
+    return np.maximum(a, b)
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Cardinality estimate with the small-range linear-counting switch."""
+    m = len(registers)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+    zeros = int((registers == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_distinct(ds: Dataset, col: str, p: int = 12) -> int:
+    """Approximate distinct count of ``col`` — constant shuffle volume.
+
+    Per-block partial registers (one binary row per BLOCK, 2^p bytes) are
+    the only thing leaving the workers; the driver merges a handful of
+    register rows and estimates. Standard error ~= 1.04/sqrt(2^p)
+    (p=12 -> ~1.6%)."""
+    import pyarrow as pa
+
+    m = 1 << p
+
+    def partial(b: pa.Table) -> pa.Table:
+        regs = hll_accumulate(
+            b.column(col).to_numpy(zero_copy_only=False), p=p
+        )
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged = np.zeros(m, dtype=np.uint8)
+    for buf in rows["regs"]:
+        merged = hll_merge(merged, np.frombuffer(buf, dtype=np.uint8))
+    return int(round(hll_estimate(merged)))

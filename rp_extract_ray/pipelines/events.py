@@ -247,6 +247,19 @@ def q_time_grid(sf_dir: str) -> Dataset:
     return _round(out, {"value_sum": 6, "value_mean": 6})
 
 
+def q_time_window(sf_dir: str) -> Dataset:
+    """Sliding 1-hour time-window sum/count/mean per event (RANGE-frame
+    semantics; oracle: RANGE BETWEEN INTERVAL 1 HOUR PRECEDING)."""
+    from rp_extract_ray.stages.timegrid import time_window_aggregate
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    out = time_window_aggregate(
+        ds, entity_col=ENTITY, ts_col="ts", value_col="value",
+        window_s=3600.0, order_cols=ORDER, num_partitions=NP,
+    )
+    return _round(out, {"value_tsum": 6, "value_tmean": 6})
+
+
 def q_standardize(sf_dir: str) -> Dataset:
     ds = _events(sf_dir, ["event_id", "value"])
     ds = standardize(ds, ["value"], round_to=6)

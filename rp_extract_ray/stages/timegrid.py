@@ -79,3 +79,56 @@ def time_grid_aggregate(
     return partitioned_apply(
         b, fn, entity_col=entity_col, order_cols=("bucket",), num_partitions=64
     )
+
+
+def time_window_aggregate(
+    ds: Dataset,
+    *,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_s: float = 3600.0,
+    order_cols=("ts",),
+    num_partitions: int = 64,
+) -> Dataset:
+    """SLIDING time-window aggregates per row: sum/count/mean of ``value``
+    over the entity's rows with ``ts in [ts_i - window_s, ts_i]`` — SQL
+    ``RANGE BETWEEN INTERVAL w PRECEDING AND CURRENT ROW`` semantics
+    (same-timestamp peers are all included, exactly like the SQL frame; a
+    peer is the same instant, not the future).
+
+    Vectorized per entity run: two ``np.searchsorted`` passes bound each
+    row's window, run-LOCAL prefix sums difference into windowed sums
+    (local, so float error stays O(run values), never O(partition totals)).
+    The per-run Python loop touches only run boundaries; all arithmetic is
+    C kernels. Appends ``{value}_tsum/_tcnt/_tmean``.
+    """
+    import pandas as pd
+
+    from rp_extract_ray.stages.partition import partitioned_apply, run_bounds
+
+    w_us = np.int64(window_s * 1e6)
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        ts = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        tsum = np.empty(n)
+        tcnt = np.empty(n, dtype=np.int64)
+        run_starts, run_ends = run_bounds(starts, n)
+        for s, e in zip(run_starts, run_ends):
+            tsr = ts[s:e]
+            left = np.searchsorted(tsr, tsr - w_us, side="left")
+            right = np.searchsorted(tsr, tsr, side="right")
+            cum = np.concatenate([[0.0], np.cumsum(v[s:e])])
+            tsum[s:e] = cum[right] - cum[left]
+            tcnt[s:e] = right - left
+        pdf[f"{value_col}_tsum"] = tsum
+        pdf[f"{value_col}_tcnt"] = tcnt
+        pdf[f"{value_col}_tmean"] = tsum / np.maximum(tcnt, 1)
+        return pdf
+
+    return partitioned_apply(
+        ds, fn, entity_col=entity_col, order_cols=order_cols,
+        num_partitions=num_partitions,
+    )

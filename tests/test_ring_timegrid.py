@@ -76,3 +76,63 @@ def test_compute_or_load(corpus, tmp_path_factory):
     b = compute_or_load(out, make, num_partitions=4).to_pandas()
     assert calls["n"] == 1  # second call served from cache
     assert len(a) == len(b) == t.num_rows
+
+
+def test_time_window_aggregate_matches_pandas(corpus):
+    """Sliding time-window sum/count vs a brute-force per-row oracle."""
+    import numpy as np
+    import ray.data as rd
+
+    from rp_extract_ray.stages.timegrid import time_window_aggregate
+
+    t, _ = corpus
+    got = (
+        time_window_aggregate(
+            rd.from_arrow(t), entity_col="conv_id", ts_col="ts",
+            value_col="turn_idx", window_s=600.0,
+            order_cols=("ts", "turn_idx"), num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    )
+    src = t.to_pandas().sort_values(["conv_id", "ts", "turn_idx"], ignore_index=True)
+    for cid, g in src.groupby("conv_id"):
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g["turn_idx"].to_numpy(dtype=np.float64)
+        sub = got[got.conv_id == cid].sort_values(["ts", "turn_idx"])
+        for j in range(len(g)):
+            in_w = (ts >= ts[j] - 600_000_000) & (ts <= ts[j])
+            row = sub.iloc[j]
+            assert row["turn_idx_tcnt"] == in_w.sum(), (cid, j)
+            assert abs(row["turn_idx_tsum"] - v[in_w].sum()) < 1e-6, (cid, j)
+        break  # one conversation exhaustively; engine vs SQL oracle covers rest
+
+
+def test_hll_approx_distinct():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rp_extract_ray.functions.sketch import (
+        approx_distinct,
+        hll_accumulate,
+        hll_estimate,
+        hll_merge,
+    )
+
+    # kernel accuracy across magnitudes
+    for true_n in (1_000, 50_000, 500_000):
+        regs = hll_accumulate(np.arange(true_n, dtype=np.int64))
+        est = hll_estimate(regs)
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+    # mergeability: union of two halves == whole
+    a = hll_accumulate(np.arange(0, 60_000, dtype=np.int64))
+    b = hll_accumulate(np.arange(30_000, 100_000, dtype=np.int64))
+    est = hll_estimate(hll_merge(a, b))
+    assert abs(est - 100_000) / 100_000 < 0.05
+    # distributed path over a Dataset with duplicates
+    ds = rd.from_pandas(
+        pd.DataFrame({"k": np.arange(40_000, dtype=np.int64) % 7_000})
+    ).repartition(8)
+    est = approx_distinct(ds, "k")
+    assert abs(est - 7_000) / 7_000 < 0.05
