@@ -85,6 +85,31 @@ def q_dedup_exact(sf_dir: str) -> Dataset:
     ).select_columns(["doc_id", "n"])
 
 
+
+def _partial_groupby(ds: Dataset, keys: list[str], sums: dict[str, str], count_col: str | None):
+    """Map-side combine before the shuffle: each batch pre-aggregates to one
+    row per key, so the groupby exchange carries O(distinct keys x blocks)
+    rows instead of the full table (the brief's pre-aggregate pattern).
+    ``sums`` maps output column -> source column; ``count_col`` adds a row
+    count. Returns the final combined Dataset."""
+    import pandas as pd
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(keys, sort=False)
+        out = {}
+        for out_col, src in sums.items():
+            out[out_col] = g[src].sum()
+        if count_col:
+            out[count_col] = g.size()
+        return pd.DataFrame(out).reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    aggs = [Sum(c, alias_name=c) for c in sums]
+    if count_col:
+        aggs.append(Sum(count_col, alias_name=count_col))
+    return parts.groupby(keys if len(keys) > 1 else keys[0]).aggregate(*aggs)
+
+
 def q_tpch_q1(sf_dir: str) -> Dataset:
     ds = _read(
         sf_dir,
@@ -97,12 +122,17 @@ def q_tpch_q1(sf_dir: str) -> Dataset:
         return b.append_column("revenue", rev)
 
     ds = ds.map_batches(add_rev, batch_format="pyarrow")
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("revenue", alias_name="sum_revenue"),
-        Mean("l_discount", alias_name="avg_disc"),
-        Count(alias_name="n"),
+    out = _partial_groupby(
+        ds, ["l_returnflag", "l_linestatus"],
+        {"sum_qty": "l_quantity", "sum_revenue": "revenue", "_sum_disc": "l_discount"},
+        "n",
     )
+
+    def finish(b: pa.Table) -> pa.Table:
+        avg = pc.divide(b.column("_sum_disc"), pc.cast(b.column("n"), pa.float64()))
+        return b.drop_columns(["_sum_disc"]).append_column("avg_disc", avg)
+
+    out = out.map_batches(finish, batch_format="pyarrow")
     return _round_cols(out, {"sum_qty": 2, "sum_revenue": 2, "avg_disc": 6})
 
 
@@ -119,8 +149,8 @@ def q_join_agg(sf_dir: str) -> Dataset:
     joined = broadcast_join(
         orders, cust, on="o_custkey", small_on="c_custkey", value_cols=["c_mktsegment"]
     )
-    out = joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total")
+    out = _partial_groupby(
+        joined, ["c_mktsegment"], {"total": "o_totalprice"}, "n_orders"
     )
     return _round_cols(out, {"total": 2})
 
@@ -246,16 +276,22 @@ def q_top_terms(sf_dir: str, k: int = 20) -> Dataset:
 
     ds = _read(sf_dir, "documents", ["text"])
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+    def explode_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        # map-side combine: one (token, n) row per DISTINCT token per batch
         toks = batch["text"].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
         counts = toks.str.len().to_numpy()
-        flat = np.concatenate([np.array(t, dtype=object) for t in toks]) if counts.sum() else np.array([], dtype=object)
-        return pd.DataFrame({"token": flat})
+        flat = (
+            np.concatenate([np.array(t, dtype=object) for t in toks])
+            if counts.sum()
+            else np.array([], dtype=object)
+        )
+        vc = pd.Series(flat).value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(), "n": vc.to_numpy()})
 
     counted = (
-        ds.map_batches(explode, batch_format="pandas")
+        ds.map_batches(explode_counts, batch_format="pandas")
         .groupby("token")
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("n", alias_name="n"))
     )
     return distributed_topk(counted, ["n", "token"], [True, False], k)
 
