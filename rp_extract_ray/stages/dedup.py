@@ -600,6 +600,12 @@ def _vec_matrix(col: pa.ChunkedArray) -> np.ndarray:
         d = arr.type.list_size
         flat = arr.values.to_numpy(zero_copy_only=False)
         return flat.reshape(len(arr), d).astype(np.float64)
+    if not isinstance(arr, pa.ListArray):
+        # Ray tensor extension (ndarray cells) or other ext types
+        m = arr.to_numpy(zero_copy_only=False)
+        if isinstance(m, np.ndarray) and m.ndim == 2:
+            return m.astype(np.float64)
+        return np.stack(list(m)).astype(np.float64)
     offsets = arr.offsets.to_numpy(zero_copy_only=False)
     widths = np.diff(offsets)
     d = int(widths[0]) if len(widths) else 0

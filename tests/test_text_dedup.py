@@ -332,3 +332,60 @@ def test_dedup_clusters_distributed_matches_driver():
     # chain 1-2-3-4-5 all collapse to 1 (needs >1 round)
     lab = dist.set_index("id")["cluster_id"]
     assert lab[5] == 1 and lab[4] == 1
+
+
+def test_embedding_hot_bucket_10k_bounded():
+    """Degenerate hot bucket at m=10^4 (every vector in ONE bucket): the
+    tiled kernel processes it with tile^2-bounded similarity blocks instead
+    of one m x m matrix (which would be 800 MB at float64)."""
+    rng = np.random.default_rng(0)
+    n, d = 10_000, 16
+    V = rng.normal(size=(n, d)).astype(np.float32)
+    V[n - 5:] = V[:5] + rng.normal(scale=1e-3, size=(5, d)).astype(np.float32)
+    emb = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(V)})
+    out = embedding_near_dup(
+        rd.from_pandas(emb), cos_threshold=0.999, exhaustive=True, tile=1024
+    ).to_pandas()
+    found = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    for i in range(5):
+        assert (i, n - 5 + i) in found  # planted near-dups survive the tiles
+    assert (out["cos"] >= 0.999).all()
+
+
+def test_batch_simhash_kernels_match_reference_impl():
+    """Vectorized batch kernels == the per-doc reference kernels."""
+    from rp_extract_ray.functions.hashing import (
+        popcount64,
+        simhash64_batch,
+        tokens_hash_batch,
+    )
+
+    rng = np.random.default_rng(4)
+    toks = [
+        np.array([f"w{rng.integers(0, 50)}" for _ in range(rng.integers(0, 30))],
+                 dtype=object)
+        for _ in range(40)
+    ]
+    flat, counts = tokens_hash_batch(toks)
+    sigs = simhash64_batch(flat, counts)
+    # per-doc re-derivation with the same hash stream
+    import pandas as pd_
+
+    off = 0
+    for i, t in enumerate(toks):
+        h = pd_.util.hash_array(t.astype(object)) if len(t) else np.empty(0, np.uint64)
+        assert (flat[off:off + len(t)] == h).all()
+        if len(t) == 0:
+            assert sigs[i] == 0
+        else:
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+            ones = bits.sum(axis=0)
+            expect = np.uint64(0)
+            for j in range(64):
+                if 2 * ones[j] > len(t):
+                    expect |= np.uint64(1) << np.uint64(j)
+            assert sigs[i] == expect, i
+        off += len(t)
+    # popcount vs python bin().count
+    x = rng.integers(0, 2**63, size=200, dtype=np.uint64)
+    assert (popcount64(x) == [bin(int(v)).count("1") for v in x]).all()
