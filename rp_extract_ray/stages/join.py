@@ -152,3 +152,34 @@ def semi_anti_join(
         return batch.filter(mask)
 
     return big.map_batches(filt, batch_format="pyarrow")
+
+
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_partitions: int | None = None,
+    right_suffix: str = "_r",
+) -> Dataset:
+    """Distributed big-big equi-join: BOTH sides hash-partition by key and
+    partitions join independently — the path for when neither side fits a
+    broadcast (J2/J3 at 100x label-table scale; ``broadcast_join`` remains
+    the zero-shuffle choice for genuinely small sides). ``how``: inner /
+    left_outer / right_outer / full_outer. Colliding right column names get
+    ``right_suffix``. Aggregator sizing note: Ray spawns ``num_partitions``
+    join actors at 0.125 CPU each — the default scales with the cluster.
+    """
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 2)
+    return left.join(
+        right,
+        how,
+        num_partitions,
+        on=(on,),
+        right_on=(right_on or on,),
+        right_suffix=right_suffix,
+    )

@@ -252,3 +252,24 @@ def test_deterministic_sample_reproducible():
     # nested property: a 5% sample with the same seed is a subset of 10%
     d = deterministic_sample(ds, "k", 0.05, seed=1).to_pandas()
     assert set(d["k"]) <= set(a["k"])
+
+
+def test_hash_join_big_big():
+    import pandas as pd
+    import ray.data as rd
+
+    from rp_extract_ray.stages.join import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "x": [10.0, 20.0, 30.0, 40.0]})
+    right = pd.DataFrame({"kk": [2, 3, 5], "y": ["b", "c", "e"]})
+    inner = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k", right_on="kk")
+        .to_pandas().sort_values("k", ignore_index=True)
+    )
+    assert list(inner["k"]) == [2, 3] and list(inner["y"]) == ["b", "c"]
+    louter = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                  right_on="kk", how="left_outer")
+        .to_pandas().sort_values("k", ignore_index=True)
+    )
+    assert len(louter) == 4 and louter["y"].isna().sum() == 2

@@ -123,3 +123,39 @@ def test_salted_lag_guards(corpus):
             rd.from_arrow(t), ["text_len"], lags=(10,),
             salt=SaltSpec(chunk_turns=64, overlap=4),
         )
+
+
+def test_time_window_no_future_leakage(corpus):
+    """Sliding time-window aggregates read only rows with ts <= as-of point
+    (same-ts peers are the as-of instant itself, included by RANGE
+    semantics): poisoning strictly-later rows changes nothing at <= t0."""
+    from rp_extract_ray.stages.timegrid import time_window_aggregate
+
+    t, _ = corpus
+    pdf = t.to_pandas()
+    t0 = pdf["ts"].quantile(0.5)
+
+    def run(frame):
+        return (
+            time_window_aggregate(
+                rd.from_arrow(pa.Table.from_pandas(frame, preserve_index=False)),
+                entity_col="conv_id", ts_col="ts", value_col="turn_idx",
+                window_s=600.0, order_cols=ORDER, num_partitions=8,
+            )
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+        )
+
+    clean = run(pdf)
+    poisoned = pdf.copy()
+    fut = poisoned["ts"] > t0
+    assert fut.any() and (~fut).any()
+    poisoned["turn_idx"] = poisoned["turn_idx"].astype("int64")
+    poisoned.loc[fut, "turn_idx"] = poisoned.loc[fut, "turn_idx"] + 10_000_000
+    dirty = run(poisoned)
+    past = (clean["ts"] <= t0).to_numpy()
+    for c in ("turn_idx_tsum", "turn_idx_tcnt", "turn_idx_tmean"):
+        assert np.allclose(
+            clean.loc[past, c].to_numpy(dtype=np.float64),
+            dirty.loc[past, c].to_numpy(dtype=np.float64),
+        ), c
