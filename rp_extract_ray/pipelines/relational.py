@@ -77,12 +77,21 @@ def q_dup_check(sf_dir: str) -> Dataset:
 
 
 def q_dedup_exact(sf_dir: str) -> Dataset:
-    """Exact dedup: first (min doc_id) per identical text. Hash-partitioned
-    groupby on a content key (SURVEY.md §2.8)."""
+    """Exact dedup: first (min doc_id) per identical text (SURVEY.md §2.8).
+
+    Groups by a 64-bit CONTENT HASH, not the text itself — the shuffle
+    carries one int64 per row instead of the payload (the text-keyed
+    groupby was the one payload-through-the-exchange left in the engine).
+    The SQL oracle groups by text; a hash collision would diverge, at
+    ~1e-11 probability for these cardinalities."""
+    from rp_extract_ray.stages.dedup import exact_dedup
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.groupby("text").aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="n")
-    ).select_columns(["doc_id", "n"])
+    out = exact_dedup(ds, text_col="text", id_col="doc_id")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_dups"]).rename_columns(["doc_id", "n"]),
+        batch_format="pyarrow",
+    )
 
 
 

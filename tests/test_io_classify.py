@@ -273,3 +273,56 @@ def test_hash_join_big_big():
         .to_pandas().sort_values("k", ignore_index=True)
     )
     assert len(louter) == 4 and louter["y"].isna().sum() == 2
+
+
+def test_run_classify_cli_train_predict(tmp_path):
+    """§3.2/§3.3 entry points in-process (Ray session shared with pytest)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys_path_added = "/root/repo/tools"
+    import sys as _sys
+
+    if sys_path_added not in _sys.path:
+        _sys.path.insert(0, sys_path_added)
+    import run_classify
+
+    rng = np.random.default_rng(11)
+    n, d = 240, 8
+    y = rng.integers(0, 3, n)
+    X = rng.normal(size=(n, d)) + y[:, None] * 3.0
+    ids = [f"dir/f{i}.wav" for i in range(n)]
+    t = pa.table(
+        {
+            "id": pa.array(ids),
+            "vec": pa.FixedSizeListArray.from_arrays(pa.array(X.reshape(-1)), d),
+        }
+    )
+    fpath = str(tmp_path / "feat.parquet")
+    pq.write_table(t, fpath)
+    labels = pd.DataFrame({"id": [f"f{i}" for i in range(n)],
+                           "label": [f"c{v}" for v in y]})
+    cls_path = str(tmp_path / "labels.tsv")
+    labels.to_csv(cls_path, sep="\t", header=False, index=False)
+    model = str(tmp_path / "m.pkl")
+    rc = run_classify.main(
+        ["train", "--features", fpath, "--classfile", cls_path,
+         "--model", model, "--strip-ids", "--cv", "3"]
+    )
+    assert rc == 0
+    out = str(tmp_path / "pred.tsv")
+    rc = run_classify.main(
+        ["predict", "--features", fpath, "--model", model, "--out", out]
+    )
+    assert rc == 0
+    pred = pd.read_csv(out, sep="\t", header=None, names=["id", "label"])
+    assert len(pred) == n
+    truth = dict(zip(labels["id"], labels["label"]))
+    from rp_extract_ray.functions.ids import strip_ids
+
+    acc = np.mean(
+        [truth[s] == l for s, l in zip(strip_ids(pred["id"]).to_pylist(), pred["label"])]
+    )
+    assert acc > 0.9  # well-separated clusters
