@@ -1,0 +1,129 @@
+"""Declarative pipeline spec — §2.10's extension surface made concrete.
+
+The reference exposes every psychoacoustic stage as a boolean/int kwarg of
+one giant function (`rp_extract(...)`, /root/reference/rp_extract.py:384-405)
+and a feature-type registry (`available_feature_types`, :805-807). The
+Ray-native re-expression SURVEY.md prescribes: a LIST OF STAGE CONFIGS
+compiled to a chain of Dataset transforms, so pipelines are data (storable,
+diffable, driver-agnostic) rather than call sites.
+
+    spec = [
+        {"stage": "turn_stats"},
+        {"stage": "sessionize", "gap_threshold_s": 900},
+        {"stage": "window", "k": 8, "series_cols": ["text_len"]},
+        {"stage": "lag", "value_cols": ["text_len"], "lags": [1, 2]},
+        {"stage": "asof", "right": events_ds, "right_value_cols": ["value"]},
+    ]
+    ds = build_pipeline(ds, spec)
+
+Each entry names a registered stage; remaining keys pass through as that
+stage's kwargs. Unknown stages raise with the available names. The registry
+is open: ``register_stage`` is the user-extension hook.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from ray.data import Dataset
+
+
+def _turn_stats(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.turns import add_turn_stats
+
+    return add_turn_stats(ds, **kw)
+
+
+def _sessionize(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.session import sessionize
+
+    return sessionize(ds, **kw)
+
+
+def _window(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.window import add_window_features
+
+    series = kw.pop("series_cols", None)
+    if series is not None:
+        return add_window_features(ds, series, **kw)
+    return add_window_features(ds, **kw)
+
+
+def _lag(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.lag import add_lag_features
+
+    return add_lag_features(ds, kw.pop("value_cols"), **kw)
+
+
+def _asof(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.asof import asof_join
+
+    return asof_join(ds, kw.pop("right"), **kw)
+
+
+def _time_window(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.timegrid import time_window_aggregate
+
+    return time_window_aggregate(ds, **kw)
+
+
+def _time_grid(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.timegrid import time_grid_aggregate
+
+    return time_grid_aggregate(ds, **kw)
+
+
+def _rhythm(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.rhythm import rhythm_features
+
+    return rhythm_features(ds, **kw)
+
+
+def _standardize(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.standardize import standardize
+
+    return standardize(ds, kw.pop("value_cols"), **kw)
+
+
+def _validate(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.validate import validate_transcripts
+
+    return validate_transcripts(ds, **kw)
+
+
+_REGISTRY: dict[str, Callable[..., Dataset]] = {
+    "turn_stats": _turn_stats,
+    "sessionize": _sessionize,
+    "window": _window,
+    "lag": _lag,
+    "asof": _asof,
+    "time_window": _time_window,
+    "time_grid": _time_grid,
+    "rhythm": _rhythm,
+    "standardize": _standardize,
+    "validate": _validate,
+}
+
+
+def available_stages() -> list[str]:
+    """The feature/stage registry (reference `available_feature_types`,
+    /root/reference/rp_extract.py:805-807)."""
+    return sorted(_REGISTRY)
+
+
+def register_stage(name: str, fn: Callable[..., Dataset]) -> None:
+    """User-extension hook: plug a custom stage into the spec language."""
+    _REGISTRY[name] = fn
+
+
+def build_pipeline(ds: Dataset, spec: list[dict[str, Any]]) -> Dataset:
+    """Compile a stage-config list into a chained Dataset pipeline."""
+    for i, entry in enumerate(spec):
+        entry = dict(entry)
+        name = entry.pop("stage", None)
+        if name not in _REGISTRY:
+            raise ValueError(
+                f"spec[{i}]: unknown stage {name!r}; available: {available_stages()}"
+            )
+        ds = _REGISTRY[name](ds, **entry)
+    return ds

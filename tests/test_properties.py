@@ -83,3 +83,48 @@ def test_round_half_away_matches_decimal(x, nd):
         decimal.Decimal(1).scaleb(-nd), rounding=decimal.ROUND_HALF_UP
     )
     assert abs(got - float(d)) <= abs(x) * 1e-15 + 10.0**-nd * 1e-6
+
+
+def test_declarative_spec_matches_hand_built(corpus):
+    """A spec-compiled pipeline == the equivalent hand-chained calls."""
+    import numpy as np
+    import ray.data as rd
+
+    from rp_extract_ray.pipelines.spec import (
+        available_stages,
+        build_pipeline,
+        register_stage,
+    )
+    from rp_extract_ray.stages.session import sessionize
+    from rp_extract_ray.stages.turns import add_turn_stats
+    from rp_extract_ray.stages.window import add_window_features
+
+    t, _ = corpus
+    spec = [
+        {"stage": "turn_stats"},
+        {"stage": "sessionize", "order_cols": ("ts", "turn_idx"), "num_partitions": 8},
+        {"stage": "window", "k": 8, "series_cols": ["text_len"],
+         "order_cols": ("ts", "turn_idx"), "num_partitions": 8},
+    ]
+    got = (
+        build_pipeline(rd.from_arrow(t), spec)
+        .to_pandas().sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    )
+    hand = add_turn_stats(rd.from_arrow(t))
+    hand = sessionize(hand, order_cols=("ts", "turn_idx"), num_partitions=8)
+    hand = add_window_features(
+        hand, ["text_len"], k=8, order_cols=("ts", "turn_idx"), num_partitions=8
+    )
+    exp = hand.to_pandas().sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    assert list(got.columns) == list(exp.columns)
+    assert np.allclose(
+        got["text_len_wmean"].to_numpy(), exp["text_len_wmean"].to_numpy()
+    )
+    assert "window" in available_stages()
+    # extension hook + unknown-stage error
+    register_stage("noop", lambda ds: ds)
+    assert build_pipeline(rd.from_arrow(t), [{"stage": "noop"}]).count() == len(t)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown stage"):
+        build_pipeline(rd.from_arrow(t), [{"stage": "bogus"}])
