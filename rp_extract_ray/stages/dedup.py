@@ -30,6 +30,17 @@ from ray.data.aggregate import Count, Min
 from rp_extract_ray.functions.hashing import MinHasher, char_shingles, jaccard
 from rp_extract_ray.stages.partition import run_bounds, stable_hash
 
+_MH_CACHE: dict = {}
+
+
+def _minhasher_cached(num_perm: int, shingle_k: int) -> MinHasher:
+    """One MinHasher per (params, worker process) — ST1/ST2 state for a
+    stateless task pool."""
+    key = (num_perm, shingle_k)
+    if key not in _MH_CACHE:
+        _MH_CACHE[key] = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
+    return _MH_CACHE[key]
+
 
 def exact_dedup(
     ds: Dataset, text_col: str = "text", id_col: str = "doc_id"
@@ -145,32 +156,30 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
 
-    class Signatures:
-        def __init__(self):
-            self.mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
+    def signatures(batch: pd.DataFrame) -> pd.DataFrame:
+        # stateless TASKS, not an actor pool: the permutation coefficients
+        # are built once per WORKER PROCESS (module-level cache) so the
+        # stage scales to every free CPU instead of a fixed actor count
+        mh = _minhasher_cached(num_perm, shingle_k)
+        sigs = mh.signatures_batch(batch[text_col].fillna(""))  # (n, num_perm)
+        bh = np.empty((len(batch), bands), dtype=np.int64)
+        for b in range(bands):
+            seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+            h = pd.util.hash_pandas_object(
+                pd.DataFrame(seg.astype(np.int64)), index=False
+            ).to_numpy()
+            # mix the band index in so one flat bucket key is exact
+            # wraparound intended; scalar uint64 mult warns, so mask in int
+            mix = np.uint64(((b + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+            bh[:, b] = (h ^ mix).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(batch[id_col].to_numpy(), bands),
+                "band_hash": bh.reshape(-1),
+            }
+        )
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            sigs = self.mh.signatures_batch(batch[text_col].fillna(""))  # (n, num_perm)
-            bh = np.empty((len(batch), bands), dtype=np.int64)
-            for b in range(bands):
-                seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
-                h = pd.util.hash_pandas_object(
-                    pd.DataFrame(seg.astype(np.int64)), index=False
-                ).to_numpy()
-                # mix the band index in so one flat bucket key is exact
-                # wraparound intended; scalar uint64 mult warns, so mask in int
-                mix = np.uint64(((b + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
-                bh[:, b] = (h ^ mix).astype(np.int64)
-            return pd.DataFrame(
-                {
-                    id_col: np.repeat(batch[id_col].to_numpy(), bands),
-                    "band_hash": bh.reshape(-1),
-                }
-            )
-
-    exploded = ds.map_batches(
-        Signatures, batch_format="pandas", batch_size=512, concurrency=concurrency
-    )
+    exploded = ds.map_batches(signatures, batch_format="pandas", batch_size=512)
 
     # pair generation: one partitioned pass over bucket RUNS, not one
     # map_groups call per bucket (most buckets are singletons; a per-bucket
@@ -497,40 +506,38 @@ def simhash_pairs(
 ) -> Dataset:
     """Near-dup pairs by SimHash banding (4 x 16-bit bands: any pair within
     Hamming distance 3 shares at least one exact band) + Hamming verify."""
-    from rp_extract_ray.functions.hashing import simhash64_batch, tokens_hash_batch
     import re
 
-    class Sigs:
-        def __init__(self):
-            self.tok = re.compile(r"\w+", re.ASCII)
+    from rp_extract_ray.functions.hashing import simhash64_batch, tokens_hash_batch
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            # per-doc work = one regex findall; hashing + bit aggregation
-            # run ONCE over the batch's concatenated token stream
-            toks = [
-                np.array(self.tok.findall((t or "").lower()), dtype=object)
-                for t in batch[text_col].fillna("")
-            ]
-            flat, counts = tokens_hash_batch(toks)
-            sh = simhash64_batch(flat, counts)
-            keys = np.stack(
-                [
-                    (((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF))
-                     ^ np.uint64(((b + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)).astype(np.int64)
-                    for b in range(4)  # band index mixed in: flat exact key
-                ],
-                axis=1,
-            ).reshape(-1)
-            rows = {
-                id_col: np.repeat(batch[id_col].to_numpy(), 4),
-                "band_key": keys,
-                "simhash": np.repeat(sh.astype(np.int64), 4),
-            }
-            return pd.DataFrame(rows)
+    tok = re.compile(r"\w+", re.ASCII)  # shipped in the closure, compiled once
 
-    exploded = ds.map_batches(
-        Sigs, batch_format="pandas", batch_size=512, concurrency=concurrency
-    )
+    def sigs_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        # stateless tasks (scale to all CPUs); per-doc work = one regex
+        # findall; hashing + bit aggregation run ONCE over the batch's
+        # concatenated token stream
+        toks = [
+            np.array(tok.findall((t or "").lower()), dtype=object)
+            for t in batch[text_col].fillna("")
+        ]
+        flat, counts = tokens_hash_batch(toks)
+        sh = simhash64_batch(flat, counts)
+        keys = np.stack(
+            [
+                (((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+                 ^ np.uint64(((b + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)).astype(np.int64)
+                for b in range(4)  # band index mixed in: flat exact key
+            ],
+            axis=1,
+        ).reshape(-1)
+        rows = {
+            id_col: np.repeat(batch[id_col].to_numpy(), 4),
+            "band_key": keys,
+            "simhash": np.repeat(sh.astype(np.int64), 4),
+        }
+        return pd.DataFrame(rows)
+
+    exploded = ds.map_batches(sigs_batch, batch_format="pandas", batch_size=512)
 
     from rp_extract_ray.stages.partition import partitioned_apply
 

@@ -116,11 +116,17 @@ def add_quality_scores(ds: Dataset, text_col: str = "text") -> Dataset:
     )
 
 
-def add_langid(ds: Dataset, text_col: str = "text", concurrency=(1, 8)) -> Dataset:
-    return ds.map_batches(
-        LangId, batch_format="pandas", fn_constructor_kwargs={"text_col": text_col},
-        concurrency=concurrency,
-    )
+def add_langid(ds: Dataset, text_col: str = "text", concurrency=None) -> Dataset:
+    """Stateless tasks: the profile tables are tiny and ship in the
+    closure, so the stage scales to every free CPU (an explicit
+    ``concurrency`` switches back to an actor pool)."""
+    if concurrency is not None:
+        return ds.map_batches(
+            LangId, batch_format="pandas",
+            fn_constructor_kwargs={"text_col": text_col}, concurrency=concurrency,
+        )
+    clf = LangId(text_col=text_col)
+    return ds.map_batches(clf.__call__, batch_format="pandas")
 
 
 def add_fingerprints(ds: Dataset, text_col: str = "text", concurrency=(1, 8)) -> Dataset:
@@ -136,20 +142,17 @@ def add_fingerprints(ds: Dataset, text_col: str = "text", concurrency=(1, 8)) ->
     )
     import re
 
-    class Fingerprint:
-        def __init__(self):
-            self.tok = re.compile(r"\w+", re.ASCII)
+    tok = re.compile(r"\w+", re.ASCII)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            texts = batch[text_col].fillna("")
-            batch["fingerprint"] = [
-                rolling_fingerprint(t).astype(np.int64) for t in texts
-            ]
-            toks = [
-                np.array(self.tok.findall(t.lower()), dtype=object) for t in texts
-            ]
-            flat, counts = tokens_hash_batch(toks)
-            batch["simhash"] = simhash64_batch(flat, counts).astype(np.int64)
-            return batch
+    def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("")
+        batch["fingerprint"] = [
+            rolling_fingerprint(t).astype(np.int64) for t in texts
+        ]
+        toks = [np.array(tok.findall(t.lower()), dtype=object) for t in texts]
+        flat, counts = tokens_hash_batch(toks)
+        batch["simhash"] = simhash64_batch(flat, counts).astype(np.int64)
+        return batch
 
-    return ds.map_batches(Fingerprint, batch_format="pandas", concurrency=concurrency)
+    # stateless tasks: compiled pattern ships in the closure; scales to all CPUs
+    return ds.map_batches(fingerprint_batch, batch_format="pandas")
