@@ -126,6 +126,7 @@ def feature_backfill_payload_light(
     payload_cols=("text",),
     right_value_cols=("value",),
     metrics_sink=None,
+    blocks_per_shard: int = 4,
 ) -> Dataset:
     """Payload-light backfill: the heavy ``text`` payload NEVER enters the
     all-to-all exchange.
@@ -157,8 +158,7 @@ def feature_backfill_payload_light(
     # the shuffle; only the heavy payload_cols stay behind
     numeric_cols = [entity_col, turn_col, ts_col, "role", "tool"]
 
-    def project(batch: pa.Table) -> pa.Table:
-        out = []
+    def project(batch: pa.Table):
         for p in batch.column("path").to_pylist():
             t = pq.read_table(p, columns=numeric_cols + list(payload_cols))
             stats = add_turn_stats_batch(t)  # text_len/token_est/role flags
@@ -168,8 +168,13 @@ def feature_backfill_payload_light(
                 "_shard", pa.array(np.full(n, shard_index[p], dtype=np.int32))
             )
             stats = stats.append_column("_pos", pa.array(np.arange(n, dtype=np.int64)))
-            out.append(stats)
-        return pa.concat_tables(out)
+            # yield several blocks per shard: with one block per shard the
+            # whole downstream pipeline is capped at n_shards tasks and a
+            # big shard becomes a straggler; finer blocks let the exchange
+            # and the grouped stages balance across the cluster
+            step = max(1, (n + blocks_per_shard - 1) // blocks_per_shard)
+            for off in range(0, n, step):
+                yield stats.slice(off, step)
 
     slim = paths_ds.map_batches(project, batch_format="pyarrow", batch_size=1)
 
