@@ -251,6 +251,18 @@ def verify_pairs_jaccard(
     # and the table is bounded by the LSH candidate count (star expansion
     # keeps that O(corpus)), so this is scale-safe.
     uniq = uniq.materialize()
+    out_schema = pa.schema(
+        [
+            pa.field("id_a", pa.int64()),
+            pa.field("id_b", pa.int64()),
+            pa.field("n_bands", pa.int64()),
+            pa.field("jaccard", pa.float64()),
+        ]
+    )
+    if uniq.count() == 0:
+        # empty candidate set: skip the joins entirely (acero cannot join
+        # a schema-less empty table), return a typed empty result
+        return rd.from_arrow(out_schema.empty_table())
 
     def flat_ids(b: pa.Table) -> pa.Table:
         ids = np.concatenate(
@@ -289,15 +301,6 @@ def verify_pairs_jaccard(
     sh_b = docs_sh.map_batches(as_side("b"), batch_format="pyarrow")
     joined = uniq.join(sh_a, "inner", num_partitions, on=("id_a",)).join(
         sh_b, "inner", num_partitions, on=("id_b",)
-    )
-
-    out_schema = pa.schema(
-        [
-            pa.field("id_a", pa.int64()),
-            pa.field("id_b", pa.int64()),
-            pa.field("n_bands", pa.int64()),
-            pa.field("jaccard", pa.float64()),
-        ]
     )
 
     def batch_jaccard(b: pa.Table) -> pa.Table:

@@ -212,3 +212,60 @@ def test_salted_sessionize_copartitioned_offsets(corpus, enriched_oracle):
     assert len(got) == len(exp)
     assert (got["session_id"].to_numpy() == exp["session_id"].to_numpy()).all()
     assert np.allclose(got["gap_s"].to_numpy(), exp["gap_s"].to_numpy())
+
+
+def test_asof_value_collision_branches(corpus):
+    """Co-partitioned as-of: colliding right value columns raise without
+    left_schema (no-probe path can't rename safely) and rename to _r with
+    an explicit left_schema."""
+    import pyarrow as pa
+
+    t, ev = corpus
+    # left already carries a 'value' column (events' value col name)
+    left = rd.from_arrow(t.append_column("value", pa.array([1.0] * len(t))))
+    with pytest.raises(Exception, match="collide|left_schema"):
+        asof_join(
+            left, rd.from_arrow(ev), right_value_cols=["value"],
+            num_partitions=4,
+        ).to_pandas()
+    schema = t.schema.append(pa.field("value", pa.float64()))
+    out = asof_join(
+        left, rd.from_arrow(ev), right_value_cols=["value"],
+        num_partitions=4, left_schema=schema,
+    ).to_pandas()
+    assert "value_r" in out.columns and "value" in out.columns
+
+
+def test_stages_on_empty_input():
+    """Every core stage handles a 0-row dataset without error."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from rp_extract_ray.stages.lag import add_lag_features
+    from rp_extract_ray.stages.timegrid import time_window_aggregate
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "role": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+            "tool": pa.array([], pa.string()),
+            "ts": pa.array([], pa.timestamp("us")),
+        }
+    )
+    ds = add_turn_stats(rd.from_arrow(empty))
+    assert sessionize(ds, order_cols=ORDER, num_partitions=4).count() == 0
+    assert add_window_features(ds, k=4, order_cols=ORDER, num_partitions=4).count() == 0
+    assert add_lag_features(
+        ds, ["text_len"], order_cols=ORDER, num_partitions=4
+    ).count() == 0
+    assert time_window_aggregate(
+        ds, entity_col="conv_id", ts_col="ts", value_col="text_len",
+        order_cols=ORDER, num_partitions=4,
+    ).count() == 0
+    from rp_extract_ray.stages.dedup import minhash_lsh_pairs
+
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                        "text": pd.Series([], dtype="object")}))
+    assert minhash_lsh_pairs(docs, jaccard_threshold=0.5).count() == 0
