@@ -146,7 +146,6 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.6,
     verify: bool = True,
-    concurrency=(1, 8),
 ) -> Dataset:
     """Near-duplicate candidate pairs via MinHash + banded LSH.
 
@@ -505,7 +504,6 @@ def simhash_pairs(
     id_col: str = "doc_id",
     *,
     max_hamming: int = 3,
-    concurrency=(1, 8),
 ) -> Dataset:
     """Near-dup pairs by SimHash banding (4 x 16-bit bands: any pair within
     Hamming distance 3 shares at least one exact band) + Hamming verify."""

@@ -129,7 +129,7 @@ def add_langid(ds: Dataset, text_col: str = "text", concurrency=None) -> Dataset
     return ds.map_batches(clf.__call__, batch_format="pandas")
 
 
-def add_fingerprints(ds: Dataset, text_col: str = "text", concurrency=(1, 8)) -> Dataset:
+def add_fingerprints(ds: Dataset, text_col: str = "text") -> Dataset:
     """Winnowing-style rolling-hash fingerprints + simhash per document.
 
     SimHash is computed by the batch kernel (one hash pass + one reduceat
