@@ -432,11 +432,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
         # Knuth multiplicative hash replicated exactly (BIGINT arithmetic
-        # stays far below 2^63 for these keys)
+        # stays far below 2^63 for these keys). floor() before CAST: the
+        # engine truncates int(rate * 2**32); a bare CAST rounds half-up and
+        # would diverge for a row landing exactly on the boundary.
         "sample": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             WHERE (o_orderkey * 2654435761 + 1 * 2654435769) % 4294967296
-                  < CAST(0.05 * 4294967296 AS BIGINT)""",
+                  < CAST(floor(0.05 * 4294967296) AS BIGINT)""",
         "top_terms": r"""
             SELECT t AS token, CAST(count(*) AS BIGINT) AS n
             FROM (SELECT unnest(regexp_extract_all(lower(text), '[0-9a-z_]+'))

@@ -91,10 +91,15 @@ def write_wav24_bytes(rate: int, data: np.ndarray) -> bytes:
     payload = le.tobytes()
     block = 3 * ch
     fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, 24)
+    # RIFF word alignment: an odd-length data chunk (mono with odd sample
+    # count -> 3*n odd) carries one zero pad byte AFTER the payload; the
+    # chunk-size field stays the unpadded length and the RIFF size counts
+    # the pad (strict readers require this; our parser skips it via size&1)
+    pad = b"\x00" if len(payload) % 2 else b""
     out = b"".join(
         [
             b"RIFF",
-            struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload)),
+            struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload) + len(pad)),
             b"WAVE",
             b"fmt ",
             struct.pack("<I", len(fmt)),
@@ -102,6 +107,7 @@ def write_wav24_bytes(rate: int, data: np.ndarray) -> bytes:
             b"data",
             struct.pack("<I", len(payload)),
             payload,
+            pad,
         ]
     )
     return out

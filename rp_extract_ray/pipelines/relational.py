@@ -203,7 +203,7 @@ def q_region_customers(sf_dir: str) -> Dataset:
     return joined.groupby("r_name").aggregate(Count(alias_name="n_customers"))
 
 
-def q_distinct(sf_dir: str):
+def q_distinct(sf_dir: str) -> "pd.DataFrame":
     """§2.8 set op: distinct-key counts WITHOUT driver materialization.
 
     ``Dataset.unique`` pulls every distinct key to the driver; at 100x key
@@ -224,7 +224,7 @@ def q_distinct(sf_dir: str):
     return pd.DataFrame({"n_custkeys": [int(n_cust)], "n_partkeys": [int(n_part)]})
 
 
-def q_topk(sf_dir: str, k: int = 10):
+def q_topk(sf_dir: str, k: int = 10) -> "pd.DataFrame":
     """§2.7 top-k via per-block partials + tiny merge (no global sort)."""
     return distributed_topk(
         _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
@@ -276,7 +276,7 @@ def q_sample(sf_dir: str, rate: float = 0.05, seed: int = 1) -> Dataset:
     return deterministic_sample(ds, "o_orderkey", rate, seed)
 
 
-def q_top_terms(sf_dir: str, k: int = 20) -> Dataset:
+def q_top_terms(sf_dir: str, k: int = 20) -> "pd.DataFrame":
     """Vocabulary head: token explode (flat_map pattern) -> distributed
     count -> global top-k. The training-data vocab-building op; tokens are
     lowercased ``\\w+`` runs matching the SQL oracle's regexp_extract_all."""
@@ -307,7 +307,7 @@ def q_top_terms(sf_dir: str, k: int = 20) -> Dataset:
 
 def distributed_topk(
     ds: Dataset, cols: list[str], descending: list[bool], k: int
-):
+) -> "pd.DataFrame":
     """Global top-k WITHOUT a global sort: each block keeps its local top-k
     (vectorized Arrow sort per batch), and only the tiny partials
     (k x n_blocks rows) reach the final merge. A `Dataset.sort().limit(k)`

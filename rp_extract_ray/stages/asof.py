@@ -206,7 +206,20 @@ def asof_join(
             [entity_col, ts_col, *out_value_cols]
         ).to_pandas()
         if len(lpart) == 0:
-            return group.slice(0, 0)  # empty; schemas unify across blocks
+            # right-only partition: with a declared left schema, emit a typed
+            # empty block in the exact OUTPUT shape (a right-shaped slice
+            # would make schema-sensitive consumers — write_parquet,
+            # Dataset.schema — see the wrong columns on that block)
+            if left_schema is not None:
+                unified = pa.schema(
+                    [left_schema.field(n) for n in left_schema.names]
+                    + [pa.field(c, out_rtypes[c]) for c in out_value_cols]
+                )
+                return unified.empty_table()
+            # no declared schema: left columns are unknowable here; emit the
+            # left-shaped columns present in the group (right value cols are
+            # part of the output shape) and rely on downstream unification
+            return group.slice(0, 0)
         merged = _merge_asof_frames(
             lpart,
             rpart,

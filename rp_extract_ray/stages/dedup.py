@@ -223,8 +223,9 @@ def verify_pairs_jaccard(
 ) -> Dataset:
     """Exact-shingle-Jaccard verification of candidate pairs — DISTRIBUTED.
 
-    Nothing touches the driver: candidate doc ids are deduplicated with a
-    groupby, the corpus is pruned by a hash semi-join, per-doc shingle sets
+    Nothing touches the driver: the raw (id_a ∪ id_b) candidate-id stream
+    semi-joins the corpus directly (left_semi keeps a doc once regardless of
+    duplicate candidate keys, so no dedup pass is needed), per-doc shingle sets
     are computed once (vectorized byte k-grams, functions/hashing.py), then
     TWO hash joins attach each pair's shingle sets and a ``map_batches``
     computes exact Jaccard per pair (``np.intersect1d`` on sorted-unique
@@ -234,7 +235,6 @@ def verify_pairs_jaccard(
     """
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Count
 
     if num_partitions is None:
         # each Join spawns num_partitions aggregator actors at 0.125 CPU;
@@ -737,7 +737,6 @@ def embedding_near_dup(
         )
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
-    dim_holder: dict = {}
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
         if len(g) < 2:
