@@ -687,6 +687,56 @@ def _cos_table(a: np.ndarray, b: np.ndarray, c: np.ndarray, id_col: str) -> pa.T
     ).cast(_COS_SCHEMA)
 
 
+def _blocked_cosine_pairs(
+    packed: Dataset,
+    id_col: str,
+    *,
+    cos_threshold: float,
+    num_blocks: int,
+    tile: int = 2048,
+) -> Dataset:
+    """All-pairs thresholded cosine over a packed (id, unit:binary) Dataset,
+    decomposed into B*(B+1)/2 independent block-pair tasks over OBJECT-STORE
+    Arrow blocks. Results stay in the object store end-to-end: the task refs
+    feed ``from_arrow_refs`` directly — no driver collect anywhere (the
+    round-2 ``ray.get`` + concat is gone). Shared by :func:`exact_cosine_pairs`
+    (whole corpus) and :func:`embedding_near_dup` (dense-bucket split)."""
+    import ray
+    import ray.data as rd
+
+    refs = packed.repartition(num_blocks).to_arrow_refs()
+
+    @ray.remote
+    def block_pairs(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        if len(ta) == 0 or len(tb) == 0:
+            return _COS_SCHEMA.empty_table()
+        ids_a = ta.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids_b = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = len(ta.column("unit")[0].as_py()) // 8
+        U_a = _unpack_f64(ta.column("unit"), d)
+        U_b = _unpack_f64(tb.column("unit"), d)
+        if same:
+            order = np.argsort(ids_a)
+            ids_a = ids_b = ids_a[order]
+            U_a = U_b = U_a[order]
+        a, b2, c = _pair_block(
+            ids_a, U_a, ids_b, U_b, cos_threshold, upper_only=same, tile=tile
+        )
+        if not same:  # distinct blocks may still pair ids both ways; canon + drop self
+            keep = a != b2
+            a, b2, c = a[keep], b2[keep], c[keep]
+        return _cos_table(a, b2, c, id_col)
+
+    tasks = [
+        block_pairs.remote(refs[i], refs[j], i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    if not tasks:
+        return rd.from_arrow(_COS_SCHEMA.empty_table())
+    return rd.from_arrow_refs(tasks)
+
+
 def embedding_near_dup(
     ds: Dataset,
     vec_col: str = "embedding",
@@ -697,6 +747,7 @@ def embedding_near_dup(
     seed: int = 5,
     exhaustive: bool = False,
     tile: int = 2048,
+    bucket_split_threshold: int | None = 8192,
 ) -> Dataset:
     """Cosine near-dup pairs over an embedding column (id_a, id_b, cos).
 
@@ -705,13 +756,20 @@ def embedding_near_dup(
     at cos >= threshold usually share the sign pattern for high thresholds;
     tests/test_text_dedup.py measures recall vs the exact sweep).
     ``n_planes=None`` scales the plane count with corpus size (mean bucket
-    ~256 rows). Within-bucket verification is TILED (``tile``): memory is
-    bounded by tile^2 floats even for a degenerate all-in-one-bucket corpus
-    — the round-1 O(m^2)-per-bucket materialization is gone.
-    ``exhaustive=True`` puts everything in one bucket (exact; small inputs /
-    oracles only — for a distributed exact sweep use
-    :func:`exact_cosine_pairs`).
+    ~256 rows). Within-bucket verification is TILED (``tile``): compute
+    memory is bounded by tile^2 floats; buckets larger than
+    ``bucket_split_threshold`` members additionally leave the ``map_groups``
+    path entirely and run as block-pair tasks (the :func:`exact_cosine_pairs`
+    decomposition restricted to the bucket), so a degenerate hot bucket never
+    has to MATERIALIZE in one task either — per-task memory is bounded by
+    two sub-blocks + one tile everywhere. ``exhaustive=True`` puts everything
+    in one bucket (exact; small inputs / oracles only — for a distributed
+    exact sweep use :func:`exact_cosine_pairs`).
     """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
     if n_planes is None:
         n = ds.count()
         n_planes = int(np.clip(np.ceil(np.log2(max(n, 2) / 256.0)), 4, 24))
@@ -752,7 +810,61 @@ def embedding_near_dup(
         )
         return _cos_table(a, b2, c, id_col)
 
-    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    if bucket_split_threshold is None:
+        return bucketed.groupby("bucket").map_groups(
+            bucket_pairs, batch_format="pyarrow"
+        )
+
+    # dense-bucket split: find buckets whose membership exceeds the
+    # threshold (only the filtered hot rows reach the driver — a handful of
+    # (bucket, n) pairs by construction), route them through block-pair
+    # tasks, everything else through the grouped path
+    bucketed = bucketed.materialize()  # consumed by sizes + both pair paths
+    hot = (
+        bucketed.groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(
+            lambda b: b.filter(
+                pa.compute.greater(b.column("n"), bucket_split_threshold)
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    if len(hot) == 0:
+        return bucketed.groupby("bucket").map_groups(
+            bucket_pairs, batch_format="pyarrow"
+        )
+    hot_ids = set(int(x) for x in hot["bucket"])
+    hot_set_ref = ray.put(np.array(sorted(hot_ids), dtype=np.int64))
+
+    def is_hot(b: pa.Table, invert: bool) -> pa.Table:
+        hs = ray.get(hot_set_ref)
+        bk = b.column("bucket").to_numpy(zero_copy_only=False)
+        m = np.isin(bk, hs)
+        return b.filter(pa.array(~m if invert else m))
+
+    normal = bucketed.map_batches(
+        is_hot, batch_format="pyarrow", fn_kwargs={"invert": True}
+    )
+    out = normal.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    for bk, n_members in zip(hot["bucket"], hot["n"]):
+        sub = bucketed.map_batches(
+            lambda b, _bk=int(bk): b.filter(
+                pa.compute.equal(b.column("bucket"), _bk)
+            ).select([id_col, "unit"]),
+            batch_format="pyarrow",
+        )
+        # block size ~ bucket_split_threshold/2 rows: per-task memory stays
+        # two sub-blocks + one tile regardless of how degenerate the bucket is
+        nb = max(2, cpus // 2, int(np.ceil(2 * n_members / bucket_split_threshold)))
+        out = out.union(
+            _blocked_cosine_pairs(
+                sub, id_col, cos_threshold=cos_threshold, num_blocks=nb, tile=tile
+            )
+        )
+    return out
 
 
 def exact_cosine_pairs(
@@ -768,16 +880,18 @@ def exact_cosine_pairs(
 
     The O(n^2) work is decomposed into B*(B+1)/2 independent block-pair
     tasks: the normalized matrix is partitioned into B Arrow blocks held in
-    the OBJECT STORE (``to_arrow_refs`` — never the driver), and each
-    stateless task reads two blocks zero-copy and emits its thresholded
-    pairs via the tiled kernel. Raw Ray tasks are used because a block-pair
-    cross product is not expressible as a Dataset transform (same pattern as
-    the stateless partial-top-k tasks in stages/simsearch.py). Compute is
-    inherently quadratic — this is the oracle/exact path; the scale path is
-    :func:`embedding_near_dup`.
+    the OBJECT STORE (``to_arrow_refs`` — never the driver), each stateless
+    task reads two blocks zero-copy and emits its thresholded pairs via the
+    tiled kernel, and the task refs feed ``from_arrow_refs`` so every result
+    table ALSO stays in the object store (no driver collect — a
+    low-threshold sweep emits O(n^2) pairs and the round-2 ``ray.get`` +
+    concat would OOM the driver; tests assert bounded driver RSS). Raw Ray
+    tasks are used because a block-pair cross product is not expressible as
+    a Dataset transform (same pattern as the stateless partial-top-k tasks
+    in stages/simsearch.py). Compute is inherently quadratic — this is the
+    oracle/exact path; the scale path is :func:`embedding_near_dup`.
     """
     import ray
-    import ray.data as rd
 
     if num_blocks is None:
         num_blocks = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
@@ -794,39 +908,10 @@ def exact_cosine_pairs(
             }
         )
 
-    packed = ds.map_batches(pack, batch_format="pyarrow").repartition(num_blocks)
-    refs = packed.to_arrow_refs()
-
-    @ray.remote
-    def block_pairs(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
-        if len(ta) == 0 or len(tb) == 0:
-            return _COS_SCHEMA.empty_table()
-        ids_a = ta.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        ids_b = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        d = len(ta.column("unit")[0].as_py()) // 8
-        U_a = _unpack_f64(ta.column("unit"), d)
-        U_b = _unpack_f64(tb.column("unit"), d)
-        if same:
-            order = np.argsort(ids_a)
-            ids_a = ids_b = ids_a[order]
-            U_a = U_b = U_a[order]
-        a, b2, c = _pair_block(
-            ids_a, U_a, ids_b, U_b, cos_threshold, upper_only=same, tile=tile
-        )
-        if not same:  # distinct blocks may still pair ids both ways; canon + drop self
-            keep = a != b2
-            a, b2, c = a[keep], b2[keep], c[keep]
-        return _cos_table(a, b2, c, id_col)
-
-    tasks = [
-        block_pairs.remote(refs[i], refs[j], i == j)
-        for i in range(len(refs))
-        for j in range(i, len(refs))
-    ]
-    tables = [t for t in ray.get(tasks) if len(t)]
-    if not tables:
-        return rd.from_arrow(_COS_SCHEMA.empty_table())
-    return rd.from_arrow(pa.concat_tables(tables))
+    packed = ds.map_batches(pack, batch_format="pyarrow")
+    return _blocked_cosine_pairs(
+        packed, id_col, cos_threshold=cos_threshold, num_blocks=num_blocks, tile=tile
+    )
 
 
 def ngram_jaccard_pairs(
