@@ -64,15 +64,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": D.q_token_count,
         "text_quality": D.q_text_quality,
         "langid": D.q_langid,
-        "fingerprint": D.q_fingerprint,             # rows-only
+        "fingerprint": D.q_fingerprint,
         "minhash_pairs": D.q_minhash_pairs,
         "ngram_jaccard_pairs": D.q_ngram_jaccard,
-        "simhash_pairs": D.q_simhash_pairs,         # rows-only
+        "simhash_pairs": D.q_simhash_pairs,
         "embedding_near_dup": D.q_embedding_near_dup,
         "cosine_pairs": D.q_cosine_pairs,
         "knn_cosine": D.q_knn,
         "embedding_label_stats": D.q_embedding_label_stats,
-        # full windowed/rhythm feature stages (rows-only; pytest oracles)
+        # full windowed/rhythm feature stages
         "window_features_full": E.q_window_features_full,
         "rhythm_features": E.q_rhythm,
         "flagship_backfill": E.q_flagship,
@@ -266,6 +266,8 @@ _GAP = f"coalesce(date_diff('microsecond', lag(ts) OVER ({_W}), ts)/1000000.0, 0
 
 
 def oracle_sql() -> dict[str, str]:
+    from rp_extract_ray.pipelines import oracle_literals as _lit
+
     return {
         "lag_lead": f"""
             SELECT event_id, user_id, ts, value,
@@ -474,6 +476,13 @@ def oracle_sql() -> dict[str, str]:
         # distinct 64-bit shingle hashes, collision-free at these sizes)
         "flagship_backfill": _flagship_sql(),
         "langid": _langid_sql(),
+        # literal-table oracles: expected values recomputed by an independent
+        # single-process implementation and embedded as VALUES literals
+        # (pipelines/oracle_literals.py; the golden-vector doctest strategy,
+        # /root/reference/rp_extract.py:424-445)
+        "fingerprint": _lit.fingerprint_sql(),
+        "simhash_pairs": _lit.simhash_pairs_sql(),
+        "rhythm_features": _lit.rhythm_sql(),
         "minhash_pairs": _JACCARD_SQL,
         "ngram_jaccard_pairs": _JACCARD_SQL,
         "embedding_near_dup": _embedding_near_dup_sql(),

@@ -50,9 +50,40 @@ def q_langid(sf_dir: str) -> Dataset:
 
 
 def q_fingerprint(sf_dir: str) -> Dataset:
-    """Rows-only: winnowing fingerprint + simhash per document."""
+    """Winnowing fingerprint + simhash per document. Oracle: literal table
+    of expected values recomputed by an independent single-process
+    implementation (pipelines/oracle_literals.py — the reference's
+    golden-vector doctest strategy, /root/reference/rp_extract.py:424-445).
+    The 8 fingerprint hashes are emitted as flat fp0..fp7 columns so the
+    driver's scalar value-hash gates the full winnowing math."""
     ds = add_fingerprints(_docs(sf_dir, ["doc_id", "text"]))
-    return ds.select_columns(["doc_id", "simhash"])
+
+    def flatten(b: pa.Table) -> pa.Table:
+        # integer flatten (NOT _vec_matrix: its float64 round-trip would
+        # corrupt hash values above 2^53)
+        arr = b.column("fingerprint").combine_chunks()
+        if len(arr) == 0:
+            fp = np.empty((0, 8), np.int64)
+        elif isinstance(arr, pa.ListArray):
+            offsets = arr.offsets.to_numpy(zero_copy_only=False)
+            flat = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            fp = flat[offsets[0] : offsets[-1]].reshape(len(arr), -1)
+        else:  # Ray tensor extension (ndarray cells)
+            m = arr.to_numpy(zero_copy_only=False)
+            fp = (
+                m.astype(np.int64)
+                if isinstance(m, np.ndarray) and m.ndim == 2
+                else np.stack(list(m)).astype(np.int64)
+            )
+        cols = {
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "simhash": b.column("simhash").cast(pa.int64()),
+        }
+        for i in range(fp.shape[1]):
+            cols[f"fp{i}"] = pa.array(fp[:, i], type=pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
 
 
 def q_minhash_pairs(sf_dir: str) -> Dataset:

@@ -184,15 +184,41 @@ def q_window_features_full(sf_dir: str, k: int = 8) -> Dataset:
 
 
 def q_rhythm(sf_dir: str) -> Dataset:
-    """Rows-only: rhythm-analogue conversation descriptors (RP/RH/MVD/TSSD/
-    TRH via modulation FFT) over the per-user event series."""
+    """Rhythm-analogue conversation descriptors (RP/RH/MVD/TSSD/TRH via
+    modulation FFT) over the per-user event series, reduced to per-vector
+    round-6 nansum digests so the driver's scalar value-hash can gate the
+    full FFT chain. Oracle: literal table of the same digests computed by
+    the loop-based single-process oracle (pipelines/oracle.py via
+    pipelines/oracle_literals.py). Full vectors stay available through
+    stages.rhythm.rhythm_features (pytest-oracled in tests/test_rhythm.py).
+    """
+    from rp_extract_ray.functions.rounding import round_half_away
+    from rp_extract_ray.pipelines.oracle_literals import RHYTHM_DIGEST_KEYS
+    from rp_extract_ray.stages.dedup import _vec_matrix
     from rp_extract_ray.stages.rhythm import rhythm_features
 
     ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
-    return rhythm_features(
+    out = rhythm_features(
         ds, series_cols=("value", "gap_s"), entity_col=ENTITY, ts_col="ts",
         order_cols=ORDER, seg_len=32, n_mod=16, num_partitions=NP,
     )
+
+    def digests(b: pa.Table) -> pa.Table:
+        nseg = b.column("n_segments").to_numpy(zero_copy_only=False)
+        cols = {
+            ENTITY: b.column(ENTITY).cast(pa.int64()),
+            "n_turns": b.column("n_turns"),
+            "n_segments": b.column("n_segments"),
+            "dominant_mod_freq": b.column("dominant_mod_freq"),
+        }
+        empty = nseg == 0  # NaN-filled vectors -> NULL digest
+        for k in RHYTHM_DIGEST_KEYS:
+            M = _vec_matrix(b.column(k))
+            d = round_half_away(np.nansum(M, axis=1), 6) if len(M) else np.empty(0)
+            cols[f"{k}_d"] = pa.array(d, type=pa.float64(), mask=empty)
+        return pa.table(cols)
+
+    return out.map_batches(digests, batch_format="pyarrow")
 
 
 def q_flagship(sf_dir: str) -> Dataset:

@@ -1,0 +1,223 @@
+"""Literal-table DuckDB oracles for the non-SQL-expressible queries.
+
+The driver compares each ``queries()`` result against ``oracle_sql()`` at a
+fixed scale factor (sf0.01). SimHash / winnowing-fingerprint / rhythm-FFT
+math has no native SQL equivalent, so the oracle here is the same trick the
+langid / embedding oracles already use (embedding the algorithm's constants
+as SQL literals), taken one step further per the reference's golden-vector
+doctest strategy (/root/reference/rp_extract.py:424-445): an INDEPENDENT
+single-process implementation recomputes the expected values for the sf
+corpus and embeds them as a ``VALUES`` literal table.
+
+Independence: nothing here imports the engine kernels
+(``rp_extract_ray.functions.hashing`` / ``stages``). The hash *spec* —
+token hash = ``pd.util.hash_array`` over object tokens, shingle hash =
+positional FNV-power polynomial over UTF-8 bytes with an xorshift-multiply
+finalizer — is shared by definition (it IS the operator's contract, like
+``np.fft`` is the FFT's), but tokenization, aggregation, banding and the
+rhythm chain are re-implemented longhand. The rhythm digests reuse the
+loop-based ``pipelines.oracle`` module — the survey's designated
+single-process correctness reference (SURVEY.md §5a), which shares no
+windowing/FFT code with the engine stages.
+
+Everything is computed lazily once per process and cached; reading the
+driver testdata (read-only) is the only IO.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
+# the driver runs oracle SQL against the sf0.01 views; literals must be
+# computed from the same corpus
+ORACLE_SF_DIR = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+_MIX = 0x9E3779B97F4A7C15
+_FNV = 0x100000001B3
+_U64 = (1 << 64) - 1
+
+
+def _simhash64_longhand(text: str) -> int:
+    """Reference simhash: lowercase ``\\w+`` tokens (ASCII classes), 64-bit
+    token hashes, bit j of the signature set iff more than half the tokens
+    have bit j set. Per-doc loop, no batch kernels."""
+    toks = re.findall(r"\w+", (text or "").lower(), flags=re.ASCII)
+    if not toks:
+        return 0
+    hashes = pd.util.hash_array(np.array(toks, dtype=object))
+    sig = 0
+    n = len(hashes)
+    for j in range(64):
+        ones = int(((hashes >> np.uint64(j)) & np.uint64(1)).sum())
+        if 2 * ones > n:
+            sig |= 1 << j
+    return sig
+
+
+def _shingle_hashes_longhand(text: str, k: int) -> np.ndarray:
+    """Positional-FNV k-gram hashes over UTF-8 bytes (sorted unique uint64).
+
+    Longhand accumulation: one add per gram position per offset j with
+    weight FNV**j (mod 2**64) — arithmetic identical to, code path distinct
+    from, any windowed formulation."""
+    b = np.frombuffer((text or "").encode(), dtype=np.uint8).astype(np.uint64)
+    if len(b) == 0:
+        return np.empty(0, np.uint64)
+    w = np.uint64(1)
+    if len(b) < k:
+        h = np.uint64(0)
+        for j in range(len(b)):
+            h = h + b[j] * w
+            w = np.uint64((int(w) * _FNV) & _U64)
+        h = np.uint64((int(np.uint64(h) ^ (np.uint64(h) >> np.uint64(17))) * _MIX) & _U64)
+        return np.array([h], dtype=np.uint64)
+    n = len(b) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        h += b[j : j + n] * w  # uint64 wraparound == mod 2**64
+        w = np.uint64((int(w) * _FNV) & _U64)
+    h = (h ^ (h >> np.uint64(17))) * np.uint64(_MIX)
+    return np.unique(h)
+
+
+def _fingerprint_longhand(text: str, window: int = 16, keep: int = 8) -> list[int]:
+    sh = _shingle_hashes_longhand(text, window)
+    if len(sh) == 0:
+        return [0] * keep
+    smallest = np.sort(sh)[:keep].tolist()
+    return [int(x) for x in smallest] + [0] * (keep - len(smallest))
+
+
+def _i64(u: int) -> int:
+    """uint64 -> the int64 two's-complement value the engine columns carry."""
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+@lru_cache(maxsize=2)
+def _doc_signatures(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    docs = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        fp = [_i64(x) for x in _fingerprint_longhand(text)]
+        rows.append((int(doc_id), _i64(_simhash64_longhand(text)), *fp))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "simhash"] + [f"fp{i}" for i in range(8)]
+    )
+
+
+def fingerprint_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    sig = _doc_signatures(sf_dir)
+    vals = ",\n      ".join(
+        "(" + ", ".join(str(int(v)) for v in row) + ")"
+        for row in sig.itertuples(index=False)
+    )
+    cols = ", ".join(sig.columns)
+    casts = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in sig.columns)
+    return f"""
+    SELECT {casts}
+    FROM (VALUES {vals}) AS t({cols})"""
+
+
+def simhash_pairs_sql(sf_dir: str = ORACLE_SF_DIR, max_hamming: int = 3) -> str:
+    """All-pairs Hamming over the literal simhash table. Exact vs the
+    engine's banded LSH: with 4 x 16-bit bands, any pair within Hamming
+    distance 3 must agree on at least one whole band (pigeonhole), so
+    banding has recall 1 at this threshold and the engine's output equals
+    the exhaustive sweep."""
+    sig = _doc_signatures(sf_dir)
+    vals = ",\n      ".join(
+        f"({int(r.doc_id)}, {int(r.simhash)})" for r in sig.itertuples(index=False)
+    )
+    return f"""
+    WITH s AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(simhash AS BIGINT) AS simhash
+      FROM (VALUES {vals}) AS t(doc_id, simhash))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+RHYTHM_DIGEST_KEYS = ("rp", "rh", "ssd", "mvd", "tssd", "trh")
+
+
+@lru_cache(maxsize=2)
+def _rhythm_digests(sf_dir: str) -> pd.DataFrame:
+    """Per-user rhythm digests from the loop-based single-process oracle
+    (pipelines.oracle.oracle_rhythm) over the events table shaped the way
+    events.q_rhythm shapes it: entity=user_id, order=(ts, event_id),
+    series=(value, gap_s), seg_len=32, n_mod=16."""
+    import pyarrow.parquet as pq
+
+    from rp_extract_ray.functions.rounding import round_half_away
+    from rp_extract_ray.pipelines.oracle import oracle_rhythm
+
+    ev = (
+        pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"], kind="mergesort",
+                     ignore_index=True)
+    )
+    gaps = []
+    for _, g in ev.groupby("user_id", sort=False):
+        gaps.append(g["ts"].diff().dt.total_seconds().fillna(0.0))
+    ev["gap_s"] = pd.concat(gaps)
+    ev = ev.rename(columns={"user_id": "conv_id"})
+    feats = oracle_rhythm(
+        ev, series_cols=("value", "gap_s"), seg_len=32, n_mod=16
+    )
+    rows = []
+    for uid in sorted(feats):
+        f = feats[uid]
+        if f["n_segments"] == 0:
+            rows.append(
+                (int(uid), int(f["n_turns"]), 0, 0) + (None,) * len(RHYTHM_DIGEST_KEYS)
+            )
+            continue
+        digs = tuple(
+            float(round_half_away(np.nansum(f[k]), 6)) for k in RHYTHM_DIGEST_KEYS
+        )
+        dom = int(np.argmax(f["rh"])) + 1
+        rows.append((int(uid), int(f["n_turns"]), int(f["n_segments"]), dom) + digs)
+    return pd.DataFrame(
+        rows,
+        columns=["user_id", "n_turns", "n_segments", "dominant_mod_freq"]
+        + [f"{k}_d" for k in RHYTHM_DIGEST_KEYS],
+    )
+
+
+def rhythm_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    dig = _rhythm_digests(sf_dir)
+
+    def lit(v):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return "NULL"
+        return repr(v)
+
+    vals = ",\n      ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")"
+        for row in dig.itertuples(index=False)
+    )
+    dcols = ", ".join(
+        f"CAST({k}_d AS DOUBLE) AS {k}_d" for k in RHYTHM_DIGEST_KEYS
+    )
+    cols = ", ".join(dig.columns)
+    return f"""
+    SELECT CAST(user_id AS BIGINT) AS user_id, CAST(n_turns AS BIGINT) AS n_turns,
+           CAST(n_segments AS INTEGER) AS n_segments,
+           CAST(dominant_mod_freq AS INTEGER) AS dominant_mod_freq,
+           {dcols}
+    FROM (VALUES {vals}) AS t({cols})"""
