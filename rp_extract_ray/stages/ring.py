@@ -172,11 +172,11 @@ def streaming_window_features(
 ) -> Dataset:
     """Apply the ring-buffer featurizer to a conversation-contiguous,
     ts-sorted Dataset. concurrency=1 + preserve_order: the single actor sees
-    every batch in order (scale-out = one such stage per partition)."""
-    from ray.data import DataContext
-
-    DataContext.get_current().execution_options.preserve_order = True
-    return ds.map_batches(
+    every batch in order. ``preserve_order`` is set on the OUTPUT dataset's
+    own context (each Dataset carries a DataContext copy that its whole plan
+    executes under), so the session-global DataContext is untouched. For
+    multi-core scale-out use :func:`streaming_window_features_sharded`."""
+    out = ds.map_batches(
         RingFeaturizer,
         fn_constructor_kwargs={
             "series_cols": series_cols,
@@ -189,3 +189,62 @@ def streaming_window_features(
         batch_size=batch_size,
         concurrency=1,
     )
+    out.context.execution_options.preserve_order = True
+    return out
+
+
+def streaming_window_features_sharded(
+    ds: Dataset,
+    series_cols: Sequence[str] = TRACKED_SERIES,
+    *,
+    n_shards: int = 4,
+    k: int = DEFAULT_WINDOW_TURNS,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    session_gap_s: float | None = 1800.0,
+    batch_size: int = 4096,
+) -> Dataset:
+    """Multi-actor scale-out of the streaming ring path.
+
+    The entity space is hash-sharded into ``n_shards`` per-shard streams;
+    each stream keeps the input's conversation-contiguous ts order (a filter
+    never reorders under preserve_order) and feeds ITS OWN single
+    ``RingFeaturizer`` actor, so the per-conversation ordering contract holds
+    inside every shard while ``n_shards`` actors run concurrently — the
+    docstring's "one stage per partition" scale-out made concrete. Output is
+    the union of the shard streams (row order across shards is not
+    meaningful; within a conversation, rows keep their stream order).
+
+    At cluster scale, prefer one sharded stage per input partition (e.g. one
+    per CDC log partition) so no filter pass is replicated; this helper
+    replicates the filter per shard, which is the right trade when the
+    source is one ordered stream (each pass is a cheap vectorized hash
+    filter, and the alternative — a shuffle — would break stream order).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from rp_extract_ray.stages.partition import stable_hash
+
+    if n_shards <= 1:
+        return streaming_window_features(
+            ds, series_cols, k=k, entity_col=entity_col, ts_col=ts_col,
+            session_gap_s=session_gap_s, batch_size=batch_size,
+        )
+
+    def pick(b: pa.Table, shard: int) -> pa.Table:
+        h = stable_hash(b.column(entity_col).to_numpy(zero_copy_only=False))
+        return b.filter(pa.array(h % np.uint64(n_shards) == shard))
+
+    out = None
+    for s in range(n_shards):
+        sub = ds.map_batches(
+            pick, batch_format="pyarrow", fn_kwargs={"shard": s}
+        )
+        feats = streaming_window_features(
+            sub, series_cols, k=k, entity_col=entity_col, ts_col=ts_col,
+            session_gap_s=session_gap_s, batch_size=batch_size,
+        )
+        out = feats if out is None else out.union(feats)
+    out.context.execution_options.preserve_order = True
+    return out

@@ -136,3 +136,40 @@ def test_hll_approx_distinct():
     ).repartition(8)
     est = approx_distinct(ds, "k")
     assert abs(est - 7_000) / 7_000 < 0.05
+
+
+def test_ring_sharded_matches_single_actor(corpus, enriched_oracle):
+    """N>1 ring actors (hash-sharded entity streams) produce exactly the
+    single-actor / bulk-oracle output, and the helper leaves the global
+    DataContext untouched (preserve_order is scoped to the plan)."""
+    import time
+
+    from ray.data import DataContext
+    from rp_extract_ray.stages.ring import streaming_window_features_sharded
+
+    assert DataContext.get_current().execution_options.preserve_order is False
+    t, _ = corpus
+    sorted_pdf = (
+        t.to_pandas().sort_values(["conv_id", "ts", "turn_idx"], ignore_index=True)
+    )
+    src = add_turn_stats(rd.from_pandas(sorted_pdf))
+    t0 = time.perf_counter()
+    got = (
+        streaming_window_features_sharded(src, k=K, batch_size=64, n_shards=3)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    )
+    elapsed = time.perf_counter() - t0
+    exp = O.oracle_window_features(enriched_oracle, k=K).sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True
+    )
+    assert len(got) == len(exp)
+    for c in exp.columns:
+        if "_w" not in c and c not in ("gap_s", "session_id"):
+            continue
+        a = got[c].to_numpy(dtype=np.float64)
+        b = exp[c].to_numpy(dtype=np.float64)
+        assert np.allclose(a, b, equal_nan=True), c
+    # global context must remain pristine after building + running the plan
+    assert DataContext.get_current().execution_options.preserve_order is False
+    print(f"sharded ring throughput datum: {len(got) / elapsed:.0f} rows/s (3 shards)")
