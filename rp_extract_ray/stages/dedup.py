@@ -388,16 +388,32 @@ def dedup_clusters_distributed(
     id_b: str = "id_b",
     max_rounds: int = 20,
     num_partitions: int | None = None,
+    stats: dict | None = None,
 ) -> Dataset:
     """Distributed connected components: min-label propagation as Ray hash
     joins + groupby-min rounds. The pair table and the label table live in
     the object store end-to-end; the driver sees ONE scalar per round (the
-    label sum — strictly decreasing until the fixed point, so equality is
-    the convergence test). Rounds are O(component diameter): 2-4 for
-    near-dup graphs."""
+    count of changed labels, which is also the convergence test). Rounds are
+    O(component diameter): 2-4 for near-dup graphs.
+
+    Frontier contraction per round: a node's label can only decrease when a
+    NEIGHBOR's label decreased in the previous round, so from round 2 on
+    only the previous round's changed nodes (the frontier) need to
+    propagate. While the frontier is small — which is exactly when pruning
+    pays — its (id, label) pairs are broadcast (``ray.put``) and the round
+    becomes ONE map_batches pass over the edge table: each edge incident to
+    a frontier node emits the frontier label to its other endpoint; no join
+    shuffle at all (Pregel-style frontier propagation; delivering each
+    endpoint's label to the other is equivalent to the min-proposal under
+    the groupby-min). A frontier above ``prune_threshold`` ids falls back to
+    the full two-join round (early rounds, where most edges are active
+    anyway). Edges of converged components stop shuffling; they re-activate
+    automatically if an endpoint changes again later. ``stats``, when given,
+    records ``edges_per_round`` / ``changed_per_round`` (test/diagnostic
+    hook; the per-round active-edge count costs one extra pass)."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Min
 
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -431,40 +447,119 @@ def dedup_clusters_distributed(
                 [pa.field("id", pa.int64()), pa.field("cluster_id", pa.int64())]
             ).empty_table()
         )
-    prev_sum = None
+    if stats is not None:
+        stats.setdefault("edges_per_round", [])
+        stats.setdefault("changed_per_round", [])
+    prune_threshold = 1 << 22  # ~64 MB of frontier (id, lab) per broadcast
+    frontier_ref = None  # None = first round / oversized frontier
     for _ in range(max_rounds):
-        la = labels.map_batches(
-            lambda b: b.rename_columns(["eid_a", "lab_a"]), batch_format="pyarrow"
-        )
-        lb = labels.map_batches(
-            lambda b: b.rename_columns(["eid_b", "lab_b"]), batch_format="pyarrow"
-        )
-        tagged = edges.join(la, "inner", num_partitions, on=("eid_a",)).join(
-            lb, "inner", num_partitions, on=("eid_b",)
-        )
-
-        def props(b: pa.Table) -> pa.Table:
-            pa_ = b.column("lab_a").to_numpy(zero_copy_only=False)
-            pb_ = b.column("lab_b").to_numpy(zero_copy_only=False)
-            prop = np.minimum(pa_, pb_)
-            ids = np.concatenate(
-                [b.column("eid_a").to_numpy(zero_copy_only=False),
-                 b.column("eid_b").to_numpy(zero_copy_only=False)]
-            ).astype(np.int64)
-            return pa.table(
-                {"id": pa.array(ids), "lab": pa.array(np.tile(prop, 2))}
+        if frontier_ref is None:
+            # full round: attach both endpoint labels with two hash joins
+            if stats is not None:
+                stats["edges_per_round"].append(int(edges.count()))
+            la = labels.map_batches(
+                lambda b: b.rename_columns(["eid_a", "lab_a"]),
+                batch_format="pyarrow",
+            )
+            lb = labels.map_batches(
+                lambda b: b.rename_columns(["eid_b", "lab_b"]),
+                batch_format="pyarrow",
+            )
+            tagged = edges.join(la, "inner", num_partitions, on=("eid_a",)).join(
+                lb, "inner", num_partitions, on=("eid_b",)
             )
 
-        proposals = tagged.map_batches(props, batch_format="pyarrow")
-        labels = (
+            def props(b: pa.Table) -> pa.Table:
+                pa_ = b.column("lab_a").to_numpy(zero_copy_only=False)
+                pb_ = b.column("lab_b").to_numpy(zero_copy_only=False)
+                prop = np.minimum(pa_, pb_)
+                ids = np.concatenate(
+                    [b.column("eid_a").to_numpy(zero_copy_only=False),
+                     b.column("eid_b").to_numpy(zero_copy_only=False)]
+                ).astype(np.int64)
+                return pa.table(
+                    {"id": pa.array(ids), "lab": pa.array(np.tile(prop, 2))}
+                )
+
+            proposals = tagged.map_batches(props, batch_format="pyarrow")
+        else:
+            # pruned round: one joinless pass; frontier labels broadcast
+            ref = frontier_ref
+
+            def frontier_props(b: pa.Table) -> pa.Table:
+                f_ids, f_labs = ray.get(ref)
+                ea = b.column("eid_a").to_numpy(zero_copy_only=False)
+                eb = b.column("eid_b").to_numpy(zero_copy_only=False)
+                out_ids, out_labs = [], []
+                for src, dst in ((ea, eb), (eb, ea)):
+                    i = np.searchsorted(f_ids, src)
+                    i[i == len(f_ids)] = 0
+                    hit = f_ids[i] == src
+                    out_ids.append(dst[hit].astype(np.int64))
+                    out_labs.append(f_labs[i[hit]])
+                return pa.table(
+                    {
+                        "id": pa.array(np.concatenate(out_ids)),
+                        "lab": pa.array(np.concatenate(out_labs)),
+                    }
+                )
+
+            proposals = edges.map_batches(frontier_props, batch_format="pyarrow")
+            if stats is not None:
+                f_ids, _ = ray.get(frontier_ref)
+
+                def count_active(b: pa.Table) -> pa.Table:
+                    ea = b.column("eid_a").to_numpy(zero_copy_only=False)
+                    eb = b.column("eid_b").to_numpy(zero_copy_only=False)
+                    n_act = int(
+                        (np.isin(ea, f_ids) | np.isin(eb, f_ids)).sum()
+                    )
+                    return pa.table({"n": pa.array([n_act], pa.int64())})
+
+                stats["edges_per_round"].append(
+                    int(
+                        edges.map_batches(count_active, batch_format="pyarrow")
+                        .to_pandas()["n"].sum()
+                    )
+                )
+        new_labels = (
             proposals.union(labels)
             .groupby("id").aggregate(Min("lab", alias_name="lab"))
             .materialize()
         )
-        s = labels.aggregate(Sum("lab", alias_name="s"))["s"]
-        if prev_sum is not None and s == prev_sum:
+        # changed set = nodes whose label decreased this round (one label
+        # join over node-sized tables; the COUNT always reaches the driver,
+        # the ids only while the frontier is below the broadcast threshold)
+        old = labels.map_batches(
+            lambda b: b.rename_columns(["id", "lab_old"]), batch_format="pyarrow"
+        )
+        changed = (
+            new_labels.join(old, "inner", num_partitions, on=("id",))
+            .map_batches(
+                lambda b: b.filter(
+                    pa.compute.less(b.column("lab"), b.column("lab_old"))
+                ).select(["id", "lab"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        n_changed = int(changed.count())
+        if stats is not None:
+            stats["changed_per_round"].append(n_changed)
+        labels = new_labels
+        if n_changed == 0:
             break
-        prev_sum = s
+        if n_changed <= prune_threshold:
+            fr = changed.to_pandas()
+            order = np.argsort(fr["id"].to_numpy())
+            frontier_ref = ray.put(
+                (
+                    fr["id"].to_numpy().astype(np.int64)[order],
+                    fr["lab"].to_numpy().astype(np.int64)[order],
+                )
+            )
+        else:
+            frontier_ref = None
     return labels.map_batches(
         lambda b: b.rename_columns(["id", "cluster_id"]), batch_format="pyarrow"
     )

@@ -463,3 +463,31 @@ def test_embedding_one_bucket_100k_bounded_per_task():
     for i in range(3):
         assert (i, n - 3 + i) in found
     assert (out["cos"] >= 0.99999).all()
+
+
+def test_distributed_cc_chain_prunes_converged_edges():
+    """Chain graph 0-1-2-...-N: both CC paths agree, and the per-round
+    active-edge counts show the contraction pruning converged edges instead
+    of re-shuffling the full edge set every round."""
+    from rp_extract_ray.stages.dedup import dedup_clusters, dedup_clusters_distributed
+
+    N = 24
+    pairs = pd.DataFrame(
+        {"id_a": np.arange(N, dtype=np.int64), "id_b": np.arange(1, N + 1, dtype=np.int64)}
+    )
+    drv = dedup_clusters(pairs, mode="driver", max_rounds=40).sort_values(
+        "id", ignore_index=True
+    )
+    stats: dict = {}
+    dist = (
+        dedup_clusters_distributed(rd.from_pandas(pairs), max_rounds=40, stats=stats)
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    assert (drv["id"].to_numpy() == dist["id"].to_numpy()).all()
+    assert (drv["cluster_id"].to_numpy() == dist["cluster_id"].to_numpy()).all()
+    assert (dist["cluster_id"].to_numpy() == 0).all()  # one chain component
+    e = stats["edges_per_round"]
+    assert e[0] == N  # first round touches every edge
+    assert e[-1] < N  # converged prefix edges stopped shuffling
+    assert stats["changed_per_round"][-1] == 0  # clean fixed-point exit
