@@ -49,6 +49,21 @@ def build_corpus() -> dict:
     return write_corpus(BENCH_CORPUS, n_convs=9000, seed=13, mean_turns=150, shards=64)
 
 
+def wait_for_idle(max_wait_s: float = 120.0, load_frac: float = 0.25) -> float:
+    """Idle-machine guard: round-2's official bench recorded 17.1 s while
+    same-code fresh runs measured 10.5-12.2 s — co-running work on this
+    shared VM skews the artifact. Wait (bounded) until the 1-min load
+    average drops below ``load_frac`` of the machine's CPUs; return the
+    load at the moment we proceed so the artifact records the conditions."""
+    ncpu = os.cpu_count() or NUM_CPUS
+    deadline = time.monotonic() + max_wait_s
+    load = os.getloadavg()[0]
+    while load > load_frac * ncpu and time.monotonic() < deadline:
+        time.sleep(5.0)
+        load = os.getloadavg()[0]
+    return round(load, 2)
+
+
 def run_headline(paths: dict) -> dict:
     import ray.data as rd
 
@@ -56,20 +71,37 @@ def run_headline(paths: dict) -> dict:
         feature_backfill,
         feature_backfill_payload_light,
     )
+    from rp_extract_ray.state.metrics import MetricsSink, drain_metrics
 
-    # warm the page cache so we measure compute + shuffle, not first disk read
-    n_turns = rd.read_parquet(paths["transcripts"]).count()
+    # warm the page cache so we measure compute + shuffle, not first disk
+    # read — a bare count() is satisfied from parquet METADATA and warms
+    # nothing (measured: 75 s cold first repeat vs 16 s warm); force a full
+    # byte read instead
+    import pyarrow as pa
+
+    n_turns = int(
+        rd.read_parquet(paths["transcripts"])
+        .map_batches(
+            lambda b: pa.table({"n": pa.array([len(b)], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .sum("n")
+    )
 
     # single-node wall times jitter +-30% (shared VM); report the best of
-    # GRAFT_BENCH_REPEATS runs as the steady-state throughput
+    # GRAFT_BENCH_REPEATS runs as the steady-state throughput, and every
+    # repeat's wall time so the artifact carries the variance
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
     parts = int(os.environ.get("GRAFT_BENCH_PARTS", str(max(4 * NUM_CPUS, 32))))
     mode = os.environ.get("GRAFT_BENCH_MODE", "light")  # light | through
+    metrics_dir = os.environ.get("GRAFT_BENCH_METRICS", "/tmp/graft_bench_metrics")
     shard_files = sorted(
         os.path.join(paths["transcripts"], f)
         for f in os.listdir(paths["transcripts"])
     ) if os.path.isdir(paths["transcripts"]) else [paths["transcripts"]]
-    best = float("inf")
+    sink = MetricsSink.remote() if mode == "light" else None
+    secs: list[float] = []
+    metrics_rows = 0
     for _ in range(repeats):
         t0 = time.perf_counter()
         if mode == "light":
@@ -78,6 +110,7 @@ def run_headline(paths: dict) -> dict:
                 rd.read_parquet(paths["conv_events"]),
                 k=16,
                 num_partitions=parts,
+                metrics_sink=sink,
             )
         else:
             ds = feature_backfill(
@@ -87,9 +120,26 @@ def run_headline(paths: dict) -> dict:
                 num_partitions=parts,
             )
         out_rows = ds.count()
-        best = min(best, time.perf_counter() - t0)
+        secs.append(round(time.perf_counter() - t0, 3))
         assert out_rows == n_turns, (out_rows, n_turns)
-    return {"sec": best, "turns": n_turns, "turns_per_sec": n_turns / best}
+        if sink is not None:
+            # W8/A10 lineage sidecar: one row per partition task (rows
+            # in/out + wall time), written next to the scratch output
+            mdf = drain_metrics(sink)
+            metrics_rows = len(mdf)
+            os.makedirs(metrics_dir, exist_ok=True)
+            mdf.to_parquet(os.path.join(metrics_dir, "_metrics.parquet"))
+    best = min(secs)
+    return {
+        "sec": best,
+        "turns": n_turns,
+        "turns_per_sec": n_turns / best,
+        "repeat_secs": secs,
+        "metrics_rows": metrics_rows,
+        "metrics_path": os.path.join(metrics_dir, "_metrics.parquet")
+        if sink is not None
+        else None,
+    }
 
 
 def run_queries(sf_dir: str) -> dict:
@@ -127,6 +177,7 @@ def single_run() -> dict:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     paths = build_corpus()
+    load = wait_for_idle()
     head = run_headline(paths)
     queries = {} if HEADLINE_ONLY else run_queries(SF_DIR)
     ray.shutdown()
@@ -139,6 +190,9 @@ def single_run() -> dict:
         "num_cpus": NUM_CPUS,
         "turns": head["turns"],
         "turns_per_sec": round(head["turns_per_sec"], 1),
+        "repeat_secs": head["repeat_secs"],
+        "load_avg_at_start": load,
+        "metrics_sidecar_rows": head["metrics_rows"],
     }
 
 
