@@ -269,3 +269,26 @@ def test_stages_on_empty_input():
     docs = rd.from_pandas(pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                         "text": pd.Series([], dtype="object")}))
     assert minhash_lsh_pairs(docs, jaccard_threshold=0.5).count() == 0
+
+
+def test_asof_right_only_partition_typed_empty(corpus):
+    """A partition holding only right rows must emit a typed empty block in
+    the OUTPUT schema when left_schema is declared — schema-sensitive
+    consumers (write_parquet, Dataset.schema) must not see a right-shaped
+    block. Left side restricted to one conversation so most partitions are
+    right-only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t, ev = corpus
+    one_conv = t.column("conv_id")[0].as_py()
+    left_tab = t.filter(pc.equal(t.column("conv_id"), one_conv))
+    out = asof_join(
+        rd.from_arrow(left_tab), rd.from_arrow(ev), right_value_cols=["value"],
+        num_partitions=8, left_schema=left_tab.schema,
+    )
+    schema = out.schema()
+    assert schema.names == list(left_tab.schema.names) + ["value"]
+    pdf = out.to_pandas()
+    assert len(pdf) == len(left_tab)
+    assert set(pdf.columns) == set(left_tab.schema.names) | {"value"}
