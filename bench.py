@@ -90,8 +90,11 @@ def run_headline(paths: dict) -> dict:
 
     # single-node wall times jitter +-30% (shared VM); report the best of
     # GRAFT_BENCH_REPEATS runs as the steady-state throughput, and every
-    # repeat's wall time so the artifact carries the variance
-    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
+    # repeat's wall time so the artifact carries the variance. The FIRST
+    # repeat always pays the Ray worker/actor spawn storm (vmstat during it:
+    # up to 76% system time + 30% hypervisor steal, zero disk IO) — it
+    # doubles as the worker-pool warm-up that byte-level reads cannot do.
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "4"))
     parts = int(os.environ.get("GRAFT_BENCH_PARTS", str(max(4 * NUM_CPUS, 32))))
     mode = os.environ.get("GRAFT_BENCH_MODE", "light")  # light | through
     metrics_dir = os.environ.get("GRAFT_BENCH_METRICS", "/tmp/graft_bench_metrics")
