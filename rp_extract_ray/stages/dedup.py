@@ -146,14 +146,29 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.6,
     verify: bool = True,
+    est_margin: float | None = 0.3,
 ) -> Dataset:
     """Near-duplicate candidate pairs via MinHash + banded LSH.
 
     rows (id_a, id_b, est_jaccard[, jaccard]) with id_a < id_b, deduplicated
     across bands. ``bands`` bands of ``num_perm/bands`` rows each: the usual
     S-curve threshold is (1/bands)^(bands/num_perm) ~ 0.5-0.7 for 16x4.
+
+    ``est_margin``: when verifying, candidate pairs are prefiltered by the
+    signature estimate ``est = mean(sig_a == sig_b)`` at
+    ``jaccard_threshold - est_margin`` INSIDE the bucket pass — the 512-byte
+    signature rides the band exchange, so the estimate costs zero extra
+    joins while the exact verify's shingle-set joins shrink from every
+    candidate (90k at sf0.1) to the near-threshold survivors (~300).
+    False-negative bound: ``num_perm * est`` is Binomial(num_perm, j) for a
+    true pair with jaccard j, so with num_perm=64 and margin 0.3 a pair AT
+    j=0.5 is dropped with probability P(Binom(64,.5) <= 12.8) ~ 8e-7
+    (normal tail at -4.8 sigma); pairs above the threshold are safer still.
+    ``est_margin=None`` restores the strict exhaustive verify.
     """
     rows_per_band = num_perm // bands
+    carry_sig = verify and est_margin is not None
+    est_min = max(0.0, jaccard_threshold - (est_margin or 0.0))
 
     def signatures(batch: pd.DataFrame) -> pd.DataFrame:
         # stateless TASKS, not an actor pool: the permutation coefficients
@@ -171,25 +186,89 @@ def minhash_lsh_pairs(
             # wraparound intended; scalar uint64 mult warns, so mask in int
             mix = np.uint64(((b + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
             bh[:, b] = (h ^ mix).astype(np.int64)
-        return pd.DataFrame(
-            {
-                id_col: np.repeat(batch[id_col].to_numpy(), bands),
-                "band_hash": bh.reshape(-1),
-            }
-        )
+        out = {
+            id_col: np.repeat(batch[id_col].to_numpy(), bands),
+            "band_hash": bh.reshape(-1),
+        }
+        if carry_sig:
+            out["_sig"] = np.repeat(
+                np.array([s.tobytes() for s in sigs], dtype=object), bands
+            )
+        return pd.DataFrame(out)
 
     exploded = ds.map_batches(signatures, batch_format="pandas", batch_size=512)
 
     # pair generation: one partitioned pass over bucket RUNS, not one
     # map_groups call per bucket (most buckets are singletons; a per-bucket
     # Python call costs more than the whole batch of vectorized work)
-    pairs = _bucket_pairs_partitioned(exploded, "band_hash", id_col)
+    if carry_sig:
+        pairs = _bucket_pairs_with_est(
+            exploded, "band_hash", id_col, num_perm=num_perm, est_min=est_min
+        )
+    else:
+        pairs = _bucket_pairs_partitioned(exploded, "band_hash", id_col)
     uniq = _dedup_pairs(pairs)
     if not verify:
         return uniq
     return verify_pairs_jaccard(
         uniq, ds, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
         jaccard_threshold=jaccard_threshold,
+    )
+
+
+def _bucket_pairs_with_est(
+    exploded: Dataset,
+    bucket_col: str,
+    id_col: str,
+    *,
+    num_perm: int,
+    est_min: float,
+    star_threshold: int = 64,
+) -> Dataset:
+    """Bucket co-occurrence pairs WITH the in-bucket signature estimate.
+
+    Like :func:`_bucket_pairs_partitioned`, but each run's member signatures
+    are locally available (they rode the band exchange), so the MinHash
+    Jaccard estimate is computed inside the pass and sub-``est_min`` pairs
+    never enter the pair shuffle at all. Star expansion for dense buckets
+    estimates against the hub member only (the spanning property for the
+    downstream clustering is preserved; non-hub pair estimates are not
+    needed because every emitted pair is exact-verified afterwards)."""
+    from rp_extract_ray.stages.partition import partitioned_apply
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        run_starts, run_ends = run_bounds(starts, len(pdf))
+        sizes = run_ends - run_starts
+        out_a, out_b = [], []
+        sig_bytes = pdf["_sig"].to_numpy()
+        for s, e in zip(run_starts[sizes > 1], run_ends[sizes > 1]):
+            members, first_idx = np.unique(ids[s:e], return_index=True)
+            if len(members) < 2:
+                continue
+            S = np.frombuffer(
+                b"".join(sig_bytes[s + i] for i in first_idx), dtype=np.uint64
+            ).reshape(len(members), num_perm)
+            if len(members) > star_threshold:
+                est = (S[:1] == S[1:]).mean(axis=1)
+                keep = est >= est_min
+                out_a.append(np.full(int(keep.sum()), members[0]))
+                out_b.append(members[1:][keep])
+            else:
+                ia, ib = np.triu_indices(len(members), k=1)
+                est = (S[ia] == S[ib]).mean(axis=1)
+                keep = est >= est_min
+                out_a.append(members[ia[keep]])
+                out_b.append(members[ib[keep]])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return partitioned_apply(
+        exploded, fn, entity_col=bucket_col, order_cols=(id_col,), num_partitions=64
     )
 
 
@@ -258,10 +337,17 @@ def verify_pairs_jaccard(
             pa.field("jaccard", pa.float64()),
         ]
     )
-    if uniq.count() == 0:
+    n_pairs = uniq.count()
+    if n_pairs == 0:
         # empty candidate set: skip the joins entirely (acero cannot join
         # a schema-less empty table), return a typed empty result
         return rd.from_arrow(out_schema.empty_table())
+    # Ray's hash-shuffle join loses the schema of EMPTY partitions, which
+    # breaks the chained pair joins when few pairs spread over many
+    # partitions — cap partition count by pair volume (~50k pairs per
+    # partition keeps every partition non-empty with huge probability and
+    # is plenty of parallelism for the per-pair kernel)
+    num_partitions = max(1, min(num_partitions, n_pairs // 50_000 + 1))
 
     def flat_ids(b: pa.Table) -> pa.Table:
         ids = np.concatenate(
