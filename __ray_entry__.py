@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": D.q_minhash_pairs,
         "ngram_jaccard_pairs": D.q_ngram_jaccard,
         "simhash_pairs": D.q_simhash_pairs,
+        "near_dup_clusters": D.q_near_dup_clusters,
+        "dedup_drop": D.q_dedup_drop,
         "embedding_near_dup": D.q_embedding_near_dup,
         "cosine_pairs": D.q_cosine_pairs,
         "knn_cosine": D.q_knn,
@@ -98,6 +100,45 @@ _JACCARD_SQL = r"""
     JOIN cnt ca ON ca.doc_id = id_a
     JOIN cnt cb ON cb.doc_id = id_b
     WHERE ni / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.5"""
+
+# transitive closure (recursive CTE) over the exact-Jaccard pair set:
+# min reachable id == the engine's min-label connected components
+_CLUSTERS_CTE = r"""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, substring(text, CAST(u.i AS INTEGER), 5) AS g
+      FROM documents,
+           LATERAL unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS u(i)
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN cnt ca ON ca.doc_id = id_a
+      JOIN cnt cb ON cb.doc_id = id_b
+      WHERE ni / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.5
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT u AS id, u AS lab FROM edges
+      UNION
+      SELECT e.v AS id, r.lab AS lab FROM reach r JOIN edges e ON e.u = r.id
+    ),
+    clusters AS (
+      SELECT CAST(id AS BIGINT) AS id, CAST(min(lab) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY id
+    )"""
+
+_CLUSTERS_SQL = _CLUSTERS_CTE + "\n    SELECT id, cluster_id FROM clusters"
+
+_DEDUP_DROP_SQL = _CLUSTERS_CTE + r"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)"""
+
 
 def _embedding_bucket_sql(n_planes: int = 4, seed: int = 5, dim: int = 64) -> str:
     """Bucket expression replicating stages/dedup.embedding_near_dup's
@@ -485,6 +526,8 @@ def oracle_sql() -> dict[str, str]:
         "rhythm_features": _lit.rhythm_sql(),
         "minhash_pairs": _JACCARD_SQL,
         "ngram_jaccard_pairs": _JACCARD_SQL,
+        "near_dup_clusters": _CLUSTERS_SQL,
+        "dedup_drop": _DEDUP_DROP_SQL,
         "embedding_near_dup": _embedding_near_dup_sql(),
         "cosine_pairs": _COSINE_PAIRS_SQL,
         "knn_cosine": """

@@ -116,6 +116,46 @@ def q_simhash_pairs(sf_dir: str) -> Dataset:
     return simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
 
 
+def q_near_dup_clusters(sf_dir: str) -> Dataset:
+    """Connected components over the verified MinHash near-dup pairs via
+    the DISTRIBUTED min-label propagation (frontier-contracted). Oracle:
+    recursive-CTE transitive closure over the exact-Jaccard pair set."""
+    from rp_extract_ray.stages.dedup import dedup_clusters_distributed
+
+    pairs = minhash_lsh_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), jaccard_threshold=0.5
+    )
+    out = dedup_clusters_distributed(pairs)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "id": b.column("id").cast(pa.int64()),
+                "cluster_id": b.column("cluster_id").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_dedup_drop(sf_dir: str) -> Dataset:
+    """Near-dup drop: keep one representative (min id) per cluster plus all
+    unclustered docs — the full mine -> cluster -> anti-join chain, all
+    distributed. Oracle: NOT IN over the closure's non-representatives."""
+    from rp_extract_ray.stages.dedup import (
+        dedup_clusters_distributed,
+        drop_near_dups,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    clusters = dedup_clusters_distributed(pairs)
+    kept = drop_near_dups(docs, clusters)
+    return kept.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
 def q_embedding_near_dup(sf_dir: str) -> Dataset:
     """High-cosine pairs via hyperplane-LSH buckets + tiled exact verify.
 
