@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": R.q_top_terms,
         "filter_sort": R.q_filter_sort,
         "distinct": R.q_distinct,
+        "hll_distinct": R.q_hll_distinct,
         # text analysis / dedup / similarity (training-data extensions)
         "token_count": D.q_token_count,
         "text_quality": D.q_text_quality,
@@ -524,6 +525,10 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _lit.fingerprint_sql(),
         "simhash_pairs": _lit.simhash_pairs_sql(),
         "rhythm_features": _lit.rhythm_sql(),
+        "hll_distinct": f"""
+            SELECT CAST({_lit.hll_custkeys_literal()} AS BIGINT) AS n_custkeys_hll,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkeys_exact
+            FROM orders""",
         "minhash_pairs": _JACCARD_SQL,
         "ngram_jaccard_pairs": _JACCARD_SQL,
         "near_dup_clusters": _CLUSTERS_SQL,

@@ -149,6 +149,50 @@ def simhash_pairs_sql(sf_dir: str = ORACLE_SF_DIR, max_hamming: int = 3) -> str:
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
 
 
+def _hll_estimate_longhand(values: np.ndarray, p: int = 12) -> int:
+    """Independent single-process HyperLogLog (Flajolet 2007): per-value
+    Python loop, longhand trailing-zero count. Hash spec shared with the
+    engine by definition (``pd.util.hash_array``); everything else is a
+    separate code path from functions/sketch.py's vectorized kernels."""
+    m = 1 << p
+    regs = [0] * m
+    hashes = pd.util.hash_array(np.asarray(values))
+    for hv in hashes:
+        hv = int(hv)
+        idx = hv & (m - 1)
+        w = hv >> p
+        if w == 0:
+            rank = 64 - p + 1
+        else:
+            tz = 0
+            while (w & 1) == 0:
+                tz += 1
+                w >>= 1
+            rank = tz + 1
+        if rank > regs[idx]:
+            regs[idx] = rank
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / sum(2.0 ** (-r) for r in regs)
+    zeros = sum(1 for r in regs if r == 0)
+    if est <= 2.5 * m and zeros:
+        import math
+
+        est = m * math.log(m / zeros)
+    return int(round(est))
+
+
+@lru_cache(maxsize=2)
+def hll_custkeys_literal(sf_dir: str = ORACLE_SF_DIR) -> int:
+    import pyarrow.parquet as pq
+
+    keys = (
+        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .column("o_custkey")
+        .to_numpy(zero_copy_only=False)
+    )
+    return _hll_estimate_longhand(keys, p=12)
+
+
 RHYTHM_DIGEST_KEYS = ("rp", "rh", "ssd", "mvd", "tssd", "trh")
 
 

@@ -224,6 +224,28 @@ def q_distinct(sf_dir: str) -> "pd.DataFrame":
     return pd.DataFrame({"n_custkeys": [int(n_cust)], "n_partkeys": [int(n_part)]})
 
 
+def q_hll_distinct(sf_dir: str) -> "pd.DataFrame":
+    """Approximate distinct customer count via the HyperLogLog sketch
+    (constant shuffle volume: one 4 KiB register row per block) alongside
+    the exact distributed count. Oracle: the same estimate recomputed by an
+    independent single-process HLL embedded as a literal (deterministic —
+    the sketch's value is fixed by the hash spec), gating that the
+    distributed register-max merge is exact across any partitioning."""
+    import pandas as pd
+
+    from rp_extract_ray.functions.sketch import approx_distinct
+
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    est = approx_distinct(ds, "o_custkey", p=12)
+    exact = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey").aggregate(Count(alias_name="n")).count()
+    )
+    return pd.DataFrame(
+        {"n_custkeys_hll": [int(est)], "n_custkeys_exact": [int(exact)]}
+    )
+
+
 def q_topk(sf_dir: str, k: int = 10) -> "pd.DataFrame":
     """§2.7 top-k via per-block partials + tiny merge (no global sort)."""
     return distributed_topk(
