@@ -91,6 +91,30 @@ def _validate(ds: Dataset, **kw) -> Dataset:
     return validate_transcripts(ds, **kw)
 
 
+def _token_counts(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.textstage import add_token_counts
+
+    return add_token_counts(ds, **kw)
+
+
+def _quality(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.textstage import add_quality_scores
+
+    return add_quality_scores(ds, **kw)
+
+
+def _langid(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.textstage import add_langid
+
+    return add_langid(ds, **kw)
+
+
+def _fingerprints(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.textstage import add_fingerprints
+
+    return add_fingerprints(ds, **kw)
+
+
 _REGISTRY: dict[str, Callable[..., Dataset]] = {
     "turn_stats": _turn_stats,
     "sessionize": _sessionize,
@@ -102,6 +126,11 @@ _REGISTRY: dict[str, Callable[..., Dataset]] = {
     "rhythm": _rhythm,
     "standardize": _standardize,
     "validate": _validate,
+    # text-analysis stages (documents tables)
+    "token_counts": _token_counts,
+    "quality": _quality,
+    "langid": _langid,
+    "fingerprints": _fingerprints,
 }
 
 

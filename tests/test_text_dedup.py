@@ -491,3 +491,24 @@ def test_distributed_cc_chain_prunes_converged_edges():
     assert e[0] == N  # first round touches every edge
     assert e[-1] < N  # converged prefix edges stopped shuffling
     assert stats["changed_per_round"][-1] == 0  # clean fixed-point exit
+
+
+def test_minhash_est_prefilter_matches_exhaustive_verify(docs):
+    """The in-bucket signature-estimate prefilter must not change the
+    verified pair set (margin 0.3 at threshold 0.5: ~8e-7 false-negative
+    bound per borderline pair)."""
+    ds = rd.from_pandas(docs)
+
+    def norm(out):
+        return (
+            out.to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+            [["id_a", "id_b", "jaccard"]]
+        )
+
+    strict = norm(minhash_lsh_pairs(ds, jaccard_threshold=0.5, est_margin=None))
+    fast = norm(minhash_lsh_pairs(ds, jaccard_threshold=0.5))
+    assert len(fast) == len(strict) > 0
+    assert (fast["id_a"].to_numpy() == strict["id_a"].to_numpy()).all()
+    assert (fast["id_b"].to_numpy() == strict["id_b"].to_numpy()).all()
+    assert np.allclose(fast["jaccard"].to_numpy(), strict["jaccard"].to_numpy())
