@@ -126,3 +126,89 @@ def extract_media_features(
         concurrency=concurrency,
         num_cpus=num_cpus,
     )
+
+
+def plan_frame_samples(
+    ds: Dataset,
+    *,
+    fps: float = 1.0,
+    max_frames_per_video: int = 64,
+) -> Dataset:
+    """Video frame-sampling PLAN: one output row per sampled frame.
+
+    The flat_map-shaped half of frame sampling is pure arithmetic and fully
+    real: each ``kind='video'`` row expands to ``(media_id, frame_idx,
+    frame_ts_ms)`` rows at ``fps`` (capped at ``max_frames_per_video`` —
+    the cap is the skew guard: a 10-hour video cannot fan out unboundedly),
+    vectorized with repeat/arange — no per-row Python loop. The frame
+    EXTRACTION kernel that would consume this plan (seek + decode at
+    frame_ts_ms) is the same stubbed codec seam as
+    :class:`MediaFeatureExtractor` — downstream, each planned row + the
+    payload feeds an actor-pool decode stage and the payload is dropped
+    before any shuffle."""
+
+    def expand(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vids = b.filter(pc.equal(b.column("kind"), "video"))
+        if len(vids) == 0:
+            return pa.table(
+                {
+                    "media_id": pa.array([], pa.int64()),
+                    "frame_idx": pa.array([], pa.int32()),
+                    "frame_ts_ms": pa.array([], pa.int32()),
+                }
+            )
+        dur = vids.column("duration_ms").to_numpy(zero_copy_only=False)
+        interval_ms = 1000.0 / fps
+        n_frames = np.minimum(
+            (dur / interval_ms).astype(np.int64) + 1, max_frames_per_video
+        )
+        ids = np.repeat(
+            vids.column("media_id").to_numpy(zero_copy_only=False), n_frames
+        )
+        # frame_idx = 0..n_i-1 per video, one concatenated arange
+        total = int(n_frames.sum())
+        starts = np.concatenate([[0], np.cumsum(n_frames)[:-1]])
+        idx = np.arange(total, dtype=np.int64) - np.repeat(starts, n_frames)
+        ts = (idx * interval_ms).astype(np.int32)
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "frame_idx": pa.array(idx.astype(np.int32)),
+                "frame_ts_ms": pa.array(ts),
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def plan_resize(
+    ds: Dataset,
+    *,
+    max_dim: int = 256,
+) -> Dataset:
+    """Image resize PLAN: aspect-preserving target dimensions per image.
+
+    The dimension math (the real half) is vectorized: scale =
+    max_dim / max(width, height), clamped to 1.0 (never upscale), target
+    dims rounded and floored at 1. The pixel-resampling kernel is the
+    stubbed codec seam. Non-image rows pass through with null targets."""
+
+    def plan(b: pa.Table) -> pa.Table:
+        w = b.column("width").to_numpy(zero_copy_only=False).astype(np.float64)
+        h = b.column("height").to_numpy(zero_copy_only=False).astype(np.float64)
+        is_img = np.asarray(
+            pa.compute.equal(b.column("kind"), "image")
+        )
+        scale = np.minimum(1.0, max_dim / np.maximum(np.maximum(w, h), 1.0))
+        tw = np.maximum(np.rint(w * scale), 1).astype(np.int32)
+        th = np.maximum(np.rint(h * scale), 1).astype(np.int32)
+        b = b.append_column(
+            "target_width", pa.array(tw, type=pa.int32(), mask=~is_img)
+        )
+        return b.append_column(
+            "target_height", pa.array(th, type=pa.int32(), mask=~is_img)
+        )
+
+    return ds.map_batches(plan, batch_format="pyarrow")

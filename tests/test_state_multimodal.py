@@ -155,3 +155,51 @@ def test_media_extractor_wav_mode():
     assert (f[:, 8] == 400).all()          # n_samples slot
     assert (np.abs(f[:, 0]) < 0.05).all()  # mean of centered noise ~ 0
     assert (f[:, 1] > 0).all()             # variance > 0
+
+
+def test_plan_frame_samples():
+    """Frame-sample plan: exact per-video frame counts and timestamps,
+    vectorized expansion, fan-out cap honored, non-videos excluded."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rp_extract_ray.stages.multimodal import plan_frame_samples, synth_media_table
+
+    t = synth_media_table(n=40, seed=3)
+    out = (
+        plan_frame_samples(rd.from_arrow(t), fps=2.0, max_frames_per_video=16)
+        .to_pandas()
+        .sort_values(["media_id", "frame_idx"], ignore_index=True)
+    )
+    src = t.to_pandas().set_index("media_id")
+    vids = src[src["kind"] == "video"]
+    assert set(out["media_id"]) == set(vids.index)
+    for mid, g in out.groupby("media_id"):
+        dur = int(vids.loc[mid, "duration_ms"])
+        exp_n = min(int(dur / 500.0) + 1, 16)
+        assert len(g) == exp_n, mid
+        assert list(g["frame_idx"]) == list(range(exp_n))
+        assert (g["frame_ts_ms"].to_numpy() == (g["frame_idx"].to_numpy() * 500)).all()
+
+
+def test_plan_resize():
+    """Resize plan: aspect-preserving dims, never upscaled, null for
+    non-image rows."""
+    import numpy as np
+    import ray.data as rd
+
+    from rp_extract_ray.stages.multimodal import plan_resize, synth_media_table
+
+    t = synth_media_table(n=40, seed=3)
+    out = plan_resize(rd.from_arrow(t), max_dim=128).to_pandas()
+    for _, r in out.iterrows():
+        if r["kind"] != "image":
+            assert r["target_width"] is None or np.isnan(r["target_width"])
+            continue
+        tw, th = int(r["target_width"]), int(r["target_height"])
+        assert max(tw, th) <= 128
+        assert tw <= r["width"] and th <= r["height"]  # never upscale
+        # aspect preserved within rounding (relative: extreme ratios round
+        # a 1-pixel step into a large absolute ratio change)
+        ar = r["width"] / r["height"]
+        assert abs(tw / th - ar) / ar < 0.1
