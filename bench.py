@@ -40,6 +40,7 @@ QUERY_NAMES = [
     "backfill", "tpch_q1", "dedup_exact", "join_agg",
     "time_grid", "knn_cosine", "minhash_pairs", "standardize",
     "window_features_full", "cosine_pairs", "top_terms",
+    "hll_distinct", "near_dup_clusters", "langid",
 ]
 
 

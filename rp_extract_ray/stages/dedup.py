@@ -527,17 +527,36 @@ def dedup_clusters_distributed(
         .groupby("id").aggregate(Min("lab", alias_name="lab"))
         .materialize()
     )
-    if labels.count() == 0:
+    n_nodes = labels.count()
+    if n_nodes == 0:
         return rd.from_arrow(
             pa.schema(
                 [pa.field("id", pa.int64()), pa.field("cluster_id", pa.int64())]
             ).empty_table()
         )
+    # join-partition cap: each Ray join spawns num_partitions aggregator
+    # actors whose fixed cost dwarfs the work on small graphs, and EMPTY
+    # hash partitions lose their schema (breaks chained joins) — scale
+    # partitions with actual row volume (~50k rows per partition)
+    num_partitions = max(
+        1, min(num_partitions, max(int(edges.count()), n_nodes) // 50_000 + 1)
+    )
     if stats is not None:
         stats.setdefault("edges_per_round", [])
         stats.setdefault("changed_per_round", [])
     prune_threshold = 1 << 22  # ~64 MB of frontier (id, lab) per broadcast
     frontier_ref = None  # None = first round / oversized frontier
+    if n_nodes <= prune_threshold:
+        # small graph: round 1's frontier is every node with its own id as
+        # label — broadcast it and the FIRST round is joinless too
+        fr0 = labels.to_pandas()
+        order0 = np.argsort(fr0["id"].to_numpy())
+        frontier_ref = ray.put(
+            (
+                fr0["id"].to_numpy().astype(np.int64)[order0],
+                fr0["lab"].to_numpy().astype(np.int64)[order0],
+            )
+        )
     for _ in range(max_rounds):
         if frontier_ref is None:
             # full round: attach both endpoint labels with two hash joins
