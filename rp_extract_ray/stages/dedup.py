@@ -33,6 +33,16 @@ from rp_extract_ray.stages.partition import run_bounds, stable_hash
 _MH_CACHE: dict = {}
 
 
+def _exchange_partitions() -> int:
+    """Partition count for the dedup exchanges: scales with the cluster
+    (2x CPUs, floor 64) so a 256-node deployment doesn't funnel its bucket
+    shuffle through 64 reducers while a laptop run isn't over-partitioned."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 32))
+    return max(64, 2 * cpus)
+
+
 def _minhasher_cached(num_perm: int, shingle_k: int) -> MinHasher:
     """One MinHasher per (params, worker process) — ST1/ST2 state for a
     stateless task pool."""
@@ -100,7 +110,7 @@ def _bucket_pairs_partitioned(
         return pd.DataFrame({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
 
     return partitioned_apply(
-        exploded, fn, entity_col=bucket_col, order_cols=(id_col,), num_partitions=64
+        exploded, fn, entity_col=bucket_col, order_cols=(id_col,), num_partitions=_exchange_partitions()
     )
 
 
@@ -132,7 +142,7 @@ def _dedup_pairs(pairs: Dataset) -> Dataset:
     from rp_extract_ray.stages.partition import partitioned_apply
 
     return partitioned_apply(
-        packed, fn, entity_col="pair_key", order_cols=("id_a",), num_partitions=64
+        packed, fn, entity_col="pair_key", order_cols=("id_a",), num_partitions=_exchange_partitions()
     )
 
 
@@ -268,7 +278,7 @@ def _bucket_pairs_with_est(
         )
 
     return partitioned_apply(
-        exploded, fn, entity_col=bucket_col, order_cols=(id_col,), num_partitions=64
+        exploded, fn, entity_col=bucket_col, order_cols=(id_col,), num_partitions=_exchange_partitions()
     )
 
 
@@ -770,7 +780,7 @@ def simhash_pairs(
 
     pairs = partitioned_apply(
         exploded, pairs_fn, entity_col="band_key", order_cols=(id_col,),
-        num_partitions=64,
+        num_partitions=_exchange_partitions(),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -795,7 +805,7 @@ def simhash_pairs(
 
     return partitioned_apply(
         pairs.map_batches(pack, batch_format="pandas"),
-        first_fn, entity_col="pair_key", order_cols=("id_a",), num_partitions=64,
+        first_fn, entity_col="pair_key", order_cols=("id_a",), num_partitions=_exchange_partitions(),
     )
 
 
