@@ -714,9 +714,17 @@ def simhash_pairs(
     id_col: str = "doc_id",
     *,
     max_hamming: int = 3,
+    star_threshold: int = 256,
 ) -> Dataset:
     """Near-dup pairs by SimHash banding (4 x 16-bit bands: any pair within
-    Hamming distance 3 shares at least one exact band) + Hamming verify."""
+    Hamming distance 3 shares at least one exact band) + Hamming verify.
+
+    Dense-bucket guard: a bucket above ``star_threshold`` members (e.g. a
+    dup-heavy corpus where thousands of docs share a signature) emits STAR
+    pairs against the bucket's min id instead of the O(m^2) triangle — the
+    same spanning-structure trade as :func:`_bucket_pairs_partitioned`
+    (clusters downstream are identical; the exhaustive pair list is only
+    guaranteed below the threshold)."""
     import re
 
     from rp_extract_ray.functions.hashing import simhash64_batch, tokens_hash_batch
@@ -758,12 +766,20 @@ def simhash_pairs(
         run_starts, run_ends = run_bounds(starts, len(pdf))
         sizes = run_ends - run_starts
         rows_a, rows_b, rows_h = [], [], []
+        from rp_extract_ray.functions.hashing import popcount64
+
         for s, e in zip(run_starts[sizes > 1], run_ends[sizes > 1]):
             order = np.argsort(ids[s:e]) + s
             mid, msig = ids[order], sigs[order]
+            if len(mid) > star_threshold:
+                # star pairs vs the min-id hub: O(m), not O(m^2)
+                ham = popcount64(msig[0] ^ msig[1:])
+                keep = (ham <= max_hamming) & (mid[1:] != mid[0])
+                rows_a.append(np.full(int(keep.sum()), mid[0]))
+                rows_b.append(mid[1:][keep])
+                rows_h.append(ham[keep])
+                continue
             ia, ib = np.triu_indices(len(mid), k=1)
-            from rp_extract_ray.functions.hashing import popcount64
-
             ham = popcount64(msig[ia] ^ msig[ib])
             keep = (ham <= max_hamming) & (mid[ia] != mid[ib])
             rows_a.append(mid[ia][keep])

@@ -512,3 +512,24 @@ def test_minhash_est_prefilter_matches_exhaustive_verify(docs):
     assert (fast["id_a"].to_numpy() == strict["id_a"].to_numpy()).all()
     assert (fast["id_b"].to_numpy() == strict["id_b"].to_numpy()).all()
     assert np.allclose(fast["jaccard"].to_numpy(), strict["jaccard"].to_numpy())
+
+
+def test_simhash_dense_bucket_star_cap():
+    """10k identical docs: the star cap keeps the pair count O(m) (the old
+    triangle would emit ~50M pairs per band) while the hub still links every
+    duplicate for clustering."""
+    import time
+
+    n = 10_000
+    docs10k = pd.DataFrame(
+        {"doc_id": np.arange(n), "text": ["identical content here"] * n}
+    )
+    t0 = time.perf_counter()
+    out = simhash_pairs(rd.from_pandas(docs10k), max_hamming=3).to_pandas()
+    dt = time.perf_counter() - t0
+    # star pairs: every non-hub doc linked to hub 0 exactly once
+    assert len(out) == n - 1
+    assert (out["id_a"].to_numpy() == 0).all()
+    assert set(out["id_b"]) == set(range(1, n))
+    assert (out["hamming"].to_numpy() == 0).all()
+    assert dt < 60, f"dense bucket took {dt:.1f}s"
