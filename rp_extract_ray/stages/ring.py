@@ -151,6 +151,17 @@ class RingFeaturizer:
             if sessions is not None:
                 st["session"] = int(sessions[e - 1])
 
+        # ---- evict finished conversations ----
+        # under the ordering contract a conversation's rows are contiguous in
+        # the stream, so every conv except the batch's LAST one is complete
+        # and its ring state is dead; without eviction the dict grows one
+        # entry per conversation EVER seen (~400 B x millions on a long
+        # stream). Only the tail conv may continue into the next batch.
+        if n:
+            tail = ents[n - 1]
+            for key in [k for k in self.buf if k != tail]:
+                del self.buf[key]
+
         res = batch.copy()
         res["gap_s"] = gaps
         if sessions is not None:

@@ -173,3 +173,22 @@ def test_ring_sharded_matches_single_actor(corpus, enriched_oracle):
     # global context must remain pristine after building + running the plan
     assert DataContext.get_current().execution_options.preserve_order is False
     print(f"sharded ring throughput datum: {len(got) / elapsed:.0f} rows/s (3 shards)")
+
+
+def test_ring_state_eviction(corpus):
+    """Finished conversations' ring state is evicted (contiguity contract:
+    a conv can't reappear once another started) — the actor's state dict
+    must stay O(1) in the number of conversations streamed through."""
+    from rp_extract_ray.stages.ring import RingFeaturizer
+
+    t, _ = corpus
+    sorted_pdf = (
+        t.to_pandas().sort_values(["conv_id", "ts", "turn_idx"], ignore_index=True)
+    )
+    from rp_extract_ray.pipelines.oracle import oracle_enrich
+
+    enriched = oracle_enrich(sorted_pdf)
+    rf = RingFeaturizer(k=8)
+    for off in range(0, len(enriched), 57):  # many small batches
+        rf(enriched.iloc[off : off + 57].copy())
+    assert len(rf.buf) <= 1  # only the tail conversation may remain
