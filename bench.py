@@ -222,6 +222,8 @@ def scaling() -> dict:
         "turns_per_sec_32": tps_hi,
         "sec_8": lo["value"],
         "sec_32": hi["value"],
+        "repeat_secs_8": lo.get("repeat_secs"),
+        "repeat_secs_32": hi.get("repeat_secs"),
         "scaling_efficiency": round(eff, 3),
         "turns": hi["turns"],
     }
