@@ -128,3 +128,42 @@ def test_declarative_spec_matches_hand_built(corpus):
 
     with _pytest.raises(ValueError, match="unknown stage"):
         build_pipeline(rd.from_arrow(t), [{"stage": "bogus"}])
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=" theandiogscrlßüé的这中一是ión.,0123456789",
+            min_size=0,
+            max_size=120,
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_langid_single_pass_matches_naive_counts(texts):
+    """The byte-stream LangId scorer == the per-gram str.count sweep on
+    arbitrary text (incl. multi-byte chars and gram-dense strings) — the
+    equivalence the single-pass rewrite relies on."""
+    import re
+
+    import pandas as pd
+
+    from rp_extract_ray.functions.rounding import round_half_away
+    from rp_extract_ray.stages.textstage import LangId, _LANG_PROFILES
+
+    df = pd.DataFrame({"text": pd.Series(texts, dtype=object)})
+    out = LangId()(df.copy())
+    t = df["text"].fillna("").str.lower()
+    scores = np.zeros((len(t), len(_LANG_PROFILES)))
+    for j, gs in enumerate(_LANG_PROFILES.values()):
+        for g in gs:
+            scores[:, j] += t.str.count(re.escape(g)).to_numpy()
+    total = np.maximum(scores.sum(axis=1), 1e-9)
+    best = scores.argmax(axis=1)
+    pred = pd.Series(np.array(list(_LANG_PROFILES), dtype=object)[best])
+    pred[scores.max(axis=1) == 0] = "unk"
+    conf = round_half_away(scores[np.arange(len(t)), best] / total, 6)
+    assert (out["lang_pred"].to_numpy() == pred.to_numpy()).all()
+    assert np.allclose(out["lang_conf"].to_numpy(), conf)
