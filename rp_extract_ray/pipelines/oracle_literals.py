@@ -134,7 +134,9 @@ def simhash_pairs_sql(sf_dir: str = ORACLE_SF_DIR, max_hamming: int = 3) -> str:
     engine's banded LSH: with 4 x 16-bit bands, any pair within Hamming
     distance 3 must agree on at least one whole band (pigeonhole), so
     banding has recall 1 at this threshold and the engine's output equals
-    the exhaustive sweep."""
+    the exhaustive sweep — provided no band bucket exceeds the engine's
+    dense-bucket star cap (holds for the driver corpora; see
+    stages/dedup.simhash_pairs for the capped-bucket semantics)."""
     sig = _doc_signatures(sf_dir)
     vals = ",\n      ".join(
         f"({int(r.doc_id)}, {int(r.simhash)})" for r in sig.itertuples(index=False)
@@ -247,9 +249,13 @@ def rhythm_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     dig = _rhythm_digests(sf_dir)
 
     def lit(v):
-        if v is None or (isinstance(v, float) and np.isnan(v)):
+        # NOT repr(): numpy >= 2 reprs scalars as 'np.float64(1.5)' which is
+        # invalid SQL; route through the builtin types explicitly
+        if v is None or (isinstance(v, (float, np.floating)) and np.isnan(v)):
             return "NULL"
-        return repr(v)
+        if isinstance(v, (float, np.floating)):
+            return repr(float(v))
+        return str(int(v))
 
     vals = ",\n      ".join(
         "(" + ", ".join(lit(v) for v in row) + ")"

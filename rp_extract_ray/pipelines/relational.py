@@ -237,10 +237,7 @@ def q_hll_distinct(sf_dir: str) -> "pd.DataFrame":
 
     ds = _read(sf_dir, "orders", ["o_custkey"])
     est = approx_distinct(ds, "o_custkey", p=12)
-    exact = (
-        _read(sf_dir, "orders", ["o_custkey"])
-        .groupby("o_custkey").aggregate(Count(alias_name="n")).count()
-    )
+    exact = ds.groupby("o_custkey").aggregate(Count(alias_name="n")).count()
     return pd.DataFrame(
         {"n_custkeys_hll": [int(est)], "n_custkeys_exact": [int(exact)]}
     )

@@ -353,11 +353,13 @@ def verify_pairs_jaccard(
         # a schema-less empty table), return a typed empty result
         return rd.from_arrow(out_schema.empty_table())
     # Ray's hash-shuffle join loses the schema of EMPTY partitions, which
-    # breaks the chained pair joins when few pairs spread over many
-    # partitions — cap partition count by pair volume (~50k pairs per
-    # partition keeps every partition non-empty with huge probability and
-    # is plenty of parallelism for the per-pair kernel)
-    num_partitions = max(1, min(num_partitions, n_pairs // 50_000 + 1))
+    # breaks the chained PAIR joins when few pairs spread over many
+    # partitions — cap THOSE by pair volume (~50k pairs per partition keeps
+    # every partition non-empty with huge probability and is plenty of
+    # parallelism for the per-pair kernel). The corpus-side semi-join below
+    # keeps the full cluster-scaled count: its left side is the WHOLE corpus
+    # and must not funnel through a pair-sized partition count.
+    pair_partitions = max(1, min(num_partitions, n_pairs // 50_000 + 1))
 
     def flat_ids(b: pa.Table) -> pa.Table:
         ids = np.concatenate(
@@ -394,8 +396,8 @@ def verify_pairs_jaccard(
 
     sh_a = docs_sh.map_batches(as_side("a"), batch_format="pyarrow")
     sh_b = docs_sh.map_batches(as_side("b"), batch_format="pyarrow")
-    joined = uniq.join(sh_a, "inner", num_partitions, on=("id_a",)).join(
-        sh_b, "inner", num_partitions, on=("id_b",)
+    joined = uniq.join(sh_a, "inner", pair_partitions, on=("id_a",)).join(
+        sh_b, "inner", pair_partitions, on=("id_b",)
     )
 
     def batch_jaccard(b: pa.Table) -> pa.Table:
@@ -714,17 +716,25 @@ def simhash_pairs(
     id_col: str = "doc_id",
     *,
     max_hamming: int = 3,
-    star_threshold: int = 256,
+    star_threshold: int | None = 256,
 ) -> Dataset:
     """Near-dup pairs by SimHash banding (4 x 16-bit bands: any pair within
     Hamming distance 3 shares at least one exact band) + Hamming verify.
 
     Dense-bucket guard: a bucket above ``star_threshold`` members (e.g. a
-    dup-heavy corpus where thousands of docs share a signature) emits STAR
+    dup-heavy corpus where thousands of docs share a 16-bit band) emits STAR
     pairs against the bucket's min id instead of the O(m^2) triangle — the
-    same spanning-structure trade as :func:`_bucket_pairs_partitioned`
-    (clusters downstream are identical; the exhaustive pair list is only
-    guaranteed below the threshold)."""
+    same trade as :func:`_bucket_pairs_partitioned`. Be precise about what
+    the cap gives up IN THAT BUCKET: enumeration is no longer exhaustive,
+    and a pair both of whose members are >``max_hamming`` from the hub is
+    not emitted from that bucket (it is still found via any OTHER,
+    non-dense band the two agree on). The practical dense bucket is a
+    duplicate cluster whose hub is within the threshold of every member, so
+    the star is a faithful spanning structure there; set
+    ``star_threshold=None`` for strict exhaustive semantics (O(m^2) output
+    by definition — the exhaustive pair list of m duplicates IS quadratic).
+    The DuckDB oracle is the exhaustive sweep, exact whenever no band
+    bucket exceeds the cap (true for the driver corpora)."""
     import re
 
     from rp_extract_ray.functions.hashing import simhash64_batch, tokens_hash_batch
@@ -771,7 +781,7 @@ def simhash_pairs(
         for s, e in zip(run_starts[sizes > 1], run_ends[sizes > 1]):
             order = np.argsort(ids[s:e]) + s
             mid, msig = ids[order], sigs[order]
-            if len(mid) > star_threshold:
+            if star_threshold is not None and len(mid) > star_threshold:
                 # star pairs vs the min-id hub: O(m), not O(m^2)
                 ham = popcount64(msig[0] ^ msig[1:])
                 keep = (ham <= max_hamming) & (mid[1:] != mid[0])

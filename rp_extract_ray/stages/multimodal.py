@@ -159,10 +159,19 @@ def plan_frame_samples(
                     "frame_ts_ms": pa.array([], pa.int32()),
                 }
             )
-        dur = vids.column("duration_ms").to_numpy(zero_copy_only=False)
+        # nullable metadata: a NULL duration arrives as NaN whose int64 cast
+        # is garbage (INT64_MIN) — such rows plan zero frames
+        dur = np.nan_to_num(
+            vids.column("duration_ms")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64),
+            nan=-1.0,
+        )
         interval_ms = 1000.0 / fps
-        n_frames = np.minimum(
-            (dur / interval_ms).astype(np.int64) + 1, max_frames_per_video
+        n_frames = np.where(
+            dur < 0,
+            0,
+            np.minimum((dur / interval_ms).astype(np.int64) + 1, max_frames_per_video),
         )
         ids = np.repeat(
             vids.column("media_id").to_numpy(zero_copy_only=False), n_frames
@@ -201,14 +210,22 @@ def plan_resize(
         is_img = np.asarray(
             pa.compute.equal(b.column("kind"), "image")
         )
-        scale = np.minimum(1.0, max_dim / np.maximum(np.maximum(w, h), 1.0))
-        tw = np.maximum(np.rint(w * scale), 1).astype(np.int32)
-        th = np.maximum(np.rint(h * scale), 1).astype(np.int32)
+        # nullable dims: NaN width/height -> null target (mask), and the
+        # arithmetic below must not propagate NaN into the int cast
+        known = np.isfinite(w) & np.isfinite(h)
+        w_safe = np.where(known, w, 1.0)
+        h_safe = np.where(known, h, 1.0)
+        scale = np.minimum(
+            1.0, max_dim / np.maximum(np.maximum(w_safe, h_safe), 1.0)
+        )
+        tw = np.maximum(np.rint(w_safe * scale), 1).astype(np.int32)
+        th = np.maximum(np.rint(h_safe * scale), 1).astype(np.int32)
+        mask = ~(is_img & known)
         b = b.append_column(
-            "target_width", pa.array(tw, type=pa.int32(), mask=~is_img)
+            "target_width", pa.array(tw, type=pa.int32(), mask=mask)
         )
         return b.append_column(
-            "target_height", pa.array(th, type=pa.int32(), mask=~is_img)
+            "target_height", pa.array(th, type=pa.int32(), mask=mask)
         )
 
     return ds.map_batches(plan, batch_format="pyarrow")
