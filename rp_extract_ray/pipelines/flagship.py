@@ -127,6 +127,7 @@ def feature_backfill_payload_light(
     right_value_cols=("value",),
     metrics_sink=None,
     blocks_per_shard: int = 4,
+    rejoin_groups_per_shard: int = 1,
 ) -> Dataset:
     """Payload-light backfill: the heavy ``text`` payload NEVER enters the
     all-to-all exchange.
@@ -199,6 +200,27 @@ def feature_backfill_payload_light(
 
     payload = list(payload_cols)
 
+    # one rejoin group per shard caps the second exchange's reduce side at
+    # n_shards tasks; ``rejoin_groups_per_shard`` > 1 interleaves sub-groups
+    # per shard (cheap narrow map — the sub-key never rides the big entity
+    # exchange), each re-reading its shard's payload. Measured A/B at sf0.1
+    # (64 shards, 32 CPUs): G=1 12.3s vs G=4 13.4s — the re-decode outweighs
+    # reduce parallelism when shards >= 2x CPUs, so the default stays 1; use
+    # G>1 when few, large shards would otherwise straggle the rejoin.
+    G = max(1, rejoin_groups_per_shard)
+    if G > 1:
+        def add_rejoin_key(b: pa.Table) -> pa.Table:
+            sh = b.column("_shard").to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = b.column("_pos").to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "_rj", pa.array((sh * G + pos % G).astype(np.int32))
+            )
+
+        feats = feats.map_batches(add_rejoin_key, batch_format="pyarrow")
+        group_col = "_rj"
+    else:
+        group_col = "_shard"
+
     def rejoin(group: pa.Table) -> pa.Table:
         if len(group) == 0:
             return group
@@ -210,9 +232,10 @@ def feature_backfill_payload_light(
         taken = src.take(pa.array(pos[order]))
         for c in payload:
             group = group.append_column(c, taken.column(c))
-        return group.drop_columns(["_shard", "_pos"])
+        drop = ["_shard", "_pos"] + (["_rj"] if G > 1 else [])
+        return group.drop_columns(drop)
 
-    return feats.groupby("_shard").map_groups(rejoin, batch_format="pyarrow")
+    return feats.groupby(group_col).map_groups(rejoin, batch_format="pyarrow")
 
 
 def flagship_events_pipeline(sf_dir: str, num_partitions: int = 16) -> Dataset:
