@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full windowed/rhythm feature stages
         "window_features_full": E.q_window_features_full,
         "rhythm_features": E.q_rhythm,
+        "rhythm_segments": E.q_rhythm_segments,
         "flagship_backfill": E.q_flagship,
     }
     return q
@@ -525,6 +526,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _lit.fingerprint_sql(),
         "simhash_pairs": _lit.simhash_pairs_sql(),
         "rhythm_features": _lit.rhythm_sql(),
+        "rhythm_segments": _lit.rhythm_segments_sql(),
         "hll_distinct": f"""
             SELECT CAST({_lit.hll_custkeys_literal()} AS BIGINT) AS n_custkeys_hll,
                    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkeys_exact

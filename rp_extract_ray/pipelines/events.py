@@ -221,6 +221,39 @@ def q_rhythm(sf_dir: str) -> Dataset:
     return out.map_batches(digests, batch_format="pyarrow")
 
 
+def q_rhythm_segments(sf_dir: str) -> Dataset:
+    """POINT-IN-TIME rhythm mode: one row per (user, segment window) with
+    its ``ts_end`` as-of point (the reference's ``return_segment_features``
+    switch) — per-vector digests, literal-table oracle from the loop-based
+    single-process implementation."""
+    from rp_extract_ray.functions.rounding import round_half_away
+    from rp_extract_ray.pipelines.oracle_literals import SEGMENT_DIGEST_KEYS
+    from rp_extract_ray.stages.dedup import _vec_matrix
+    from rp_extract_ray.stages.rhythm import rhythm_features
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    out = rhythm_features(
+        ds, series_cols=("value", "gap_s"), entity_col=ENTITY, ts_col="ts",
+        order_cols=ORDER, seg_len=32, n_mod=16, num_partitions=NP,
+        per_segment=True,
+    )
+
+    def digests(b: pa.Table) -> pa.Table:
+        cols = {
+            ENTITY: b.column(ENTITY).cast(pa.int64()),
+            "seg_idx": b.column("seg_idx"),
+            "turn_start": b.column("turn_start"),
+            "ts_end": b.column("ts_end"),
+        }
+        for k in SEGMENT_DIGEST_KEYS:
+            M = _vec_matrix(b.column(k))
+            d = round_half_away(np.nansum(M, axis=1), 6) if len(M) else np.empty(0)
+            cols[f"{k}_d"] = pa.array(d, type=pa.float64())
+        return pa.table(cols)
+
+    return out.map_batches(digests, batch_format="pyarrow")
+
+
 def q_flagship(sf_dir: str) -> Dataset:
     """The full flagship point-in-time backfill pipeline, oracle-gated:
     turn stats + sessionize + k=16 windows over three series + backward

@@ -245,6 +245,81 @@ def _rhythm_digests(sf_dir: str) -> pd.DataFrame:
     )
 
 
+SEGMENT_DIGEST_KEYS = ("rp", "rh", "rh2", "mvd", "ssd")
+
+
+@lru_cache(maxsize=2)
+def _rhythm_segment_digests(sf_dir: str) -> pd.DataFrame:
+    """Per-(user, segment) digests for the POINT-IN-TIME rhythm mode: one
+    row per segment window with its ``ts_end`` as-of point (the reference's
+    ``return_segment_features`` switch, /root/reference/rp_extract.py:797)."""
+    import pyarrow.parquet as pq
+
+    from rp_extract_ray.functions.rounding import round_half_away
+    from rp_extract_ray.pipelines.oracle import oracle_rhythm
+
+    ev = (
+        pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"], kind="mergesort",
+                     ignore_index=True)
+    )
+    gaps = []
+    for _, g in ev.groupby("user_id", sort=False):
+        gaps.append(g["ts"].diff().dt.total_seconds().fillna(0.0))
+    ev["gap_s"] = pd.concat(gaps)
+    ev = ev.rename(columns={"user_id": "conv_id"})
+    feats = oracle_rhythm(ev, series_cols=("value", "gap_s"), seg_len=32, n_mod=16)
+    by_uid = {uid: g.reset_index(drop=True) for uid, g in ev.groupby("conv_id", sort=False)}
+    rows = []
+    for uid in sorted(feats):
+        f = feats[uid]
+        if f["n_segments"] == 0:
+            continue
+        g = by_uid[uid]
+        for i, (p, seg) in enumerate(zip(f["plan"], f["segments"])):
+            ts_end = g.loc[p + 32 - 1, "ts"]
+            digs = tuple(
+                float(round_half_away(np.nansum(seg[k]), 6))
+                for k in SEGMENT_DIGEST_KEYS
+            )
+            rows.append((int(uid), i, int(p), ts_end) + digs)
+    return pd.DataFrame(
+        rows,
+        columns=["user_id", "seg_idx", "turn_start", "ts_end"]
+        + [f"{k}_d" for k in SEGMENT_DIGEST_KEYS],
+    )
+
+
+def rhythm_segments_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    dig = _rhythm_segment_digests(sf_dir)
+
+    def lit(v):
+        if isinstance(v, pd.Timestamp):
+            return f"'{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+        if isinstance(v, (float, np.floating)):
+            return repr(float(v))
+        return str(int(v))
+
+    vals = ",\n      ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")"
+        for row in dig.itertuples(index=False)
+    )
+    dcols = ", ".join(
+        f"CAST({k}_d AS DOUBLE) AS {k}_d" for k in SEGMENT_DIGEST_KEYS
+    )
+    cols = ", ".join(dig.columns)
+    return f"""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(seg_idx AS INTEGER) AS seg_idx,
+           CAST(turn_start AS BIGINT) AS turn_start,
+           CAST(ts_end AS TIMESTAMP) AS ts_end,
+           {dcols}
+    FROM (VALUES {vals}) AS t({cols})"""
+
+
 def rhythm_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     dig = _rhythm_digests(sf_dir)
 
