@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_features_full": E.q_window_features_full,
         "rhythm_features": E.q_rhythm,
         "rhythm_segments": E.q_rhythm_segments,
+        "ring_stream": E.q_ring_stream,
         "flagship_backfill": E.q_flagship,
     }
     return q
@@ -379,6 +380,46 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN v <= 0 THEN 0.0
                               ELSE (e3 - 3*e1*e2 + 2*e1*e1*e1) / pow(v, 1.5)
                          END, 6) + 0 AS value_wskew,  -- +0: -0.0 -> 0.0
+                   round(CASE WHEN v <= 0 THEN 0.0
+                              ELSE (e4 - 4*e1*e3 + 6*e1*e1*e2 - 3*pow(e1, 4))
+                                   / (v*v)
+                         END, 6) + 0 AS value_wkurt,
+                   round(med, 6) AS value_wmedian,
+                   value_wmin, value_wmax, value_wcount,
+                   round(p25, 6) AS value_wp25,
+                   round(p75, 6) AS value_wp75
+            FROM m""",
+        # the streaming ring path: window stats + gap + session boundaries,
+        # all in one pass of a single stateful actor on the engine side
+        "ring_stream": f"""
+            WITH g AS (
+              SELECT event_id, user_id, ts, value, {_GAP} AS gap_raw
+              FROM events),
+            m AS (
+              SELECT event_id, user_id, ts, value,
+                     round(gap_raw, 6) AS gap_s,
+                     CAST(sum(CASE WHEN gap_raw > 1800 THEN 1 ELSE 0 END)
+                          OVER ({_W} ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_id,
+                     avg(value) OVER w AS e1,
+                     avg(value*value) OVER w AS e2,
+                     avg(value*value*value) OVER w AS e3,
+                     avg(value*value*value*value) OVER w AS e4,
+                     var_pop(value) OVER w AS v,
+                     median(value) OVER w AS med,
+                     quantile_cont(value, 0.25) OVER w AS p25,
+                     quantile_cont(value, 0.75) OVER w AS p75,
+                     min(value) OVER w AS value_wmin,
+                     max(value) OVER w AS value_wmax,
+                     CAST(count(value) OVER w AS BIGINT) AS value_wcount
+              FROM g
+              WINDOW w AS ({_W} ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+            SELECT event_id, user_id, ts, value, gap_s, session_id,
+                   round(e1, 6) AS value_wmean,
+                   round(v, 6) AS value_wvar,
+                   round(CASE WHEN v <= 0 THEN 0.0
+                              ELSE (e3 - 3*e1*e2 + 2*e1*e1*e1) / pow(v, 1.5)
+                         END, 6) + 0 AS value_wskew,
                    round(CASE WHEN v <= 0 THEN 0.0
                               ELSE (e4 - 4*e1*e3 + 6*e1*e1*e2 - 3*pow(e1, 4))
                                    / (v*v)

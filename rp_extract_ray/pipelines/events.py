@@ -221,6 +221,42 @@ def q_rhythm(sf_dir: str) -> Dataset:
     return out.map_batches(digests, batch_format="pyarrow")
 
 
+def q_ring_stream(sf_dir: str, k: int = 8) -> Dataset:
+    """The STREAMING ring-buffer path under the driver gate: events globally
+    sorted to a conversation-contiguous stream, then the single-actor
+    RingFeaturizer computes gap/session/window stats across batch
+    boundaries with zero shuffle after the sort. Oracle: the same SQL
+    window functions as window_features_full plus the sessionize boundary
+    sum — so the cross-batch state carry is value-gated, not just
+    pytest-gated."""
+    from rp_extract_ray.stages.ring import streaming_window_features
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    ds = ds.sort(["user_id", "ts", "event_id"])
+    out = streaming_window_features(
+        ds, series_cols=("value",), k=k, entity_col=ENTITY, ts_col="ts",
+        session_gap_s=1800.0, batch_size=2048,
+    )
+
+    def shape(b: pa.Table) -> pa.Table:
+        i = b.column_names.index("session_id")
+        b = b.set_column(i, "session_id", b.column("session_id").cast(pa.int64()))
+        return b
+
+    out = out.map_batches(shape, batch_format="pyarrow").select_columns(
+        ["event_id", "user_id", "ts", "value", "gap_s", "session_id",
+         "value_wmean", "value_wvar", "value_wskew", "value_wkurt",
+         "value_wmedian", "value_wmin", "value_wmax", "value_wcount",
+         "value_wp25", "value_wp75"]
+    )
+    return _round(
+        out,
+        {"gap_s": 6, "value_wmean": 6, "value_wvar": 6, "value_wskew": 6,
+         "value_wkurt": 6, "value_wmedian": 6, "value_wp25": 6,
+         "value_wp75": 6},
+    )
+
+
 def q_rhythm_segments(sf_dir: str) -> Dataset:
     """POINT-IN-TIME rhythm mode: one row per (user, segment window) with
     its ``ts_end`` as-of point (the reference's ``return_segment_features``
