@@ -129,6 +129,7 @@ def run_headline(paths: dict) -> dict:
         out_rows = ds.count()
         secs.append(round(time.perf_counter() - t0, 3))
         assert out_rows == n_turns, (out_rows, n_turns)
+    sink = None
     if mode == "light":
         # W8/A10 lineage sidecar: one UNTIMED instrumented pass after the
         # repeats writes the per-partition rows-in/out + latency parquet

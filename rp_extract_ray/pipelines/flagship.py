@@ -221,9 +221,21 @@ def feature_backfill_payload_light(
     else:
         group_col = "_shard"
 
+    payload_schema = pq.read_schema(shard_paths[0]) if shard_paths else None
+
     def rejoin(group: pa.Table) -> pa.Table:
         if len(group) == 0:
-            return group
+            # match the non-empty output shape (bookkeeping dropped, payload
+            # appended as typed nulls) so block schemas unify downstream
+            if group.num_columns == 0 or payload_schema is None:
+                return group
+            drop0 = [c for c in ("_shard", "_pos", "_rj") if c in group.column_names]
+            out = group.drop_columns(drop0)
+            for c in payload:
+                out = out.append_column(
+                    c, pa.nulls(0, payload_schema.field(c).type)
+                )
+            return out
         shard = int(group.column("_shard")[0].as_py())
         pos = group.column("_pos").to_numpy(zero_copy_only=False)
         order = np.argsort(pos)

@@ -204,24 +204,10 @@ def _rhythm_digests(sf_dir: str) -> pd.DataFrame:
     (pipelines.oracle.oracle_rhythm) over the events table shaped the way
     events.q_rhythm shapes it: entity=user_id, order=(ts, event_id),
     series=(value, gap_s), seg_len=32, n_mod=16."""
-    import pyarrow.parquet as pq
-
     from rp_extract_ray.functions.rounding import round_half_away
     from rp_extract_ray.pipelines.oracle import oracle_rhythm
 
-    ev = (
-        pq.read_table(
-            f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
-        )
-        .to_pandas()
-        .sort_values(["user_id", "ts", "event_id"], kind="mergesort",
-                     ignore_index=True)
-    )
-    gaps = []
-    for _, g in ev.groupby("user_id", sort=False):
-        gaps.append(g["ts"].diff().dt.total_seconds().fillna(0.0))
-    ev["gap_s"] = pd.concat(gaps)
-    ev = ev.rename(columns={"user_id": "conv_id"})
+    ev = _events_for_rhythm_oracle(sf_dir)
     feats = oracle_rhythm(
         ev, series_cols=("value", "gap_s"), seg_len=32, n_mod=16
     )
@@ -248,15 +234,25 @@ def _rhythm_digests(sf_dir: str) -> pd.DataFrame:
 SEGMENT_DIGEST_KEYS = ("rp", "rh", "rh2", "mvd", "ssd")
 
 
-@lru_cache(maxsize=2)
-def _rhythm_segment_digests(sf_dir: str) -> pd.DataFrame:
-    """Per-(user, segment) digests for the POINT-IN-TIME rhythm mode: one
-    row per segment window with its ``ts_end`` as-of point (the reference's
-    ``return_segment_features`` switch, /root/reference/rp_extract.py:797)."""
-    import pyarrow.parquet as pq
+def _sql_lit(v) -> str:
+    """SQL literal for a python/numpy/pandas scalar. NOT repr(): numpy >= 2
+    reprs scalars as 'np.float64(1.5)' which is invalid SQL."""
+    if v is None or (isinstance(v, (float, np.floating)) and np.isnan(v)):
+        return "NULL"
+    if isinstance(v, pd.Timestamp):
+        return f"'{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    return str(int(v))
 
-    from rp_extract_ray.functions.rounding import round_half_away
-    from rp_extract_ray.pipelines.oracle import oracle_rhythm
+
+@lru_cache(maxsize=2)
+def _events_for_rhythm_oracle(sf_dir: str) -> pd.DataFrame:
+    """The events frame both rhythm oracles run on: sorted the way
+    events.q_rhythm* sorts (user_id, ts, event_id), per-user gap_s, renamed
+    to the oracle's conv_id entity. ONE definition so the whole-conversation
+    and per-segment oracles can never desync on prep semantics."""
+    import pyarrow.parquet as pq
 
     ev = (
         pq.read_table(
@@ -270,7 +266,18 @@ def _rhythm_segment_digests(sf_dir: str) -> pd.DataFrame:
     for _, g in ev.groupby("user_id", sort=False):
         gaps.append(g["ts"].diff().dt.total_seconds().fillna(0.0))
     ev["gap_s"] = pd.concat(gaps)
-    ev = ev.rename(columns={"user_id": "conv_id"})
+    return ev.rename(columns={"user_id": "conv_id"})
+
+
+@lru_cache(maxsize=2)
+def _rhythm_segment_digests(sf_dir: str) -> pd.DataFrame:
+    """Per-(user, segment) digests for the POINT-IN-TIME rhythm mode: one
+    row per segment window with its ``ts_end`` as-of point (the reference's
+    ``return_segment_features`` switch, /root/reference/rp_extract.py:797)."""
+    from rp_extract_ray.functions.rounding import round_half_away
+    from rp_extract_ray.pipelines.oracle import oracle_rhythm
+
+    ev = _events_for_rhythm_oracle(sf_dir)
     feats = oracle_rhythm(ev, series_cols=("value", "gap_s"), seg_len=32, n_mod=16)
     by_uid = {uid: g.reset_index(drop=True) for uid, g in ev.groupby("conv_id", sort=False)}
     rows = []
@@ -295,45 +302,31 @@ def _rhythm_segment_digests(sf_dir: str) -> pd.DataFrame:
 
 def rhythm_segments_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     dig = _rhythm_segment_digests(sf_dir)
-
-    def lit(v):
-        if isinstance(v, pd.Timestamp):
-            return f"'{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
-        if isinstance(v, (float, np.floating)):
-            return repr(float(v))
-        return str(int(v))
-
-    vals = ",\n      ".join(
-        "(" + ", ".join(lit(v) for v in row) + ")"
-        for row in dig.itertuples(index=False)
-    )
     dcols = ", ".join(
         f"CAST({k}_d AS DOUBLE) AS {k}_d" for k in SEGMENT_DIGEST_KEYS
     )
-    cols = ", ".join(dig.columns)
-    return f"""
+    head = f"""
     SELECT CAST(user_id AS BIGINT) AS user_id,
            CAST(seg_idx AS INTEGER) AS seg_idx,
            CAST(turn_start AS BIGINT) AS turn_start,
            CAST(ts_end AS TIMESTAMP) AS ts_end,
-           {dcols}
-    FROM (VALUES {vals}) AS t({cols})"""
+           {dcols}"""
+    if len(dig) == 0:
+        # `FROM (VALUES )` is a parse error — emit a typed empty result
+        nulls = ", ".join(["NULL"] * len(dig.columns))
+        return f"{head}\n    FROM (VALUES ({nulls})) AS t({', '.join(dig.columns)}) WHERE FALSE"
+    vals = ",\n      ".join(
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")"
+        for row in dig.itertuples(index=False)
+    )
+    return f"{head}\n    FROM (VALUES {vals}) AS t({', '.join(dig.columns)})"
 
 
 def rhythm_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     dig = _rhythm_digests(sf_dir)
 
-    def lit(v):
-        # NOT repr(): numpy >= 2 reprs scalars as 'np.float64(1.5)' which is
-        # invalid SQL; route through the builtin types explicitly
-        if v is None or (isinstance(v, (float, np.floating)) and np.isnan(v)):
-            return "NULL"
-        if isinstance(v, (float, np.floating)):
-            return repr(float(v))
-        return str(int(v))
-
     vals = ",\n      ".join(
-        "(" + ", ".join(lit(v) for v in row) + ")"
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")"
         for row in dig.itertuples(index=False)
     )
     dcols = ", ".join(

@@ -376,7 +376,15 @@ def verify_pairs_jaccard(
         lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
     ).join(cand_ids, "left_semi", num_partitions, on=(id_col,))
 
+    sh_schema = pa.schema(
+        [pa.field(id_col, pa.int64()), pa.field("_sh", pa.binary())]
+    )
+
     def shingle_sets(b: pa.Table) -> pa.Table:
+        # Ray's hash join emits SCHEMA-LESS blocks for empty partitions
+        # (more partitions than matched docs) — give them the typed shape
+        if len(b) == 0:
+            return sh_schema.empty_table()
         texts = b.column(text_col).to_pylist()
         sets = [char_shingles(t or "", shingle_k).tobytes() for t in texts]
         return pa.table(
@@ -391,6 +399,11 @@ def verify_pairs_jaccard(
 
     def as_side(side: str):
         def f(b: pa.Table) -> pa.Table:
+            if len(b) == 0:
+                return pa.schema(
+                    [pa.field(f"id_{side}", pa.int64()),
+                     pa.field(f"_sh_{side}", pa.binary())]
+                ).empty_table()
             return b.rename_columns([f"id_{side}", f"_sh_{side}"])
         return f
 
@@ -650,14 +663,20 @@ def dedup_clusters_distributed(
         old = labels.map_batches(
             lambda b: b.rename_columns(["id", "lab_old"]), batch_format="pyarrow"
         )
+        _changed_schema = pa.schema(
+            [pa.field("id", pa.int64()), pa.field("lab", pa.int64())]
+        )
+
+        def changed_rows(b: pa.Table) -> pa.Table:
+            if len(b) == 0:  # schema-less empty join partition
+                return _changed_schema.empty_table()
+            return b.filter(
+                pa.compute.less(b.column("lab"), b.column("lab_old"))
+            ).select(["id", "lab"]).cast(_changed_schema)
+
         changed = (
             new_labels.join(old, "inner", num_partitions, on=("id",))
-            .map_batches(
-                lambda b: b.filter(
-                    pa.compute.less(b.column("lab"), b.column("lab_old"))
-                ).select(["id", "lab"]),
-                batch_format="pyarrow",
-            )
+            .map_batches(changed_rows, batch_format="pyarrow")
             .materialize()
         )
         n_changed = int(changed.count())

@@ -207,8 +207,12 @@ def plan_resize(
     def plan(b: pa.Table) -> pa.Table:
         w = b.column("width").to_numpy(zero_copy_only=False).astype(np.float64)
         h = b.column("height").to_numpy(zero_copy_only=False).astype(np.float64)
+        # fill_null(False): a NULL kind must read as "not an image", not as
+        # a None poisoning the boolean mask arithmetic below
         is_img = np.asarray(
-            pa.compute.equal(b.column("kind"), "image")
+            pa.compute.fill_null(
+                pa.compute.equal(b.column("kind"), "image"), False
+            )
         )
         # nullable dims: NaN width/height -> null target (mask), and the
         # arithmetic below must not propagate NaN into the int cast
