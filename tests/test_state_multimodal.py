@@ -203,3 +203,34 @@ def test_plan_resize():
         # a 1-pixel step into a large absolute ratio change)
         ar = r["width"] / r["height"]
         assert abs(tw / th - ar) / ar < 0.1
+
+
+def test_media_plans_null_metadata():
+    """NULL duration/width/height/kind must not crash the plan stages:
+    null-duration videos plan zero frames; null-dim or null-kind rows get
+    null resize targets."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rp_extract_ray.stages.multimodal import plan_frame_samples, plan_resize
+
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "kind": pa.array(["video", "video", "image", None]),
+            "payload": pa.array([b"x"] * 4, pa.binary()),
+            "mime": pa.array(["m"] * 4),
+            "width": pa.array([None, 100, None, 50], pa.int32()),
+            "height": pa.array([None, 100, 80, 50], pa.int32()),
+            "sample_rate": pa.array([None] * 4, pa.int32()),
+            "duration_ms": pa.array([None, 2000, None, None], pa.int32()),
+        }
+    )
+    frames = plan_frame_samples(rd.from_arrow(t), fps=1.0).to_pandas()
+    assert set(frames["media_id"]) == {2}  # null-duration video -> 0 frames
+    assert len(frames) == 3  # 0,1000,2000 ms
+    rs = plan_resize(rd.from_arrow(t), max_dim=64).to_pandas().set_index("media_id")
+    assert pd.isna(rs.loc[3, "target_width"])  # image with null width
+    assert pd.isna(rs.loc[4, "target_width"])  # null kind
+    assert pd.isna(rs.loc[1, "target_width"])  # video

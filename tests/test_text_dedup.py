@@ -533,3 +533,20 @@ def test_simhash_dense_bucket_star_cap():
     assert set(out["id_b"]) == set(range(1, n))
     assert (out["hamming"].to_numpy() == 0).all()
     assert dt < 60, f"dense bucket took {dt:.1f}s"
+
+
+def test_verify_pairs_survives_empty_join_partitions(docs):
+    """Candidate set far smaller than the join partition count: Ray's hash
+    join emits schema-less empty partitions, which the verify chain must
+    absorb (typed empties) instead of crashing in shingle/rename maps."""
+    from rp_extract_ray.stages.dedup import verify_pairs_jaccard
+
+    uniq = rd.from_pandas(
+        pd.DataFrame({"id_a": [0, 0], "id_b": [6, 12], "n_bands": [16, 16]})
+    )
+    out = verify_pairs_jaccard(
+        uniq, rd.from_pandas(docs), jaccard_threshold=0.5, num_partitions=8
+    ).to_pandas()
+    found = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert found == {(0, 6), (0, 12)}  # identical docs -> jaccard 1.0
+    assert (out["jaccard"] == 1.0).all()
