@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": E.q_sessionize,
         "session_agg": E.q_session_agg,
         "window_stats": E.q_window_stats,
+        "range_join": E.q_range_join,
         "asof_backward": lambda sf: E.q_asof(sf, "backward", "click", "purchase", "pvalue"),
         "asof_forward": lambda sf: E.q_asof(sf, "forward", "view", "error", "fvalue"),
         "backfill": E.q_backfill,
@@ -429,6 +430,17 @@ def oracle_sql() -> dict[str, str]:
                    round(p25, 6) AS value_wp25,
                    round(p75, 6) AS value_wp75
             FROM m""",
+        "range_join": """
+            WITH iv AS (SELECT user_id, ts AS start_ts,
+                               ts + INTERVAL 1 HOUR AS end_ts,
+                               event_id AS iv_id, value AS iv_value
+                        FROM events WHERE event_type = 'error'),
+                 l AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'click')
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   iv.iv_id, round(iv.iv_value, 6) AS iv_value
+            FROM l JOIN iv ON l.user_id = iv.user_id
+                          AND l.ts >= iv.start_ts AND l.ts <= iv.end_ts""",
         "asof_backward": """
             WITH r AS (SELECT user_id, ts, max(value) AS pvalue FROM events
                        WHERE event_type='purchase' GROUP BY user_id, ts),

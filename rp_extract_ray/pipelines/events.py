@@ -355,6 +355,55 @@ def q_time_window(sf_dir: str) -> Dataset:
     return _round(out, {"value_tsum": 6, "value_tmean": 6})
 
 
+def q_range_join(sf_dir: str) -> Dataset:
+    """Interval containment join (stages/rangejoin.py): every 'error' event
+    opens a 1-hour incident window; each 'click' of the same user inside a
+    window joins that window's id and value. Windows of one user can overlap
+    (general path, not assume_disjoint). Oracle: plain SQL
+    ``JOIN ON ts BETWEEN start AND end``."""
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.stages.rangejoin import range_join
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def lf(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("event_type"), "click")).drop_columns(
+            ["event_type"]
+        )
+
+    def ivf(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "error"))
+        ts = b.column("ts")
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "start_ts": ts,
+                "end_ts": pc.add(ts, pa.scalar(3_600_000_000, pa.duration("us"))),
+                "iv_id": b.column("event_id"),
+                "iv_value": b.column("value"),
+            }
+        )
+
+    left = ev.map_batches(lf, batch_format="pyarrow")
+    iv = ev.map_batches(ivf, batch_format="pyarrow")
+    left_schema = pa.schema(
+        [
+            pa.field("event_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("user_id", pa.int64()),
+            pa.field("value", pa.float64()),
+        ]
+    )
+    out = range_join(
+        left, iv, entity_col=ENTITY, ts_col="ts",
+        interval_value_cols=["iv_id", "iv_value"], how="inner",
+        num_partitions=NP, left_schema=left_schema,
+    )
+    out = out.select_columns(["event_id", "user_id", "ts", "value", "iv_id", "iv_value"])
+    return _round(out, {"iv_value": 6})
+
+
 def q_standardize(sf_dir: str) -> Dataset:
     ds = _events(sf_dir, ["event_id", "value"])
     ds = standardize(ds, ["value"], round_to=6)

@@ -61,6 +61,12 @@ def _asof(ds: Dataset, **kw) -> Dataset:
     return asof_join(ds, kw.pop("right"), **kw)
 
 
+def _range_join(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.rangejoin import range_join
+
+    return range_join(ds, kw.pop("intervals"), **kw)
+
+
 def _time_window(ds: Dataset, **kw) -> Dataset:
     from rp_extract_ray.stages.timegrid import time_window_aggregate
 
@@ -121,6 +127,7 @@ _REGISTRY: dict[str, Callable[..., Dataset]] = {
     "window": _window,
     "lag": _lag,
     "asof": _asof,
+    "range_join": _range_join,
     "time_window": _time_window,
     "time_grid": _time_grid,
     "rhythm": _rhythm,

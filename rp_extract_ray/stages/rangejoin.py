@@ -1,0 +1,305 @@
+"""Distributed range (interval) join.
+
+Not present in the reference (its joins are exact-id hash joins,
+/root/reference/classes_io.py:294-386) and absent from Ray Data's built-in
+join surface — one of the custom temporal operators the transcript engine
+needs (companion to the as-of join, stages/asof.py): attach every interval
+``[start, end]`` of an entity to each of the entity's rows whose timestamp
+falls inside it (campaign windows, incident windows, session spans,
+maintenance windows joined to turns/events).
+
+Design mirrors ``asof_join``: co-partition both sides by
+``stable_hash(entity) % P`` (the same partitioner every other stage uses),
+union with a side tag, and run a vectorized per-partition probe inside ONE
+``groupby(_part).map_groups`` — one shuffle total. A small interval table
+broadcasts instead (``ray.put`` once, local object-store read per task, zero
+shuffle).
+
+Per-partition probe (no Python row loop):
+
+* general path — pandas hash-merge on entity followed by a boolean
+  ``start <= ts <= end`` mask. Per-entity output is intrinsically
+  |rows| x |matching intervals|; memory is bounded by the PRE-filter
+  per-entity cross size. Fine for realistic interval tables (tens of
+  overlapping windows per entity); a corpus with thousands of mutually
+  overlapping intervals per entity should bucket time first (see
+  ``time_bucket`` note in the docstring of :func:`range_join`).
+* ``assume_disjoint=True`` — intervals of one entity never overlap (session
+  spans, SCD ranges): a ``merge_asof`` backward-on-start + end-mask finds
+  the unique candidate in O(n log m) with NO cross blowup. The disjointness
+  contract is asserted per partition (cheap vectorized check).
+
+Partitioning assumption (documented per the §2-custom-operator rule): all
+rows AND all intervals of one entity land in one partition; skew therefore
+follows the entity key. Interval tables are per-entity small in every
+motivating workload; a single whale entity can be handled by splitting its
+LEFT rows across partitions and replicating only its intervals (intervals
+ride with whichever left chunk needs them) — not implemented until a
+workload needs it.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from rp_extract_ray.schema import DEFAULT_NUM_PARTITIONS
+from rp_extract_ray.stages.asof import SIDE_COL, _arrow_schema
+from rp_extract_ray.stages.partition import PART_COL, _add_part
+
+
+def _probe_frames(
+    left: pd.DataFrame,
+    iv: pd.DataFrame,
+    *,
+    entity_col: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    value_cols: Sequence[str],
+    how: str,
+    closed: str,
+    assume_disjoint: bool,
+) -> pd.DataFrame:
+    """Vectorized interval probe of one co-located frame pair."""
+    lo_inc = closed in ("both", "left")
+    hi_inc = closed in ("both", "right")
+
+    if assume_disjoint and len(iv):
+        iv = iv.sort_values([start_col], kind="mergesort", ignore_index=True)
+        # disjointness contract: within an entity, each start must lie at or
+        # after the previous interval's end (strictly after when both bounds
+        # are closed, else touching endpoints double-match)
+        same = iv[entity_col].to_numpy()[1:] == iv[entity_col].to_numpy()[:-1]
+        prev_end = iv[end_col].to_numpy()[:-1]
+        nxt_start = iv[start_col].to_numpy()[1:]
+        bad = same & (
+            (nxt_start <= prev_end) if (lo_inc and hi_inc) else (nxt_start < prev_end)
+        )
+        if bad.any():
+            raise ValueError(
+                "assume_disjoint=True but intervals overlap for entity "
+                f"{iv[entity_col].to_numpy()[1:][bad][0]!r}"
+            )
+        lsort = left.sort_values(ts_col, kind="mergesort", ignore_index=True)
+        merged = pd.merge_asof(
+            lsort,
+            iv[[entity_col, start_col, end_col, *value_cols]].rename(
+                columns={start_col: "_iv_start", end_col: "_iv_end"}
+            ),
+            left_on=ts_col,
+            right_on="_iv_start",
+            by=entity_col,
+            direction="backward",
+            allow_exact_matches=lo_inc,
+        )
+        ts = merged[ts_col].to_numpy()
+        end = merged["_iv_end"].to_numpy()
+        inside = (ts <= end) if hi_inc else (ts < end)
+        inside &= ~pd.isna(merged["_iv_start"]).to_numpy()
+        if how == "inner":
+            return merged[inside].drop(columns=["_iv_start", "_iv_end"]).reset_index(
+                drop=True
+            )
+        out = merged.drop(columns=["_iv_start", "_iv_end"])
+        miss = ~inside
+        if miss.any():
+            out.loc[miss, list(value_cols)] = None
+        return out
+
+    # general path: hash-merge on entity, then the containment mask
+    merged = left.merge(
+        iv[[entity_col, start_col, end_col, *value_cols]].rename(
+            columns={start_col: "_iv_start", end_col: "_iv_end"}
+        ),
+        on=entity_col,
+        how="left" if how == "left" else "inner",
+    )
+    ts = merged[ts_col].to_numpy()
+    lo = merged["_iv_start"].to_numpy()
+    hi = merged["_iv_end"].to_numpy()
+    inside = (ts >= lo) if lo_inc else (ts > lo)
+    inside &= (ts <= hi) if hi_inc else (ts < hi)
+    inside &= ~(pd.isna(lo) | pd.isna(hi))
+    if how == "inner":
+        return merged[inside].drop(columns=["_iv_start", "_iv_end"]).reset_index(
+            drop=True
+        )
+    # left join: keep ONE row per unmatched left row (null values), all rows
+    # for matched ones
+    merged = merged.drop(columns=["_iv_start", "_iv_end"])
+    keep_cols = [c for c in left.columns]
+    matched = merged[inside]
+    matched_keys = pd.MultiIndex.from_frame(matched[keep_cols])
+    all_keys = pd.MultiIndex.from_frame(left[keep_cols])
+    unmatched = left[~all_keys.isin(set(matched_keys))].copy()
+    for c in value_cols:
+        unmatched[c] = None
+    return pd.concat([matched, unmatched], ignore_index=True)
+
+
+def range_join(
+    left: Dataset,
+    intervals: Dataset,
+    *,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    interval_value_cols: Sequence[str] | None = None,
+    how: str = "inner",
+    closed: str = "both",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    broadcast: bool = False,
+    assume_disjoint: bool = False,
+    left_schema: pa.Schema | None = None,
+) -> Dataset:
+    """Join each interval's value columns onto every contained left row.
+
+    ``how='inner'`` drops left rows inside no interval; ``'left'`` keeps them
+    with nulls (one row each). ``closed`` picks bound inclusivity
+    (``'both'|'left'|'right'|'neither'``). Interval value columns colliding
+    with left column names are renamed ``<name>_iv``.
+
+    Broadcast path for a small interval table (zero shuffle); co-partitioned
+    path for two large sides (one shuffle, same partitioner as every other
+    stage — pass ``left_schema`` to avoid probing a transformed left and to
+    get typed empty blocks for single-side partitions, exactly as in
+    ``asof_join``).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if closed not in ("both", "left", "right", "neither"):
+        raise ValueError(f"bad closed={closed!r}")
+    iv_schema = _arrow_schema(intervals)
+    if interval_value_cols is None:
+        interval_value_cols = [
+            c for c in iv_schema.names if c not in (entity_col, start_col, end_col)
+        ]
+    rvc = list(interval_value_cols)
+    rtypes = {c: iv_schema.field(c).type for c in rvc}
+
+    if broadcast:
+        small = intervals.select_columns(
+            [entity_col, start_col, end_col, *rvc]
+        ).to_pandas()
+        iv_ref = ray.put(small)
+
+        def broadcast_probe(batch: pd.DataFrame) -> pd.DataFrame:
+            iv_loc = ray.get(iv_ref)
+            ren = {c: (f"{c}_iv" if c in batch.columns else c) for c in rvc}
+            return _probe_frames(
+                batch,
+                iv_loc.rename(columns=ren),
+                entity_col=entity_col,
+                ts_col=ts_col,
+                start_col=start_col,
+                end_col=end_col,
+                value_cols=[ren[c] for c in rvc],
+                how=how,
+                closed=closed,
+                assume_disjoint=assume_disjoint,
+            )
+
+        return left.map_batches(broadcast_probe, batch_format="pandas")
+
+    # ---- co-partitioned path ----
+    rename = None
+    if left_schema is not None:
+        left_names = list(left_schema.names)
+        rename = {c: (f"{c}_iv" if c in left_names else c) for c in rvc}
+    out_value_cols = [rename[c] for c in rvc] if rename else rvc
+    out_rtypes = {(rename[c] if rename else c): rtypes[c] for c in rvc}
+    vset = set(out_value_cols)
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        if rename is None:
+            clash = vset & set(b.column_names)
+            if clash:
+                raise ValueError(
+                    f"left columns collide with interval value columns {sorted(clash)}; "
+                    "pass left_schema= to enable _iv renaming"
+                )
+        t = _add_part(b, entity_col, num_partitions, None)
+        return t.append_column(SIDE_COL, pa.array(np.ones(len(b), dtype=np.int8)))
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        cols = {
+            entity_col: b.column(entity_col),
+            start_col: b.column(start_col),
+            end_col: b.column(end_col),
+        }
+        for c in rvc:
+            cols[rename[c] if rename else c] = b.column(c)
+        t = pa.table(cols)
+        t = _add_part(t, entity_col, num_partitions, None)
+        return t.append_column(SIDE_COL, pa.array(np.zeros(len(b), dtype=np.int8)))
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = intervals.map_batches(tag_right, batch_format="pyarrow")
+
+    def out_schema() -> pa.Schema | None:
+        if left_schema is None:
+            return None
+        return pa.schema(
+            [left_schema.field(n) for n in left_schema.names]
+            + [pa.field(c, out_rtypes[c]) for c in out_value_cols]
+        )
+
+    bound_types = {
+        start_col: iv_schema.field(start_col).type,
+        end_col: iv_schema.field(end_col).type,
+    }
+
+    def probe_group(group: pa.Table) -> pa.Table:
+        side = group.column(SIDE_COL).to_numpy()
+        group = group.drop_columns([SIDE_COL, PART_COL])
+        lmask = side == 1
+        lcols = [
+            c
+            for c in group.column_names
+            if c not in (start_col, end_col) and c not in out_value_cols
+        ]
+        lpart = group.filter(pa.array(lmask)).select(
+            [c for c in lcols if c in group.column_names]
+        ).to_pandas()
+        riv_names = [entity_col, start_col, end_col, *out_value_cols]
+        present = [c for c in riv_names if c in group.column_names]
+        rpart = group.filter(pa.array(~lmask)).select(present).to_pandas()
+        for c in riv_names:
+            if c not in rpart.columns:
+                typ = out_rtypes.get(c) or bound_types.get(c)
+                rpart[c] = pd.Series([], dtype=typ.to_pandas_dtype())
+        if len(lpart) == 0:
+            sch = out_schema()
+            if sch is not None:
+                return sch.empty_table()
+            return group.slice(0, 0)
+        merged = _probe_frames(
+            lpart,
+            rpart,
+            entity_col=entity_col,
+            ts_col=ts_col,
+            start_col=start_col,
+            end_col=end_col,
+            value_cols=out_value_cols,
+            how=how,
+            closed=closed,
+            assume_disjoint=assume_disjoint,
+        )
+        sch = out_schema()
+        if sch is not None:
+            t = pa.Table.from_pandas(merged, schema=sch, preserve_index=False)
+        else:
+            t = pa.Table.from_pandas(merged, preserve_index=False)
+        # pandas metadata dicts defeat Ray's schema-dedup hashing (log noise)
+        return t.replace_schema_metadata(None)
+
+    unioned = lt.union(rt)
+    return unioned.groupby(PART_COL).map_groups(probe_group, batch_format="pyarrow")
