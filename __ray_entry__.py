@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": R.q_anti_join,
         "region_customers": R.q_region_customers,
         "topk": R.q_topk,
+        "topk_per_group": R.q_topk_per_group,
+        "group_quantiles": R.q_group_quantiles,
         "sample": R.q_sample,
         "top_terms": R.q_top_terms,
         "filter_sort": R.q_filter_sort,
@@ -529,6 +531,23 @@ def oracle_sql() -> dict[str, str]:
         "topk": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "topk_per_group": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice
+            FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_orderpriority
+                                            ORDER BY o_totalprice DESC, o_orderkey)
+                           AS rn
+                  FROM orders)
+            WHERE rn <= 3""",
+        "group_quantiles": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   round(quantile_cont(CAST(length(text) AS DOUBLE), 0.25), 6)
+                     AS len_q25,
+                   round(quantile_cont(CAST(length(text) AS DOUBLE), 0.50), 6)
+                     AS len_q50,
+                   round(quantile_cont(CAST(length(text) AS DOUBLE), 0.90), 6)
+                     AS len_q90
+            FROM documents GROUP BY lang""",
         # Knuth multiplicative hash replicated exactly (BIGINT arithmetic
         # stays far below 2^63 for these keys). floor() before CAST: the
         # engine truncates int(rate * 2**32); a bare CAST rounds half-up and

@@ -251,6 +251,39 @@ def q_topk(sf_dir: str, k: int = 10) -> "pd.DataFrame":
     )
 
 
+def q_topk_per_group(sf_dir: str, k: int = 3) -> Dataset:
+    """Per-group top-k (stages/groupops.py): the 3 highest-value orders of
+    every order priority, deterministic tiebreak by orderkey. Oracle:
+    ``row_number() OVER (PARTITION BY ...) <= k``."""
+    from rp_extract_ray.stages.groupops import grouped_topk
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out = grouped_topk(
+        ds, "o_orderpriority", ["o_totalprice", "o_orderkey"],
+        descending=[True, False], k=k,
+    )
+    return out.select_columns(["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+
+def q_group_quantiles(sf_dir: str) -> Dataset:
+    """Exact per-language text-length percentiles (stages/groupops.py) — the
+    quality-cutoff op of a curation pipeline. Oracle: ``quantile_cont``."""
+    import pandas as pd
+
+    from rp_extract_ray.stages.groupops import grouped_quantiles
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def to_len(b: pa.Table) -> pa.Table:
+        n = pc.utf8_length(b.column("text")).cast(pa.float64())
+        return pa.table({"lang": b.column("lang"), "len": n})
+
+    slim = ds.map_batches(to_len, batch_format="pyarrow")
+    return grouped_quantiles(
+        slim, "lang", "len", [0.25, 0.5, 0.9], round_to=6
+    ).select_columns(["lang", "n", "len_q25", "len_q50", "len_q90"])
+
+
 def q_filter_sort(sf_dir: str) -> Dataset:
     """M25 filters + stable sort: high-value open orders."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"])

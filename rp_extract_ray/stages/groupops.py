@@ -1,0 +1,112 @@
+"""Grouped order-statistics operators: per-group top-k and quantiles.
+
+Neither exists in Ray Data's aggregate surface; both are everyday
+training-data-pipeline ops (best-N documents per source/domain for curation,
+per-language length percentiles for quality cutoffs). Reference analogue:
+the reference keeps only global argmax/sort paths (SURVEY.md §2.7); the
+per-group forms are the distributed generalization.
+
+Scale design:
+
+* ``grouped_topk`` — map-side prune first: every batch keeps its LOCAL
+  per-group top-k (one vectorized sort + groupby-head per batch), so the
+  exchange carries at most ``k × groups-per-block`` rows instead of the whole
+  table; the final per-group top-k runs inside ``groupby(key).map_groups``.
+  Same shape as ``distributed_topk`` (pipelines/relational.py) generalized to
+  a keyed exchange.
+* ``grouped_quantiles`` — exact quantiles need each group's values
+  co-located: ONE hash exchange of just ``(keys, value)`` (columns pruned
+  before the shuffle), then a vectorized ``np.quantile`` (linear
+  interpolation == SQL ``quantile_cont``) per group. Groups are assumed
+  per-key small relative to worker heap (true for categorical keys); a
+  sketch-based approximate path (t-digest) is the escape hatch if a single
+  group outgrows a worker — not needed by any current workload.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+
+from ray.data import Dataset
+
+
+def _local_topk(
+    batch: pd.DataFrame,
+    group_cols: list[str],
+    sort_cols: list[str],
+    ascending: list[bool],
+    k: int,
+) -> pd.DataFrame:
+    if len(batch) == 0:
+        return batch
+    out = batch.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+    return out.groupby(group_cols, sort=False).head(k).reset_index(drop=True)
+
+
+def grouped_topk(
+    ds: Dataset,
+    group_cols: Sequence[str] | str,
+    sort_cols: Sequence[str] | str,
+    *,
+    descending: Sequence[bool] | bool = True,
+    k: int = 10,
+) -> Dataset:
+    """Top-``k`` rows of every group, ordered by ``sort_cols``.
+
+    ``sort_cols`` should end in a unique tiebreak column for deterministic
+    output (the same contract as ``distributed_topk``). Two-phase: per-batch
+    local prune, then per-group final select — only pruned partials shuffle.
+    """
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+    if isinstance(descending, bool):
+        asc = [not descending] * len(scols)
+    else:
+        asc = [not d for d in descending]
+
+    pruned = ds.map_batches(
+        lambda b: _local_topk(b, gcols, scols, asc, k), batch_format="pandas"
+    )
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return _local_topk(group, gcols, scols, asc, k)
+
+    return pruned.groupby(gcols).map_groups(final, batch_format="pandas")
+
+
+def grouped_quantiles(
+    ds: Dataset,
+    group_cols: Sequence[str] | str,
+    value_col: str,
+    quantiles: Sequence[float],
+    *,
+    out_names: Sequence[str] | None = None,
+    round_to: int | None = None,
+) -> Dataset:
+    """Exact per-group quantiles of ``value_col`` (linear interpolation —
+    identical to DuckDB/Postgres ``quantile_cont`` and ``numpy.quantile``).
+    Output: one row per group with one column per requested quantile.
+    Prune to ``(group_cols, value_col)`` BEFORE the exchange.
+    """
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if out_names is None:
+        out_names = [f"{value_col}_q{int(round(q * 100)):02d}" for q in quantiles]
+    qs = list(quantiles)
+    names = list(out_names)
+
+    slim = ds.select_columns([*gcols, value_col])
+
+    def per_group(group: pd.DataFrame) -> pd.DataFrame:
+        v = group[value_col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        row = {c: [group[c].iloc[0]] for c in gcols}
+        row["n"] = [np.int64(len(v))]
+        for q, name in zip(qs, names):
+            val = float(np.quantile(v, q)) if len(v) else np.nan
+            row[name] = [round(val, round_to) if round_to is not None else val]
+        return pd.DataFrame(row)
+
+    return slim.groupby(gcols).map_groups(per_group, batch_format="pandas")

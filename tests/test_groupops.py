@@ -1,0 +1,90 @@
+"""Per-group top-k and quantiles vs pandas oracles."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from rp_extract_ray.stages.groupops import grouped_quantiles, grouped_topk
+
+
+def _df(n=3000, groups=17, seed=2):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "g": rng.integers(0, groups, n).astype(np.int64),
+            "rid": np.arange(n, dtype=np.int64),
+            "v": rng.normal(size=n).round(4),
+        }
+    )
+
+
+def test_grouped_topk_matches_pandas():
+    df = _df()
+    got = (
+        grouped_topk(
+            rd.from_pandas(df).repartition(13), "g", ["v", "rid"],
+            descending=[True, False], k=5,
+        )
+        .to_pandas()
+        .sort_values(["g", "v", "rid"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["v", "rid"], ascending=[False, True], kind="mergesort")
+        .groupby("g", sort=False)
+        .head(5)
+        .sort_values(["g", "v", "rid"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["g", "rid", "v"]], want[["g", "rid", "v"]])
+
+
+def test_grouped_topk_ties_deterministic():
+    """Equal sort values resolve by the tiebreak column, independent of
+    partitioning."""
+    df = pd.DataFrame(
+        {"g": [0] * 6 + [1] * 6, "rid": np.arange(12, dtype=np.int64),
+         "v": [1.0] * 12}
+    )
+    for parts in (1, 3, 7):
+        got = grouped_topk(
+            rd.from_pandas(df).repartition(parts), "g", ["v", "rid"],
+            descending=[True, False], k=2,
+        ).to_pandas().sort_values(["g", "rid"]).reset_index(drop=True)
+        assert got["rid"].tolist() == [0, 1, 6, 7]
+
+
+def test_grouped_topk_small_groups():
+    """Groups smaller than k return all their rows."""
+    df = _df(n=40, groups=30)
+    got = grouped_topk(
+        rd.from_pandas(df), "g", ["v", "rid"], descending=[True, False], k=10
+    ).to_pandas()
+    assert len(got) == len(df)
+
+
+def test_grouped_quantiles_matches_numpy():
+    df = _df(n=5000, groups=9, seed=8)
+    got = (
+        grouped_quantiles(
+            rd.from_pandas(df).repartition(11), "g", "v", [0.25, 0.5, 0.9]
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        vals = df.loc[df.g == row.g, "v"].to_numpy()
+        assert row["n"] == len(vals)
+        np.testing.assert_allclose(row["v_q25"], np.quantile(vals, 0.25))
+        np.testing.assert_allclose(row["v_q50"], np.quantile(vals, 0.5))
+        np.testing.assert_allclose(row["v_q90"], np.quantile(vals, 0.9))
+
+
+def test_grouped_quantiles_nan_skipped():
+    df = pd.DataFrame({"g": [0, 0, 0, 1], "v": [1.0, np.nan, 3.0, np.nan]})
+    got = grouped_quantiles(rd.from_pandas(df), "g", "v", [0.5]).to_pandas()
+    got = got.sort_values("g").reset_index(drop=True)
+    assert got["n"].tolist() == [2, 0]
+    assert got["v_q50"][0] == 2.0 and np.isnan(got["v_q50"][1])
