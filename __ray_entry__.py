@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1": R.q_tpch_q1,
         "join_agg": R.q_join_agg,
         "semi_join": R.q_semi_join,
+        "bloom_semi_join": R.q_bloom_semi_join,
         "anti_join": R.q_anti_join,
         "region_customers": R.q_region_customers,
         "topk": R.q_topk,
@@ -516,6 +517,9 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment""",
         "semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
+        "bloom_semi_join": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
         "anti_join": """

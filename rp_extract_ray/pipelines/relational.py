@@ -172,6 +172,18 @@ def q_semi_join(sf_dir: str) -> Dataset:
     return semi_anti_join(cust, keys, on="c_custkey", keys_on="o_custkey", anti=False)
 
 
+def q_bloom_semi_join(sf_dir: str) -> Dataset:
+    """Same truth as ``semi_join``, through the Bloom-prefiltered path
+    (stages/join.bloom_semi_join): distributed OR-merged filter build,
+    broadcast probe, exact left_semi join on the survivors. Gates that the
+    prefilter never drops a true match under any partitioning."""
+    from rp_extract_ray.stages.join import bloom_semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    keys = _read(sf_dir, "orders", ["o_custkey"])
+    return bloom_semi_join(cust, keys, on="c_custkey", keys_on="o_custkey")
+
+
 def q_anti_join(sf_dir: str) -> Dataset:
     """J4 resume primitive: customers with no high-value (>400k) order
     (/root/reference/rp_extract_batch.py:241-264)."""

@@ -154,6 +154,82 @@ def semi_anti_join(
     return big.map_batches(filt, batch_format="pyarrow")
 
 
+def bloom_semi_join(
+    big: Dataset,
+    keys: Dataset,
+    *,
+    on: str,
+    keys_on: str | None = None,
+    n_keys_hint: int | None = None,
+    fpp: float = 0.01,
+    exact: bool = True,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Semi join accelerated by a distributed-built Bloom filter.
+
+    The middle ground between ``semi_anti_join``'s two strategies: the key
+    side is too big to broadcast EXACTLY (a set of 10^9 64-bit keys is tens
+    of GB with Python overhead) but its Bloom filter is small (10^9 keys at
+    1% fpp ≈ 1.2 GB of bits; at 10^7 ≈ 12 MB). Build: one pass over ``keys``
+    emitting an m-bit partial per block (bitwise-OR mergeable,
+    functions/bloom.py), driver ORs the handful of partials, ``ray.put`` the
+    merged filter once. Probe: vectorized membership mask per batch — no
+    false negatives, so the pass-through set is a SUPERSET of the true semi
+    join.
+
+    ``exact=True`` (default) feeds only the surviving ~(match + fpp·miss)
+    rows into the distributed ``left_semi`` hash join — the join's shuffle
+    volume drops by the filter's selectivity while the result stays exact.
+    ``exact=False`` returns the superset directly (documented fpp) — the
+    right trade when a downstream stage tolerates strays.
+
+    ``n_keys_hint`` sizes the filter; when absent, one HLL pass over ``keys``
+    estimates it (cheap: constant shuffle volume, functions/sketch.py).
+    """
+    import numpy as np
+
+    from rp_extract_ray.functions.bloom import (
+        bloom_accumulate,
+        bloom_contains,
+        bloom_merge,
+        bloom_params,
+    )
+
+    keys_on = keys_on or on
+    key_ds = keys.select_columns([keys_on]).materialize()  # 2 passes: size + build
+    if n_keys_hint is None:
+        from rp_extract_ray.functions.sketch import approx_distinct
+
+        n_keys_hint = max(approx_distinct(key_ds, keys_on), 1)
+    n_bits, n_hashes = bloom_params(n_keys_hint, fpp)
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = bloom_accumulate(
+            b.column(keys_on).to_numpy(zero_copy_only=False), n_bits, n_hashes
+        )
+        return pa.table({"words": pa.array([words.tobytes()], pa.binary())})
+
+    parts = key_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged = np.zeros(n_bits // 64, dtype=np.uint64)
+    for buf in parts["words"]:
+        merged = bloom_merge(merged, np.frombuffer(buf, dtype=np.uint64))
+    filt_ref = ray.put(merged)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        words = ray.get(filt_ref)
+        mask = bloom_contains(
+            batch.column(on).to_numpy(zero_copy_only=False), words, n_bits, n_hashes
+        )
+        return batch.filter(pa.array(mask))
+
+    survivors = big.map_batches(prefilter, batch_format="pyarrow")
+    if not exact:
+        return survivors
+    return semi_anti_join(
+        survivors, key_ds, on=on, keys_on=keys_on, num_partitions=num_partitions
+    )
+
+
 def hash_join(
     left: Dataset,
     right: Dataset,
