@@ -41,6 +41,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_backward": lambda sf: E.q_asof(sf, "backward", "click", "purchase", "pvalue"),
         "asof_forward": lambda sf: E.q_asof(sf, "forward", "view", "error", "fvalue"),
         "backfill": E.q_backfill,
+        "ewma": E.q_ewma,
+        "cumulative": E.q_cumulative,
+        "rank_features": E.q_rank_features,
         "standardize": E.q_standardize,
         "time_grid": E.q_time_grid,
         "time_window": E.q_time_window,
@@ -313,6 +316,24 @@ _W = "PARTITION BY user_id ORDER BY ts, event_id"
 _GAP = f"coalesce(date_diff('microsecond', lag(ts) OVER ({_W}), ts)/1000000.0, 0)"
 
 
+def _ewma_sql(alpha: float = 0.25, window: int = 8) -> str:
+    """Bounded-window EWMA as explicit lag terms: numerator
+    Σ_j (1-α)^j·lag(value,j), denominator Σ_j (1-α)^j·[lag non-null] —
+    exactly stages/lag.ewma_within's formula (same weights, same null
+    semantics), so round-6 values match."""
+    r = 1.0 - alpha
+    num_terms, den_terms = [], []
+    for j in range(window):
+        src = "value" if j == 0 else f"lag(value, {j}) OVER ({_W})"
+        num_terms.append(f"coalesce({r!r}^{j} * ({src}), 0)")
+        den_terms.append(f"(CASE WHEN ({src}) IS NOT NULL THEN {r!r}^{j} ELSE 0 END)")
+    return f"""
+            SELECT event_id, user_id, ts, value,
+                   round(({" + ".join(num_terms)})
+                         / ({" + ".join(den_terms)}), 6) AS value_ewma
+            FROM events"""
+
+
 def oracle_sql() -> dict[str, str]:
     from rp_extract_ray.pipelines import oracle_literals as _lit
 
@@ -458,6 +479,21 @@ def oracle_sql() -> dict[str, str]:
                        WHERE event_type='view')
             SELECT l.event_id, l.user_id, l.ts, l.value, round(r.fvalue, 6) AS fvalue
             FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""",
+        "ewma": _ewma_sql(),
+        "cumulative": f"""
+            SELECT event_id, user_id, ts, value,
+                   round(sum(value) OVER w, 6) AS value_csum,
+                   CAST(count(value) OVER w AS BIGINT) AS value_ccount,
+                   min(value) OVER w AS value_cmin,
+                   max(value) OVER w AS value_cmax
+            FROM events
+            WINDOW w AS ({_W} ROWS UNBOUNDED PRECEDING)""",
+        "rank_features": """
+            SELECT event_id, user_id, value,
+                   CAST(rank() OVER wv AS BIGINT) AS value_rank,
+                   round(percent_rank() OVER wv, 6) AS value_prank
+            FROM events
+            WINDOW wv AS (PARTITION BY user_id ORDER BY value)""",
         "backfill": f"""
             SELECT event_id, user_id, ts,
                    last_value(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)

@@ -355,6 +355,52 @@ def q_time_window(sf_dir: str) -> Dataset:
     return _round(out, {"value_tsum": 6, "value_tmean": 6})
 
 
+def q_ewma(sf_dir: str, alpha: float = 0.25, window: int = 8) -> Dataset:
+    """Bounded-window EWMA of value per user (stages/lag.ewma_within).
+    Oracle: the same position-distance weighted sum spelled as ``window``
+    explicit lag terms (generated SQL, __ray_entry__._ewma_sql)."""
+    from rp_extract_ray.stages.lag import add_ewma_features
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    ds = add_ewma_features(
+        ds, ["value"], alpha=alpha, window=window,
+        entity_col=ENTITY, order_cols=ORDER, num_partitions=NP,
+    )
+    ds = ds.select_columns(["event_id", "user_id", "ts", "value", "value_ewma"])
+    return _round(ds, {"value_ewma": 6})
+
+
+def q_cumulative(sf_dir: str) -> Dataset:
+    """Running sum/count/min/max of value per user (ROWS UNBOUNDED
+    PRECEDING semantics, stages/lag.cumulative_within)."""
+    from rp_extract_ray.stages.lag import add_cumulative_features
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    ds = add_cumulative_features(
+        ds, ["value"], entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )
+    ds = ds.select_columns(
+        ["event_id", "user_id", "ts", "value",
+         "value_csum", "value_ccount", "value_cmin", "value_cmax"]
+    )
+    return _round(ds, {"value_csum": 6})
+
+
+def q_rank_features(sf_dir: str) -> Dataset:
+    """Whole-entity rank/percent_rank of value per user
+    (stages/lag.rank_within; SQL rank()/percent_rank() semantics)."""
+    from rp_extract_ray.stages.lag import add_rank_features
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    ds = add_rank_features(
+        ds, ["value"], entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )
+    ds = ds.select_columns(
+        ["event_id", "user_id", "value", "value_rank", "value_prank"]
+    )
+    return _round(ds, {"value_prank": 6})
+
+
 def q_range_join(sf_dir: str) -> Dataset:
     """Interval containment join (stages/rangejoin.py): every 'error' event
     opens a 1-hour incident window; each 'click' of the same user inside a

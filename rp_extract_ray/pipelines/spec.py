@@ -61,6 +61,24 @@ def _asof(ds: Dataset, **kw) -> Dataset:
     return asof_join(ds, kw.pop("right"), **kw)
 
 
+def _ewma(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.lag import add_ewma_features
+
+    return add_ewma_features(ds, kw.pop("value_cols"), **kw)
+
+
+def _cumulative(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.lag import add_cumulative_features
+
+    return add_cumulative_features(ds, kw.pop("value_cols"), **kw)
+
+
+def _rank(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.lag import add_rank_features
+
+    return add_rank_features(ds, kw.pop("value_cols"), **kw)
+
+
 def _range_join(ds: Dataset, **kw) -> Dataset:
     from rp_extract_ray.stages.rangejoin import range_join
 
@@ -126,6 +144,9 @@ _REGISTRY: dict[str, Callable[..., Dataset]] = {
     "sessionize": _sessionize,
     "window": _window,
     "lag": _lag,
+    "ewma": _ewma,
+    "cumulative": _cumulative,
+    "rank": _rank,
     "asof": _asof,
     "range_join": _range_join,
     "time_window": _time_window,

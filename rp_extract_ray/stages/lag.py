@@ -80,6 +80,148 @@ def ffill_within(values: np.ndarray, starts: np.ndarray) -> np.ndarray:
     return out
 
 
+def ewma_within(
+    values: np.ndarray, starts: np.ndarray, alpha: float, window: int
+) -> np.ndarray:
+    """Bounded-window exponentially weighted mean within each entity run.
+
+    ``ewma_t = Σ_{j<window} (1-α)^j · x_{t-j} / Σ_{j} (1-α)^j`` over the rows
+    of the same run (position-distance weights; NaN inputs contribute
+    nothing, their weight drops from the denominator — pandas
+    ``ewm(adjust=True)`` semantics restricted to the window). Bounding the
+    window keeps every weight ≥ (1-α)^{window-1}: the unbounded recursion's
+    scaled-cumsum vectorization overflows float64 past ~6k rows, and a
+    64-row window already carries >1-1e-6 of the mass at α=0.2.
+
+    Vectorized as ``window`` full-array shifts — no per-entity loop; causal
+    (reads only rows at or before t), safe under salting with
+    ``overlap >= window - 1``.
+    """
+    v = values.astype(np.float64, copy=False)
+    n = len(v)
+    num = np.zeros(n)
+    den = np.zeros(n)
+    for j in range(window):
+        w = (1.0 - alpha) ** j
+        s = v if j == 0 else shifted(v, j, starts)
+        m = ~np.isnan(s)
+        num[m] += w * s[m]
+        den[m] += w
+    out = np.full(n, np.nan)
+    nz = den > 0
+    out[nz] = num[nz] / den[nz]
+    return out
+
+
+def cumulative_within(
+    pdf: pd.DataFrame, starts: np.ndarray, col: str
+) -> dict[str, np.ndarray]:
+    """Running (unbounded-preceding) sum / count / min / max of ``col``
+    within each entity run — SQL ``ROWS UNBOUNDED PRECEDING`` semantics,
+    null values skipped. Sum/count are cumsum-minus-run-base (pure numpy);
+    min/max use pandas' C groupby cummin/cummax keyed by the run start
+    index (unique per run)."""
+    v = pdf[col].to_numpy(dtype=np.float64)
+    notnull = ~np.isnan(v)
+    cs = np.cumsum(np.where(notnull, v, 0.0))
+    cn = np.cumsum(notnull.astype(np.int64))
+    idx = np.arange(len(v))
+    base_s = cs[starts] - np.where(notnull[starts], v[starts], 0.0)
+    base_n = cn[starts] - notnull[starts].astype(np.int64)
+    g = pd.Series(v).groupby(starts)
+    return {
+        f"{col}_csum": cs - base_s,
+        f"{col}_ccount": cn - base_n,
+        f"{col}_cmin": g.cummin().to_numpy(),
+        f"{col}_cmax": g.cummax().to_numpy(),
+    }
+
+
+def rank_within(
+    pdf: pd.DataFrame, starts: np.ndarray, col: str
+) -> dict[str, np.ndarray]:
+    """SQL ``rank()`` / ``percent_rank()`` of ``col`` over the WHOLE entity
+    run (not causal — a ranking feature, not a point-in-time one; document
+    accordingly where used). Ties share the min rank; percent_rank =
+    (rank-1)/(n-1), 0 for single-row runs."""
+    g = pdf.groupby(starts, sort=False)[col]
+    rank = g.rank(method="min").to_numpy()
+    sizes = g.transform("size").to_numpy(dtype=np.float64)
+    pr = np.where(sizes > 1, (rank - 1) / np.maximum(sizes - 1, 1), 0.0)
+    return {f"{col}_rank": rank.astype(np.int64), f"{col}_prank": pr}
+
+
+def add_ewma_features(
+    ds: Dataset,
+    value_cols: Sequence[str],
+    *,
+    alpha: float = 0.2,
+    window: int = 16,
+    entity_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    num_partitions: int = 64,
+    salt: SaltSpec | None = None,
+) -> Dataset:
+    """EWMA column ``<c>_ewma`` per value column (see :func:`ewma_within`)."""
+    if salt is not None and salt.overlap < window - 1:
+        raise ValueError(f"salt.overlap={salt.overlap} < window horizon {window - 1}")
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        for c in value_cols:
+            pdf[f"{c}_ewma"] = ewma_within(pdf[c].to_numpy(), starts, alpha, window)
+        return pdf
+
+    return partitioned_apply(
+        ds, fn, entity_col=entity_col, order_cols=order_cols,
+        num_partitions=num_partitions, salt=salt,
+    )
+
+
+def add_cumulative_features(
+    ds: Dataset,
+    value_cols: Sequence[str],
+    *,
+    entity_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    num_partitions: int = 64,
+) -> Dataset:
+    """Running sum/count/min/max per entity (unbounded window — not salted:
+    the running state looks back arbitrarily far, like ffill)."""
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        for c in value_cols:
+            for name, arr in cumulative_within(pdf, starts, c).items():
+                pdf[name] = arr
+        return pdf
+
+    return partitioned_apply(
+        ds, fn, entity_col=entity_col, order_cols=order_cols,
+        num_partitions=num_partitions,
+    )
+
+
+def add_rank_features(
+    ds: Dataset,
+    value_cols: Sequence[str],
+    *,
+    entity_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    num_partitions: int = 64,
+) -> Dataset:
+    """Whole-entity rank/percent_rank per value column (non-causal)."""
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        for c in value_cols:
+            for name, arr in rank_within(pdf, starts, c).items():
+                pdf[name] = arr
+        return pdf
+
+    return partitioned_apply(
+        ds, fn, entity_col=entity_col, order_cols=order_cols,
+        num_partitions=num_partitions,
+    )
+
+
 def make_lag_frame_fn(
     value_cols: Sequence[str],
     lags: Sequence[int] = (1,),

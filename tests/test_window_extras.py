@@ -1,0 +1,133 @@
+"""EWMA / cumulative / rank primitives vs naive per-row oracles."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from rp_extract_ray.stages.lag import (
+    add_cumulative_features,
+    add_ewma_features,
+    cumulative_within,
+    ewma_within,
+    rank_within,
+)
+from rp_extract_ray.stages.partition import SaltSpec
+
+
+def _frame(n=500, ents=7, seed=3, with_nan=False):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": np.sort(rng.integers(0, ents, n)),
+            "v": rng.normal(size=n).round(3),
+        }
+    )
+    if with_nan:
+        pdf.loc[rng.choice(n, n // 10, replace=False), "v"] = np.nan
+    starts = np.zeros(n, dtype=np.int64)
+    cid = pdf["conv_id"].to_numpy()
+    for i in range(1, n):
+        starts[i] = i if cid[i] != cid[i - 1] else starts[i - 1]
+    return pdf, starts
+
+
+def _naive_ewma(v, starts, alpha, window):
+    out = np.full(len(v), np.nan)
+    for i in range(len(v)):
+        num = den = 0.0
+        for j in range(window):
+            t = i - j
+            if t < starts[i]:
+                break
+            if not np.isnan(v[t]):
+                w = (1 - alpha) ** j
+                num += w * v[t]
+                den += w
+        if den > 0:
+            out[i] = num / den
+    return out
+
+
+def test_ewma_matches_naive():
+    for with_nan in (False, True):
+        pdf, starts = _frame(with_nan=with_nan)
+        got = ewma_within(pdf["v"].to_numpy(), starts, 0.3, 8)
+        want = _naive_ewma(pdf["v"].to_numpy(), starts, 0.3, 8)
+        np.testing.assert_allclose(got, want, equal_nan=True, atol=1e-12)
+
+
+def test_ewma_large_window_tracks_pandas_ewm():
+    """With the window far past the mass horizon, bounded EWMA converges to
+    pandas' unbounded ewm(adjust=True)."""
+    pdf, starts = _frame(n=300, ents=3, seed=9)
+    got = ewma_within(pdf["v"].to_numpy(), starts, 0.5, 64)
+    want = (
+        pdf.groupby("conv_id", sort=False)["v"]
+        .transform(lambda s: s.ewm(alpha=0.5, adjust=True).mean())
+        .to_numpy()
+    )
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_cumulative_matches_expanding():
+    pdf, starts = _frame(with_nan=True)
+    got = cumulative_within(pdf, starts, "v")
+    g = pdf.groupby("conv_id", sort=False)["v"]
+    np.testing.assert_allclose(got["v_csum"], g.transform(lambda s: s.fillna(0).cumsum()))
+    np.testing.assert_allclose(got["v_ccount"], g.transform(lambda s: s.notna().cumsum()))
+    np.testing.assert_allclose(got["v_cmin"], g.cummin(), equal_nan=True)
+    np.testing.assert_allclose(got["v_cmax"], g.cummax(), equal_nan=True)
+
+
+def test_rank_matches_pandas():
+    pdf, starts = _frame()
+    got = rank_within(pdf, starts, "v")
+    g = pdf.groupby("conv_id", sort=False)["v"]
+    want_rank = g.rank(method="min").to_numpy()
+    n = g.transform("size").to_numpy(dtype=float)
+    np.testing.assert_allclose(got["v_rank"], want_rank)
+    np.testing.assert_allclose(
+        got["v_prank"], np.where(n > 1, (want_rank - 1) / np.maximum(n - 1, 1), 0.0)
+    )
+
+
+def test_ewma_salted_equals_unsalted():
+    rng = np.random.default_rng(4)
+    n = 2000
+    conv = ["whale"] * (n // 2) + [f"c{i % 5}" for i in range(n // 2)]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": conv,
+            "ts": pd.Timestamp("2026-01-01")
+            + pd.to_timedelta(np.arange(n), unit="s"),
+            "v": rng.normal(size=n).round(3),
+        }
+    )
+    # proper per-entity consecutive turn index (the salting contract)
+    pdf["turn_idx"] = pdf.groupby("conv_id", sort=False).cumcount().astype(np.int64)
+    kw = dict(alpha=0.3, window=8, entity_col="conv_id",
+              order_cols=("ts", "turn_idx"), num_partitions=8)
+    plain = add_ewma_features(rd.from_pandas(pdf), ["v"], **kw).to_pandas()
+    salted = add_ewma_features(
+        rd.from_pandas(pdf), ["v"],
+        salt=SaltSpec(chunk_turns=128, overlap=16), **kw,
+    ).to_pandas()
+    key = ["conv_id", "turn_idx"]
+    a = plain.sort_values(key).reset_index(drop=True)
+    b = salted.sort_values(key).reset_index(drop=True)
+    np.testing.assert_allclose(a["v_ewma"], b["v_ewma"], atol=1e-12)
+
+
+def test_cumulative_dataset_path():
+    pdf, _ = _frame(n=400, ents=5)
+    pdf["ts"] = pd.Timestamp("2026-01-01") + pd.to_timedelta(
+        np.arange(len(pdf)), unit="s"
+    )
+    pdf["turn_idx"] = np.arange(len(pdf), dtype=np.int64)
+    out = add_cumulative_features(
+        rd.from_pandas(pdf), ["v"], entity_col="conv_id",
+        order_cols=("ts", "turn_idx"), num_partitions=4,
+    ).to_pandas().sort_values("turn_idx").reset_index(drop=True)
+    want = pdf.groupby("conv_id", sort=False)["v"].cumsum().to_numpy()
+    np.testing.assert_allclose(out["v_csum"], want)
