@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_customers": R.q_region_customers,
         "topk": R.q_topk,
         "topk_per_group": R.q_topk_per_group,
+        "stratified_sample": R.q_stratified_sample,
         "group_quantiles": R.q_group_quantiles,
         "sample": R.q_sample,
         "top_terms": R.q_top_terms,
@@ -75,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": D.q_fingerprint,
         "minhash_pairs": D.q_minhash_pairs,
         "ngram_jaccard_pairs": D.q_ngram_jaccard,
+        "contamination": D.q_contamination,
         "simhash_pairs": D.q_simhash_pairs,
         "near_dup_clusters": D.q_near_dup_clusters,
         "dedup_drop": D.q_dedup_drop,
@@ -579,6 +581,16 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                   FROM orders)
             WHERE rn <= 3""",
+        "stratified_sample": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice
+            FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                         row_number() OVER (
+                             PARTITION BY o_orderpriority
+                             ORDER BY (o_orderkey * 2654435761
+                                       + 1 * 2654435769) % 4294967296,
+                                      o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn <= 20""",
         "group_quantiles": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n,
                    round(quantile_cont(CAST(length(text) AS DOUBLE), 0.25), 6)
@@ -645,6 +657,29 @@ def oracle_sql() -> dict[str, str]:
             FROM orders""",
         "minhash_pairs": _JACCARD_SQL,
         "ngram_jaccard_pairs": _JACCARD_SQL,
+        # decontamination: distinct-gram containment |C∩B|/|B| (grams as
+        # strings == the engine's collision-free 64-bit shingle hashes)
+        "contamination": r"""
+            WITH c AS (SELECT doc_id, text FROM documents
+                       WHERE source NOT IN ('src0', 'src1')),
+                 b AS (SELECT doc_id, text FROM documents
+                       WHERE source IN ('src0', 'src1')),
+                 cs AS (SELECT DISTINCT doc_id,
+                               substring(text, CAST(u.i AS INTEGER), 5) AS g
+                        FROM c, LATERAL unnest(
+                            range(1, greatest(length(text) - 4, 1) + 1)) AS u(i)),
+                 bs AS (SELECT DISTINCT doc_id,
+                               substring(text, CAST(u.i AS INTEGER), 5) AS g
+                        FROM b, LATERAL unnest(
+                            range(1, greatest(length(text) - 4, 1) + 1)) AS u(i)),
+                 bn AS (SELECT doc_id, count(*) AS n FROM bs GROUP BY doc_id),
+                 sh AS (SELECT cs.doc_id AS corpus_id, bs.doc_id AS bench_id,
+                               CAST(count(*) AS BIGINT) AS n_shared
+                        FROM cs JOIN bs ON cs.g = bs.g GROUP BY 1, 2)
+            SELECT corpus_id, bench_id, n_shared,
+                   round(n_shared / CAST(bn.n AS DOUBLE), 6) AS containment
+            FROM sh JOIN bn ON bn.doc_id = bench_id
+            WHERE round(n_shared / CAST(bn.n AS DOUBLE), 6) >= 0.6""",
         "near_dup_clusters": _CLUSTERS_SQL,
         "dedup_drop": _DEDUP_DROP_SQL,
         "embedding_near_dup": _embedding_near_dup_sql(),

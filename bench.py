@@ -41,6 +41,7 @@ QUERY_NAMES = [
     "time_grid", "knn_cosine", "minhash_pairs", "standardize",
     "window_features_full", "cosine_pairs", "top_terms",
     "hll_distinct", "near_dup_clusters", "langid",
+    "range_join", "ewma", "topk_per_group", "bloom_semi_join",
 ]
 
 

@@ -111,6 +111,30 @@ def q_ngram_jaccard(sf_dir: str) -> Dataset:
     )
 
 
+def q_contamination(sf_dir: str, min_containment: float = 0.6) -> Dataset:
+    """Cross-corpus decontamination (stages/dedup.contamination_pairs):
+    sources src0/src1 play the benchmark set, the rest the training corpus;
+    emit pairs where >= 60% of the benchmark doc's distinct 5-shingles
+    appear in a corpus doc."""
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.stages.dedup import contamination_pairs
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+    bench_mask = lambda b: pc.is_in(
+        b.column("source"), value_set=pa.array(["src0", "src1"])
+    )
+    corpus = ds.map_batches(
+        lambda b: b.filter(pc.invert(bench_mask(b))).drop_columns(["source"]),
+        batch_format="pyarrow",
+    )
+    bench = ds.map_batches(
+        lambda b: b.filter(bench_mask(b)).drop_columns(["source"]),
+        batch_format="pyarrow",
+    )
+    return contamination_pairs(corpus, bench, min_containment=min_containment)
+
+
 def q_simhash_pairs(sf_dir: str) -> Dataset:
     """Rows-only: SimHash near-dup pairs (Hamming <= 3)."""
     return simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)

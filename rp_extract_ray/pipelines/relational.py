@@ -296,6 +296,16 @@ def q_group_quantiles(sf_dir: str) -> Dataset:
     ).select_columns(["lang", "n", "len_q25", "len_q50", "len_q90"])
 
 
+def q_stratified_sample(sf_dir: str, n: int = 20, seed: int = 1) -> Dataset:
+    """Deterministic n-per-group sample of orders by priority
+    (stages/groupops.stratified_sample; Knuth-hash order, SQL-replicable)."""
+    from rp_extract_ray.stages.groupops import stratified_sample
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out = stratified_sample(ds, "o_orderpriority", "o_orderkey", n, seed=seed)
+    return out.select_columns(["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+
 def q_filter_sort(sf_dir: str) -> Dataset:
     """M25 filters + stable sort: high-value open orders."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"])

@@ -1265,3 +1265,157 @@ def ngram_jaccard_pairs(
         return t.filter(pa.array(keep)).cast(out_schema)
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def contamination_pairs(
+    corpus: Dataset,
+    benchmark: Dataset,
+    *,
+    text_col: str = "text",
+    corpus_id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    shingle_k: int = 5,
+    min_containment: float = 0.5,
+    drop_above: int | None = None,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Cross-corpus decontamination: which benchmark documents leak into the
+    training corpus? For every (corpus doc, benchmark doc) pair sharing
+    shingles, emit the shared-shingle count and the CONTAINMENT ratio
+    ``|C ∩ B| / |B|`` (fraction of the benchmark doc's distinct k-shingles
+    present in the corpus doc — the decontamination metric: a benchmark doc
+    can be fully contained in a longer training doc that plain Jaccard would
+    score low). Pairs below ``min_containment`` are dropped.
+
+    JOINLESS by design (Dataset.join loses the key schema on empty hash
+    partitions — the known pitfall — and a heavily-filtered corpus side can
+    be legitimately empty): both sides explode to ``(shingle_hash, id)``
+    (O(text bytes)), ids ride side-tagged (corpus even / bench odd) through
+    ONE shingle-partitioned pass that emits only CROSS (corpus × bench)
+    pairs per shingle run, the engine's packed-pair partitioned count gives
+    |C ∩ B|, and benchmark set sizes broadcast (8 B/doc — the benchmark is
+    the small side by definition; its TEXT never broadcasts). ``drop_above``
+    skips shingles occurring in more than that many CORPUS docs via a
+    broadcast heavy-hitter set (containment becomes a lower bound, the same
+    contract as ``ngram_jaccard_pairs``). ids must be < 2^30 (side tag +
+    pair packing).
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    from rp_extract_ray.stages.partition import partitioned_apply
+
+    def make_explode(id_col: str, odd: int):
+        def explode(b: pa.Table) -> pa.Table:
+            texts = b.column(text_col).to_pylist()
+            ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            if (ids >= (1 << 30)).any() or (ids < 0).any():
+                raise ValueError("contamination_pairs requires 0 <= id < 2^30")
+            sets = [char_shingles(t or "", shingle_k) for t in texts]
+            counts = np.array([len(s) for s in sets], dtype=np.int64)
+            flat = (
+                np.concatenate(sets).astype(np.int64, copy=False)
+                if len(sets)
+                else np.empty(0, np.int64)
+            )
+            tid = np.repeat(ids * 2 + odd, counts)
+            return pa.table({"tid": pa.array(tid), "sh": pa.array(flat)})
+
+        return explode
+
+    c_sh = corpus.map_batches(make_explode(corpus_id_col, 0), batch_format="pyarrow")
+    b_sh = benchmark.map_batches(make_explode(bench_id_col, 1), batch_format="pyarrow")
+
+    if drop_above is not None:
+        # stopword-gram guard on corpus document frequency: the HOT set
+        # (df > cap) is the heavy-hitter tail — small by construction
+        # (|hot| <= total occurrences / drop_above) — so it broadcasts and
+        # the guard is a joinless per-batch anti filter.
+        def keep_hot(b: pa.Table) -> pa.Table:
+            if len(b) == 0:
+                return pa.schema([pa.field("sh", pa.int64())]).empty_table()
+            import pyarrow.compute as pc
+
+            m = pc.greater(b.column("df"), pa.scalar(drop_above))
+            return pa.table({"sh": b.column("sh").cast(pa.int64())}).filter(m)
+
+        hot = (
+            c_sh.groupby("sh")
+            .aggregate(Count(alias_name="df"))
+            .map_batches(keep_hot, batch_format="pyarrow")
+            .to_pandas()["sh"]
+        )
+        hot_ref = ray.put(pa.array(hot, pa.int64()))
+
+        def drop_hot(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.is_in(b.column("sh"), value_set=ray.get(hot_ref))
+            return b.filter(pc.invert(mask))
+
+        c_sh = c_sh.map_batches(drop_hot, batch_format="pyarrow")
+
+    # benchmark set sizes, broadcast as a dense lookup (ids < 2^30; use a
+    # dict-free two-array form: sorted ids + counts, searchsorted probe)
+    b_sizes = (
+        b_sh.groupby("tid").aggregate(Count(alias_name="n_b")).to_pandas()
+    )
+    sz_ids = np.sort(b_sizes["tid"].to_numpy(np.int64))
+    order = np.argsort(b_sizes["tid"].to_numpy(np.int64), kind="stable")
+    sz_n = b_sizes["n_b"].to_numpy(np.int64)[order]
+    sizes_ref = ray.put((sz_ids, sz_n))
+
+    tagged = c_sh.union(b_sh)
+
+    def cross_pairs(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        tid = pdf["tid"].to_numpy()
+        run_starts, run_ends = run_bounds(starts, len(pdf))
+        sizes = run_ends - run_starts
+        out_a, out_b = [], []
+        for s, e in zip(run_starts[sizes > 1], run_ends[sizes > 1]):
+            members = np.unique(tid[s:e])
+            cs = members[members % 2 == 0] >> 1
+            bs = members[members % 2 == 1] >> 1
+            if len(cs) == 0 or len(bs) == 0:
+                continue
+            out_a.append(np.repeat(cs, len(bs)))
+            out_b.append(np.tile(bs, len(cs)))
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    pairs = partitioned_apply(
+        tagged, cross_pairs, entity_col="sh", order_cols=("tid",),
+        num_partitions=num_partitions or _exchange_partitions(),
+    )
+    counted = _dedup_pairs(pairs)  # n_bands == |C ∩ B| per (corpus, bench)
+
+    out_schema = pa.schema(
+        [pa.field("corpus_id", pa.int64()), pa.field("bench_id", pa.int64()),
+         pa.field("n_shared", pa.int64()), pa.field("containment", pa.float64())]
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return out_schema.empty_table()
+        ids_sorted, n_sorted = ray.get(sizes_ref)
+        cid = b.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        bid = b.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        ni = b.column("n_bands").to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = np.searchsorted(ids_sorted, bid * 2 + 1)
+        nb = n_sorted[pos].astype(np.float64)
+        cont = np.round(ni / nb, 6)
+        t = pa.table(
+            {
+                "corpus_id": pa.array(cid),
+                "bench_id": pa.array(bid),
+                "n_shared": pa.array(ni.astype(np.int64)),
+                "containment": pa.array(cont),
+            }
+        )
+        return t.filter(pa.array(cont >= min_containment)).cast(out_schema)
+
+    return counted.map_batches(finish, batch_format="pyarrow")

@@ -77,6 +77,39 @@ def grouped_topk(
     return pruned.groupby(gcols).map_groups(final, batch_format="pandas")
 
 
+def stratified_sample(
+    ds: Dataset,
+    group_cols: Sequence[str] | str,
+    key_col: str,
+    n_per_group: int,
+    *,
+    seed: int = 1,
+) -> Dataset:
+    """Deterministic fixed-``n`` sample per group: rows ordered by a Knuth
+    multiplicative hash of ``key_col`` (same formula as the global
+    ``deterministic_sample``, pipelines/relational.py — SQL-replicable),
+    first ``n`` kept. Balanced-curation op: same keys win under ANY
+    partitioning, so resumed/incremental runs agree. Cost = one
+    ``grouped_topk`` (map-side pruned exchange)."""
+    import pyarrow as pa
+
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = (
+            k.astype(np.uint64) * np.uint64(2654435761)
+            + np.uint64(seed) * np.uint64(2654435769)
+        ) & np.uint64(0xFFFFFFFF)
+        return b.append_column("_h", pa.array(h.astype(np.int64)))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    out = grouped_topk(
+        hashed, gcols, ["_h", key_col], descending=False, k=n_per_group
+    )
+    return out.drop_columns(["_h"])
+
+
 def grouped_quantiles(
     ds: Dataset,
     group_cols: Sequence[str] | str,

@@ -82,6 +82,27 @@ def test_grouped_quantiles_matches_numpy():
         np.testing.assert_allclose(row["v_q90"], np.quantile(vals, 0.9))
 
 
+def test_stratified_sample_partition_invariant():
+    """Same winners under any partitioning; exactly n per (large) group."""
+    from rp_extract_ray.stages.groupops import stratified_sample
+
+    df = _df(n=2000, groups=5, seed=11)
+    picks = []
+    for parts in (1, 4, 16):
+        got = (
+            stratified_sample(
+                rd.from_pandas(df).repartition(parts), "g", "rid", 7, seed=3
+            )
+            .to_pandas()
+            .sort_values(["g", "rid"])
+            .reset_index(drop=True)
+        )
+        assert (got.groupby("g").size() == 7).all()
+        picks.append(got[["g", "rid"]])
+    pd.testing.assert_frame_equal(picks[0], picks[1])
+    pd.testing.assert_frame_equal(picks[0], picks[2])
+
+
 def test_grouped_quantiles_nan_skipped():
     df = pd.DataFrame({"g": [0, 0, 0, 1], "v": [1.0, np.nan, 3.0, np.nan]})
     got = grouped_quantiles(rd.from_pandas(df), "g", "v", [0.5]).to_pandas()

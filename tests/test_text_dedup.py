@@ -550,3 +550,68 @@ def test_verify_pairs_survives_empty_join_partitions(docs):
     found = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
     assert found == {(0, 6), (0, 12)}  # identical docs -> jaccard 1.0
     assert (out["jaccard"] == 1.0).all()
+
+
+def test_contamination_pairs_matches_bruteforce():
+    """Cross-corpus containment |C∩B|/|B| vs a set-arithmetic oracle,
+    including a planted full containment (benchmark doc embedded verbatim
+    inside a longer corpus doc)."""
+    from rp_extract_ray.stages.dedup import contamination_pairs
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "bravo", "china", "delta", "echo", "fox", "golf", "hotel"]
+    mk = lambda n: " ".join(rng.choice(vocab, n))
+    bench = pd.DataFrame(
+        {"doc_id": np.arange(10, dtype=np.int64),
+         "text": [mk(12) for _ in range(10)]}
+    )
+    corpus_texts = [mk(40) for _ in range(30)]
+    corpus_texts[5] = "prefix words " + bench.loc[3, "text"] + " suffix tail"
+    corpus = pd.DataFrame(
+        {"doc_id": np.arange(100, 130, dtype=np.int64), "text": corpus_texts}
+    )
+
+    got = contamination_pairs(
+        rd.from_pandas(corpus).repartition(4),
+        rd.from_pandas(bench).repartition(2),
+        min_containment=0.4, num_partitions=4,
+    ).to_pandas().sort_values(["corpus_id", "bench_id"]).reset_index(drop=True)
+
+    rows = []
+    bsets = {r.doc_id: set(char_shingles(r.text, 5).tolist()) for r in bench.itertuples()}
+    for cr in corpus.itertuples():
+        cset = set(char_shingles(cr.text, 5).tolist())
+        for bid, bset in bsets.items():
+            ns = len(cset & bset)
+            cont = round(ns / len(bset), 6)
+            if cont >= 0.4:
+                rows.append((cr.doc_id, bid, ns, cont))
+    want = pd.DataFrame(
+        rows, columns=["corpus_id", "bench_id", "n_shared", "containment"]
+    ).sort_values(["corpus_id", "bench_id"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the planted pair is found at full containment
+    planted = got[(got.corpus_id == 105) & (got.bench_id == 3)]
+    assert len(planted) == 1 and planted.containment.iloc[0] == 1.0
+
+
+def test_contamination_drop_above_is_lower_bound():
+    from rp_extract_ray.stages.dedup import contamination_pairs
+
+    bench = pd.DataFrame({"doc_id": [0], "text": ["shared common words here"]})
+    corpus = pd.DataFrame(
+        {"doc_id": np.arange(10, 15, dtype=np.int64),
+         "text": ["shared common words here padding"] * 5}
+    )
+    full = contamination_pairs(
+        rd.from_pandas(corpus), rd.from_pandas(bench),
+        min_containment=0.0, num_partitions=2,
+    ).to_pandas()
+    capped = contamination_pairs(
+        rd.from_pandas(corpus), rd.from_pandas(bench),
+        min_containment=0.0, drop_above=2, num_partitions=2,
+    ).to_pandas()
+    # every gram occurs in all 5 corpus docs -> df cap 2 drops them all
+    assert full.containment.min() == 1.0 and len(full) == 5
+    assert len(capped) == 0
