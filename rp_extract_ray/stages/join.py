@@ -160,7 +160,7 @@ def bloom_semi_join(
     *,
     on: str,
     keys_on: str | None = None,
-    n_keys_hint: int | None = None,
+    n_keys_hint: int | str = "count",
     fpp: float = 0.01,
     exact: bool = True,
     num_partitions: int | None = None,
@@ -183,8 +183,11 @@ def bloom_semi_join(
     ``exact=False`` returns the superset directly (documented fpp) — the
     right trade when a downstream stage tolerates strays.
 
-    ``n_keys_hint`` sizes the filter; when absent, one HLL pass over ``keys``
-    estimates it (cheap: constant shuffle volume, functions/sketch.py).
+    ``n_keys_hint`` sizes the filter: an int, ``"count"`` (default — the key
+    row count, a metadata-only parquet read, a safe upper bound on distinct;
+    oversizes the filter when keys repeat heavily), or ``"hll"`` (one
+    constant-shuffle HLL pass, functions/sketch.py — pay it when the key
+    side is much bigger than its distinct set and filter memory matters).
     """
     import numpy as np
 
@@ -197,11 +200,13 @@ def bloom_semi_join(
 
     keys_on = keys_on or on
     key_ds = keys.select_columns([keys_on]).materialize()  # 2 passes: size + build
-    if n_keys_hint is None:
+    if n_keys_hint == "count":
+        n_keys_hint = max(key_ds.count(), 1)
+    elif n_keys_hint == "hll":
         from rp_extract_ray.functions.sketch import approx_distinct
 
         n_keys_hint = max(approx_distinct(key_ds, keys_on), 1)
-    n_bits, n_hashes = bloom_params(n_keys_hint, fpp)
+    n_bits, n_hashes = bloom_params(int(n_keys_hint), fpp)
 
     def partial(b: pa.Table) -> pa.Table:
         words = bloom_accumulate(
