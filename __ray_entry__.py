@@ -191,6 +191,42 @@ def _embedding_near_dup_sql() -> str:
     WHERE {_COS_EXPR} >= 0.25"""
 
 
+def _text_quality_sql() -> str:
+    """Replicate stages/textstage.quality_score_batch in SQL: same RE2
+    character classes, whole-word stopword regex, max(.,1) guards, and the
+    composite clip formula computed over UNROUNDED doubles then rounded —
+    identical IEEE operation order, so values match bit-for-bit at round-6."""
+    from rp_extract_ray.stages.textstage import STOPWORD_RE
+
+    stop_re = STOPWORD_RE.replace("'", "''")
+    return rf"""
+    WITH q AS (
+        SELECT doc_id,
+               CAST(greatest(length(text), 1) AS DOUBLE) AS n,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+               length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_space,
+               length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+               greatest(len(regexp_extract_all(text, '\S+')), 1) AS n_words,
+               greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1)
+                   AS n_tok,
+               len(regexp_extract_all(lower(text), '{stop_re}')) AS n_stop
+        FROM documents)
+    SELECT doc_id,
+           round(n_alpha / n, 6) AS alpha_ratio,
+           round(n_digit / n, 6) AS digit_ratio,
+           round(n_space / n, 6) AS space_ratio,
+           round(n_punct / n, 6) AS punct_ratio,
+           round(n_stop / CAST(n_tok AS DOUBLE), 6) AS stopword_ratio,
+           round((n - n_space) / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+           round(least(greatest(
+               0.5 * (n_alpha / n)
+               + 0.3 * least((n_space / n) / 0.2, 1.0)
+               + 0.2 * (1.0 - least((n_digit / n) / 0.3, 1.0)),
+               0.0), 1.0), 6) AS quality
+    FROM q"""
+
+
 def _langid_sql() -> str:
     """Replicate stages/textstage.LangId in SQL: per-language score = sum of
     non-overlapping profile-gram occurrence counts in lower(text) (the
@@ -629,15 +665,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
                      AS n_ws_tokens
             FROM documents""",
-        "text_quality": r"""
-            SELECT doc_id,
-                   round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-                         / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS alpha_ratio,
-                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
-                         / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS digit_ratio,
-                   round((length(text) - length(regexp_replace(text, '\s', '', 'g')))
-                         / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS space_ratio
-            FROM documents""",
+        # ratios, stopword share, mean word length and the composite score,
+        # replicated with the SAME RE2 regexes (Arrow count_substring_regex
+        # and DuckDB regexp_* are both RE2 with non-overlapping leftmost
+        # matches) and the same clip formula on unrounded doubles
+        "text_quality": _text_quality_sql(),
         # exact all-pairs character-5-gram Jaccard (documents are ASCII, so
         # SQL char grams == the engine's byte shingles; DISTINCT grams ==
         # distinct 64-bit shingle hashes, collision-free at these sizes)

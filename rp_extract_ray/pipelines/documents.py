@@ -39,8 +39,23 @@ def q_token_count(sf_dir: str) -> Dataset:
 
 
 def q_text_quality(sf_dir: str) -> Dataset:
+    """Full quality-scoring surface: character-class ratios, whole-word
+    stopword ratio, mean word length, and the composite quality score —
+    every column gated against the SQL replica (same RE2 regexes on both
+    sides, same clip/linear formula)."""
     ds = add_quality_scores(_docs(sf_dir, ["doc_id", "text"]))
-    return ds.select_columns(["doc_id", "alpha_ratio", "digit_ratio", "space_ratio"])
+    return ds.select_columns(
+        [
+            "doc_id",
+            "alpha_ratio",
+            "digit_ratio",
+            "space_ratio",
+            "punct_ratio",
+            "stopword_ratio",
+            "mean_word_len",
+            "quality",
+        ]
+    )
 
 
 def q_langid(sf_dir: str) -> Dataset:

@@ -44,22 +44,44 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+# whole-word stopword matches; RE2 on BOTH sides (Arrow count_substring_regex
+# here, DuckDB regexp_extract_all in the oracle) so counts agree exactly
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be", "this",
+)
+STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+
 def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Length / character-class ratios (the M25-filter analogue for text
-    corpora): alpha_ratio, digit_ratio, space_ratio, mean_word_len, plus a
-    composite quality in [0,1]."""
+    """Length / character-class / stopword ratios (the M25-filter analogue
+    for text corpora): alpha_ratio, digit_ratio, space_ratio, punct_ratio,
+    stopword_ratio, mean_word_len, plus a composite quality in [0,1]."""
     text = pc.fill_null(batch.column(text_col), "")
     n = pc.cast(pc.utf8_length(text), pa.int64())
     n_np = np.maximum(n.to_numpy(zero_copy_only=False), 1).astype(np.float64)
     n_alpha = pc.count_substring_regex(text, r"[a-zA-Z]").to_numpy(zero_copy_only=False)
     n_digit = pc.count_substring_regex(text, r"[0-9]").to_numpy(zero_copy_only=False)
     n_space = pc.count_substring_regex(text, r"\s").to_numpy(zero_copy_only=False)
+    n_punct = pc.count_substring_regex(text, r"[^a-zA-Z0-9\s]").to_numpy(
+        zero_copy_only=False
+    )
     n_words = np.maximum(
         pc.count_substring_regex(text, r"\S+").to_numpy(zero_copy_only=False), 1
+    )
+    lower = pc.utf8_lower(text)
+    n_tok = np.maximum(
+        pc.count_substring_regex(lower, r"[a-z0-9_]+").to_numpy(zero_copy_only=False),
+        1,
+    )
+    n_stop = pc.count_substring_regex(lower, STOPWORD_RE).to_numpy(
+        zero_copy_only=False
     )
     alpha_ratio = n_alpha / n_np
     digit_ratio = n_digit / n_np
     space_ratio = n_space / n_np
+    punct_ratio = n_punct / n_np
+    stopword_ratio = n_stop / n_tok
     mean_word_len = (n_np - n_space) / n_words
     quality = np.clip(
         0.5 * alpha_ratio
@@ -72,6 +94,8 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         ("alpha_ratio", alpha_ratio),
         ("digit_ratio", digit_ratio),
         ("space_ratio", space_ratio),
+        ("punct_ratio", punct_ratio),
+        ("stopword_ratio", stopword_ratio),
         ("mean_word_len", mean_word_len),
         ("quality", quality),
     ):
