@@ -40,6 +40,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": E.q_range_join,
         "asof_backward": lambda sf: E.q_asof(sf, "backward", "click", "purchase", "pvalue"),
         "asof_forward": lambda sf: E.q_asof(sf, "forward", "view", "error", "fvalue"),
+        "asof_tolerance": lambda sf: E.q_asof(
+            sf, "backward", "click", "purchase", "pvalue", tolerance_s=86400.0
+        ),
         "backfill": E.q_backfill,
         "ewma": E.q_ewma,
         "cumulative": E.q_cumulative,
@@ -517,6 +520,20 @@ def oracle_sql() -> dict[str, str]:
                        WHERE event_type='view')
             SELECT l.event_id, l.user_id, l.ts, l.value, round(r.fvalue, 6) AS fvalue
             FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""",
+        # tolerance (watermark) semantics: the nearest prior match is kept
+        # only when it falls inside the horizon — ASOF join, then NULL the
+        # payload beyond the tolerance (if the NEAREST prior is outside the
+        # horizon, no prior inside it exists, so this equals merge_asof's
+        # tolerance)
+        "asof_tolerance": """
+            WITH r AS (SELECT user_id, ts, max(value) AS pvalue FROM events
+                       WHERE event_type='purchase' GROUP BY user_id, ts),
+                 l AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type='click')
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   round(CASE WHEN l.ts - r.ts <= INTERVAL '86400' SECOND
+                         THEN r.pvalue END, 6) AS pvalue
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "ewma": _ewma_sql(),
         "cumulative": f"""
             SELECT event_id, user_id, ts, value,

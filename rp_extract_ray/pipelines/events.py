@@ -119,7 +119,14 @@ def _typed_events(sf_dir: str, event_type: str, value_name: str) -> Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def q_asof(sf_dir: str, direction: str, left_type: str, right_type: str, value_name: str) -> Dataset:
+def q_asof(
+    sf_dir: str,
+    direction: str,
+    left_type: str,
+    right_type: str,
+    value_name: str,
+    tolerance_s: float | None = None,
+) -> Dataset:
     left = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
 
     def lf(b: pa.Table) -> pa.Table:
@@ -132,7 +139,7 @@ def q_asof(sf_dir: str, direction: str, left_type: str, right_type: str, value_n
     out = asof_join(
         left, right, entity_col=ENTITY, ts_col="ts",
         right_value_cols=[value_name], direction=direction, num_partitions=NP,
-        dedup_right="max",
+        dedup_right="max", tolerance_s=tolerance_s,
     )
     out = out.select_columns(["event_id", "user_id", "ts", "value", value_name])
     return _round(out, {value_name: 6})
