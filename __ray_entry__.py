@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis / dedup / similarity (training-data extensions)
         "token_count": D.q_token_count,
         "text_quality": D.q_text_quality,
+        "tfidf_top_terms": D.q_tfidf,
         "langid": D.q_langid,
         "fingerprint": D.q_fingerprint,
         "minhash_pairs": D.q_minhash_pairs,
@@ -687,6 +688,29 @@ def oracle_sql() -> dict[str, str]:
         # and DuckDB regexp_* are both RE2 with non-overlapping leftmost
         # matches) and the same clip formula on unrounded doubles
         "text_quality": _text_quality_sql(),
+        # rank on the ROUNDED score (round-half-away == DuckDB round) with
+        # token tiebreak, so engine and oracle orderings agree exactly
+        "tfidf_top_terms": r"""
+            WITH ex AS (SELECT doc_id,
+                               unnest(regexp_extract_all(lower(text),
+                                                         '[0-9a-z_]+')) AS token
+                        FROM documents),
+                 tc AS (SELECT doc_id, token, count(*) AS cnt
+                        FROM ex GROUP BY doc_id, token),
+                 nd AS (SELECT doc_id, count(*) AS n_doc FROM ex GROUP BY doc_id),
+                 df AS (SELECT token, count(*) AS df_n FROM tc GROUP BY token),
+                 n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+                 scored AS (SELECT tc.doc_id, tc.token,
+                                   round((cnt / CAST(n_doc AS DOUBLE))
+                                         * ln(n_docs / CAST(df_n AS DOUBLE)), 6)
+                                     AS tfidf
+                            FROM tc JOIN nd USING (doc_id)
+                                    JOIN df USING (token), n),
+                 ranked AS (SELECT doc_id, token, tfidf,
+                                   row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, token) AS rn
+                            FROM scored)
+            SELECT doc_id, token, tfidf FROM ranked WHERE rn <= 3""",
         # exact all-pairs character-5-gram Jaccard (documents are ASCII, so
         # SQL char grams == the engine's byte shingles; DISTINCT grams ==
         # distinct 64-bit shingle hashes, collision-free at these sizes)

@@ -101,6 +101,26 @@ def q_fingerprint(sf_dir: str) -> Dataset:
     return ds.map_batches(flatten, batch_format="pyarrow")
 
 
+def q_tfidf(sf_dir: str, k: int = 3) -> Dataset:
+    """Top-k TF-IDF terms per document (stages/tfidf.py): distributed df
+    combine + token hash-join + map-side-pruned per-doc top-k. Oracle: the
+    same unnest/groupby/ln formula in SQL, ranked on the ROUNDED score with
+    token-text tiebreak on both sides."""
+    from rp_extract_ray.stages.tfidf import tfidf_top_terms
+
+    out = tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]), k=k)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "token": b.column("token"),
+                "tfidf": b.column("tfidf"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_minhash_pairs(sf_dir: str) -> Dataset:
     """Near-dup pairs, LSH candidates + DISTRIBUTED exact-Jaccard verify.
 

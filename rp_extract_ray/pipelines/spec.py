@@ -139,6 +139,12 @@ def _fingerprints(ds: Dataset, **kw) -> Dataset:
     return add_fingerprints(ds, **kw)
 
 
+def _tfidf_top_terms(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(ds, **kw)
+
+
 _REGISTRY: dict[str, Callable[..., Dataset]] = {
     "turn_stats": _turn_stats,
     "sessionize": _sessionize,
@@ -159,6 +165,7 @@ _REGISTRY: dict[str, Callable[..., Dataset]] = {
     "quality": _quality,
     "langid": _langid,
     "fingerprints": _fingerprints,
+    "tfidf_top_terms": _tfidf_top_terms,
 }
 
 

@@ -1,0 +1,153 @@
+"""Distributed TF-IDF: corpus-wide inverse document frequency joined back
+onto per-document term frequencies, with a per-document top-k term select.
+
+The canonical "characteristic terms per document" op for corpus curation /
+near-dup triage (reference analogue: the reference's global vocabulary-head
+path, SURVEY.md §2.7 argmax family — this is its keyed, corpus-statistics
+generalization).
+
+Scale design (the 100-TB shape):
+
+* the (doc, token) term-frequency table is built by ONE ``map_batches`` pass
+  (vectorized findall + per-batch groupby-size); one row per DISTINCT
+  (doc, token) — the raw token stream never leaves the task.
+* document frequency is a map-side combine (per-batch ``value_counts`` over
+  the already-distinct doc-token rows) followed by a small ``groupby(token)``
+  sum — the exchange carries one row per distinct token per block, not one
+  per occurrence.
+* the df table joins back via the hash-partitioned big-big ``hash_join``
+  (both sides keyed by token); no broadcast assumption on vocabulary size.
+* the final per-document top-k uses ``grouped_topk``'s map-side pruned
+  exchange — at most k rows per (doc, block) shuffle to the doc's reducer.
+* the doc-token table feeds two consumers (df aggregation + join probe), so
+  it is materialized ONCE to the object store (pruned 4-column rows), the
+  same multi-consumer-lineage rule as minhash (stages/dedup.py).
+
+Ties: ``tfidf`` is rounded (round-half-away, == SQL ``round``) BEFORE
+ranking and broken by token text, so engine and SQL-oracle orderings agree
+exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from rp_extract_ray.functions.rounding import round_half_away
+from rp_extract_ray.stages.groupops import grouped_topk
+from rp_extract_ray.stages.join import hash_join
+
+TOKEN_RE = r"[0-9a-z_]+"
+
+
+def doc_token_counts(
+    docs: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = TOKEN_RE,
+) -> Dataset:
+    """One row per distinct (doc, token): ``cnt`` occurrences in the doc,
+    ``n_doc`` total tokens in the doc. Documents with zero tokens emit no
+    rows (matching SQL's unnest semantics)."""
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(pattern)
+        lens = toks.str.len().to_numpy()
+        ids = batch[id_col].to_numpy()
+        if lens.sum() == 0:
+            return pd.DataFrame(
+                {id_col: ids[:0], "token": np.array([], dtype=object),
+                 "cnt": np.array([], dtype=np.int64),
+                 "n_doc": np.array([], dtype=np.int64)}
+            )
+        flat = pd.DataFrame(
+            {
+                id_col: np.repeat(ids, lens),
+                "token": np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks]
+                ),
+            }
+        )
+        out = (
+            flat.groupby([id_col, "token"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        out["cnt"] = out["cnt"].astype(np.int64)
+        out["n_doc"] = (
+            out[id_col].map(pd.Series(lens, index=ids)).astype(np.int64)
+        )
+        return out
+
+    return docs.map_batches(explode, batch_format="pandas")
+
+
+def document_frequency(doc_tokens: Dataset) -> Dataset:
+    """(token, df_n): number of documents containing each token. Input rows
+    are already distinct per (doc, token), so df is a row count per token —
+    map-side combined before the exchange."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(b.column("token").combine_chunks())
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "df_n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    return (
+        doc_tokens.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df_n", alias_name="df_n"))
+    )
+
+
+def tfidf_top_terms(
+    docs: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    round_to: int = 6,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Top-``k`` TF-IDF terms per document.
+
+    tfidf = (cnt / n_doc) * ln(N / df) with N = total documents (including
+    empty ones) — plain unsmoothed idf, non-negative since df <= N.
+    """
+    n_docs = float(docs.count())  # parquet-metadata count on a plain read
+    tc = doc_token_counts(
+        docs, text_col=text_col, id_col=id_col
+    ).materialize()  # two consumers below; pruned 4-column rows only
+    df_tab = document_frequency(tc)
+    joined = hash_join(tc, df_tab, on="token", num_partitions=num_partitions)
+
+    def score(b: pa.Table) -> pa.Table:
+        cnt = b.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        n_doc = b.column("n_doc").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        df_n = b.column("df_n").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        tfidf = (cnt / n_doc) * np.log(n_docs / df_n)
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "token": b.column("token"),
+                "tfidf": pa.array(round_half_away(tfidf, round_to)),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(
+        scored, id_col, ["tfidf", "token"], descending=[True, False], k=k
+    )

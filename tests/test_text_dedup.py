@@ -615,3 +615,44 @@ def test_contamination_drop_above_is_lower_bound():
     # every gram occurs in all 5 corpus docs -> df cap 2 drops them all
     assert full.containment.min() == 1.0 and len(full) == 5
     assert len(capped) == 0
+
+
+def test_tfidf_top_terms(docs):
+    import math
+    import re
+
+    from rp_extract_ray.stages.tfidf import tfidf_top_terms
+
+    out = (
+        tfidf_top_terms(rd.from_pandas(docs), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "tfidf", "token"],
+                     ascending=[True, False, True], ignore_index=True)
+    )
+    # single-process oracle: plain dict arithmetic
+    toks = {
+        r.doc_id: re.findall(r"[0-9a-z_]+", r.text.lower())
+        for r in docs.itertuples()
+    }
+    n_docs = float(len(docs))
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    expect = {}
+    for d, ts in toks.items():
+        if not ts:
+            continue
+        scores = {}
+        for t in set(ts):
+            scores[t] = round(
+                (ts.count(t) / len(ts)) * math.log(n_docs / df[t]), 6
+            )
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        expect[d] = top
+    assert set(out.doc_id) == set(expect)
+    for d, grp in out.groupby("doc_id"):
+        got = list(zip(grp.token, grp.tfidf))
+        assert got == expect[d], (d, got, expect[d])
+    # empty doc emits no rows
+    assert 59 not in set(out.doc_id)
