@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": R.q_topk_per_group,
         "stratified_sample": R.q_stratified_sample,
         "group_quantiles": R.q_group_quantiles,
+        "approx_quantiles": R.q_approx_quantiles,
         "sample": R.q_sample,
         "top_terms": R.q_top_terms,
         "filter_sort": R.q_filter_sort,
@@ -645,6 +646,36 @@ def oracle_sql() -> dict[str, str]:
                                       o_orderkey) AS rn
                   FROM orders)
             WHERE rn <= 20""",
+        # SAME histogram estimator as the engine sketch: identical bin
+        # floor, exact-integer count sums (order-free in double), identical
+        # within-bin interpolation expression — values match bit-for-bit
+        "approx_quantiles": """
+            WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+                       FROM lineitem WHERE l_extendedprice IS NOT NULL),
+                 mm AS (SELECT min(v) AS lo, max(v) AS hi,
+                               (max(v) - min(v)) / 256.0 AS w FROM s),
+                 b AS (SELECT least(CAST(floor((v - lo) / w) AS BIGINT), 255)
+                                  AS bin
+                       FROM s, mm),
+                 h AS (SELECT bin, CAST(count(*) AS DOUBLE) AS cnt
+                       FROM b GROUP BY bin),
+                 c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum
+                       FROM h),
+                 t AS (SELECT (SELECT sum(cnt) FROM h) AS n, lo, hi, w FROM mm)
+            SELECT CAST(t.n AS BIGINT) AS n,
+                   round((SELECT t.lo + t.w *
+                              (bin + (0.5 * t.n - (cum - cnt)) / cnt)
+                          FROM c WHERE cum >= 0.5 * t.n
+                          ORDER BY bin LIMIT 1), 6) AS l_extendedprice_p50,
+                   round((SELECT t.lo + t.w *
+                              (bin + (0.9 * t.n - (cum - cnt)) / cnt)
+                          FROM c WHERE cum >= 0.9 * t.n
+                          ORDER BY bin LIMIT 1), 6) AS l_extendedprice_p90,
+                   round((SELECT t.lo + t.w *
+                              (bin + (0.99 * t.n - (cum - cnt)) / cnt)
+                          FROM c WHERE cum >= 0.99 * t.n
+                          ORDER BY bin LIMIT 1), 6) AS l_extendedprice_p99
+            FROM t""",
         "group_quantiles": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n,
                    round(quantile_cont(CAST(length(text) AS DOUBLE), 0.25), 6)

@@ -296,6 +296,23 @@ def q_group_quantiles(sf_dir: str) -> Dataset:
     ).select_columns(["lang", "n", "len_q25", "len_q50", "len_q90"])
 
 
+def q_approx_quantiles(sf_dir: str) -> "pd.DataFrame":
+    """Histogram-sketch quantiles of l_extendedprice (stages/groupops.py
+    approx_quantiles): constant shuffle volume (<= nbins rows per block) at
+    any data size — the 100-TB path the exact per-group quantile op can't
+    take. Oracle: the SAME estimator in SQL (bin floor, double cumsum in bin
+    order, within-bin interpolation) — values gated, not just rows."""
+    from rp_extract_ray.stages.groupops import approx_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    out = approx_quantiles(
+        ds, "l_extendedprice", [0.5, 0.9, 0.99], nbins=256, round_to=6
+    )
+    return out[
+        ["n", "l_extendedprice_p50", "l_extendedprice_p90", "l_extendedprice_p99"]
+    ]
+
+
 def q_stratified_sample(sf_dir: str, n: int = 20, seed: int = 1) -> Dataset:
     """Deterministic n-per-group sample of orders by priority
     (stages/groupops.stratified_sample; Knuth-hash order, SQL-replicable)."""

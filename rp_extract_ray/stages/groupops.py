@@ -18,9 +18,16 @@ Scale design:
   co-located: ONE hash exchange of just ``(keys, value)`` (columns pruned
   before the shuffle), then a vectorized ``np.quantile`` (linear
   interpolation == SQL ``quantile_cont``) per group. Groups are assumed
-  per-key small relative to worker heap (true for categorical keys); a
-  sketch-based approximate path (t-digest) is the escape hatch if a single
-  group outgrows a worker — not needed by any current workload.
+  per-key small relative to worker heap (true for categorical keys).
+* ``approx_quantiles`` — the sketch escape hatch for when a column (or a
+  group) outgrows a worker: two metadata-light passes, (1) global min/max
+  aggregate, (2) per-block ``bincount`` partial histograms merged by a
+  ``groupby(bin).sum`` whose exchange carries at most ``nbins`` rows per
+  block REGARDLESS of data size. Counts merge additively, so the estimate
+  is bit-identical under any partitioning (same determinism argument as the
+  HLL register-max merge, functions/sketch.py), and the within-bin linear
+  interpolation is exactly replicable in SQL — the oracle gates values, not
+  just rows. Error bound: one bin width (hi-lo)/nbins per estimate.
 """
 
 from __future__ import annotations
@@ -143,3 +150,81 @@ def grouped_quantiles(
         return pd.DataFrame(row)
 
     return slim.groupby(gcols).map_groups(per_group, batch_format="pandas")
+
+
+def approx_quantiles(
+    ds: Dataset,
+    value_col: str,
+    quantiles: Sequence[float],
+    *,
+    nbins: int = 256,
+    round_to: int | None = None,
+) -> pd.DataFrame:
+    """Approximate quantiles via a mergeable equi-width histogram sketch.
+
+    Estimator (replicated exactly by the SQL oracle): with ``lo``/``hi`` the
+    global min/max and ``w = (hi-lo)/nbins``, value ``v`` lands in bin
+    ``min(floor((v-lo)/w), nbins-1)``; for quantile ``q`` the target rank is
+    ``r = q*n`` and the estimate is ``lo + w*(b + (r - cum_before_b)/cnt_b)``
+    for the first bin ``b`` whose cumulative count reaches ``r``. NaNs are
+    dropped. Returns ONE pandas row (bounded driver result): ``n`` plus one
+    column per quantile.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = ds.aggregate(Min(value_col), Max(value_col))
+    lo = float(mm[f"min({value_col})"])
+    hi = float(mm[f"max({value_col})"])
+    w = (hi - lo) / float(nbins)
+
+    def hist(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        v = v[~np.isnan(v)]
+        if w > 0:
+            bins = np.minimum(
+                np.floor((v - lo) / w).astype(np.int64), nbins - 1
+            )
+        else:  # degenerate constant column
+            bins = np.zeros(len(v), dtype=np.int64)
+        h = np.bincount(bins, minlength=nbins)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(nbins, dtype=np.int64)),
+                "cnt": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    merged = (
+        ds.select_columns([value_col])
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # <= nbins rows: bounded driver-side finish
+        .sort_values("bin", ignore_index=True)
+    )
+    cnt = np.zeros(nbins, dtype=np.float64)
+    cnt[merged["bin"].to_numpy()] = merged["cnt"].to_numpy(dtype=np.float64)
+    cum = np.cumsum(cnt)
+    n = float(cum[-1])
+    row: dict[str, list] = {"n": [np.int64(n)]}
+    for q in quantiles:
+        name = f"{value_col}_p{int(round(q * 100)):02d}"
+        if n == 0:
+            est = np.nan
+        elif w == 0:
+            est = lo
+        else:
+            r = q * n
+            b = int(np.searchsorted(cum, r, side="left"))
+            b = min(b, nbins - 1)
+            cum_before = cum[b] - cnt[b]
+            est = lo + w * (b + (r - cum_before) / cnt[b])
+        if round_to is not None:
+            from rp_extract_ray.functions.rounding import round_half_away
+
+            est = float(round_half_away(np.array([est]), round_to)[0])
+        row[name] = [est]
+    return pd.DataFrame(row)

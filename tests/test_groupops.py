@@ -109,3 +109,35 @@ def test_grouped_quantiles_nan_skipped():
     got = got.sort_values("g").reset_index(drop=True)
     assert got["n"].tolist() == [2, 0]
     assert got["v_q50"][0] == 2.0 and np.isnan(got["v_q50"][1])
+
+
+def test_approx_quantiles_accuracy_and_partition_invariance():
+    from rp_extract_ray.stages.groupops import approx_quantiles
+
+    rng = np.random.default_rng(7)
+    v = rng.lognormal(3.0, 1.0, size=20000)
+    df = pd.DataFrame({"x": v})
+    qs = [0.5, 0.9, 0.99]
+    nbins = 512
+    w = (v.max() - v.min()) / nbins
+
+    got = approx_quantiles(rd.from_pandas(df), "x", qs, nbins=nbins)
+    assert int(got["n"].iloc[0]) == len(v)
+    for q in qs:
+        est = got[f"x_p{int(q*100):02d}"].iloc[0]
+        exact = np.quantile(v, q)
+        assert abs(est - exact) <= w + 1e-9, (q, est, exact, w)
+
+    # identical under a different partitioning (mergeable-sketch contract)
+    other = approx_quantiles(
+        rd.from_pandas(df).repartition(13), "x", qs, nbins=nbins
+    )
+    pd.testing.assert_frame_equal(got, other)
+
+
+def test_approx_quantiles_constant_column():
+    from rp_extract_ray.stages.groupops import approx_quantiles
+
+    df = pd.DataFrame({"x": np.full(100, 42.5)})
+    got = approx_quantiles(rd.from_pandas(df), "x", [0.5], nbins=16)
+    assert got["x_p50"].iloc[0] == 42.5
