@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "backfill": E.q_backfill,
         "ewma": E.q_ewma,
+        "funnel": E.q_funnel,
         "cumulative": E.q_cumulative,
         "rank_features": E.q_rank_features,
         "standardize": E.q_standardize,
@@ -537,6 +538,25 @@ def oracle_sql() -> dict[str, str]:
                          THEN r.pvalue END, 6) AS pvalue
             FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "ewma": _ewma_sql(),
+        # chained-minimum funnel: t_click is the first click at-or-after the
+        # first view; t_purchase the first purchase at-or-after that click
+        "funnel": """
+            WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+                 c AS (SELECT e.user_id, min(e.ts) AS t_click
+                       FROM events e JOIN v ON e.user_id = v.user_id
+                                          AND e.ts >= v.t_view
+                       WHERE e.event_type = 'click' GROUP BY e.user_id),
+                 p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+                       FROM events e JOIN c ON e.user_id = c.user_id
+                                          AND e.ts >= c.t_click
+                       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+                   CAST(1 + (CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END)
+                          + (CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END)
+                        AS BIGINT) AS steps_completed
+            FROM v LEFT JOIN c ON v.user_id = c.user_id
+                   LEFT JOIN p ON v.user_id = p.user_id""",
         "cumulative": f"""
             SELECT event_id, user_id, ts, value,
                    round(sum(value) OVER w, 6) AS value_csum,

@@ -461,3 +461,16 @@ def q_standardize(sf_dir: str) -> Dataset:
     ds = _events(sf_dir, ["event_id", "value"])
     ds = standardize(ds, ["value"], round_to=6)
     return ds.select_columns(["event_id", "value", "value_z"])
+
+
+def q_funnel(sf_dir: str) -> Dataset:
+    """view -> click -> purchase conversion funnel (stages/funnel.py): one
+    entity exchange, chained groupby-min kernel, one row per user who
+    viewed. Oracle: chained min-ts LEFT JOINs in SQL."""
+    from rp_extract_ray.stages.funnel import funnel
+
+    ds = _events(sf_dir, ["ts", "user_id", "event_type"])
+    out = funnel(ds, ["view", "click", "purchase"], num_partitions=NP)
+    return out.select_columns(
+        ["user_id", "t_view", "t_click", "t_purchase", "steps_completed"]
+    )

@@ -141,3 +141,43 @@ def test_approx_quantiles_constant_column():
     df = pd.DataFrame({"x": np.full(100, 42.5)})
     got = approx_quantiles(rd.from_pandas(df), "x", [0.5], nbins=16)
     assert got["x_p50"].iloc[0] == 42.5
+
+
+def test_funnel_chained_minimums():
+    from rp_extract_ray.stages.funnel import funnel
+
+    t0 = pd.Timestamp("2026-01-01")
+
+    def ev(u, s, typ):
+        return {"user_id": u, "ts": t0 + pd.Timedelta(seconds=s),
+                "event_type": typ}
+
+    rows = [
+        # u1: full funnel in order
+        ev(1, 0, "view"), ev(1, 10, "click"), ev(1, 20, "purchase"),
+        # u2: click BEFORE first view -> chain stops at view
+        ev(2, 10, "view"), ev(2, 5, "click"),
+        # u3: purchase before click -> steps 2, later purchase counts? none
+        ev(3, 0, "view"), ev(3, 10, "click"), ev(3, 5, "purchase"),
+        # u4: never viewed -> excluded entirely
+        ev(4, 0, "click"), ev(4, 5, "purchase"),
+        # u5: second click is the one followed by purchase; t_click is
+        # still the FIRST click after view (chained-min, not best-path)
+        ev(5, 0, "view"), ev(5, 5, "click"), ev(5, 30, "click"),
+        ev(5, 10, "purchase"),
+        # u6: simultaneous view/click (ts >= is inclusive)
+        ev(6, 0, "view"), ev(6, 0, "click"),
+    ]
+    out = (
+        funnel(rd.from_pandas(pd.DataFrame(rows)),
+               ["view", "click", "purchase"], num_partitions=4)
+        .to_pandas().set_index("user_id").sort_index()
+    )
+    assert list(out.index) == [1, 2, 3, 5, 6]
+    assert out.loc[1, "steps_completed"] == 3
+    assert out.loc[2, "steps_completed"] == 1 and pd.isna(out.loc[2, "t_click"])
+    assert out.loc[3, "steps_completed"] == 2 and pd.isna(out.loc[3, "t_purchase"])
+    # u5: first chained click at s=5, purchase at s=10 follows it
+    assert out.loc[5, "t_click"] == t0 + pd.Timedelta(seconds=5)
+    assert out.loc[5, "steps_completed"] == 3
+    assert out.loc[6, "steps_completed"] == 2
