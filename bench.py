@@ -42,6 +42,7 @@ QUERY_NAMES = [
     "window_features_full", "cosine_pairs", "top_terms",
     "hll_distinct", "near_dup_clusters", "langid",
     "range_join", "ewma", "topk_per_group", "bloom_semi_join",
+    "tfidf_top_terms", "approx_quantiles", "funnel",
 ]
 
 

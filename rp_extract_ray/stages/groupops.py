@@ -78,10 +78,36 @@ def grouped_topk(
         lambda b: _local_topk(b, gcols, scols, asc, k), batch_format="pandas"
     )
 
-    def final(group: pd.DataFrame) -> pd.DataFrame:
-        return _local_topk(group, gcols, scols, asc, k)
+    # final select: ONE keyed exchange co-locating whole groups, then ONE
+    # vectorized sort + groupby-head per PARTITION. (groupby().map_groups
+    # pays a Python call per group — measured 6 s for 5k groups at sf0.1;
+    # this shape is ~constant in group count.)
+    from rp_extract_ray.stages.partition import partitioned_apply, stable_hash
 
-    return pruned.groupby(gcols).map_groups(final, batch_format="pandas")
+    def final(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        return _local_topk(pdf, gcols, scols, asc, k)
+
+    if len(gcols) == 1:
+        return partitioned_apply(
+            pruned, final, entity_col=gcols[0], order_cols=()
+        )
+
+    # multi-column groups: pack a surrogate hash key to partition on; a
+    # collision only co-locates two groups — the kernel still groups by the
+    # real columns, so results are unaffected
+    import pyarrow as pa
+
+    def add_key(b: pa.Table) -> pa.Table:
+        h = np.zeros(len(b), dtype=np.uint64)
+        for c in gcols:
+            h = h * np.uint64(1099511628211) ^ stable_hash(
+                b.column(c).to_numpy(zero_copy_only=False)
+            )
+        return b.append_column("_gkey", pa.array(h.astype(np.int64)))
+
+    keyed = pruned.map_batches(add_key, batch_format="pyarrow")
+    out = partitioned_apply(keyed, final, entity_col="_gkey", order_cols=())
+    return out.drop_columns(["_gkey"])
 
 
 def stratified_sample(

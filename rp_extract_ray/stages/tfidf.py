@@ -127,8 +127,30 @@ def tfidf_top_terms(
     tc = doc_token_counts(
         docs, text_col=text_col, id_col=id_col
     ).materialize()  # two consumers below; pruned 4-column rows only
-    df_tab = document_frequency(tc)
-    joined = hash_join(tc, df_tab, on="token", num_partitions=num_partitions)
+    # vocab table is one row per distinct token — materialize (bounded by
+    # vocabulary size) so its count is free, and CAP the join partitions by
+    # that count: an EMPTY hash partition loses its schema and breaks the
+    # join (same ~50k-rows-per-partition rule as stages/dedup.py)
+    df_tab = document_frequency(tc).materialize()
+    n_vocab = int(df_tab.count())
+    if n_vocab <= 200_000:
+        # small vocabulary: broadcast the df table into every task — zero
+        # shuffle (the J3 dict-lookup path)
+        from rp_extract_ray.stages.join import broadcast_join
+
+        joined = broadcast_join(tc, df_tab, on="token")
+    else:
+        if num_partitions is None:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            num_partitions = max(2, cpus // 2)
+        joined = hash_join(
+            tc,
+            df_tab,
+            on="token",
+            num_partitions=max(2, min(num_partitions, n_vocab // 50_000 + 2)),
+        )
 
     def score(b: pa.Table) -> pa.Table:
         cnt = b.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
