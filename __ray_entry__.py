@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "backfill": E.q_backfill,
         "ewma": E.q_ewma,
         "funnel": E.q_funnel,
+        "pivot": E.q_pivot,
         "cumulative": E.q_cumulative,
         "rank_features": E.q_rank_features,
         "standardize": E.q_standardize,
@@ -557,6 +558,19 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS steps_completed
             FROM v LEFT JOIN c ON v.user_id = c.user_id
                    LEFT JOIN p ON v.user_id = p.user_id""",
+        "pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   round(sum(CASE WHEN event_type='click' THEN value ELSE 0 END), 6) AS sum_click,
+                   round(sum(CASE WHEN event_type='error' THEN value ELSE 0 END), 6) AS sum_error,
+                   round(sum(CASE WHEN event_type='purchase' THEN value ELSE 0 END), 6) AS sum_purchase,
+                   round(sum(CASE WHEN event_type='signup' THEN value ELSE 0 END), 6) AS sum_signup,
+                   round(sum(CASE WHEN event_type='view' THEN value ELSE 0 END), 6) AS sum_view
+            FROM events GROUP BY user_id""",
         "cumulative": f"""
             SELECT event_id, user_id, ts, value,
                    round(sum(value) OVER w, 6) AS value_csum,

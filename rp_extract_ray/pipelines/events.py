@@ -474,3 +474,21 @@ def q_funnel(sf_dir: str) -> Dataset:
     return out.select_columns(
         ["user_id", "t_view", "t_click", "t_purchase", "steps_completed"]
     )
+
+
+def q_pivot(sf_dir: str) -> Dataset:
+    """Per-user event-type pivot (stages/pivot.py): wide count + value-sum
+    columns via map-side combine, one small groupby exchange. Oracle:
+    SUM(CASE ...) conditional aggregation."""
+    from rp_extract_ray.stages.pivot import pivot_counts
+
+    ds = _events(sf_dir, ["user_id", "event_type", "value"])
+    out = pivot_counts(
+        ds, "user_id", "event_type",
+        values=["click", "error", "purchase", "signup", "view"],
+        value_col="value",
+    )
+    return _round(
+        out,
+        {f"sum_{t}": 6 for t in ("click", "error", "purchase", "signup", "view")},
+    )

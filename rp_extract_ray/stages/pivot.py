@@ -1,0 +1,74 @@
+"""Pivot (conditional wide aggregation): one row per entity with one count
+column — and optionally one value-sum column — per category of a pivot
+column. The categorical-feature-engineering staple (per-user event-type
+histograms, per-doc source mixes).
+
+Scale design: the categories are fixed and small (discovered by a tiny
+distinct aggregate when not given), so the wide columns are built INSIDE
+``map_batches`` and pre-aggregated per batch before ONE ``groupby(key)``
+sum — the exchange carries one combined row per (entity, block), never the
+raw events (the brief's map-side-combine prescription; same shape as
+``_partial_groupby``, pipelines/relational.py). No per-category pass, no
+per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+
+def pivot_counts(
+    ds: Dataset,
+    key_col: str,
+    pivot_col: str,
+    *,
+    values: Sequence[str] | None = None,
+    value_col: str | None = None,
+    prefix: str = "n_",
+    sum_prefix: str = "sum_",
+) -> Dataset:
+    """One row per ``key_col``: ``{prefix}{v}`` = count of rows with
+    ``pivot_col == v`` and, when ``value_col`` is given, ``{sum_prefix}{v}``
+    = sum of ``value_col`` over those rows (NaN treated as 0, like SQL SUM
+    of CASE with ELSE 0). Rows whose pivot value is outside ``values`` are
+    ignored. ``values=None`` discovers the categories with a distinct
+    aggregate (one tiny extra job — pass them explicitly in pipelines)."""
+    if values is None:
+        vals = (
+            ds.select_columns([pivot_col])
+            .map_batches(
+                lambda b: b.group_by(pivot_col).aggregate([]),
+                batch_format="pyarrow",
+            )
+            .unique(pivot_col)
+        )
+        values = sorted(v for v in vals if v is not None)
+    values = list(values)
+
+    cnt_cols = [f"{prefix}{v}" for v in values]
+    sum_cols = [f"{sum_prefix}{v}" for v in values] if value_col else []
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        piv = pdf[pivot_col].to_numpy()
+        out = {}
+        for v, c in zip(values, cnt_cols):
+            out[c] = (piv == v).astype(np.int64)
+        if value_col:
+            val = np.nan_to_num(
+                pdf[value_col].to_numpy(dtype=np.float64), nan=0.0
+            )
+            for v, c in zip(values, sum_cols):
+                out[c] = np.where(piv == v, val, 0.0)
+        wide = pd.DataFrame(out)
+        wide[key_col] = pdf[key_col].to_numpy()
+        return wide.groupby(key_col, sort=False).sum().reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    aggs = [Sum(c, alias_name=c) for c in (*cnt_cols, *sum_cols)]
+    return parts.groupby(key_col).aggregate(*aggs)

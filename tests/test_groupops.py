@@ -181,3 +181,44 @@ def test_funnel_chained_minimums():
     assert out.loc[5, "t_click"] == t0 + pd.Timedelta(seconds=5)
     assert out.loc[5, "steps_completed"] == 3
     assert out.loc[6, "steps_completed"] == 2
+
+
+def test_pivot_counts_matches_pandas_and_discovers_values():
+    from rp_extract_ray.stages.pivot import pivot_counts
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, 500),
+            "cat": rng.choice(["a", "b", "c"], 500),
+            "v": rng.normal(size=500),
+        }
+    )
+    df.loc[5, "v"] = np.nan  # NaN treated as 0 in sums
+    got = (
+        pivot_counts(
+            rd.from_pandas(df).repartition(7), "k", "cat", value_col="v"
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    want_n = df.pivot_table(
+        index="k", columns="cat", values="v", aggfunc="size", fill_value=0
+    )
+    want_s = df.assign(v=df["v"].fillna(0.0)).pivot_table(
+        index="k", columns="cat", values="v", aggfunc="sum", fill_value=0.0
+    )
+    for c in ("a", "b", "c"):
+        assert got[f"n_{c}"].to_numpy().tolist() == want_n[c].to_numpy().tolist()
+        np.testing.assert_allclose(
+            got[f"sum_{c}"].to_numpy(), want_s[c].to_numpy(), atol=1e-9
+        )
+    # value discovery path agrees with the explicit list
+    auto = (
+        pivot_counts(rd.from_pandas(df), "k", "cat", value_col="v")
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], auto[sorted(auto.columns)]
+    )
