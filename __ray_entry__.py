@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": D.q_token_count,
         "text_quality": D.q_text_quality,
         "tfidf_top_terms": D.q_tfidf,
+        "quantile_filter": D.q_quantile_filter,
         "langid": D.q_langid,
         "fingerprint": D.q_fingerprint,
         "minhash_pairs": D.q_minhash_pairs,
@@ -753,6 +754,18 @@ def oracle_sql() -> dict[str, str]:
         # and DuckDB regexp_* are both RE2 with non-overlapping leftmost
         # matches) and the same clip formula on unrounded doubles
         "text_quality": _text_quality_sql(),
+        # inclusive [p10, p90] window; quantile_cont == np.quantile linear
+        # interpolation, and integer lengths make boundary hits exact
+        "quantile_filter": """
+            WITH q AS (SELECT lang,
+                              quantile_cont(CAST(length(text) AS DOUBLE), 0.10)
+                                AS lo,
+                              quantile_cont(CAST(length(text) AS DOUBLE), 0.90)
+                                AS hi
+                       FROM documents GROUP BY lang)
+            SELECT d.doc_id, d.lang, CAST(length(d.text) AS BIGINT) AS len
+            FROM documents d JOIN q USING (lang)
+            WHERE length(d.text) >= q.lo AND length(d.text) <= q.hi""",
         # rank on the ROUNDED score (round-half-away == DuckDB round) with
         # token tiebreak, so engine and oracle orderings agree exactly
         "tfidf_top_terms": r"""

@@ -277,3 +277,47 @@ def q_embedding_label_stats(sf_dir: str) -> Dataset:
         return b.set_column(j, "label", b.column("label").cast(pa.int64()))
 
     return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_quantile_filter(sf_dir: str) -> Dataset:
+    """Per-language length-window curation filter: keep documents whose
+    length lies within [p10, p90] of their language — the compose pattern
+    aggregate -> broadcast small cutoffs -> stream filter (zero shuffle on
+    the big side). Oracle: quantile_cont cutoffs joined back in SQL
+    (inclusive bounds; integer lengths make boundary hits exact on both
+    sides)."""
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.stages.groupops import grouped_quantiles
+    from rp_extract_ray.stages.join import broadcast_join
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def add_len(b: pa.Table) -> pa.Table:
+        n = pc.utf8_length(b.column("text")).cast(pa.float64())
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "lang": b.column("lang"), "len": n}
+        )
+
+    slim = ds.map_batches(add_len, batch_format="pyarrow")
+    cuts = grouped_quantiles(
+        slim, "lang", "len", [0.10, 0.90], out_names=["lo", "hi"]
+    ).select_columns(["lang", "lo", "hi"])
+    joined = broadcast_join(slim, cuts, on="lang", value_cols=["lo", "hi"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        ln = b.column("len")
+        mask = pc.and_(
+            pc.greater_equal(ln, b.column("lo")),
+            pc.less_equal(ln, b.column("hi")),
+        )
+        b = b.filter(mask)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "len": b.column("len").cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(keep, batch_format="pyarrow")
