@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": D.q_text_quality,
         "tfidf_top_terms": D.q_tfidf,
         "quantile_filter": D.q_quantile_filter,
+        "token_explode": D.q_token_explode,
+        "json_extract": E.q_json_extract,
         "langid": D.q_langid,
         "fingerprint": D.q_fingerprint,
         "minhash_pairs": D.q_minhash_pairs,
@@ -754,6 +756,15 @@ def oracle_sql() -> dict[str, str]:
         # and DuckDB regexp_* are both RE2 with non-overlapping leftmost
         # matches) and the same clip formula on unrounded doubles
         "text_quality": _text_quality_sql(),
+        "token_explode": r"""
+            SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                   toks[CAST(u.i AS INTEGER)] AS token
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents) t,
+                 LATERAL unnest(range(1, len(toks) + 1)) AS u(i)""",
+        "json_extract": """
+            SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events""",
         # inclusive [p10, p90] window; quantile_cont == np.quantile linear
         # interpolation, and integer lengths make boundary hits exact
         "quantile_filter": """

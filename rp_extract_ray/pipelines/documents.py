@@ -321,3 +321,11 @@ def q_quantile_filter(sf_dir: str) -> Dataset:
         )
 
     return joined.map_batches(keep, batch_format="pyarrow")
+
+
+def q_token_explode(sf_dir: str) -> Dataset:
+    """Position-indexed token explode (stages/explode.py): offsets-driven
+    flat_map, no per-row Python. Oracle: string_split + range unnest."""
+    from rp_extract_ray.stages.explode import explode_tokens
+
+    return explode_tokens(_docs(sf_dir, ["doc_id", "text"]))

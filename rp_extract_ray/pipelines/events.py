@@ -492,3 +492,14 @@ def q_pivot(sf_dir: str) -> Dataset:
         out,
         {f"sum_{t}": 6 for t in ("click", "error", "purchase", "signup", "view")},
     )
+
+
+def q_json_extract(sf_dir: str) -> Dataset:
+    """Vectorized JSON integer-field extraction from the props column
+    (stages/explode.py). Oracle: real json_extract — gates the regex
+    kernel's equivalence on this corpus."""
+    from rp_extract_ray.stages.explode import extract_json_int
+
+    ds = _events(sf_dir, ["event_id", "props"])
+    out = extract_json_int(ds, "props", "k")
+    return out.select_columns(["event_id", "k"])

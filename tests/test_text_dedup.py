@@ -656,3 +656,40 @@ def test_tfidf_top_terms(docs):
         assert got == expect[d], (d, got, expect[d])
     # empty doc emits no rows
     assert 59 not in set(out.doc_id)
+
+
+def test_explode_tokens_positions_and_edges():
+    from rp_extract_ray.stages.explode import explode_tokens
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["a b c", "", "x  y"]}
+    )
+    out = (
+        explode_tokens(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values(["doc_id", "pos"], ignore_index=True)
+    )
+    # SQL string_split semantics: '' -> [''], adjacent seps -> empty token
+    assert out[out.doc_id == 1].token.tolist() == ["a", "b", "c"]
+    assert out[out.doc_id == 1].pos.tolist() == [1, 2, 3]
+    assert out[out.doc_id == 2].token.tolist() == [""]
+    assert out[out.doc_id == 3].token.tolist() == ["x", "", "y"]
+
+
+def test_extract_json_int_missing_and_negative():
+    from rp_extract_ray.stages.explode import extract_json_int
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "props": ['{"k": 7}', '{"j": 2}', None, '{"k": -12, "j": 0}'],
+        }
+    )
+    out = (
+        extract_json_int(rd.from_pandas(df), "props", "k")
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    assert out["k"].tolist()[0] == 7
+    assert pd.isna(out["k"][1]) and pd.isna(out["k"][2])
+    assert out["k"].tolist()[3] == -12
