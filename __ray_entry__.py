@@ -47,12 +47,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma": E.q_ewma,
         "funnel": E.q_funnel,
         "pivot": E.q_pivot,
+        "group_standardize": E.q_group_standardize,
         "cumulative": E.q_cumulative,
         "rank_features": E.q_rank_features,
         "standardize": E.q_standardize,
         "time_grid": E.q_time_grid,
         "time_window": E.q_time_window,
-        "json_extract": E.q_json_extract,
         # relational coverage (SURVEY.md §2.5-§2.8)
         "class_counts": R.q_class_counts,
         "min_instances": R.q_min_instances,
@@ -561,6 +561,16 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS steps_completed
             FROM v LEFT JOIN c ON v.user_id = c.user_id
                    LEFT JOIN p ON v.user_id = p.user_id""",
+        # per-group z-score, population std, zero-variance -> 1 (M24 keyed);
+        # round-6 on both sides absorbs summation-order float noise
+        "group_standardize": """
+            SELECT event_id, user_id, value,
+                   round((value - avg(value) OVER w) /
+                         (CASE WHEN stddev_pop(value) OVER w = 0
+                               OR stddev_pop(value) OVER w IS NULL
+                          THEN 1 ELSE stddev_pop(value) OVER w END), 6)
+                     AS value_gz
+            FROM events WINDOW w AS (PARTITION BY user_id)""",
         "pivot": """
             SELECT user_id,
                    CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
@@ -592,10 +602,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, ts,
                    last_value(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
                      OVER ({_W} ROWS UNBOUNDED PRECEDING) AS last_purchase_value
-            FROM events""",
-        "json_extract": r"""
-            SELECT event_id,
-                   CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
             FROM events""",
         "time_grid": """
             SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,

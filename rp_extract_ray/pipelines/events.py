@@ -319,22 +319,6 @@ def q_flagship(sf_dir: str) -> Dataset:
     return _round(out, rnd)
 
 
-def q_json_extract(sf_dir: str) -> Dataset:
-    """Parser op: pull the integer field k out of the JSON ``props`` column
-    with a vectorized RE2 extract (same engine DuckDB's regexp_extract uses,
-    so the oracle is exact)."""
-    import pyarrow.compute as pc
-
-    ds = _events(sf_dir, ["event_id", "props"])
-
-    def f(b: pa.Table) -> pa.Table:
-        ex = pc.extract_regex(pc.fill_null(b.column("props"), ""), r'"k": (?P<k>\d+)')
-        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
-        return pa.table({"event_id": b.column("event_id"), "k": k})
-
-    return ds.map_batches(f, batch_format="pyarrow")
-
-
 def q_time_grid(sf_dir: str) -> Dataset:
     """Tumbling 1-hour time buckets per user (S6 resample analogue)."""
     from rp_extract_ray.stages.timegrid import time_grid_aggregate
@@ -503,3 +487,14 @@ def q_json_extract(sf_dir: str) -> Dataset:
     ds = _events(sf_dir, ["event_id", "props"])
     out = extract_json_int(ds, "props", "k")
     return out.select_columns(["event_id", "k"])
+
+
+def q_group_standardize(sf_dir: str) -> Dataset:
+    """Per-user z-score of value (stages/standardize.standardize_grouped):
+    map-side moment combine + broadcast apply. Oracle: window AVG /
+    STDDEV_POP with the zero-variance->1 guard."""
+    from rp_extract_ray.stages.standardize import standardize_grouped
+
+    ds = _events(sf_dir, ["event_id", "user_id", "value"])
+    out = standardize_grouped(ds, ["value"], "user_id", round_to=6)
+    return out.select_columns(["event_id", "user_id", "value", "value_gz"])

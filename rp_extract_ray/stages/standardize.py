@@ -54,3 +54,88 @@ def standardize(
         return batch
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def standardize_grouped(
+    ds: Dataset,
+    cols: Sequence[str],
+    group_col: str,
+    *,
+    suffix: str = "_gz",
+    round_to: int | None = None,
+    broadcast_limit: int = 1_000_000,
+) -> Dataset:
+    """Per-group z-score (population std, zero-variance groups -> std=1 —
+    the M24 semantics keyed by ``group_col``).
+
+    Pass 1 pre-aggregates (sum, sum-of-squares, count) per group INSIDE each
+    batch, so the ``groupby`` exchange carries one moment row per
+    (group, block) — never the data. Pass 2 applies the stats as a
+    broadcast lookup when the group count is small, else as a
+    hash-partitioned join (the tfidf df-table rule)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        tmp = pdf[[group_col, *cols]].copy()
+        for c in cols:
+            tmp[f"_q_{c}"] = tmp[c].to_numpy(dtype=np.float64) ** 2
+        g = tmp.groupby(group_col, sort=False)
+        out = {}
+        for c in cols:
+            out[f"_s_{c}"] = g[c].sum()
+            out[f"_q_{c}"] = g[f"_q_{c}"].sum()
+            out[f"_n_{c}"] = g[c].count()
+        return pd.DataFrame(out).reset_index()
+
+    moment_cols = [
+        f"{p}_{c}" for c in cols for p in ("_s", "_q", "_n")
+    ]
+    stats = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in moment_cols])
+        .materialize()
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        out = {group_col: b.column(group_col)}
+        for c in cols:
+            s = b.column(f"_s_{c}").to_numpy(zero_copy_only=False).astype(np.float64)
+            q = b.column(f"_q_{c}").to_numpy(zero_copy_only=False).astype(np.float64)
+            n = np.maximum(
+                b.column(f"_n_{c}").to_numpy(zero_copy_only=False).astype(np.float64),
+                1.0,
+            )
+            mean = s / n
+            var = np.maximum(q / n - mean * mean, 0.0)
+            mean, std = standardize_params(mean, var)
+            out[f"_m_{c}"] = pa.array(mean)
+            out[f"_sd_{c}"] = pa.array(std)
+        return pa.table(out)
+
+    stats = stats.map_batches(finish, batch_format="pyarrow")
+
+    def apply(b: pa.Table) -> pa.Table:
+        for c in cols:
+            v = b.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            z = (v - b.column(f"_m_{c}").to_numpy(zero_copy_only=False)) / b.column(
+                f"_sd_{c}"
+            ).to_numpy(zero_copy_only=False)
+            if round_to is not None:
+                from rp_extract_ray.functions.rounding import round_half_away
+
+                z = round_half_away(z, round_to)
+            b = b.append_column(f"{c}{suffix}", pa.array(z))
+        return b.drop_columns(
+            [f"_m_{c}" for c in cols] + [f"_sd_{c}" for c in cols]
+        )
+
+    from rp_extract_ray.stages.join import broadcast_join, hash_join
+
+    if int(stats.count()) <= broadcast_limit:
+        joined = broadcast_join(ds, stats, on=group_col)
+    else:
+        joined = hash_join(ds, stats, on=group_col)
+    return joined.map_batches(apply, batch_format="pyarrow")

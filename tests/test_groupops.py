@@ -222,3 +222,30 @@ def test_pivot_counts_matches_pandas_and_discovers_values():
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], auto[sorted(auto.columns)]
     )
+
+
+def test_standardize_grouped_matches_pandas():
+    from rp_extract_ray.stages.standardize import standardize_grouped
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 8, 400),
+            "x": rng.normal(50, 10, 400),
+        }
+    )
+    df.loc[df.g == 7, "x"] = 3.25  # zero-variance group -> std treated as 1
+    got = (
+        standardize_grouped(
+            rd.from_pandas(df.reset_index(names="rid")).repartition(5),
+            ["x"], "g",
+        )
+        .to_pandas()
+        .sort_values("rid", ignore_index=True)
+    )
+    grp = df.groupby("g")["x"]
+    mean = df["g"].map(grp.mean())
+    std = df["g"].map(grp.std(ddof=0)).replace(0.0, 1.0)
+    want = ((df["x"] - mean) / std).to_numpy()
+    np.testing.assert_allclose(got["x_gz"].to_numpy(), want, atol=1e-9)
+    assert (got.loc[got.g == 7, "x_gz"] == 0.0).all()
