@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_tolerance": lambda sf: E.q_asof(
             sf, "backward", "click", "purchase", "pvalue", tolerance_s=86400.0
         ),
+        "asof_nearest": lambda sf: E.q_asof(sf, "nearest", "click", "error", "nvalue"),
         "backfill": E.q_backfill,
         "ewma": E.q_ewma,
         "funnel": E.q_funnel,
@@ -527,6 +528,20 @@ def oracle_sql() -> dict[str, str]:
                        WHERE event_type='view')
             SELECT l.event_id, l.user_id, l.ts, l.value, round(r.fvalue, 6) AS fvalue
             FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""",
+        # nearest semantics: the right row minimizing |l.ts - r.ts|; on an
+        # exact distance tie the EARLIER right row wins (merge_asof prefers
+        # backward on ties — pinned by the ORDER BY r.ts ASC tie-break)
+        "asof_nearest": """
+            WITH r AS (SELECT user_id, ts, max(value) AS nvalue FROM events
+                       WHERE event_type='error' GROUP BY user_id, ts),
+                 l AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type='click')
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   round(m.nvalue, 6) AS nvalue
+            FROM l LEFT JOIN LATERAL (
+                SELECT r.nvalue FROM r WHERE r.user_id = l.user_id
+                ORDER BY abs(epoch(l.ts) - epoch(r.ts)) ASC, r.ts ASC LIMIT 1
+            ) m ON true""",
         # tolerance (watermark) semantics: the nearest prior match is kept
         # only when it falls inside the horizon — ASOF join, then NULL the
         # payload beyond the tolerance (if the NEAREST prior is outside the

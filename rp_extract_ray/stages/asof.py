@@ -13,7 +13,9 @@ merged per batch with zero shuffle.
 
 Semantics: ``direction='backward'`` matches the nearest right row with
 ``right.ts <= left.ts`` per entity (point-in-time correct: never reads the
-future); ``'forward'`` matches nearest ``right.ts >= left.ts``. ``tolerance_s``
+future); ``'forward'`` matches nearest ``right.ts >= left.ts``; ``'nearest'``
+matches the right row minimizing ``|left.ts - right.ts|`` (ties prefer the
+earlier right row — pandas ``merge_asof`` backward preference). ``tolerance_s``
 bounds the match distance — the per-entity watermark: a right row further than
 the tolerance horizon can never influence a left row. Ties on equal ``ts``
 match (inclusive), the last right row at that ts winning — matching DuckDB

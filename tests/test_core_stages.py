@@ -120,7 +120,7 @@ def test_salt_overlap_guard(corpus):
         )
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("broadcast", [False, True])
 def test_asof_join(corpus, direction, broadcast):
     t, ev = corpus
