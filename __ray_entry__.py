@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": R.q_top_terms,
         "filter_sort": R.q_filter_sort,
         "distinct": R.q_distinct,
+        "cube_orders": R.q_cube_orders,
         "hll_distinct": R.q_hll_distinct,
         # text analysis / dedup / similarity (training-data extensions)
         "token_count": D.q_token_count,
@@ -765,6 +766,15 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem)
                      AS n_partkeys
             FROM orders""",
+        # multi-level aggregation (stages/rollup.py): CUBE's 4 grouping sets
+        # built map-side and merged in one exchange; rolled-up key positions
+        # carry the 'ALL' sentinel (COALESCE convention, keys are non-null)
+        "cube_orders": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   round(sum(o_totalprice), 2) AS total,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
         "token_count": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)

@@ -420,3 +420,19 @@ def distributed_topk(
         cols, ascending=[not d for d in descending], ignore_index=True, kind="mergesort"
     )
     return small.head(k).reset_index(drop=True)
+
+
+def q_cube_orders(sf_dir: str) -> Dataset:
+    """Multi-level curation report: order counts + spend totals at every
+    status × priority granularity (CUBE = 4 grouping sets) in ONE exchange.
+    Oracle: GROUP BY CUBE with COALESCE'd sentinel labels."""
+    from rp_extract_ray.stages.rollup import cube_aggregate
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    out = cube_aggregate(
+        ds,
+        ["o_orderstatus", "o_orderpriority"],
+        sum_cols={"total": "o_totalprice"},
+        count_alias="n_orders",
+    )
+    return _round_cols(out, {"total": 2})

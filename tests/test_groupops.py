@@ -249,3 +249,63 @@ def test_standardize_grouped_matches_pandas():
     want = ((df["x"] - mean) / std).to_numpy()
     np.testing.assert_allclose(got["x_gz"].to_numpy(), want, atol=1e-9)
     assert (got.loc[got.g == 7, "x_gz"] == 0.0).all()
+
+
+def test_cube_aggregate_matches_pandas():
+    """CUBE over two string keys == pandas groupby at every level, invariant
+    to partitioning (additively merged partials)."""
+    from rp_extract_ray.stages.rollup import cube_aggregate, rollup_aggregate
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], 500),
+            "b": rng.choice(["p", "q"], 500),
+            "v": rng.normal(size=500).round(4),
+        }
+    )
+
+    def level(keys):
+        if keys:
+            g = df.groupby(keys, as_index=False).agg(
+                total=("v", "sum"), n=("v", "size")
+            )
+        else:
+            g = pd.DataFrame({"total": [df["v"].sum()], "n": [len(df)]})
+        for k in ("a", "b"):
+            if k not in keys:
+                g[k] = "ALL"
+        return g[["a", "b", "total", "n"]]
+
+    want = pd.concat(
+        [level(["a", "b"]), level(["a"]), level(["b"]), level([])],
+        ignore_index=True,
+    ).sort_values(["a", "b"], ignore_index=True)
+    want["n"] = want["n"].astype(np.int64)
+
+    for parts in (1, 5):
+        got = (
+            cube_aggregate(
+                rd.from_pandas(df).repartition(parts), ["a", "b"],
+                sum_cols={"total": "v"}, count_alias="n",
+            )
+            .to_pandas()
+            .sort_values(["a", "b"], ignore_index=True)
+        )
+        assert got["n"].tolist() == want["n"].tolist()
+        assert np.allclose(got["total"].to_numpy(), want["total"].to_numpy())
+
+    # rollup is the prefix subset: (a,b), (a,), ()
+    ru = (
+        rollup_aggregate(
+            rd.from_pandas(df).repartition(3), ["a", "b"],
+            sum_cols={"total": "v"}, count_alias="n",
+        )
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    want_ru = pd.concat(
+        [level(["a", "b"]), level(["a"]), level([])], ignore_index=True
+    ).sort_values(["a", "b"], ignore_index=True)
+    assert ru["n"].tolist() == [int(x) for x in want_ru["n"]]
+    assert np.allclose(ru["total"].to_numpy(), want_ru["total"].to_numpy())
