@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative": E.q_cumulative,
         "rank_features": E.q_rank_features,
         "standardize": E.q_standardize,
+        "merge_intervals": E.q_merge_intervals,
         "time_grid": E.q_time_grid,
         "time_window": E.q_time_window,
         # relational coverage (SURVEY.md §2.5-§2.8)
@@ -529,6 +530,28 @@ def oracle_sql() -> dict[str, str]:
                        WHERE event_type='view')
             SELECT l.event_id, l.user_id, l.ts, l.value, round(r.fvalue, 6) AS fvalue
             FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""",
+        # gaps-and-islands: prev_max = running max of end over EARLIER rows
+        # (ROWS ... 1 PRECEDING); an island breaks where start > prev_max;
+        # touching intervals (start == prev_max) merge — closed-interval
+        # convention, same as the engine's `s > prev_max` test
+        "merge_intervals": """
+            WITH iv AS (SELECT user_id, ts AS start_ts,
+                               ts + to_seconds(CAST(floor(value) * 60 AS BIGINT))
+                                 AS end_ts
+                        FROM events WHERE event_type = 'view'),
+                 o AS (SELECT *, max(end_ts) OVER (
+                           PARTITION BY user_id ORDER BY start_ts, end_ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS prev_max FROM iv),
+                 g AS (SELECT *, CASE WHEN prev_max IS NULL
+                                        OR start_ts > prev_max
+                                      THEN 1 ELSE 0 END AS brk FROM o),
+                 h AS (SELECT *, sum(brk) OVER (
+                           PARTITION BY user_id ORDER BY start_ts, end_ts
+                           ROWS UNBOUNDED PRECEDING) AS island FROM g)
+            SELECT user_id, min(start_ts) AS start_ts, max(end_ts) AS end_ts,
+                   CAST(count(*) AS BIGINT) AS n_merged
+            FROM h GROUP BY user_id, island""",
         # nearest semantics: the right row minimizing |l.ts - r.ts|; on an
         # exact distance tie the EARLIER right row wins (merge_asof prefers
         # backward on ties — pinned by the ORDER BY r.ts ASC tie-break)

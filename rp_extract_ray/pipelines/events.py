@@ -498,3 +498,35 @@ def q_group_standardize(sf_dir: str) -> Dataset:
     ds = _events(sf_dir, ["event_id", "user_id", "value"])
     out = standardize_grouped(ds, ["value"], "user_id", round_to=6)
     return out.select_columns(["event_id", "user_id", "value", "value_gz"])
+
+
+def q_merge_intervals(sf_dir: str) -> Dataset:
+    """Coalesce per-user activity spans: each 'view' event opens an interval
+    of floor(value) minutes; overlapping/touching spans merge into maximal
+    islands (stages/intervals.py). Oracle: SQL gaps-and-islands (running-max
+    window + island-id sum window + groupby)."""
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.stages.intervals import merge_intervals
+
+    ds = _events(sf_dir, ["ts", "user_id", "event_type", "value"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "view"))
+        dur_us = pc.cast(
+            pc.multiply(pc.floor(b.column("value")), 60_000_000.0), pa.int64()
+        )
+        end = pc.add(b.column("ts"), pc.cast(dur_us, pa.duration("us")))
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "start_ts": b.column("ts"),
+                "end_ts": end,
+            }
+        )
+
+    iv = ds.map_batches(mk, batch_format="pyarrow")
+    return merge_intervals(
+        iv, entity_col="user_id", start_col="start_ts", end_col="end_ts",
+        num_partitions=NP,
+    )

@@ -131,3 +131,44 @@ def test_cumulative_dataset_path():
     ).to_pandas().sort_values("turn_idx").reset_index(drop=True)
     want = pdf.groupby("conv_id", sort=False)["v"].cumsum().to_numpy()
     np.testing.assert_allclose(out["v_csum"], want)
+
+
+def test_merge_intervals_islands():
+    """Overlap, touching, and inverted (end<start -> point) intervals merge
+    correctly and identically at any partitioning."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rp_extract_ray.stages.intervals import merge_intervals
+
+    df = pd.DataFrame(
+        {
+            "e": ["a"] * 5 + ["b"] * 2,
+            "s": [0.0, 5.0, 10.0, 30.0, 29.0, 1.0, 100.0],
+            "t": [6.0, 8.0, 4.0, 40.0, 31.0, 2.0, 50.0],  # last: inverted
+        }
+    )
+    want = [
+        ("a", 0.0, 8.0, 2),    # [0,6] overlaps [5,8]
+        ("a", 10.0, 10.0, 1),  # inverted [10,4] clamps to a point
+        ("a", 29.0, 40.0, 2),  # [29,31] overlaps [30,40]
+        ("b", 1.0, 2.0, 1),
+        ("b", 100.0, 100.0, 1),
+    ]
+    for parts in (1, 4):
+        got = (
+            merge_intervals(
+                rd.from_pandas(df).repartition(parts),
+                entity_col="e", start_col="s", end_col="t", num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["e", "s"], ignore_index=True)
+        )
+        assert list(got.itertuples(index=False, name=None)) == want
+
+    # touching intervals merge (closed-interval convention)
+    touch = pd.DataFrame({"e": ["x", "x"], "s": [0.0, 5.0], "t": [5.0, 9.0]})
+    got = merge_intervals(
+        rd.from_pandas(touch), entity_col="e", start_col="s", end_col="t"
+    ).to_pandas()
+    assert list(got.itertuples(index=False, name=None)) == [("x", 0.0, 9.0, 2)]
