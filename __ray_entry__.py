@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs": D.q_cosine_pairs,
         "knn_cosine": D.q_knn,
         "embedding_label_stats": D.q_embedding_label_stats,
+        "kmeans_clusters": D.q_kmeans,
         # full windowed/rhythm feature stages
         "window_features_full": E.q_window_features_full,
         "rhythm_features": E.q_rhythm,
@@ -864,6 +865,7 @@ def oracle_sql() -> dict[str, str]:
         # (pipelines/oracle_literals.py; the golden-vector doctest strategy,
         # /root/reference/rp_extract.py:424-445)
         "fingerprint": _lit.fingerprint_sql(),
+        "kmeans_clusters": _lit.kmeans_sql(),
         "simhash_pairs": _lit.simhash_pairs_sql(),
         "rhythm_features": _lit.rhythm_sql(),
         "rhythm_segments": _lit.rhythm_segments_sql(),

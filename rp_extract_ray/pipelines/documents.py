@@ -329,3 +329,18 @@ def q_token_explode(sf_dir: str) -> Dataset:
     from rp_extract_ray.stages.explode import explode_tokens
 
     return explode_tokens(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_kmeans(sf_dir: str) -> Dataset:
+    """Distributed Lloyd k-means over the embedding corpus (stages/kmeans.py):
+    deterministic smallest-id seeds, 5 fixed rounds of broadcast-centroids +
+    map-side partial sums, final nearest-centroid assignment. Oracle: literal
+    VALUES table from an independent pure-Python longhand implementation
+    (pipelines/oracle_literals.kmeans_sql — the golden-vector strategy)."""
+    from rp_extract_ray.stages.kmeans import kmeans_assign, kmeans_lloyd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    C = kmeans_lloyd(ds, n_clusters=8, n_iter=5)
+    return kmeans_assign(ds, C).select_columns(["vec_id", "cluster"])

@@ -339,3 +339,53 @@ def rhythm_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
            CAST(dominant_mod_freq AS INTEGER) AS dominant_mod_freq,
            {dcols}
     FROM (VALUES {vals}) AS t({cols})"""
+
+
+# ---------------------------------------------------------------------------
+# k-means: independent pure-Python Lloyd (explicit loops, left-to-right float
+# accumulation — no numpy/BLAS shared with the engine's matmul kernels)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_longhand(sf_dir: str, k: int = 8, iters: int = 5) -> list[tuple[int, int]]:
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = [int(x) for x in tb.column("vec_id").to_pylist()]
+    vecs = [[float(x) for x in v] for v in tb.column("embedding").to_pylist()]
+
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    cent = [list(vecs[i]) for i in order[:k]]
+
+    def nearest(v: list[float]) -> int:
+        best, bd = 0, None
+        for c in range(len(cent)):
+            d = 0.0
+            for a, b in zip(v, cent[c]):
+                d += (a - b) * (a - b)
+            if bd is None or d < bd:  # strict <: ties keep the lowest id
+                bd, best = d, c
+        return best
+
+    for _ in range(iters):
+        assign = [nearest(v) for v in vecs]
+        for c in range(k):
+            members = [vecs[i] for i in range(len(vecs)) if assign[i] == c]
+            if not members:
+                continue  # empty cluster keeps its centroid
+            dim = len(members[0])
+            for j in range(dim):
+                s = 0.0
+                for m in members:
+                    s += m[j]
+                cent[c][j] = s / len(members)
+    final = [nearest(v) for v in vecs]
+    return sorted(zip(ids, final))
+
+
+def kmeans_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    rows = _kmeans_longhand(sf_dir)
+    vals = ",\n      ".join(f"({i}, {c})" for i, c in rows)
+    return f"""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS BIGINT) AS cluster
+    FROM (VALUES {vals}) AS t(vec_id, cluster)"""

@@ -309,3 +309,36 @@ def test_cube_aggregate_matches_pandas():
     ).sort_values(["a", "b"], ignore_index=True)
     assert ru["n"].tolist() == [int(x) for x in want_ru["n"]]
     assert np.allclose(ru["total"].to_numpy(), want_ru["total"].to_numpy())
+
+
+def test_kmeans_recovers_blobs_partition_invariant():
+    """3 well-separated Gaussian blobs: every member lands with its blob's
+    seed cluster, identically at any partitioning."""
+    import ray.data as rd
+
+    from rp_extract_ray.stages.kmeans import kmeans_assign, kmeans_lloyd
+
+    rng = np.random.default_rng(11)
+    centers = np.array([[0.0] * 8, [30.0] * 8, [-30.0] * 8])
+    X = np.concatenate(
+        [rng.normal(c, 0.5, size=(60, 8)) for c in centers], axis=0
+    )
+    df = pd.DataFrame(
+        {"vec_id": np.arange(180, dtype=np.int64), "embedding": list(X)}
+    )
+    results = []
+    for parts in (1, 7):
+        ds = rd.from_pandas(df).repartition(parts)
+        C = kmeans_lloyd(ds, n_clusters=3, n_iter=4)
+        out = (
+            kmeans_assign(ds, C)
+            .select_columns(["vec_id", "cluster"])
+            .to_pandas()
+            .sort_values("vec_id", ignore_index=True)
+        )
+        results.append(out["cluster"].to_numpy())
+        # each blob is pure: one distinct cluster id per 60-row block
+        for blk in range(3):
+            assert len(set(results[-1][blk * 60 : (blk + 1) * 60])) == 1
+        assert len(set(results[-1])) == 3
+    assert (results[0] == results[1]).all()
