@@ -344,3 +344,31 @@ def q_kmeans(sf_dir: str) -> Dataset:
     )
     C = kmeans_lloyd(ds, n_clusters=8, n_iter=5)
     return kmeans_assign(ds, C).select_columns(["vec_id", "cluster"])
+
+
+def q_knn_ivf(sf_dir: str, query_id: int = 7, k: int = 10):
+    """IVF-bucketed similarity search (stages/simsearch.ivf_index/ivf_search):
+    k-means list assignment + probed-list scan. Probing ALL lists makes the
+    result exact, so the whole IVF mechanism — assignment, probe selection,
+    list filter, per-batch partial top-k — is gated against the same
+    list_cosine_similarity oracle as brute force. The scale path drops
+    n_probe (recall measured in tests/test_text_dedup.py's IVF recall test)
+    and reads a list_id-partitioned index via ivf_write/ivf_query."""
+    from rp_extract_ray.stages.simsearch import ivf_index, ivf_search
+
+    ds = _emb(sf_dir)
+    q = (
+        ds.map_batches(
+            lambda b: b.filter(pa.compute.equal(b.column("vec_id"), query_id)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["embedding"]
+    )
+    qv = np.asarray(list(q)[0], dtype=np.float64)
+    assigned, C = ivf_index(ds, n_clusters=16)
+    res = ivf_search(assigned, C, qv[None, :], k=k, n_probe=16)
+    out = res[["vec_id", "cos"]].copy()
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    out["cos"] = round_half_away(out["cos"].to_numpy(), 4)
+    return out
