@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_sort": R.q_filter_sort,
         "distinct": R.q_distinct,
         "cube_orders": R.q_cube_orders,
+        "heavy_hitters": R.q_heavy_hitters,
         "hll_distinct": R.q_hll_distinct,
         # text analysis / dedup / similarity (training-data extensions)
         "token_count": D.q_token_count,
@@ -800,6 +801,12 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total,
                    CAST(count(*) AS BIGINT) AS n_orders
             FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+        # two-pass exact heavy hitters: HAVING over the identical ceil cut
+        "heavy_hitters": """
+            SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_suppkey
+            HAVING count(*) >= CAST(ceil(0.0107 *
+                (SELECT count(*) FROM lineitem)) AS BIGINT)""",
         "token_count": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)

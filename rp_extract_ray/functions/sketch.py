@@ -82,3 +82,75 @@ def approx_distinct(ds: Dataset, col: str, p: int = 12) -> int:
     for buf in rows["regs"]:
         merged = hll_merge(merged, np.frombuffer(buf, dtype=np.uint8))
     return int(round(hll_estimate(merged)))
+
+
+def heavy_hitters(
+    ds: Dataset,
+    col: str,
+    *,
+    threshold_frac: float,
+    count_alias: str = "n",
+) -> "pd.DataFrame":
+    """EXACT frequency heavy hitters at bounded shuffle cost: all values
+    whose global frequency is >= ``threshold_frac`` of the rows, with exact
+    counts — the skew-diagnosis / hot-key-detection op a 100 TB pipeline
+    runs before choosing salting keys.
+
+    Two passes, neither shuffling raw rows (public two-phase scheme, cf.
+    Misra-Gries / Space-Saving candidate generation):
+
+    1. CANDIDATES — per-block exact ``value_counts`` keeps only values with
+       LOCAL frequency >= threshold (at most ``1/threshold`` values per
+       block by pigeonhole). Any value with GLOBAL frequency >= threshold
+       must reach the local threshold in at least one block (its average
+       block frequency is its global frequency), so the union — a tiny
+       driver-side frame — is a guaranteed superset. No false negatives.
+    2. VERIFY — the candidate set is broadcast (``ray.put``); one
+       ``map_batches`` pass emits per-block exact counts of candidates
+       only (<= |candidates| rows per block), merged by a small groupby
+       and cut at ``ceil(threshold_frac * N)``.
+
+    Returns a pandas DataFrame ``(col, count_alias)`` — small by the
+    frequency bound (< 1/threshold rows).
+    """
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    def local_candidates(b: pa.Table) -> pa.Table:
+        vc = b.column(col).to_pandas().value_counts()
+        keep = vc[vc >= threshold_frac * len(b)]
+        return pa.table({col: pa.array(keep.index.to_numpy()), "_c": keep.to_numpy()})
+
+    cand = ds.select_columns([col]).map_batches(
+        local_candidates, batch_format="pyarrow"
+    ).to_pandas()
+    n_rows = ds.count()  # parquet-metadata answer on a read; cheap
+    if not len(cand):
+        return pd.DataFrame({col: [], count_alias: pd.Series([], dtype=np.int64)})
+    cand_ref = ray.put(set(cand[col].unique().tolist()))
+    min_count = int(math.ceil(threshold_frac * n_rows))
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        wanted = ray.get(cand_ref)
+        s = b.column(col).to_pandas()
+        vc = s[s.isin(wanted)].value_counts()
+        return pa.table(
+            {col: pa.array(vc.index.to_numpy()),
+             count_alias: pa.array(vc.to_numpy().astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        ds.select_columns([col])
+        .map_batches(exact_partial, batch_format="pyarrow")
+        .groupby(col)
+        .aggregate(Sum(count_alias, alias_name=count_alias))
+        .to_pandas()
+    )
+    out = merged[merged[count_alias] >= min_count].reset_index(drop=True)
+    out[count_alias] = out[count_alias].astype(np.int64)
+    return out.sort_values([count_alias, col], ascending=[False, True], ignore_index=True)

@@ -436,3 +436,14 @@ def q_cube_orders(sf_dir: str) -> Dataset:
         count_alias="n_orders",
     )
     return _round_cols(out, {"total": 2})
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact hot-key detection on lineitem supplier keys: values covering
+    >= 1.07% of all rows, exact counts (functions/sketch.heavy_hitters —
+    two bounded passes, no raw-row shuffle). Oracle: GROUP BY + HAVING
+    against the same ceil threshold."""
+    from rp_extract_ray.functions.sketch import heavy_hitters
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey"])
+    return heavy_hitters(ds, "l_suppkey", threshold_frac=0.0107)

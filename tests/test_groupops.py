@@ -342,3 +342,33 @@ def test_kmeans_recovers_blobs_partition_invariant():
             assert len(set(results[-1][blk * 60 : (blk + 1) * 60])) == 1
         assert len(set(results[-1])) == 3
     assert (results[0] == results[1]).all()
+
+
+def test_heavy_hitters_exact_superset_guarantee():
+    """Skewed corpus: the two-pass result equals exact pandas counts at the
+    threshold, across partitionings (candidate pigeonhole guarantee)."""
+    import ray.data as rd
+
+    from rp_extract_ray.functions.sketch import heavy_hitters
+
+    rng = np.random.default_rng(3)
+    # hot keys 0,1 at ~20%/~10%; long uniform tail
+    vals = np.concatenate(
+        [np.zeros(400), np.ones(200), rng.integers(2, 300, 1400)]
+    ).astype(np.int64)
+    rng.shuffle(vals)
+    df = pd.DataFrame({"k": vals})
+    vc = df["k"].value_counts()
+    thr = 0.05
+    import math
+    want = vc[vc >= math.ceil(thr * len(df))].sort_index()
+    for parts in (1, 9):
+        got = heavy_hitters(
+            rd.from_pandas(df).repartition(parts), "k", threshold_frac=thr
+        ).sort_values("k", ignore_index=True)
+        assert got["k"].tolist() == sorted(want.index.tolist())
+        assert got.set_index("k")["n"].to_dict() == want.to_dict()
+
+    # empty result path
+    got = heavy_hitters(rd.from_pandas(df), "k", threshold_frac=0.9)
+    assert len(got) == 0
