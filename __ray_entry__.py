@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct": R.q_distinct,
         "cube_orders": R.q_cube_orders,
         "heavy_hitters": R.q_heavy_hitters,
+        "range_partition": R.q_range_partition,
         "hll_distinct": R.q_hll_distinct,
         # text analysis / dedup / similarity (training-data extensions)
         "token_count": D.q_token_count,
@@ -807,6 +808,25 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_suppkey
             HAVING count(*) >= CAST(ceil(0.0107 *
                 (SELECT count(*) FROM lineitem)) AS BIGINT)""",
+        # range partitioner: deterministic Knuth-hash sample -> quantile_disc
+        # bounds (rank ceil(q*n) == numpy inverted_cdf) -> part = #bounds < key
+        "range_partition": """
+            WITH s AS (SELECT o_custkey FROM orders
+                       WHERE (o_custkey * 2654435761 + 1 * 2654435769) % 4294967296
+                             < CAST(floor(0.25 * 4294967296) AS BIGINT)),
+                 b AS (SELECT quantile_disc(o_custkey, [0.25, 0.5, 0.75]) AS q
+                       FROM s),
+                 a AS (SELECT o_custkey,
+                              ((CASE WHEN o_custkey > q[1] THEN 1 ELSE 0 END) +
+                               (CASE WHEN o_custkey > q[2] THEN 1 ELSE 0 END) +
+                               (CASE WHEN o_custkey > q[3] THEN 1 ELSE 0 END))
+                                AS part
+                       FROM orders, b)
+            SELECT CAST(part AS BIGINT) AS part,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(min(o_custkey) AS BIGINT) AS min_key,
+                   CAST(max(o_custkey) AS BIGINT) AS max_key
+            FROM a GROUP BY part""",
         "token_count": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)

@@ -447,3 +447,39 @@ def q_heavy_hitters(sf_dir: str):
 
     ds = _read(sf_dir, "lineitem", ["l_suppkey"])
     return heavy_hitters(ds, "l_suppkey", threshold_frac=0.0107)
+
+
+def q_range_partition(sf_dir: str) -> Dataset:
+    """Range-partition assignment summary (stages/partition.py): deterministic
+    hash-sampled quantile_disc bounds, searchsorted part ids, per-part
+    count/min/max. Disjoint [min_key, max_key] ranges per part are the
+    sorted-layout invariant (tests/test_range_partition.py checks the write
+    path); the oracle replicates sample, bounds and assignment in SQL."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from rp_extract_ray.stages.partition import (
+        RANGE_PART_COL,
+        add_range_part,
+        range_partition_bounds,
+    )
+
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    bounds = range_partition_bounds(ds, "o_custkey", 4, sample_rate=0.25, seed=1)
+    parted = add_range_part(ds, "o_custkey", bounds)
+    out = parted.groupby(RANGE_PART_COL).aggregate(
+        Count(alias_name="n_rows"),
+        Min("o_custkey", alias_name="min_key"),
+        Max("o_custkey", alias_name="max_key"),
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": b.column(RANGE_PART_COL).cast(pa.int64()),
+                "n_rows": b.column("n_rows").cast(pa.int64()),
+                "min_key": b.column("min_key").cast(pa.int64()),
+                "max_key": b.column("max_key").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")

@@ -260,3 +260,111 @@ def partitioned_apply(
             side.map_batches(mark_side, batch_format="pyarrow")
         )
     return parted.groupby(PART_COL).map_groups(run_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Range partitioning (the north rule's "conv_id-range-partitioned, ts-sorted
+# partitions"): deterministic sampled bounds + searchsorted assignment +
+# sorted partitioned write. Hash partitioning (above) balances load for
+# exchanges; RANGE partitioning additionally gives globally ordered output
+# files whose [min,max] key ranges are disjoint — the layout a consumer
+# needs for merge reads and key-range pruning.
+# ---------------------------------------------------------------------------
+
+
+def range_partition_bounds(
+    ds: Dataset,
+    key_col: str,
+    num_partitions: int,
+    *,
+    sample_rate: float = 0.1,
+    seed: int = 1,
+) -> np.ndarray:
+    """``num_partitions - 1`` split bounds from a DETERMINISTIC keyed sample.
+
+    Spark-RangePartitioner shape, made reproducible: the sample is the rows
+    whose Knuth-hash of ``key_col`` falls under ``sample_rate`` (identical
+    across runs/cluster sizes, exactly replicable in SQL — same formula as
+    ``pipelines.relational.deterministic_sample``), and the bounds are the
+    sample's EXACT ``quantile_disc`` values at ``i/P`` (rank ``ceil(q*n)``,
+    numpy ``inverted_cdf`` == DuckDB ``quantile_disc``). Only the pruned,
+    sampled key column is ever collected (choose ``sample_rate`` so
+    ``rate × rows`` fits one worker — the standard bounds-fitting budget).
+    """
+    threshold = np.uint64(int(np.floor(sample_rate * 2**32)))
+
+    def sample(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = (
+            k.astype(np.uint64) * np.uint64(2654435761)
+            + np.uint64(seed) * np.uint64(2654435769)
+        ) & np.uint64(0xFFFFFFFF)
+        return b.select([key_col]).filter(pa.array(h < threshold))
+
+    qs = [i / num_partitions for i in range(1, num_partitions)]
+
+    def bounds_of(b: pa.Table) -> pa.Table:
+        v = b.column(key_col).to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({"bound": pa.array([], pa.float64())})
+        bs = np.quantile(v, qs, method="inverted_cdf")
+        return pa.table({"bound": pa.array(np.asarray(bs, dtype=np.float64))})
+
+    small = (
+        ds.select_columns([key_col])
+        .map_batches(sample, batch_format="pyarrow")
+        .repartition(1)  # one exchange of the pruned sample only
+        .map_batches(bounds_of, batch_format="pyarrow")
+        .to_pandas()  # <= P-1 rows
+    )
+    return small["bound"].to_numpy()
+
+
+RANGE_PART_COL = "_rpart"
+
+
+def add_range_part(ds: Dataset, key_col: str, bounds: np.ndarray) -> Dataset:
+    """Append the range-partition id: ``#{b in bounds : b < key}``
+    (searchsorted-left — matches the SQL ``sum(key > bound)`` convention)."""
+    b = np.sort(np.asarray(bounds, dtype=np.float64))
+
+    def f(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        part = np.searchsorted(b, k, side="left").astype(np.int64)
+        return t.append_column(RANGE_PART_COL, pa.array(part))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def write_range_sorted(
+    ds: Dataset,
+    path: str,
+    key_col: str,
+    *,
+    order_cols: Sequence[str] = ("ts",),
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    sample_rate: float = 0.1,
+    seed: int = 1,
+) -> np.ndarray:
+    """Write ``ds`` as range-partitioned Parquet, sorted within partitions.
+
+    One exchange: bounds from :func:`range_partition_bounds`, assignment is
+    a pure map, then ``groupby(part).map_groups`` sorts each partition by
+    ``(key_col, *order_cols)`` and the partitioned write puts each key range
+    in its own directory (resumable layout: a re-run can skip finished
+    ranges). Returns the bounds so readers can prune by key range.
+    """
+    bounds = range_partition_bounds(
+        ds, key_col, num_partitions, sample_rate=sample_rate, seed=seed
+    )
+    parted = add_range_part(ds, key_col, bounds)
+
+    def sort_part(g: pa.Table) -> pa.Table:
+        return g.sort_by([(c, "ascending") for c in (key_col, *order_cols)])
+
+    (
+        parted.groupby(RANGE_PART_COL)
+        .map_groups(sort_part, batch_format="pyarrow")
+        .write_parquet(path, partition_cols=[RANGE_PART_COL])
+    )
+    return bounds
