@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_features": E.q_rank_features,
         "standardize": E.q_standardize,
         "merge_intervals": E.q_merge_intervals,
+        "time_bucket": E.q_time_bucket,
         "time_grid": E.q_time_grid,
         "time_window": E.q_time_window,
         # relational coverage (SURVEY.md §2.5-§2.8)
@@ -534,6 +535,27 @@ def oracle_sql() -> dict[str, str]:
                        WHERE event_type='view')
             SELECT l.event_id, l.user_id, l.ts, l.value, round(r.fvalue, 6) AS fvalue
             FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""",
+        # ordered downsample: first/last are ORDER-BY-(ts,event_id) window
+        # order statistics (constant within the group, so max() projects them)
+        "time_bucket": """
+            WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+                              ts, event_id, value FROM events),
+                 w AS (SELECT *,
+                         first_value(value) OVER (
+                             PARTITION BY user_id, bucket
+                             ORDER BY ts, event_id) AS fv,
+                         last_value(value) OVER (
+                             PARTITION BY user_id, bucket
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS lv
+                       FROM b)
+            SELECT user_id, bucket,
+                   round(max(fv), 6) AS open_v, round(max(lv), 6) AS close_v,
+                   round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
+                   round(sum(value), 6) AS sum_v,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM w GROUP BY user_id, bucket""",
         # gaps-and-islands: prev_max = running max of end over EARLIER rows
         # (ROWS ... 1 PRECEDING); an island breaks where start > prev_max;
         # touching intervals (start == prev_max) merge — closed-interval

@@ -530,3 +530,19 @@ def q_merge_intervals(sf_dir: str) -> Dataset:
         iv, entity_col="user_id", start_col="start_ts", end_col="end_ts",
         num_partitions=NP,
     )
+
+
+def q_time_bucket(sf_dir: str) -> Dataset:
+    """Per-user hourly OHLC downsample of the value series
+    (stages/timegrid.time_bucket_agg). Oracle: window first/last_value +
+    groupby over date_trunc buckets."""
+    from rp_extract_ray.stages.timegrid import time_bucket_agg
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    out = time_bucket_agg(
+        ds, entity_col=ENTITY, ts_col="ts", order_cols=ORDER,
+        value_col="value", freq="h", num_partitions=NP,
+    )
+    return _round(
+        out, {"open_v": 6, "close_v": 6, "min_v": 6, "max_v": 6, "sum_v": 6}
+    )

@@ -132,3 +132,55 @@ def time_window_aggregate(
         ds, fn, entity_col=entity_col, order_cols=order_cols,
         num_partitions=num_partitions,
     )
+
+
+def time_bucket_agg(
+    ds,
+    *,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_cols=("ts", "turn_idx"),
+    value_col: str = "value",
+    freq: str = "h",
+    num_partitions: int | None = None,
+):
+    """Ordered downsample (OHLC resample): one row per (entity, time bucket)
+    with open (first by order), close (last), min, max, sum, count of
+    ``value_col``. The reference's per-segment reduction (SURVEY.md M20)
+    generalized to calendar buckets — the series-compaction step before
+    cheap coarse-grained features.
+
+    Scale design: ONE entity-hash exchange (``partitioned_apply`` — same
+    partitioner as every temporal stage), then a vectorized
+    ``groupby([entity, bucket])`` with positional first/last (the frame
+    arrives sorted by ``(entity, *order_cols)``, so first/last are exact
+    order statistics, not arrival artifacts). Output volume = bucket count.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from rp_extract_ray.schema import DEFAULT_NUM_PARTITIONS
+    from rp_extract_ray.stages.partition import partitioned_apply
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        bucket = pdf[ts_col].dt.floor(freq)
+        g = (
+            pdf.assign(_bucket=bucket)
+            .groupby([entity_col, "_bucket"], sort=False)[value_col]
+            .agg(
+                open_v="first", close_v="last", min_v="min", max_v="max",
+                sum_v="sum", n="size",
+            )
+            .reset_index()
+            .rename(columns={"_bucket": "bucket"})
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    return partitioned_apply(
+        ds,
+        fn,
+        entity_col=entity_col,
+        order_cols=order_cols,
+        num_partitions=num_partitions or DEFAULT_NUM_PARTITIONS,
+    )
