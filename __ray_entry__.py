@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "standardize": E.q_standardize,
         "merge_intervals": E.q_merge_intervals,
         "time_bucket": E.q_time_bucket,
+        "cohort_retention": E.q_cohort_retention,
         "time_grid": E.q_time_grid,
         "time_window": E.q_time_window,
         # relational coverage (SURVEY.md §2.5-§2.8)
@@ -535,6 +536,20 @@ def oracle_sql() -> dict[str, str]:
                        WHERE event_type='view')
             SELECT l.event_id, l.user_id, l.ts, l.value, round(r.fvalue, 6) AS fvalue
             FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""",
+        # cohort retention: Monday-truncated weeks on both sides; offsets are
+        # exact multiples of 7 days (both endpoints week-truncated)
+        "cohort_retention": """
+            WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+                       FROM events GROUP BY user_id),
+                 a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+                       FROM events),
+                 j AS (SELECT a.user_id, f.cohort,
+                              CAST(date_diff('day', f.cohort, a.wk) // 7
+                                   AS BIGINT) AS week_offset
+                       FROM a JOIN f USING (user_id))
+            SELECT CAST(cohort AS TIMESTAMP) AS cohort, week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM j GROUP BY cohort, week_offset""",
         # ordered downsample: first/last are ORDER-BY-(ts,event_id) window
         # order statistics (constant within the group, so max() projects them)
         "time_bucket": """

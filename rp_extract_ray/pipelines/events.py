@@ -546,3 +546,13 @@ def q_time_bucket(sf_dir: str) -> Dataset:
     return _round(
         out, {"open_v": 6, "close_v": 6, "min_v": 6, "max_v": 6, "sum_v": 6}
     )
+
+
+def q_cohort_retention(sf_dir: str) -> Dataset:
+    """Weekly cohort retention over the event stream
+    (stages/session.cohort_retention). Oracle: first-week cohort join +
+    DISTINCT (user, week) + day-diff/7 offsets."""
+    from rp_extract_ray.stages.session import cohort_retention
+
+    ds = _events(sf_dir, ["ts", "user_id"])
+    return cohort_retention(ds, entity_col=ENTITY, ts_col="ts", num_partitions=NP)

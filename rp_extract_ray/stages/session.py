@@ -279,3 +279,72 @@ def sessionize_salted(
         num_partitions=num_partitions, salt=salt,
         side=side, side_cols=("_chunk_id", "offset"),
     )
+
+
+def cohort_retention(
+    ds,
+    *,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    num_partitions: int | None = None,
+):
+    """Cohort retention matrix: entities grouped by their FIRST-activity week
+    (Monday-truncated, == SQL ``date_trunc('week')``), counted once per week
+    they are active. Output: one row per (cohort, week_offset) with the
+    distinct-entity count — the engagement-curation report shape.
+
+    Scale design: ONE entity-hash exchange co-locates each entity's rows
+    (same partitioner as sessionize above); inside the partition a vectorized
+    kernel finds the first ts per run and the entity's distinct active weeks,
+    emitting <= weeks-per-entity rows; a second, tiny ``groupby`` merges the
+    per-partition (cohort, offset) partial counts. Entity distinctness is
+    exact by construction (each entity lives in exactly one partition).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from rp_extract_ray.schema import DEFAULT_NUM_PARTITIONS
+    from rp_extract_ray.stages.partition import partitioned_apply
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        ts = pdf[ts_col]
+        week = ts.dt.normalize() - pd.to_timedelta(ts.dt.weekday, unit="D")
+        ent = pdf[entity_col].to_numpy()
+        n = len(pdf)
+        run_id = np.zeros(n, dtype=np.int64)
+        run_id[starts] = 1
+        run_id = np.cumsum(run_id) - 1
+        d = pd.DataFrame({"_r": run_id, "_wk": week.to_numpy()})
+        # first ts per run == min week (frame arrives ts-sorted per entity)
+        cohort = d.groupby("_r", sort=False)["_wk"].transform("first")
+        pairs = pd.DataFrame(
+            {
+                "cohort": cohort.to_numpy(),
+                "week_offset": (
+                    (d["_wk"].to_numpy() - cohort.to_numpy())
+                    / np.timedelta64(7, "D")
+                ).astype(np.int64),
+                "_e": ent,
+            }
+        ).drop_duplicates(["_e", "week_offset"])
+        out = (
+            pairs.groupby(["cohort", "week_offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    partial = partitioned_apply(
+        ds,
+        fn,
+        entity_col=entity_col,
+        order_cols=(ts_col,),
+        num_partitions=num_partitions or DEFAULT_NUM_PARTITIONS,
+    )
+    return partial.groupby(["cohort", "week_offset"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )

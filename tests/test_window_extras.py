@@ -172,3 +172,50 @@ def test_merge_intervals_islands():
         rd.from_pandas(touch), entity_col="e", start_col="s", end_col="t"
     ).to_pandas()
     assert list(got.itertuples(index=False, name=None)) == [("x", 0.0, 9.0, 2)]
+
+
+def test_cohort_retention_matches_pandas():
+    """Distinct-entity weekly retention equals a single-process pandas
+    reference, across partitionings."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rp_extract_ray.stages.session import cohort_retention
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 300, n).astype(np.int64),
+            "ts": pd.Timestamp("2025-01-01")
+            + pd.to_timedelta(rng.uniform(0, 60 * 86400, n), unit="s"),
+        }
+    )
+    wk = df["ts"].dt.normalize() - pd.to_timedelta(df["ts"].dt.weekday, unit="D")
+    first = df.assign(wk=wk).groupby("u")["wk"].transform("min")
+    pairs = (
+        pd.DataFrame(
+            {
+                "cohort": first,
+                "week_offset": ((wk - first).dt.days // 7).astype(np.int64),
+                "u": df["u"],
+            }
+        )
+        .drop_duplicates(["u", "week_offset"])
+        .groupby(["cohort", "week_offset"])
+        .size()
+        .reset_index(name="n_users")
+    )
+    want = pairs.sort_values(["cohort", "week_offset"], ignore_index=True)
+    for parts in (1, 6):
+        got = (
+            cohort_retention(
+                rd.from_pandas(df).repartition(parts),
+                entity_col="u", ts_col="ts", num_partitions=8,
+            )
+            .to_pandas()
+            .sort_values(["cohort", "week_offset"], ignore_index=True)
+        )
+        assert got["n_users"].astype(int).tolist() == want["n_users"].tolist()
+        assert got["week_offset"].astype(int).tolist() == want["week_offset"].tolist()
