@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": R.q_semi_join,
         "bloom_semi_join": R.q_bloom_semi_join,
         "anti_join": R.q_anti_join,
+        "full_outer_join": R.q_full_outer_join,
         "region_customers": R.q_region_customers,
         "topk": R.q_topk,
         "topk_per_group": R.q_topk_per_group,
@@ -821,6 +822,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(regexp_extract_all(lower(text), '[0-9a-z_]+'))
                     AS t FROM documents)
             GROUP BY t ORDER BY n DESC, t LIMIT 20""",
+        "full_outer_join": """
+            WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                       WHERE o_totalprice > 200000.0),
+                 c AS (SELECT c_custkey, c_acctbal FROM customer
+                       WHERE c_mktsegment = 'BUILDING')
+            SELECT COALESCE(o.o_custkey, c.c_custkey) AS custkey,
+                   o.o_orderkey,
+                   round(o.o_totalprice, 2) AS o_totalprice,
+                   round(c.c_acctbal, 2) AS c_acctbal
+            FROM o FULL OUTER JOIN c ON o.o_custkey = c.c_custkey""",
         "filter_sort": """
             SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
             WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0

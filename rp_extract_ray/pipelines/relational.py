@@ -483,3 +483,47 @@ def q_range_partition(sf_dir: str) -> Dataset:
         )
 
     return out.map_batches(fin, batch_format="pyarrow")
+
+
+def q_full_outer_join(sf_dir: str) -> Dataset:
+    """Distributed big-big FULL OUTER join with orphans on BOTH sides
+    (high-value orders x BUILDING-segment customers). Gates the
+    stages/join.hash_join outer path: unmatched rows surface with typed
+    nulls, keys coalesce."""
+    from rp_extract_ray.stages.join import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.greater(b.column("o_totalprice"), 200000.0)),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING")).drop_columns(
+            ["c_mktsegment"]
+        ),
+        batch_format="pyarrow",
+    )
+    j = hash_join(orders, cust, on="o_custkey", right_on="c_custkey", how="full_outer")
+
+    def fin(b: pa.Table) -> pa.Table:
+        # Ray's hash join emits ONE key column (the left name), already
+        # coalesced: right-orphan rows carry their key in o_custkey
+        custkey = b.column("o_custkey").cast(pa.int64())
+        from rp_extract_ray.functions.rounding import round_half_away
+        import numpy as np
+
+        def rnd(col):
+            v = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.array(round_half_away(v, 2))
+
+        return pa.table(
+            {
+                "custkey": custkey,
+                "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+                "o_totalprice": rnd("o_totalprice"),
+                "c_acctbal": rnd("c_acctbal"),
+            }
+        )
+
+    return j.map_batches(fin, batch_format="pyarrow")
