@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": D.q_tfidf,
         "quantile_filter": D.q_quantile_filter,
         "token_explode": D.q_token_explode,
+        "token_ids": D.q_token_ids,
         "json_extract": E.q_json_extract,
         "langid": D.q_langid,
         "fingerprint": D.q_fingerprint,
@@ -893,6 +894,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, string_split(text, ' ') AS toks
                   FROM documents) t,
                  LATERAL unnest(range(1, len(toks) + 1)) AS u(i)""",
+        # token-id encode: rank-ordered frequency vocab (count desc, token
+        # asc), OOV -> 0, 1-based positions from the ordinality explode
+        "token_ids": r"""
+            WITH tok AS (
+              SELECT doc_id, CAST(u.i AS BIGINT) AS pos, ts[CAST(u.i AS INTEGER)] AS token
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[0-9a-z_]+') AS ts
+                    FROM documents),
+                   LATERAL unnest(range(1, len(ts) + 1)) AS u(i)),
+                 cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+                 vocab AS (SELECT token,
+                                  row_number() OVER (ORDER BY n DESC, token)
+                                    AS tid
+                           FROM cnt QUALIFY tid <= 1000)
+            SELECT t.doc_id, t.pos,
+                   CAST(COALESCE(v.tid, 0) AS BIGINT) AS token_id
+            FROM tok t LEFT JOIN vocab v USING (token)""",
         "json_extract": """
             SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
             FROM events""",

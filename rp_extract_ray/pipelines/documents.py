@@ -372,3 +372,14 @@ def q_knn_ivf(sf_dir: str, query_id: int = 7, k: int = 10):
 
     out["cos"] = round_half_away(out["cos"].to_numpy(), 4)
     return out
+
+
+def q_token_ids(sf_dir: str) -> Dataset:
+    """Corpus-vocabulary token-id encoding (stages/textstage.encode_token_ids).
+    Oracle: ordinality-exploded tokens LEFT JOIN a row_number()-ranked
+    frequency vocabulary."""
+    from rp_extract_ray.stages.textstage import encode_token_ids
+
+    return encode_token_ids(
+        _docs(sf_dir, ["doc_id", "text"]), vocab_size=1000
+    )

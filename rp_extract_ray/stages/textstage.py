@@ -264,3 +264,74 @@ def add_fingerprints(ds: Dataset, text_col: str = "text") -> Dataset:
 
     # stateless tasks: compiled pattern ships in the closure; scales to all CPUs
     return ds.map_batches(fingerprint_batch, batch_format="pandas")
+
+
+def encode_token_ids(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    oov_id: int = 0,
+):
+    """Text -> integer token-id sequences (the LM-training encode step).
+
+    Corpus-frequency vocabulary: tokens are lowercased ``[0-9a-z_]+`` runs
+    (same lexer as ``pipelines.relational.q_top_terms``); the top
+    ``vocab_size`` by (count desc, token asc) get ids 1..V in rank order,
+    everything else maps to ``oov_id``. Output: one row per token —
+    ``(id_col, pos, token_id)`` with 1-based positions — the exploded
+    (hashable, shardable) layout rather than list columns.
+
+    Scale design: vocab building is map-side-combined counts + a pruned
+    top-k exchange (``distributed_topk`` — O(k) rows per block); the vocab
+    dict is ``ray.put`` once and read per worker; the encode itself is one
+    vectorized ``map_batches`` pass (findall -> offsets -> pandas categorical
+    map), no shuffle. The vocab is the broadcastable small state — same
+    pattern as stages/kmeans.py centroids.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from rp_extract_ray.pipelines.relational import distributed_topk
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
+        flat = pd.Series(np.concatenate(toks.to_numpy()) if len(toks) else [])
+        vc = flat.value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(), "n": vc.to_numpy()})
+
+    counted = (
+        ds.select_columns([text_col])
+        .map_batches(count_partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    vocab = distributed_topk(counted, ["n", "token"], [True, False], vocab_size)
+    mapping = {t: i + 1 for i, t in enumerate(vocab["token"])}
+    map_ref = ray.put(mapping)
+
+    def encode(batch: pd.DataFrame) -> pa.Table:
+        m = ray.get(map_ref)
+        toks = batch[text_col].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        ids = np.repeat(batch[id_col].to_numpy(), lens)
+        ends = np.cumsum(lens)
+        pos = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) - np.repeat(
+            ends - lens, lens
+        ) + 1
+        flat = pd.Series(
+            np.concatenate(toks.to_numpy()) if lens.sum() else [], dtype=object
+        )
+        tid = flat.map(m).fillna(oov_id).astype(np.int64).to_numpy()
+        return pa.table(
+            {id_col: pa.array(ids), "pos": pa.array(pos), "token_id": pa.array(tid)}
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        encode, batch_format="pandas"
+    )
