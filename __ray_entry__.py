@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_intervals": E.q_merge_intervals,
         "time_bucket": E.q_time_bucket,
         "cohort_retention": E.q_cohort_retention,
+        "flatten_stream": E.q_flatten_stream,
         "time_grid": E.q_time_grid,
         "time_window": E.q_time_window,
         # relational coverage (SURVEY.md §2.5-§2.8)
@@ -538,6 +539,11 @@ def oracle_sql() -> dict[str, str]:
                        WHERE event_type='view')
             SELECT l.event_id, l.user_id, l.ts, l.value, round(r.fvalue, 6) AS fvalue
             FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""",
+        "flatten_stream": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS stream,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY user_id""",
         # cohort retention: Monday-truncated weeks on both sides; offsets are
         # exact multiples of 7 days (both endpoints week-truncated)
         "cohort_retention": """

@@ -556,3 +556,15 @@ def q_cohort_retention(sf_dir: str) -> Dataset:
 
     ds = _events(sf_dir, ["ts", "user_id"])
     return cohort_retention(ds, entity_col=ENTITY, ts_col="ts", num_partitions=NP)
+
+
+def q_flatten_stream(sf_dir: str) -> Dataset:
+    """Per-user ordered event-type stream render
+    (stages/session.flatten_ordered). Oracle: string_agg with ORDER BY."""
+    from rp_extract_ray.stages.session import flatten_ordered
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    return flatten_ordered(
+        ds, entity_col=ENTITY, value_col="event_type", order_cols=ORDER,
+        sep=",", out_col="stream", num_partitions=NP,
+    )

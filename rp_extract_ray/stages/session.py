@@ -348,3 +348,44 @@ def cohort_retention(
     return partial.groupby(["cohort", "week_offset"]).aggregate(
         Sum("n_users", alias_name="n_users")
     )
+
+
+def flatten_ordered(
+    ds,
+    *,
+    entity_col: str = "conv_id",
+    value_col: str = "text",
+    order_cols=("ts", "turn_idx"),
+    sep: str = "\n",
+    out_col: str = "flat",
+    num_partitions: int | None = None,
+):
+    """Ordered per-entity flatten: concatenate ``value_col`` over each
+    entity's rows in ``order_cols`` order with ``sep`` — the
+    conversation-render step (turn stream -> one document per conversation)
+    that feeds conversation-level dedup/quality; SQL ``string_agg(...
+    ORDER BY ...)``.
+
+    One entity-hash exchange (the shared partitioner); the concat runs as a
+    single pandas groupby-join per partition. Output: one row per entity
+    ``(entity_col, out_col, n_rows)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from rp_extract_ray.schema import DEFAULT_NUM_PARTITIONS
+    from rp_extract_ray.stages.partition import partitioned_apply
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        g = pdf.groupby(entity_col, sort=False)[value_col]
+        out = g.agg(lambda s: sep.join(s.astype(str))).reset_index(name=out_col)
+        out["n_rows"] = g.size().to_numpy().astype(np.int64)
+        return out
+
+    return partitioned_apply(
+        ds,
+        fn,
+        entity_col=entity_col,
+        order_cols=order_cols,
+        num_partitions=num_partitions or DEFAULT_NUM_PARTITIONS,
+    )
