@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk": R.q_topk,
         "topk_per_group": R.q_topk_per_group,
         "stratified_sample": R.q_stratified_sample,
+        "weighted_sample": R.q_weighted_sample,
         "group_quantiles": R.q_group_quantiles,
         "approx_quantiles": R.q_approx_quantiles,
         "sample": R.q_sample,
@@ -820,6 +821,17 @@ def oracle_sql() -> dict[str, str]:
         # stays far below 2^63 for these keys). floor() before CAST: the
         # engine truncates int(rate * 2**32); a bare CAST rounds half-up and
         # would diverge for a row landing exactly on the boundary.
+        # Efraimidis-Spirakis weighted sample: identical hash-uniform and
+        # ln(u)/w ranking on both sides; cutoff-boundary ties broken by key
+        "weighted_sample": """
+            WITH w AS (SELECT o_orderkey, o_totalprice,
+                              ln(CAST(((o_orderkey * 2654435761
+                                        + 1 * 2654435769) % 4294967296) + 1
+                                      AS DOUBLE) / 4294967296.0)
+                                / o_totalprice AS wk
+                       FROM orders)
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM w ORDER BY wk DESC, o_orderkey LIMIT 100""",
         "sample": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             WHERE (o_orderkey * 2654435761 + 1 * 2654435769) % 4294967296

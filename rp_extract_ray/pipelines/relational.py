@@ -527,3 +527,43 @@ def q_full_outer_join(sf_dir: str) -> Dataset:
         )
 
     return j.map_batches(fin, batch_format="pyarrow")
+
+
+def weighted_sample(
+    ds: Dataset, key_col: str, weight_col: str, n: int, *, seed: int = 1
+) -> "pd.DataFrame":
+    """Deterministic weight-proportional sample WITHOUT replacement
+    (Efraimidis-Spirakis A-Res, public algorithm): each row draws
+    u = (knuth_hash(key)+1)/2^32 in (0,1] and ranks by ln(u)/weight; the
+    top-n ranks are the sample. P(row in sample) is proportional to weight
+    in the without-replacement sense, yet the winners are identical across
+    runs, partitionings and cluster sizes (and exactly replicable in SQL).
+    Cost = one map pass + the pruned ``distributed_topk`` exchange
+    (O(n) rows per block); weights must be > 0."""
+    import numpy as np
+
+    def add_rank(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = (
+            k.astype(np.uint64) * np.uint64(2654435761)
+            + np.uint64(seed) * np.uint64(2654435769)
+        ) & np.uint64(0xFFFFFFFF)
+        u = (h.astype(np.float64) + 1.0) / 4294967296.0
+        w = b.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return b.append_column("_wk", pa.array(np.log(u) / w))
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+    out = distributed_topk(ranked, ["_wk", key_col], [True, False], n)
+    return out.drop(columns=["_wk"])
+
+
+def q_weighted_sample(sf_dir: str, n: int = 100):
+    """Price-weighted order sample (see :func:`weighted_sample`). Oracle:
+    same hash/ln ranking in SQL, ORDER BY ... LIMIT n."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = weighted_sample(ds, "o_orderkey", "o_totalprice", n)
+    out = out.reset_index(drop=True)
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    out["o_totalprice"] = round_half_away(out["o_totalprice"].to_numpy(), 2)
+    return out
