@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_filter": D.q_quantile_filter,
         "token_explode": D.q_token_explode,
         "token_ids": D.q_token_ids,
+        "bigram_pmi": D.q_bigram_pmi,
         "json_extract": E.q_json_extract,
         "langid": D.q_langid,
         "fingerprint": D.q_fingerprint,
@@ -912,6 +913,26 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, string_split(text, ' ') AS toks
                   FROM documents) t,
                  LATERAL unnest(range(1, len(toks) + 1)) AS u(i)""",
+        # collocations: PMI = ln(n_ab * N / (n_a * n_b)) over adjacent pairs
+        "bigram_pmi": r"""
+            WITH tok AS (
+              SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                     ts[CAST(u.i AS INTEGER)] AS token
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[0-9a-z_]+') AS ts
+                    FROM documents),
+                   LATERAL unnest(range(1, len(ts) + 1)) AS u(i)),
+                 bi AS (SELECT a.token AS w1, b.token AS w2,
+                               count(*) AS n_ab
+                        FROM tok a JOIN tok b
+                          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                        GROUP BY 1, 2 HAVING count(*) >= 5),
+                 uni AS (SELECT token AS w, count(*) AS n FROM tok GROUP BY 1),
+                 tot AS (SELECT CAST(count(*) AS DOUBLE) AS nu FROM tok)
+            SELECT bi.w1, bi.w2, CAST(bi.n_ab AS BIGINT) AS n_ab,
+                   round(ln(bi.n_ab * nu / (ua.n * ub.n)), 4) AS pmi
+            FROM bi JOIN uni ua ON ua.w = bi.w1
+                    JOIN uni ub ON ub.w = bi.w2, tot""",
         # token-id encode: rank-ordered frequency vocab (count desc, token
         # asc), OOV -> 0, 1-based positions from the ordinality explode
         "token_ids": r"""

@@ -383,3 +383,12 @@ def q_token_ids(sf_dir: str) -> Dataset:
     return encode_token_ids(
         _docs(sf_dir, ["doc_id", "text"]), vocab_size=1000
     )
+
+
+def q_bigram_pmi(sf_dir: str) -> Dataset:
+    """Corpus collocations: adjacent-token bigram PMI
+    (stages/textstage.bigram_pmi). Oracle: pos+1 self-join over the
+    ordinality-exploded tokens."""
+    from rp_extract_ray.stages.textstage import bigram_pmi
+
+    return bigram_pmi(_docs(sf_dir, ["doc_id", "text"]), min_count=5)

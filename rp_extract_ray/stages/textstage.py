@@ -335,3 +335,101 @@ def encode_token_ids(
     return ds.select_columns([id_col, text_col]).map_batches(
         encode, batch_format="pandas"
     )
+
+
+def bigram_pmi(
+    ds,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    round_to: int = 4,
+):
+    """Collocation mining: adjacent-token bigrams scored by pointwise mutual
+    information ``ln(n_ab * N_uni / (n_a * n_b))`` over the corpus — the
+    phrase-detection step (word2vec-style phrase joining / tokenizer merge
+    candidates). Tokens are the shared ``[0-9a-z_]+`` lexer.
+
+    Scale design: unigram and bigram counts are map-side combined per batch
+    (two tiny frames per block), merged by two small ``groupby(token)``
+    exchanges; the PMI join attaches unigram counts to bigrams via the same
+    keyed exchange. Nothing row-level ever shuffles. Returns a Dataset
+    ``(w1, w2, n_ab, pmi)`` for bigrams with ``n_ab >= min_count``.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from rp_extract_ray.stages.join import hash_join
+
+    def partial(batch: pd.DataFrame, what: str) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
+        arrs = toks.to_numpy()
+        if what == "uni":
+            flat = pd.Series(np.concatenate(arrs) if len(arrs) else [])
+            vc = flat.value_counts()
+            return pd.DataFrame({"w": vc.index.to_numpy(), "n": vc.to_numpy()})
+        # vectorized adjacent pairs: concat all docs, drop pairs that
+        # straddle a doc boundary (the last token of each doc)
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        total = int(lens.sum())
+        if total < 2:
+            return pd.DataFrame(
+                {"w1": [], "w2": [], "n_ab": pd.Series([], dtype=np.int64)}
+            )
+        flat = np.concatenate([a for a in arrs if len(a)])
+        keep = np.ones(total - 1, dtype=bool)
+        ends = np.cumsum(lens[lens > 0])[:-1]  # doc boundaries inside flat
+        keep[ends - 1] = False
+        df = pd.DataFrame({"w1": flat[:-1][keep], "w2": flat[1:][keep]})
+        g = df.groupby(["w1", "w2"], sort=False).size().reset_index(name="n_ab")
+        g["n_ab"] = g["n_ab"].astype(np.int64)
+        return g
+
+    uni = (
+        ds.select_columns([text_col])
+        .map_batches(lambda b: partial(b, "uni"), batch_format="pandas")
+        .groupby("w")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    bi = (
+        ds.select_columns([text_col])
+        .map_batches(lambda b: partial(b, "bi"), batch_format="pandas")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n_ab", alias_name="n_ab"))
+    )
+    bi = bi.map_batches(
+        lambda b: b.filter(pa.compute.greater_equal(b.column("n_ab"), min_count)),
+        batch_format="pyarrow",
+    )
+    n_uni = int(uni.sum("n"))
+
+    # Ray's join folds the right key into the left key column, so each hop
+    # adds exactly one count column ("n", renamed "n_a" after the first hop)
+    j = hash_join(bi, uni, on="w1", right_on="w", how="inner")
+    j = j.map_batches(
+        lambda b: b.rename_columns(
+            [("n_a" if c == "n" else c) for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    j = hash_join(j, uni, on="w2", right_on="w", how="inner")
+
+    def score(b: pa.Table) -> pa.Table:
+        from rp_extract_ray.functions.rounding import round_half_away
+
+        n_ab = b.column("n_ab").to_numpy(zero_copy_only=False).astype(np.float64)
+        n_a = b.column("n_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        n_b = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log(n_ab * float(n_uni) / (n_a * n_b))
+        return pa.table(
+            {
+                "w1": b.column("w1"),
+                "w2": b.column("w2"),
+                "n_ab": b.column("n_ab").cast(pa.int64()),
+                "pmi": pa.array(round_half_away(pmi, round_to)),
+            }
+        )
+
+    return j.map_batches(score, batch_format="pyarrow")
