@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_explode": D.q_token_explode,
         "token_ids": D.q_token_ids,
         "bigram_pmi": D.q_bigram_pmi,
+        "boilerplate": D.q_boilerplate,
         "json_extract": E.q_json_extract,
         "langid": D.q_langid,
         "fingerprint": D.q_fingerprint,
@@ -913,6 +914,20 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, string_split(text, ' ') AS toks
                   FROM documents) t,
                  LATERAL unnest(range(1, len(toks) + 1)) AS u(i)""",
+        # boilerplate: 1-based INCLUSIVE list slices build the same 5-grams
+        "boilerplate": r"""
+            WITH g AS (SELECT DISTINCT doc_id,
+                              array_to_string(
+                                ts[CAST(u.i AS INTEGER):CAST(u.i + 4 AS INTEGER)],
+                                ' ') AS gram
+                       FROM (SELECT doc_id,
+                                    regexp_extract_all(lower(text),
+                                                       '[0-9a-z_]+') AS ts
+                             FROM documents),
+                            LATERAL unnest(range(1, greatest(len(ts) - 4, 0) + 1))
+                              AS u(i))
+            SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+            FROM g GROUP BY gram HAVING count(*) >= 2""",
         # collocations: PMI = ln(n_ab * N / (n_a * n_b)) over adjacent pairs
         "bigram_pmi": r"""
             WITH tok AS (

@@ -392,3 +392,14 @@ def q_bigram_pmi(sf_dir: str) -> Dataset:
     from rp_extract_ray.stages.textstage import bigram_pmi
 
     return bigram_pmi(_docs(sf_dir, ["doc_id", "text"]), min_count=5)
+
+
+def q_boilerplate(sf_dir: str) -> Dataset:
+    """Cross-document repeated word-5-grams with document frequencies
+    (stages/textstage.boilerplate_ngrams). Oracle: list-slice grams +
+    DISTINCT doc + HAVING."""
+    from rp_extract_ray.stages.textstage import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        _docs(sf_dir, ["doc_id", "text"]), n=5, min_docs=2
+    )

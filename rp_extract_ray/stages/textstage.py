@@ -433,3 +433,73 @@ def bigram_pmi(
         )
 
     return j.map_batches(score, batch_format="pyarrow")
+
+
+def boilerplate_ngrams(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+):
+    """Cross-document repeated n-gram detection (C4-style boilerplate miner):
+    word ``n``-grams occurring in >= ``min_docs`` DISTINCT documents, with
+    their document frequencies — the shared-span candidates a curation
+    pipeline strips or down-weights.
+
+    Scale design: grams are built vectorized (object-array string adds over
+    ``n`` shifted views of the concatenated token stream, boundary windows
+    masked out), deduplicated per document INSIDE the batch (a document is
+    one row, so batch-local dedup is exact document-level dedup), partial
+    doc-frequency counts combine map-side, and one ``groupby(gram)``
+    exchange carries only per-block gram counts.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
+        arrs = toks.to_numpy()
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        total = int(lens.sum())
+        if total < n:
+            return pd.DataFrame(
+                {"gram": [], "n_docs": pd.Series([], dtype=np.int64)}
+            )
+        flat = np.concatenate([np.asarray(a, dtype=object) for a in arrs if len(a)])
+        m = total - n + 1
+        gram = flat[:m].copy()
+        for k in range(1, n):
+            gram = gram + " "
+            gram = gram + flat[k : m + k]
+        # window must start and end inside one document
+        starts_of = np.concatenate([[0], np.cumsum(lens[lens > 0])[:-1]])
+        ends_of = np.cumsum(lens[lens > 0])
+        keep = np.zeros(m, dtype=bool)
+        for s, e in zip(starts_of, ends_of):
+            if e - s >= n:
+                keep[s : e - n + 1] = True
+        # per-window doc ids (windows per doc = max(len - n + 1, 0))
+        wins = np.maximum(lens[lens > 0] - n + 1, 0)
+        doc_rep = np.repeat(batch[id_col].to_numpy()[lens > 0], wins)
+        d = pd.DataFrame({"_doc": doc_rep, "gram": gram[keep]})
+        d = d.drop_duplicates()
+        vc = d["gram"].value_counts()
+        return pd.DataFrame(
+            {"gram": vc.index.to_numpy(), "n_docs": vc.to_numpy().astype(np.int64)}
+        )
+
+    merged = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("gram")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+    return merged.map_batches(
+        lambda b: b.filter(pa.compute.greater_equal(b.column("n_docs"), min_docs)),
+        batch_format="pyarrow",
+    )
