@@ -43,6 +43,9 @@ QUERY_NAMES = [
     "hll_distinct", "near_dup_clusters", "langid",
     "range_join", "ewma", "topk_per_group", "bloom_semi_join",
     "tfidf_top_terms", "approx_quantiles", "funnel",
+    "kmeans_clusters", "range_partition", "cube_orders", "heavy_hitters",
+    "token_ids", "bigram_pmi", "time_bucket", "merge_intervals",
+    "cohort_retention", "knn_ivf", "boilerplate",
 ]
 
 

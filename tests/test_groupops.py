@@ -372,3 +372,77 @@ def test_heavy_hitters_exact_superset_guarantee():
     # empty result path
     got = heavy_hitters(rd.from_pandas(df), "k", threshold_frac=0.9)
     assert len(got) == 0
+
+
+def _word_docs(n_docs=300, seed=13, dup_every=7):
+    rng = np.random.default_rng(seed)
+    words = np.array([f"w{i}" for i in range(40)])
+    docs = []
+    for i in range(n_docs):
+        if i % dup_every == 0 and i > 0:
+            docs.append(docs[i - 1])  # exact dup -> shared n-grams
+        else:
+            docs.append(" ".join(rng.choice(words, rng.integers(6, 30))))
+    return pd.DataFrame({"doc_id": np.arange(n_docs, dtype=np.int64), "text": docs})
+
+
+def test_boilerplate_ngrams_matches_pandas():
+    import ray.data as rd
+
+    from rp_extract_ray.stages.textstage import boilerplate_ngrams
+
+    df = _word_docs()
+    toks = df["text"].str.lower().str.findall(r"[0-9a-z_]+")
+    rows = []
+    for doc_id, a in zip(df["doc_id"], toks):
+        for i in range(len(a) - 4):
+            rows.append((doc_id, " ".join(a[i : i + 5])))
+    want = (
+        pd.DataFrame(rows, columns=["d", "gram"])
+        .drop_duplicates()
+        .groupby("gram")
+        .size()
+    )
+    want = want[want >= 2].sort_index()
+    for parts in (1, 6):
+        got = (
+            boilerplate_ngrams(
+                rd.from_pandas(df).repartition(parts), n=5, min_docs=2
+            )
+            .to_pandas()
+            .sort_values("gram", ignore_index=True)
+        )
+        assert got["gram"].tolist() == want.index.tolist()
+        assert got["n_docs"].astype(int).tolist() == want.tolist()
+
+
+def test_bigram_pmi_matches_pandas():
+    import ray.data as rd
+
+    from rp_extract_ray.stages.textstage import bigram_pmi
+
+    df = _word_docs(200, seed=5)
+    toks = df["text"].str.lower().str.findall(r"[0-9a-z_]+")
+    uni = pd.Series(np.concatenate(toks.to_numpy())).value_counts()
+    pairs = []
+    for a in toks:
+        pairs += list(zip(a[:-1], a[1:]))
+    bi = pd.Series(pairs).value_counts()
+    bi = bi[bi >= 5]
+    n_uni = int(uni.sum())
+    want = {
+        (w1, w2): (int(c), round(np.log(c * n_uni / (uni[w1] * uni[w2])), 4))
+        for (w1, w2), c in bi.items()
+    }
+    for parts in (1, 5):
+        got = bigram_pmi(
+            rd.from_pandas(df).repartition(parts), min_count=5
+        ).to_pandas()
+        gmap = {
+            (r.w1, r.w2): (int(r.n_ab), float(r.pmi))
+            for r in got.itertuples()
+        }
+        assert set(gmap) == set(want)
+        for k in want:
+            assert gmap[k][0] == want[k][0]
+            assert abs(gmap[k][1] - want[k][1]) < 2e-4
