@@ -142,15 +142,12 @@ def heavy_hitters(
              count_alias: pa.array(vc.to_numpy().astype(np.int64))}
         )
 
-    from ray.data.aggregate import Sum
+    from rp_extract_ray.stages.groupops import grouped_reduce
 
-    merged = (
-        ds.select_columns([col])
-        .map_batches(exact_partial, batch_format="pyarrow")
-        .groupby(col)
-        .aggregate(Sum(count_alias, alias_name=count_alias))
-        .to_pandas()
-    )
+    merged = grouped_reduce(
+        ds.select_columns([col]).map_batches(exact_partial, batch_format="pyarrow"),
+        col, {count_alias: (count_alias, "sum")}, combine_first=False,
+    ).to_pandas()
     out = merged[merged[count_alias] >= min_count].reset_index(drop=True)
     out[count_alias] = out[count_alias].astype(np.int64)
     return out.sort_values([count_alias, col], ascending=[False, True], ignore_index=True)

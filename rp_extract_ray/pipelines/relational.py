@@ -36,10 +36,10 @@ def _round_cols(ds: Dataset, cols: dict[str, int]) -> Dataset:
 
 def q_class_counts(sf_dir: str) -> Dataset:
     """A3: /root/reference/classes_io.py:475-491."""
-    return (
-        _read(sf_dir, "documents", ["lang"])
-        .groupby("lang")
-        .aggregate(Count(alias_name="n"))
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    return grouped_reduce(
+        _read(sf_dir, "documents", ["lang"]), "lang", {"n": ("lang", "count")}
     )
 
 
@@ -66,10 +66,12 @@ def q_baseline(sf_dir: str):
 
 def q_dup_check(sf_dir: str) -> Dataset:
     """A6: duplicate-key detection (/root/reference/rp_feature_io.py:274-284)."""
-    g = (
-        _read(sf_dir, "documents", ["lang", "source"])
-        .groupby(["lang", "source"])
-        .aggregate(Count(alias_name="n"))
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    g = grouped_reduce(
+        _read(sf_dir, "documents", ["lang", "source"]),
+        ["lang", "source"],
+        {"n": ("lang", "count")},
     )
     return g.map_batches(
         lambda b: b.filter(pc.greater(b.column("n"), 1)), batch_format="pyarrow"
@@ -103,20 +105,12 @@ def _partial_groupby(ds: Dataset, keys: list[str], sums: dict[str, str], count_c
     count. Returns the final combined Dataset."""
     import pandas as pd
 
-    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
-        g = pdf.groupby(keys, sort=False)
-        out = {}
-        for out_col, src in sums.items():
-            out[out_col] = g[src].sum()
-        if count_col:
-            out[count_col] = g.size()
-        return pd.DataFrame(out).reset_index()
+    from rp_extract_ray.stages.groupops import grouped_reduce
 
-    parts = ds.map_batches(partial, batch_format="pandas")
-    aggs = [Sum(c, alias_name=c) for c in sums]
+    how = {out_col: (src, "sum") for out_col, src in sums.items()}
     if count_col:
-        aggs.append(Sum(count_col, alias_name=count_col))
-    return parts.groupby(keys if len(keys) > 1 else keys[0]).aggregate(*aggs)
+        how[count_col] = (keys[0], "count")
+    return grouped_reduce(ds, keys, how)
 
 
 def q_tpch_q1(sf_dir: str) -> Dataset:
@@ -388,10 +382,11 @@ def q_top_terms(sf_dir: str, k: int = 20) -> "pd.DataFrame":
         vc = pd.Series(flat).value_counts()
         return pd.DataFrame({"token": vc.index.to_numpy(), "n": vc.to_numpy()})
 
-    counted = (
-        ds.map_batches(explode_counts, batch_format="pandas")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    counted = grouped_reduce(
+        ds.map_batches(explode_counts, batch_format="pandas"),
+        "token", {"n": ("n", "sum")}, combine_first=False,
     )
     return distributed_topk(counted, ["n", "token"], [True, False], k)
 

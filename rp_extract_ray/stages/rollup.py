@@ -24,7 +24,6 @@ import numpy as np
 import pandas as pd
 
 from ray.data import Dataset
-from ray.data.aggregate import Sum
 
 
 def grouping_sets_aggregate(
@@ -72,10 +71,12 @@ def grouping_sets_aggregate(
             frames.append(g[[*all_keys, *sum_cols, count_alias]])
         return pd.concat(frames, ignore_index=True)
 
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
     parts = ds.map_batches(partial, batch_format="pandas")
-    aggs = [Sum(a, alias_name=a) for a in sum_cols]
-    aggs.append(Sum(count_alias, alias_name=count_alias))
-    return parts.groupby(all_keys).aggregate(*aggs)
+    how = {a: (a, "sum") for a in sum_cols}
+    how[count_alias] = (count_alias, "sum")
+    return grouped_reduce(parts, all_keys, how, combine_first=False)
 
 
 def rollup_aggregate(ds: Dataset, cols: Sequence[str], **kw) -> Dataset:

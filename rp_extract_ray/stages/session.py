@@ -345,8 +345,11 @@ def cohort_retention(
         order_cols=(ts_col,),
         num_partitions=num_partitions or DEFAULT_NUM_PARTITIONS,
     )
-    return partial.groupby(["cohort", "week_offset"]).aggregate(
-        Sum("n_users", alias_name="n_users")
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    return grouped_reduce(
+        partial, ["cohort", "week_offset"], {"n_users": ("n_users", "sum")},
+        combine_first=False,
     )
 
 

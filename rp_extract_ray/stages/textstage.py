@@ -305,11 +305,13 @@ def encode_token_ids(
         vc = flat.value_counts()
         return pd.DataFrame({"token": vc.index.to_numpy(), "n": vc.to_numpy()})
 
-    counted = (
-        ds.select_columns([text_col])
-        .map_batches(count_partial, batch_format="pandas")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    counted = grouped_reduce(
+        ds.select_columns([text_col]).map_batches(
+            count_partial, batch_format="pandas"
+        ),
+        "token", {"n": ("n", "sum")}, combine_first=False,
     )
     vocab = distributed_topk(counted, ["n", "token"], [True, False], vocab_size)
     mapping = {t: i + 1 for i, t in enumerate(vocab["token"])}
