@@ -219,14 +219,16 @@ def q_distinct(sf_dir: str) -> "pd.DataFrame":
     reaches the driver."""
     import pandas as pd
 
-    n_cust = (
-        _read(sf_dir, "orders", ["o_custkey"])
-        .groupby("o_custkey").aggregate(Count(alias_name="n")).count()
-    )
-    n_part = (
-        _read(sf_dir, "lineitem", ["l_partkey"])
-        .groupby("l_partkey").aggregate(Count(alias_name="n")).count()
-    )
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    n_cust = grouped_reduce(
+        _read(sf_dir, "orders", ["o_custkey"]),
+        "o_custkey", {"n": ("o_custkey", "count")},
+    ).count()
+    n_part = grouped_reduce(
+        _read(sf_dir, "lineitem", ["l_partkey"]),
+        "l_partkey", {"n": ("l_partkey", "count")},
+    ).count()
     return pd.DataFrame({"n_custkeys": [int(n_cust)], "n_partkeys": [int(n_part)]})
 
 

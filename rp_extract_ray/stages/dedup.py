@@ -309,6 +309,7 @@ def verify_pairs_jaccard(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.6,
     num_partitions: int | None = None,
+    broadcast_pairs_limit: int = 50_000,
 ) -> Dataset:
     """Exact-shingle-Jaccard verification of candidate pairs — DISTRIBUTED.
 
@@ -360,6 +361,74 @@ def verify_pairs_jaccard(
     # keeps the full cluster-scaled count: its left side is the WHOLE corpus
     # and must not funnel through a pair-sized partition count.
     pair_partitions = max(1, min(num_partitions, n_pairs // 50_000 + 1))
+
+    if n_pairs <= broadcast_pairs_limit:
+        # BROADCAST VERIFY: below the limit the candidate pairs (and so the
+        # candidate docs' shingle sets, ~kB each) are object-store small.
+        # Three Dataset.join ops cost ~2 s fixed EACH at 32 CPUs (same
+        # aggregator-actor overhead as the sort-based groupby, measured);
+        # this path replaces them with one corpus scan + one pair map.
+        # Above the limit the distributed join path below is the scale
+        # road (its shuffle is bounded by the candidate count).
+        pair_pdf = uniq.to_pandas()
+        wanted = np.unique(
+            np.concatenate([pair_pdf["id_a"], pair_pdf["id_b"]]).astype(np.int64)
+        )
+        want_ref = ray.put(wanted)
+
+        def wanted_shingles(b: pa.Table) -> pa.Table:
+            w = ray.get(want_ref)
+            ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            m = np.isin(ids, w)
+            if not m.any():
+                return pa.schema(
+                    [pa.field(id_col, pa.int64()), pa.field("_sh", pa.binary())]
+                ).empty_table()
+            sub = b.filter(pa.array(m))
+            texts = sub.column(text_col).to_pylist()
+            sets = [char_shingles(t or "", shingle_k).tobytes() for t in texts]
+            return pa.table(
+                {
+                    id_col: sub.column(id_col).cast(pa.int64()),
+                    "_sh": pa.array(sets, type=pa.binary()),
+                }
+            )
+
+        sh_pdf = (
+            ds.map_batches(
+                lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
+            )
+            .map_batches(wanted_shingles, batch_format="pyarrow")
+            .to_pandas()
+        )
+        lut_ref = ray.put(
+            dict(zip(sh_pdf[id_col].to_numpy(), sh_pdf["_sh"].to_numpy()))
+        )
+
+        def verify_broadcast(b: pa.Table) -> pa.Table:
+            if len(b) == 0:
+                return out_schema.empty_table()
+            lut = ray.get(lut_ref)
+            ia = b.column("id_a").to_numpy(zero_copy_only=False)
+            ib = b.column("id_b").to_numpy(zero_copy_only=False)
+            jac = np.empty(len(b), dtype=np.float64)
+            for i in range(len(b)):
+                sa = np.frombuffer(lut[ia[i]], dtype=np.uint64)
+                sb = np.frombuffer(lut[ib[i]], dtype=np.uint64)
+                jac[i] = jaccard(sa, sb)
+            jac = np.round(jac, 6)
+            keep = jac >= jaccard_threshold
+            t = pa.table(
+                {
+                    "id_a": b.column("id_a").cast(pa.int64()),
+                    "id_b": b.column("id_b").cast(pa.int64()),
+                    "n_bands": b.column("n_bands").cast(pa.int64()),
+                    "jaccard": pa.array(jac),
+                }
+            )
+            return t.filter(pa.array(keep))
+
+        return uniq.map_batches(verify_broadcast, batch_format="pyarrow")
 
     def flat_ids(b: pa.Table) -> pa.Table:
         ids = np.concatenate(
@@ -547,11 +616,12 @@ def dedup_clusters_distributed(
         ).astype(np.int64)
         return pa.table({"id": pa.array(ids), "lab": pa.array(ids)})
 
-    labels = (
-        edges.map_batches(flat, batch_format="pyarrow")
-        .groupby("id").aggregate(Min("lab", alias_name="lab"))
-        .materialize()
-    )
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    labels = grouped_reduce(
+        edges.map_batches(flat, batch_format="pyarrow"),
+        "id", {"lab": ("lab", "min")},
+    ).materialize()
     n_nodes = labels.count()
     if n_nodes == 0:
         return rd.from_arrow(
@@ -652,11 +722,9 @@ def dedup_clusters_distributed(
                         .to_pandas()["n"].sum()
                     )
                 )
-        new_labels = (
-            proposals.union(labels)
-            .groupby("id").aggregate(Min("lab", alias_name="lab"))
-            .materialize()
-        )
+        new_labels = grouped_reduce(
+            proposals.union(labels), "id", {"lab": ("lab", "min")}
+        ).materialize()
         # changed set = nodes whose label decreased this round (one label
         # join over node-sized tables; the COUNT always reaches the driver,
         # the ids only while the frontier is below the broadcast threshold)
@@ -1357,9 +1425,9 @@ def contamination_pairs(
 
     # benchmark set sizes, broadcast as a dense lookup (ids < 2^30; use a
     # dict-free two-array form: sorted ids + counts, searchsorted probe)
-    b_sizes = (
-        b_sh.groupby("tid").aggregate(Count(alias_name="n_b")).to_pandas()
-    )
+    from rp_extract_ray.stages.groupops import grouped_reduce as _gr
+
+    b_sizes = _gr(b_sh, "tid", {"n_b": ("tid", "count")}).to_pandas()
     sz_ids = np.sort(b_sizes["tid"].to_numpy(np.int64))
     order = np.argsort(b_sizes["tid"].to_numpy(np.int64), kind="stable")
     sz_n = b_sizes["n_b"].to_numpy(np.int64)[order]
