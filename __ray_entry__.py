@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_bucket": E.q_time_bucket,
         "cohort_retention": E.q_cohort_retention,
         "flatten_stream": E.q_flatten_stream,
+        "transitions": E.q_transitions,
         "time_grid": E.q_time_grid,
         "time_window": E.q_time_window,
         # relational coverage (SURVEY.md §2.5-§2.8)
@@ -88,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis / dedup / similarity (training-data extensions)
         "token_count": D.q_token_count,
         "text_quality": D.q_text_quality,
+        "curation": D.q_curation,
         "tfidf_top_terms": D.q_tfidf,
         "quantile_filter": D.q_quantile_filter,
         "token_explode": D.q_token_explode,
@@ -214,6 +216,39 @@ def _embedding_near_dup_sql() -> str:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_EXPR}, 4) AS cos
     FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {_COS_EXPR} >= 0.25"""
+
+
+
+def _curation_sql() -> str:
+    """q_curation's oracle: the text-quality replica composed with
+    per-language quantile_cont length cutoffs (both filters on the SAME
+    rounded/raw values as the engine)."""
+    from rp_extract_ray.stages.textstage import STOPWORD_RE
+
+    stop_re = STOPWORD_RE.replace("'", "''")
+    return rf"""
+    WITH q AS (
+        SELECT doc_id, lang,
+               CAST(length(text) AS DOUBLE) AS len,
+               CAST(greatest(length(text), 1) AS DOUBLE) AS n,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+               length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_space
+        FROM documents),
+    qq AS (
+        SELECT doc_id, lang, len,
+               round(least(greatest(
+                   0.5 * (n_alpha / n)
+                   + 0.3 * least((n_space / n) / 0.2, 1.0)
+                   + 0.2 * (1.0 - least((n_digit / n) / 0.3, 1.0)),
+                   0.0), 1.0), 6) AS quality
+        FROM q),
+    cuts AS (SELECT lang, quantile_cont(len, 0.10) AS lo,
+                    quantile_cont(len, 0.90) AS hi
+             FROM qq GROUP BY lang)
+    SELECT qq.doc_id, qq.lang, qq.quality
+    FROM qq JOIN cuts USING (lang)
+    WHERE qq.quality >= 0.5 AND qq.len >= cuts.lo AND qq.len <= cuts.hi"""
 
 
 def _text_quality_sql() -> str:
@@ -542,6 +577,15 @@ def oracle_sql() -> dict[str, str]:
                        WHERE event_type='view')
             SELECT l.event_id, l.user_id, l.ts, l.value, round(r.fvalue, 6) AS fvalue
             FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""",
+        "transitions": """
+            WITH w AS (SELECT event_type AS from_state,
+                              lead(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_state
+                       FROM events)
+            SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+            FROM w WHERE to_state IS NOT NULL
+            GROUP BY from_state, to_state""",
         "flatten_stream": """
             SELECT user_id,
                    string_agg(event_type, ',' ORDER BY ts, event_id) AS stream,
@@ -908,6 +952,7 @@ def oracle_sql() -> dict[str, str]:
         # and DuckDB regexp_* are both RE2 with non-overlapping leftmost
         # matches) and the same clip formula on unrounded doubles
         "text_quality": _text_quality_sql(),
+        "curation": _curation_sql(),
         "token_explode": r"""
             SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
                    toks[CAST(u.i AS INTEGER)] AS token

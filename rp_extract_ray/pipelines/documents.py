@@ -403,3 +403,47 @@ def q_boilerplate(sf_dir: str) -> Dataset:
     return boilerplate_ngrams(
         _docs(sf_dir, ["doc_id", "text"]), n=5, min_docs=2
     )
+
+
+def q_curation(sf_dir: str) -> Dataset:
+    """Composed curation filter — the end-to-end selection shape: quality
+    score >= 0.5 AND length within the per-language [p10, p90] window, in
+    one streaming pass over the corpus (score map -> tiny per-lang quantile
+    aggregate -> broadcast cutoffs -> filter; zero shuffle on the big side).
+    Oracle: the quality SQL replica composed with quantile_cont cutoffs."""
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.stages.groupops import grouped_quantiles
+    from rp_extract_ray.stages.join import broadcast_join
+    from rp_extract_ray.stages.textstage import quality_score_batch
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def slim(b: pa.Table) -> pa.Table:
+        scored = quality_score_batch(b)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "quality": scored.column("quality"),
+                "len": pc.utf8_length(b.column("text")).cast(pa.float64()),
+            }
+        )
+
+    slimmed = ds.map_batches(slim, batch_format="pyarrow")
+    cuts = grouped_quantiles(
+        slimmed, "lang", "len", [0.10, 0.90], out_names=["lo", "hi"]
+    ).select_columns(["lang", "lo", "hi"])
+    joined = broadcast_join(slimmed, cuts, on="lang", value_cols=["lo", "hi"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(b.column("quality"), 0.5),
+            pc.and_(
+                pc.greater_equal(b.column("len"), b.column("lo")),
+                pc.less_equal(b.column("len"), b.column("hi")),
+            ),
+        )
+        return b.filter(mask).select(["doc_id", "lang", "quality"])
+
+    return joined.map_batches(keep, batch_format="pyarrow")

@@ -568,3 +568,15 @@ def q_flatten_stream(sf_dir: str) -> Dataset:
         ds, entity_col=ENTITY, value_col="event_type", order_cols=ORDER,
         sep=",", out_col="stream", num_partitions=NP,
     )
+
+
+def q_transitions(sf_dir: str) -> Dataset:
+    """Per-user event-type transition matrix (stages/lag.transition_counts).
+    Oracle: lead() window + groupby."""
+    from rp_extract_ray.stages.lag import transition_counts
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    return transition_counts(
+        ds, entity_col=ENTITY, state_col="event_type", order_cols=ORDER,
+        num_partitions=NP,
+    )

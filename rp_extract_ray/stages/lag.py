@@ -292,3 +292,56 @@ def add_lag_features(
         num_partitions=num_partitions,
         salt=salt,
     )
+
+
+def transition_counts(
+    ds,
+    *,
+    entity_col: str = "conv_id",
+    state_col: str = "role",
+    order_cols=("ts", "turn_idx"),
+    num_partitions: int | None = None,
+):
+    """First-order transition matrix of a per-entity state sequence: counts
+    of consecutive ``(state, next state)`` pairs in event order — the
+    turn-taking / tool-chain structure miner for transcript corpora (which
+    role follows which, which tool chains into which).
+
+    One entity-hash exchange orders each entity's rows; consecutive pairs
+    are a shifted-slice compare (runs never cross entities — the last row
+    of each run is masked); per-partition pair counts merge through
+    ``grouped_reduce``'s keyed exchange. Output: (from_state, to_state, n).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from rp_extract_ray.schema import DEFAULT_NUM_PARTITIONS
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.partition import partitioned_apply
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"from_state": [], "to_state": [], "n": pd.Series([], dtype=np.int64)}
+            )
+        st = pdf[state_col].to_numpy()
+        # a pair (i, i+1) is valid iff row i+1 belongs to the same run
+        run_start = np.unique(starts)
+        valid = np.ones(m - 1, dtype=bool)
+        valid[run_start[1:] - 1] = False
+        d = pd.DataFrame({"from_state": st[:-1][valid], "to_state": st[1:][valid]})
+        g = d.groupby(["from_state", "to_state"], sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    partial = partitioned_apply(
+        ds,
+        fn,
+        entity_col=entity_col,
+        order_cols=order_cols,
+        num_partitions=num_partitions or DEFAULT_NUM_PARTITIONS,
+    )
+    return grouped_reduce(
+        partial, ["from_state", "to_state"], {"n": ("n", "sum")}, combine_first=False
+    )
