@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": R.q_stratified_sample,
         "weighted_sample": R.q_weighted_sample,
         "group_quantiles": R.q_group_quantiles,
+        "group_quantiles_disc": R.q_group_quantiles_disc,
         "approx_quantiles": R.q_approx_quantiles,
         "sample": R.q_sample,
         "top_terms": R.q_top_terms,
@@ -86,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": R.q_heavy_hitters,
         "range_partition": R.q_range_partition,
         "hll_distinct": R.q_hll_distinct,
+        "group_hll": R.q_group_hll,
         # text analysis / dedup / similarity (training-data extensions)
         "token_count": D.q_token_count,
         "text_quality": D.q_text_quality,
@@ -878,6 +880,13 @@ def oracle_sql() -> dict[str, str]:
                        FROM orders)
             SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
             FROM w ORDER BY wk DESC, o_orderkey LIMIT 100""",
+        "group_quantiles_disc": """
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(quantile_disc(o_totalprice, 0.25), 2) AS q25,
+                   round(quantile_disc(o_totalprice, 0.50), 2) AS q50,
+                   round(quantile_disc(o_totalprice, 0.75), 2) AS q75
+            FROM orders GROUP BY o_orderstatus""",
         "sample": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             WHERE (o_orderkey * 2654435761 + 1 * 2654435769) % 4294967296
@@ -1059,6 +1068,7 @@ def oracle_sql() -> dict[str, str]:
         # /root/reference/rp_extract.py:424-445)
         "fingerprint": _lit.fingerprint_sql(),
         "kmeans_clusters": _lit.kmeans_sql(),
+        "group_hll": _lit.group_hll_sql(),
         "simhash_pairs": _lit.simhash_pairs_sql(),
         "rhythm_features": _lit.rhythm_sql(),
         "rhythm_segments": _lit.rhythm_segments_sql(),

@@ -389,3 +389,21 @@ def kmeans_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     return f"""
     SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS BIGINT) AS cluster
     FROM (VALUES {vals}) AS t(vec_id, cluster)"""
+
+
+def group_hll_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Per-group HLL estimates recomputed longhand (same independent
+    estimator as hll_custkeys_literal) and embedded as VALUES literals."""
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_custkey"]
+    ).to_pandas()
+    rows = []
+    for g in sorted(tb["o_orderpriority"].unique()):
+        vals = tb.loc[tb["o_orderpriority"] == g, "o_custkey"].to_numpy()
+        rows.append((g, _hll_estimate_longhand(vals)))
+    vals_sql = ",\n      ".join(f"('{g}', {n})" for g, n in rows)
+    return f"""
+    SELECT o_orderpriority, CAST(n_distinct AS BIGINT) AS n_distinct
+    FROM (VALUES {vals_sql}) AS t(o_orderpriority, n_distinct)"""

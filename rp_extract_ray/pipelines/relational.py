@@ -564,3 +564,27 @@ def q_weighted_sample(sf_dir: str, n: int = 100):
 
     out["o_totalprice"] = round_half_away(out["o_totalprice"].to_numpy(), 2)
     return out
+
+
+def q_group_quantiles_disc(sf_dir: str) -> Dataset:
+    """Discrete (rank-ceil(q*n)) per-group quantiles — the quantile_disc
+    semantics used for range-partition bounds, gated directly."""
+    from rp_extract_ray.stages.groupops import grouped_quantiles
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+    out = grouped_quantiles(
+        ds, "o_orderstatus", "o_totalprice", [0.25, 0.5, 0.75],
+        out_names=["q25", "q50", "q75"], round_to=2, method="disc",
+    )
+    return out
+
+
+def q_group_hll(sf_dir: str):
+    """Distinct customers per order priority via the grouped HLL sketch
+    (functions/sketch.group_hll_distinct). Oracle: literal table from an
+    independent single-process HLL recompute per group
+    (pipelines/oracle_literals.group_hll_sql)."""
+    from rp_extract_ray.functions.sketch import group_hll_distinct
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
+    return group_hll_distinct(ds, "o_orderpriority", "o_custkey")

@@ -151,12 +151,16 @@ def grouped_quantiles(
     *,
     out_names: Sequence[str] | None = None,
     round_to: int | None = None,
+    method: str = "cont",
 ) -> Dataset:
-    """Exact per-group quantiles of ``value_col`` (linear interpolation —
-    identical to DuckDB/Postgres ``quantile_cont`` and ``numpy.quantile``).
-    Output: one row per group with one column per requested quantile.
-    Prune to ``(group_cols, value_col)`` BEFORE the exchange.
+    """Exact per-group quantiles of ``value_col``. ``method='cont'`` is
+    linear interpolation (DuckDB/Postgres ``quantile_cont`` == default
+    ``numpy.quantile``); ``method='disc'`` is the rank-``ceil(q*n)`` element
+    (DuckDB ``quantile_disc`` == numpy ``inverted_cdf``). Output: one row
+    per group with one column per requested quantile. Prune to
+    ``(group_cols, value_col)`` BEFORE the exchange.
     """
+    np_method = {"cont": "linear", "disc": "inverted_cdf"}[method]
     gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     if out_names is None:
         out_names = [f"{value_col}_q{int(round(q * 100)):02d}" for q in quantiles]
@@ -171,7 +175,7 @@ def grouped_quantiles(
         row = {c: [group[c].iloc[0]] for c in gcols}
         row["n"] = [np.int64(len(v))]
         for q, name in zip(qs, names):
-            val = float(np.quantile(v, q)) if len(v) else np.nan
+            val = float(np.quantile(v, q, method=np_method)) if len(v) else np.nan
             row[name] = [round(val, round_to) if round_to is not None else val]
         return pd.DataFrame(row)
 

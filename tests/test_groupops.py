@@ -446,3 +446,27 @@ def test_bigram_pmi_matches_pandas():
         for k in want:
             assert gmap[k][0] == want[k][0]
             assert abs(gmap[k][1] - want[k][1]) < 2e-4
+
+
+def test_group_hll_partition_invariant_and_accurate():
+    import ray.data as rd
+
+    from rp_extract_ray.functions.sketch import group_hll_distinct
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 30_000),
+            "v": rng.integers(0, 5000, 30_000).astype(np.int64),
+        }
+    )
+    truth = df.groupby("g")["v"].nunique()
+    outs = []
+    for parts in (1, 8):
+        got = group_hll_distinct(
+            rd.from_pandas(df).repartition(parts), "g", "v"
+        )
+        outs.append(got)
+        for g, est in zip(got["g"], got["n_distinct"]):
+            assert abs(est - truth[g]) / truth[g] < 0.05  # ~1.6% expected @ p=12
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # bit-identical merge
