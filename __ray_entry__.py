@@ -225,10 +225,7 @@ def _curation_sql() -> str:
     """q_curation's oracle: the text-quality replica composed with
     per-language quantile_cont length cutoffs (both filters on the SAME
     rounded/raw values as the engine)."""
-    from rp_extract_ray.stages.textstage import STOPWORD_RE
-
-    stop_re = STOPWORD_RE.replace("'", "''")
-    return rf"""
+    return r"""
     WITH q AS (
         SELECT doc_id, lang,
                CAST(length(text) AS DOUBLE) AS len,

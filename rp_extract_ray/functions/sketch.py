@@ -122,7 +122,7 @@ def heavy_hitters(
     def local_candidates(b: pa.Table) -> pa.Table:
         vc = b.column(col).to_pandas().value_counts()
         keep = vc[vc >= threshold_frac * len(b)]
-        return pa.table({col: pa.array(keep.index.to_numpy()), "_c": keep.to_numpy()})
+        return pa.table({col: pa.array(keep.index.to_numpy())})
 
     cand = ds.select_columns([col]).map_batches(
         local_candidates, batch_format="pyarrow"

@@ -430,7 +430,9 @@ def q_curation(sf_dir: str) -> Dataset:
             }
         )
 
-    slimmed = ds.map_batches(slim, batch_format="pyarrow")
+    # two consumers (cutoff aggregate + the filter join): materialize so the
+    # corpus scan + quality scoring run once, not once per consumer
+    slimmed = ds.map_batches(slim, batch_format="pyarrow").materialize()
     cuts = grouped_quantiles(
         slimmed, "lang", "len", [0.10, 0.90], out_names=["lo", "hi"]
     ).select_columns(["lang", "lo", "hi"])

@@ -413,9 +413,17 @@ def verify_pairs_jaccard(
             ib = b.column("id_b").to_numpy(zero_copy_only=False)
             jac = np.empty(len(b), dtype=np.float64)
             for i in range(len(b)):
-                sa = np.frombuffer(lut[ia[i]], dtype=np.uint64)
-                sb = np.frombuffer(lut[ib[i]], dtype=np.uint64)
-                jac[i] = jaccard(sa, sb)
+                sa, sb = lut.get(ia[i]), lut.get(ib[i])
+                if sa is None or sb is None:
+                    # candidate id absent from the corpus (stale candidate
+                    # set / filtered docs): drop, matching the inner-join
+                    # semantics of the distributed path
+                    jac[i] = -1.0
+                    continue
+                jac[i] = jaccard(
+                    np.frombuffer(sa, dtype=np.uint64),
+                    np.frombuffer(sb, dtype=np.uint64),
+                )
             jac = np.round(jac, 6)
             keep = jac >= jaccard_threshold
             t = pa.table(

@@ -297,7 +297,9 @@ def grouped_reduce(
         }
 
     def agg(pdf: pd.DataFrame, spec) -> pd.DataFrame:
-        g = pdf.groupby(klist, sort=False)
+        # dropna=False: null keys form a group, matching the Ray aggregate
+        # this path replaces (pandas default would silently drop those rows)
+        g = pdf.groupby(klist, sort=False, dropna=False)
         cols = {}
         for out, (src, red) in spec.items():
             if red == "count":

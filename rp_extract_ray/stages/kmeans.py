@@ -103,18 +103,15 @@ def kmeans_assign(
     """Append nearest-centroid ids (pure map over the broadcast matrix)."""
     ref = ray.put(np.asarray(centroids, dtype=np.float64))
 
-    class Assign:
-        def __init__(self):
-            self.C = ray.get(ref)
+    # stateless TASKS, not an actor pool: ray.get of the broadcast matrix is
+    # a cheap local object-store read, and a task pool scales to every free
+    # CPU instead of a fixed actor count (and never operator-fuses with /
+    # caps upstream stages) — same rationale as the asof broadcast path
+    def assign(b: pa.Table) -> pa.Table:
+        C = ray.get(ref)
+        X = _as_matrix(b.column(vec_col)).astype(np.float64)
+        d2 = (X * X).sum(1)[:, None] - 2.0 * X @ C.T + (C * C).sum(1)[None, :]
+        a = d2.argmin(1).astype(np.int64)
+        return b.append_column(out_col, pa.array(a))
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            X = _as_matrix(b.column(vec_col)).astype(np.float64)
-            d2 = (
-                (X * X).sum(1)[:, None]
-                - 2.0 * X @ self.C.T
-                + (self.C * self.C).sum(1)[None, :]
-            )
-            a = d2.argmin(1).astype(np.int64)
-            return b.append_column(out_col, pa.array(a))
-
-    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(assign, batch_format="pyarrow")

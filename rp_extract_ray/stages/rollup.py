@@ -56,12 +56,14 @@ def grouping_sets_aggregate(
         vals = {a: pdf[c].to_numpy(dtype=np.float64) for a, c in sum_cols.items()}
         frames = []
         for keys in set_lists:
-            out = pd.DataFrame({a: v for a, v in vals.items()})
+            # build on an explicit index so a sum_cols-free frame still has
+            # len(pdf) rows (count-only CUBE/ROLLUP)
+            out = pd.DataFrame(vals, index=np.arange(len(pdf)))
             out[count_alias] = np.int64(1)
             if keys:
                 for k in keys:
                     out[k] = pdf[k].to_numpy()
-                g = out.groupby(keys, sort=False, as_index=False).sum()
+                g = out.groupby(keys, sort=False, as_index=False, dropna=False).sum()
             else:
                 g = out.sum().to_frame().T
                 g[count_alias] = g[count_alias].astype(np.int64)

@@ -302,9 +302,6 @@ def cohort_retention(
     """
     import numpy as np
     import pandas as pd
-    import pyarrow as pa
-
-    from ray.data.aggregate import Sum
 
     from rp_extract_ray.schema import DEFAULT_NUM_PARTITIONS
     from rp_extract_ray.stages.partition import partitioned_apply
@@ -381,7 +378,11 @@ def flatten_ordered(
 
     def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
         g = pdf.groupby(entity_col, sort=False)[value_col]
-        out = g.agg(lambda s: sep.join(s.astype(str))).reset_index(name=out_col)
+        # skip nulls like SQL string_agg (never render 'nan'/'None'); an
+        # all-null group yields NULL, again matching string_agg
+        out = g.agg(
+            lambda s: sep.join(s.dropna().astype(str)) if s.notna().any() else None
+        ).reset_index(name=out_col)
         out["n_rows"] = g.size().to_numpy().astype(np.int64)
         return out
 

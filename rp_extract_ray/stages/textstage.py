@@ -295,7 +295,6 @@ def encode_token_ids(
     import pyarrow as pa
 
     import ray
-    from ray.data.aggregate import Sum
 
     from rp_extract_ray.pipelines.relational import distributed_topk
 
@@ -377,7 +376,8 @@ def bigram_pmi(
         total = int(lens.sum())
         if total < 2:
             return pd.DataFrame(
-                {"w1": [], "w2": [], "n_ab": pd.Series([], dtype=np.int64)}
+                {"w1": [], "w2": [], "n_ab": pd.Series([], dtype=np.int64),
+                 "_bk": pd.Series([], dtype=object)}
             )
         flat = np.concatenate([a for a in arrs if len(a)])
         keep = np.ones(total - 1, dtype=bool)
@@ -394,17 +394,6 @@ def bigram_pmi(
     # Ray's sort-based groupby.aggregate measured 8.3 s on 57k two-string-key
     # partial rows at sf0.1 (and ~4 s fixed cost even on 31 keys) where this
     # path is sub-second per exchange
-    def merge_uni(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
-        if not len(pdf):
-            return pdf
-        run_starts = np.unique(starts)  # starts is PER-ROW (entity_starts)
-        return pd.DataFrame(
-            {
-                "w": pdf["w"].to_numpy()[run_starts],
-                "n": np.add.reduceat(pdf["n"].to_numpy(), run_starts),
-            }
-        )
-
     def merge_bi(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
         if not len(pdf):
             return pdf.drop(columns=["_bk"], errors="ignore")
@@ -418,11 +407,13 @@ def bigram_pmi(
         )
         return out[out["n_ab"] >= min_count]
 
-    uni = partitioned_apply(
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    uni = grouped_reduce(
         ds.select_columns([text_col]).map_batches(
             lambda b: partial(b, "uni"), batch_format="pandas"
         ),
-        merge_uni, entity_col="w", order_cols=(),
+        "w", {"n": ("n", "sum")}, combine_first=False,
     )
     bi = partitioned_apply(
         ds.select_columns([text_col]).map_batches(

@@ -163,19 +163,22 @@ def time_bucket_agg(
     from rp_extract_ray.stages.partition import partitioned_apply
 
     def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
-        bucket = pdf[ts_col].dt.floor(freq)
+        tagged = pdf.assign(_bucket=pdf[ts_col].dt.floor(freq))
+        gb = tagged.groupby([entity_col, "_bucket"], sort=False)
         g = (
-            pdf.assign(_bucket=bucket)
-            .groupby([entity_col, "_bucket"], sort=False)[value_col]
-            .agg(
-                open_v="first", close_v="last", min_v="min", max_v="max",
-                sum_v="sum", n="size",
-            )
+            gb[value_col]
+            .agg(min_v="min", max_v="max", sum_v="sum", n="size")
             .reset_index()
             .rename(columns={"_bucket": "bucket"})
         )
+        # POSITIONAL first/last (head/tail on the ordered frame), not pandas
+        # agg first/last which skip NaN — a null first value must surface as
+        # null, matching the SQL first_value window order statistic
+        g["open_v"] = gb[value_col].head(1).to_numpy()
+        g["close_v"] = gb[value_col].tail(1).to_numpy()
         g["n"] = g["n"].astype(np.int64)
-        return g
+        return g[[entity_col, "bucket", "open_v", "close_v",
+                  "min_v", "max_v", "sum_v", "n"]]
 
     return partitioned_apply(
         ds,

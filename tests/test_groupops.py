@@ -470,3 +470,67 @@ def test_group_hll_partition_invariant_and_accurate():
         for g, est in zip(got["g"], got["n_distinct"]):
             assert abs(est - truth[g]) / truth[g] < 0.05  # ~1.6% expected @ p=12
     pd.testing.assert_frame_equal(outs[0], outs[1])  # bit-identical merge
+
+
+def test_review_fixes_regressions():
+    """Round-3 self-review findings: count-only CUBE, null group keys,
+    null-first OHLC open, flatten null skip."""
+    import ray.data as rd
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.rollup import cube_aggregate
+
+    # count-only CUBE (no sum_cols) works and counts correctly
+    df = pd.DataFrame({"a": ["x", "x", "y"], "b": ["p", "q", "p"]})
+    got = (
+        cube_aggregate(rd.from_pandas(df), ["a", "b"], count_alias="n")
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    assert int(got.loc[(got.a == "ALL") & (got.b == "ALL"), "n"].iloc[0]) == 3
+    assert int(got.loc[(got.a == "x") & (got.b == "ALL"), "n"].iloc[0]) == 2
+
+    # null keys form a group instead of vanishing
+    dfn = pd.DataFrame({"k": ["a", None, None, "b"], "v": [1.0, 2.0, 3.0, 4.0]})
+    out = grouped_reduce(rd.from_pandas(dfn), "k", {"s": ("v", "sum")}).to_pandas()
+    assert len(out) == 3
+    null_row = out[out["k"].isna()]
+    assert len(null_row) == 1 and float(null_row["s"].iloc[0]) == 5.0
+
+    # OHLC open_v surfaces a positionally-first null
+    from rp_extract_ray.stages.timegrid import time_bucket_agg
+
+    ev = pd.DataFrame(
+        {
+            "e": ["u"] * 3,
+            "ts": pd.to_datetime(["2025-01-01 10:00", "2025-01-01 10:10", "2025-01-01 10:20"]),
+            "i": [0, 1, 2],
+            "value": [np.nan, 5.0, 7.0],
+        }
+    )
+    ob = time_bucket_agg(
+        rd.from_pandas(ev), entity_col="e", ts_col="ts", order_cols=("ts", "i"),
+        value_col="value", num_partitions=2,
+    ).to_pandas()
+    assert len(ob) == 1 and np.isnan(ob["open_v"].iloc[0]) and ob["close_v"].iloc[0] == 7.0
+
+    # flatten skips nulls; all-null group -> null
+    from rp_extract_ray.stages.session import flatten_ordered
+
+    fr = pd.DataFrame(
+        {
+            "e": ["u", "u", "w"],
+            "ts": [1.0, 2.0, 1.0],
+            "i": [0, 1, 0],
+            "t": ["a", None, None],
+        }
+    )
+    fo = (
+        flatten_ordered(
+            rd.from_pandas(fr), entity_col="e", value_col="t",
+            order_cols=("ts", "i"), sep=",", out_col="flat", num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("e", ignore_index=True)
+    )
+    assert fo.loc[0, "flat"] == "a" and pd.isna(fo.loc[1, "flat"])
