@@ -57,7 +57,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": E.q_cohort_retention,
         "flatten_stream": E.q_flatten_stream,
         "transitions": E.q_transitions,
+        "value_share": E.q_value_share,
         "time_grid": E.q_time_grid,
+        "time_grid_lerp": E.q_time_grid_lerp,
         "time_window": E.q_time_window,
         # relational coverage (SURVEY.md §2.5-§2.8)
         "class_counts": R.q_class_counts,
@@ -576,6 +578,11 @@ def oracle_sql() -> dict[str, str]:
                        WHERE event_type='view')
             SELECT l.event_id, l.user_id, l.ts, l.value, round(r.fvalue, 6) AS fvalue
             FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""",
+        "value_share": """
+            SELECT event_id, user_id,
+                   round(value / sum(value) OVER (PARTITION BY user_id), 6)
+                     AS share
+            FROM events""",
         "transitions": """
             WITH w AS (SELECT event_type AS from_state,
                               lead(event_type) OVER (
@@ -744,6 +751,37 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 6) AS value_mean,
                    min(value) AS value_min, max(value) AS value_max
             FROM events GROUP BY user_id, bucket""",
+        # lerp resample: grid inside each user's span; duplicate-ts nodes
+        # collapse to max(value) on both sides; same lerp formula
+        "time_grid_lerp": """
+            WITH d AS (SELECT user_id, ts, max(value) AS v FROM events
+                       GROUP BY user_id, ts),
+                 span AS (SELECT user_id, min(ts) AS lo, max(ts) AS hi
+                          FROM d GROUP BY user_id),
+                 grid AS (SELECT user_id,
+                                 TIMESTAMP '1970-01-01' + to_seconds(u.g)
+                                   AS bucket
+                          FROM span, LATERAL unnest(range(
+                               CAST(ceil(epoch(lo) / 3600) AS BIGINT) * 3600,
+                               CAST(floor(epoch(hi) / 3600) AS BIGINT) * 3600
+                                 + 1,
+                               3600)) AS u(g)),
+                 l AS (SELECT g.user_id, g.bucket,
+                              p.ts AS t0, p.v AS v0, n.ts AS t1, n.v AS v1
+                       FROM grid g
+                       JOIN LATERAL (SELECT ts, v FROM d
+                                     WHERE d.user_id = g.user_id
+                                       AND d.ts <= g.bucket
+                                     ORDER BY ts DESC LIMIT 1) p ON true
+                       JOIN LATERAL (SELECT ts, v FROM d
+                                     WHERE d.user_id = g.user_id
+                                       AND d.ts >= g.bucket
+                                     ORDER BY ts ASC LIMIT 1) n ON true)
+            SELECT user_id, bucket,
+                   round(CASE WHEN t1 = t0 THEN v0
+                         ELSE v0 + (v1 - v0) * (epoch(bucket) - epoch(t0))
+                                   / (epoch(t1) - epoch(t0)) END, 6) AS v
+            FROM l""",
         "time_window": """
             SELECT event_id, user_id, ts, value,
                    round(sum(value) OVER w, 6) AS value_tsum,

@@ -580,3 +580,45 @@ def q_transitions(sf_dir: str) -> Dataset:
         ds, entity_col=ENTITY, state_col="event_type", order_cols=ORDER,
         num_partitions=NP,
     )
+
+
+def q_value_share(sf_dir: str) -> Dataset:
+    """Contribution analysis: each event's share of its user's total value —
+    the aggregate -> broadcast-small-side -> stream-divide compose (zero
+    shuffle on the event stream). Oracle: sum() OVER (PARTITION BY)."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.join import broadcast_join
+
+    ds = _events(sf_dir, ["event_id", "user_id", "value"])
+    totals = grouped_reduce(
+        ds.select_columns(["user_id", "value"]), "user_id",
+        {"total": ("value", "sum")},
+    )
+    joined = broadcast_join(ds, totals, on="user_id", value_cols=["total"])
+
+    def fin(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        share = pc.divide(b.column("value"), b.column("total"))
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "share": share,
+            }
+        )
+
+    return _round(joined.map_batches(fin, batch_format="pyarrow"), {"share": 6})
+
+
+def q_time_grid_lerp(sf_dir: str) -> Dataset:
+    """Hourly linear-interpolation resample of each user's value series
+    (stages/timegrid.time_grid_interpolate). Oracle: LATERAL prev/next
+    neighbors + the same lerp formula."""
+    from rp_extract_ray.stages.timegrid import time_grid_interpolate
+
+    ds = _events(sf_dir, ["ts", "user_id", "value"])
+    return time_grid_interpolate(
+        ds, entity_col=ENTITY, ts_col="ts", value_col="value",
+        order_cols=("ts",), num_partitions=NP,
+    )

@@ -187,3 +187,85 @@ def time_bucket_agg(
         order_cols=order_cols,
         num_partitions=num_partitions or DEFAULT_NUM_PARTITIONS,
     )
+
+
+def time_grid_interpolate(
+    ds,
+    *,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols=("ts",),
+    interval_s: float = 3600.0,
+    round_to: int = 6,
+    num_partitions: int | None = None,
+):
+    """Linear-interpolation resample: each entity's irregular value series
+    evaluated on the fixed time grid INSIDE its [min ts, max ts] span —
+    the lerp complement of the ffill grid (``time_grid_aggregate`` +
+    ``q_time_grid``) and of the reference's signal ``resample`` (S6).
+    Duplicate (entity, ts) rows collapse to max(value) first (the same
+    deterministic tie winner as the as-of join's ``dedup_right='max'``).
+
+    One entity-hash exchange; per run it is one ``np.interp`` call over the
+    deduped node arrays (C kernel). Output: (entity, bucket, v).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from rp_extract_ray.schema import DEFAULT_NUM_PARTITIONS
+    from rp_extract_ray.stages.partition import partitioned_apply, run_bounds
+
+    step = float(interval_s)
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(
+                {entity_col: [], "bucket": pd.Series([], dtype="datetime64[us]"),
+                 "v": pd.Series([], dtype=np.float64)}
+            )
+        run_starts, run_ends = run_bounds(starts, len(pdf))
+        t = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64) / 1e6
+        val = pdf[value_col].to_numpy(dtype=np.float64)
+        ents, buckets, out = [], [], []
+        ent_arr = pdf[entity_col].to_numpy()
+        for s, e in zip(run_starts, run_ends):
+            tt, vv = t[s:e], val[s:e]
+            # collapse duplicate ts to max(value): segmented max over runs
+            # of equal ts (already sorted)
+            keep = np.concatenate([tt[1:] != tt[:-1], [True]])
+            seg_id = np.concatenate([[0], np.cumsum(tt[1:] != tt[:-1])])
+            vmax = pd.Series(vv).groupby(seg_id).max().to_numpy()
+            tu = tt[keep]
+            g0 = np.ceil(tu[0] / step) * step
+            g1 = np.floor(tu[-1] / step) * step
+            if g1 < g0:
+                continue
+            grid = np.arange(g0, g1 + step / 2, step)
+            out.append(np.interp(grid, tu, vmax))
+            buckets.append(grid)
+            ents.append(np.full(len(grid), ent_arr[s]))
+        if not out:
+            return pd.DataFrame(
+                {entity_col: [], "bucket": pd.Series([], dtype="datetime64[us]"),
+                 "v": pd.Series([], dtype=np.float64)}
+            )
+        from rp_extract_ray.functions.rounding import round_half_away
+
+        return pd.DataFrame(
+            {
+                entity_col: np.concatenate(ents),
+                "bucket": (np.concatenate(buckets) * 1e6).astype(np.int64).astype(
+                    "datetime64[us]"
+                ),
+                "v": round_half_away(np.concatenate(out), round_to),
+            }
+        )
+
+    return partitioned_apply(
+        ds,
+        fn,
+        entity_col=entity_col,
+        order_cols=order_cols,
+        num_partitions=num_partitions or DEFAULT_NUM_PARTITIONS,
+    )
