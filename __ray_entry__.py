@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flatten_stream": E.q_flatten_stream,
         "transitions": E.q_transitions,
         "value_share": E.q_value_share,
+        "trend_slope": E.q_trend_slope,
         "time_grid": E.q_time_grid,
         "time_grid_lerp": E.q_time_grid_lerp,
         "time_window": E.q_time_window,
@@ -94,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": D.q_token_count,
         "text_quality": D.q_text_quality,
         "curation": D.q_curation,
+        "nb_classify": D.q_nb_classify,
         "tfidf_top_terms": D.q_tfidf,
         "quantile_filter": D.q_quantile_filter,
         "token_explode": D.q_token_explode,
@@ -578,6 +580,22 @@ def oracle_sql() -> dict[str, str]:
                        WHERE event_type='view')
             SELECT l.event_id, l.user_id, l.ts, l.value, round(r.fvalue, 6) AS fvalue
             FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""",
+        # OLS slope per day, explicit sum formula with centered time on
+        # both sides (identical arithmetic; regr_slope would differ in ulps)
+        "trend_slope": """
+            WITH m AS (SELECT user_id,
+                              epoch(ts) - epoch(TIMESTAMP '2025-01-01') AS x,
+                              value AS y
+                       FROM events),
+                 s AS (SELECT user_id, sum(x) AS sx, sum(y) AS sy,
+                              sum(x * x) AS sxx, sum(x * y) AS sxy,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM m GROUP BY user_id)
+            SELECT user_id, n,
+                   round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                         ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                              * 86400.0 END, 6) AS slope
+            FROM s""",
         "value_share": """
             SELECT event_id, user_id,
                    round(value / sum(value) OVER (PARTITION BY user_id), 6)
@@ -995,6 +1013,44 @@ def oracle_sql() -> dict[str, str]:
         # replicated with the SAME RE2 regexes (Arrow count_substring_regex
         # and DuckDB regexp_* are both RE2 with non-overlapping leftmost
         # matches) and the same clip formula on unrounded doubles
+        # naive Bayes: identical add-1 log-likelihood on both sides; ties
+        # (incl. zero-token docs scored by prior alone) break to lowest label
+        "nb_classify": r"""
+            WITH tok AS (
+              SELECT doc_id, ts[CAST(u.i AS INTEGER)] AS token
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[0-9a-z_]+') AS ts
+                    FROM documents),
+                   LATERAL unnest(range(1, len(ts) + 1)) AS u(i)),
+                 ct AS (SELECT d.lang, t.token, CAST(count(*) AS DOUBLE) AS n
+                        FROM tok t JOIN documents d USING (doc_id)
+                        GROUP BY 1, 2),
+                 tot AS (SELECT lang, sum(n) AS tot FROM ct GROUP BY lang),
+                 voc AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS V
+                         FROM ct),
+                 pri AS (SELECT lang,
+                                ln(count(*) / (SELECT CAST(count(*) AS DOUBLE)
+                                               FROM documents)) AS lpri
+                         FROM documents GROUP BY lang),
+                 sc AS (SELECT t.doc_id, p.lang,
+                               any_value(p.lpri)
+                                 + sum(ln((COALESCE(ct.n, 0) + 1)
+                                          / (tot.tot + voc.V))) AS s
+                        FROM tok t CROSS JOIN pri p
+                        JOIN tot ON tot.lang = p.lang
+                        LEFT JOIN ct ON ct.lang = p.lang
+                                    AND ct.token = t.token, voc
+                        GROUP BY t.doc_id, p.lang),
+                 r AS (SELECT doc_id, lang,
+                              row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY s DESC, lang) AS rn
+                       FROM sc),
+                 empty AS (SELECT doc_id FROM documents
+                           WHERE doc_id NOT IN (SELECT doc_id FROM tok)),
+                 bp AS (SELECT lang FROM pri ORDER BY lpri DESC, lang LIMIT 1)
+            SELECT doc_id, lang AS pred FROM r WHERE rn = 1
+            UNION ALL
+            SELECT e.doc_id, bp.lang AS pred FROM empty e, bp""",
         "text_quality": _text_quality_sql(),
         "curation": _curation_sql(),
         "token_explode": r"""

@@ -210,3 +210,118 @@ def align_predictions(
     return left.join(
         right, "inner", num_partitions, on=(on,), right_suffix="_truth"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial naive Bayes over token counts — the from-scratch generative
+# counterpart of the KNN classifier above (ST2/ST3): training is two keyed
+# count reductions (map-side combined), the model is broadcastable small
+# state, scoring is one vectorized map pass. Add-1 (Laplace) smoothing over
+# the training vocabulary.
+# ---------------------------------------------------------------------------
+
+
+def nb_train(
+    ds,
+    *,
+    text_col: str = "text",
+    label_col: str = "lang",
+    token_re: str = r"[0-9a-z_]+",
+):
+    """Train: returns (labels, priors_ln, token_index, logprob_matrix,
+    default_row) where logprob_matrix is (V, L) ln((n_lt + 1)/(tot_l + V))
+    and default_row is the unseen-token column ln(1/(tot_l + V))."""
+    import numpy as np
+    import pandas as pd
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    def tok_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        toks = pdf[text_col].fillna("").str.lower().str.findall(token_re)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        lab = np.repeat(pdf[label_col].to_numpy(), lens)
+        flat = np.concatenate(toks.to_numpy()) if lens.sum() else np.array([], object)
+        d = pd.DataFrame({"label": lab, "token": flat})
+        g = d.groupby(["label", "token"], sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    ct = grouped_reduce(
+        ds.select_columns([label_col, text_col]).map_batches(
+            tok_partial, batch_format="pandas"
+        ),
+        ["label", "token"],
+        {"n": ("n", "sum")},
+        combine_first=False,
+    ).to_pandas()  # bounded: |vocab| x |labels|
+
+    pri = grouped_reduce(
+        ds.select_columns([label_col]), label_col,
+        {"n_docs": (label_col, "count")},
+    ).to_pandas().sort_values(label_col, ignore_index=True)
+
+    labels = pri[label_col].tolist()
+    n_total = float(pri["n_docs"].sum())
+    priors_ln = np.log(pri["n_docs"].to_numpy(np.float64) / n_total)
+
+    vocab = sorted(ct["token"].unique())
+    V = len(vocab)
+    tix = {t: i for i, t in enumerate(vocab)}
+    lix = {l: j for j, l in enumerate(labels)}
+    counts = np.zeros((V, len(labels)), dtype=np.float64)
+    counts[
+        ct["token"].map(tix).to_numpy(np.int64),
+        ct["label"].map(lix).to_numpy(np.int64),
+    ] = ct["n"].to_numpy(np.float64)
+    totals = counts.sum(axis=0)
+    logprob = np.log((counts + 1.0) / (totals + V)[None, :])
+    default_row = np.log(1.0 / (totals + V))
+    return labels, priors_ln, tix, logprob, default_row
+
+
+def nb_predict(
+    ds,
+    model,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "pred",
+    token_re: str = r"[0-9a-z_]+",
+):
+    """Score with the broadcast model; ties resolve to the first (lowest)
+    label in sorted order — pinned so the SQL oracle can reproduce them."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    labels, priors_ln, tix, logprob, default_row = model
+    ref = ray.put((labels, priors_ln, tix, logprob, default_row))
+
+    def score(pdf: pd.DataFrame) -> pa.Table:
+        labs, pri, t_ix, lp, dflt = ray.get(ref)
+        toks = pdf[text_col].fillna("").str.lower().str.findall(token_re)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        n = len(pdf)
+        flat = (
+            np.concatenate(toks.to_numpy()) if lens.sum() else np.array([], object)
+        )
+        idx = pd.Series(flat, dtype=object).map(t_ix)
+        known = idx.notna().to_numpy()
+        rows = np.where(known, idx.fillna(0).to_numpy(np.int64), 0)
+        tokmat = np.where(known[:, None], lp[rows], dflt[None, :])
+        ends = np.cumsum(lens)
+        starts_ = ends - lens
+        scores = np.tile(pri, (n, 1))
+        if len(flat):
+            csum = np.vstack([np.zeros(len(labs)), np.cumsum(tokmat, axis=0)])
+            scores += csum[ends] - csum[starts_]
+        pred = np.asarray(labs, dtype=object)[scores.argmax(axis=1)]
+        return pa.table(
+            {id_col: pa.array(pdf[id_col].to_numpy()), out_col: pa.array(pred)}
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas"
+    )

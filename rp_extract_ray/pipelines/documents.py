@@ -449,3 +449,15 @@ def q_curation(sf_dir: str) -> Dataset:
         return b.filter(mask).select(["doc_id", "lang", "quality"])
 
     return joined.map_batches(keep, batch_format="pyarrow")
+
+
+def q_nb_classify(sf_dir: str) -> Dataset:
+    """Multinomial naive Bayes language classifier trained and scored on the
+    corpus (classify.nb_train/nb_predict): two keyed count reductions, a
+    broadcast model, one vectorized scoring pass. Oracle: the identical
+    add-1-smoothed log-likelihood argmax in SQL."""
+    from rp_extract_ray.classify import nb_predict, nb_train
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+    model = nb_train(ds, text_col="text", label_col="lang")
+    return nb_predict(ds, model, text_col="text", id_col="doc_id")

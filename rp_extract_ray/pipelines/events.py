@@ -622,3 +622,63 @@ def q_time_grid_lerp(sf_dir: str) -> Dataset:
         ds, entity_col=ENTITY, ts_col="ts", value_col="value",
         order_cols=("ts",), num_partitions=NP,
     )
+
+
+def q_trend_slope(sf_dir: str) -> Dataset:
+    """Per-user OLS trend of value over time (closed-form from map-side
+    moment sums — one keyed exchange carrying 5 scalars per (user, block)).
+    Time is centered on a fixed epoch so the x^2 sums stay well inside
+    float64 (the slope is shift-invariant). Oracle: the identical explicit
+    sum formula in SQL (not regr_slope, pinning the exact arithmetic)."""
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    ds = _events(sf_dir, ["ts", "user_id", "value"])
+    base_us = pd.Timestamp("2025-01-01").value // 1000  # us epoch
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = (
+            b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            - base_us
+        ) / 1e6
+        y = b.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxx": pa.array(x * x),
+                "sxy": pa.array(x * y),
+            }
+        )
+
+    sums = grouped_reduce(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        "user_id",
+        {
+            "sx": ("sx", "sum"), "sy": ("sy", "sum"),
+            "sxx": ("sxx", "sum"), "sxy": ("sxy", "sum"),
+            "n": ("sx", "count"),
+        },
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b.column("sx").to_numpy(zero_copy_only=False)
+        sy = b.column("sy").to_numpy(zero_copy_only=False)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False)
+        sxy = b.column("sxy").to_numpy(zero_copy_only=False)
+        denom = n * sxx - sx * sx
+        slope = np.where(denom != 0, (n * sxy - sx * sy) / denom, np.nan)
+        from rp_extract_ray.functions.rounding import round_half_away
+
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "n": b.column("n").cast(pa.int64()),
+                "slope": pa.array(round_half_away(slope * 86400.0, 6)),
+            }
+        )
+
+    return sums.map_batches(fin, batch_format="pyarrow")

@@ -326,3 +326,35 @@ def test_run_classify_cli_train_predict(tmp_path):
         [truth[s] == l for s, l in zip(strip_ids(pred["id"]).to_pylist(), pred["label"])]
     )
     assert acc > 0.9  # well-separated clusters
+
+
+def test_naive_bayes_learns_separable_vocab():
+    """Two classes with disjoint indicative vocabularies: NB predicts the
+    training labels perfectly and is partition-invariant."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rp_extract_ray.classify import nb_predict, nb_train
+
+    rng = np.random.default_rng(6)
+    a_words = ["alpha", "beta", "gamma"]
+    b_words = ["delta", "eps", "zeta"]
+    rows = []
+    for i in range(200):
+        lab = "A" if i % 2 == 0 else "B"
+        w = a_words if lab == "A" else b_words
+        rows.append((i, lab, " ".join(rng.choice(w, 12)) + " common filler"))
+    df = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    preds = []
+    for parts in (1, 5):
+        ds = rd.from_pandas(df).repartition(parts)
+        model = nb_train(ds, text_col="text", label_col="lang")
+        out = (
+            nb_predict(ds, model, text_col="text", id_col="doc_id")
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert (out["pred"].to_numpy() == df["lang"].to_numpy()).all()
+        preds.append(out["pred"].to_numpy())
+    assert (preds[0] == preds[1]).all()
