@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_partition": R.q_range_partition,
         "hll_distinct": R.q_hll_distinct,
         "group_hll": R.q_group_hll,
+        "group_distinct": R.q_group_distinct,
         # text analysis / dedup / similarity (training-data extensions)
         "token_count": D.q_token_count,
         "text_quality": D.q_text_quality,
@@ -1002,6 +1003,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(o_custkey) AS BIGINT) AS min_key,
                    CAST(max(o_custkey) AS BIGINT) AS max_key
             FROM a GROUP BY part""",
+        "group_distinct": """
+            SELECT o_orderpriority,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+            FROM orders GROUP BY o_orderpriority""",
         "token_count": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)

@@ -588,3 +588,30 @@ def q_group_hll(sf_dir: str):
 
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
     return group_hll_distinct(ds, "o_orderpriority", "o_custkey")
+
+
+def q_group_distinct(sf_dir: str) -> Dataset:
+    """EXACT distinct customers per order priority: map-side (group, key)
+    dedup shrinks the exchange to distinct pairs per block, one keyed
+    reduction dedups globally, a second tiny one counts — the exact
+    complement of the grouped HLL sketch (same truth, key-cardinality
+    shuffle instead of constant)."""
+    import pandas as pd
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
+
+    def local_distinct(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.drop_duplicates()
+
+    pairs = ds.map_batches(local_distinct, batch_format="pandas")
+    uniq = grouped_reduce(
+        pairs, ["o_orderpriority", "o_custkey"],
+        {"_n": ("o_custkey", "count")}, combine_first=False,
+    )
+    out = grouped_reduce(
+        uniq.select_columns(["o_orderpriority"]), "o_orderpriority",
+        {"n_distinct": ("o_orderpriority", "count")}, combine_first=False,
+    )
+    return out

@@ -145,6 +145,78 @@ def _tfidf_top_terms(ds: Dataset, **kw) -> Dataset:
     return tfidf_top_terms(ds, **kw)
 
 
+def _merge_intervals(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.intervals import merge_intervals
+
+    return merge_intervals(ds, **kw)
+
+
+def _time_bucket(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.timegrid import time_bucket_agg
+
+    return time_bucket_agg(ds, **kw)
+
+
+def _time_grid_lerp(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.timegrid import time_grid_interpolate
+
+    return time_grid_interpolate(ds, **kw)
+
+
+def _rollup(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.rollup import rollup_aggregate
+
+    return rollup_aggregate(ds, kw.pop("cols"), **kw)
+
+
+def _cube(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.rollup import cube_aggregate
+
+    return cube_aggregate(ds, kw.pop("cols"), **kw)
+
+
+def _grouped_reduce(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    return grouped_reduce(ds, kw.pop("keys"), kw.pop("how"), **kw)
+
+
+def _cohort_retention(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.session import cohort_retention
+
+    return cohort_retention(ds, **kw)
+
+
+def _flatten(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.session import flatten_ordered
+
+    return flatten_ordered(ds, **kw)
+
+
+def _transitions(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.lag import transition_counts
+
+    return transition_counts(ds, **kw)
+
+
+def _token_ids(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.textstage import encode_token_ids
+
+    return encode_token_ids(ds, **kw)
+
+
+def _bigram_pmi(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.textstage import bigram_pmi
+
+    return bigram_pmi(ds, **kw)
+
+
+def _boilerplate(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.textstage import boilerplate_ngrams
+
+    return boilerplate_ngrams(ds, **kw)
+
+
 _REGISTRY: dict[str, Callable[..., Dataset]] = {
     "turn_stats": _turn_stats,
     "sessionize": _sessionize,
@@ -166,6 +238,19 @@ _REGISTRY: dict[str, Callable[..., Dataset]] = {
     "langid": _langid,
     "fingerprints": _fingerprints,
     "tfidf_top_terms": _tfidf_top_terms,
+    # round-3 session-2 additions
+    "merge_intervals": _merge_intervals,
+    "time_bucket": _time_bucket,
+    "time_grid_lerp": _time_grid_lerp,
+    "rollup": _rollup,
+    "cube": _cube,
+    "grouped_reduce": _grouped_reduce,
+    "cohort_retention": _cohort_retention,
+    "flatten": _flatten,
+    "transitions": _transitions,
+    "token_ids": _token_ids,
+    "bigram_pmi": _bigram_pmi,
+    "boilerplate": _boilerplate,
 }
 
 
