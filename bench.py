@@ -46,6 +46,7 @@ QUERY_NAMES = [
     "kmeans_clusters", "range_partition", "cube_orders", "heavy_hitters",
     "token_ids", "bigram_pmi", "time_bucket", "merge_intervals",
     "cohort_retention", "knn_ivf", "boilerplate",
+    "curation", "nb_classify", "time_grid_lerp", "transitions",
 ]
 
 
