@@ -267,6 +267,7 @@ def grouped_reduce(
     *,
     combine_first: bool = True,
     num_partitions: int | None = None,
+    surrogate: bool = False,
 ) -> Dataset:
     """Distributed keyed reduction without Ray's sort-based aggregate.
 
@@ -282,6 +283,12 @@ def grouped_reduce(
     all-to-all dominates every small/medium aggregation — while this path
     is ~0.35 s for the same reduction. Use Ray's aggregate only when its
     operator fusion matters; use this for interactive-scale finals.
+
+    ``surrogate=True`` forces the int64 surrogate-hash exchange even for a
+    single key: the partition sort runs on 8-byte ints instead of the key
+    strings (hash collisions are harmless — the merge groups by the REAL
+    keys). Use it when keys are long strings at volume (measured on the n-
+    gram miners: the string mergesort dominates the exchange).
     """
     import pyarrow as pa
 
@@ -317,7 +324,7 @@ def grouped_reduce(
     )
     final_spec = spec_after_combine() if combine_first else dict(how)
 
-    if len(klist) == 1:
+    if len(klist) == 1 and not surrogate:
         return partitioned_apply(
             parts,
             lambda pdf, starts: agg(pdf, final_spec),
