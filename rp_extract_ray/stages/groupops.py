@@ -287,8 +287,9 @@ def grouped_reduce(
     ``surrogate=True`` forces the int64 surrogate-hash exchange even for a
     single key: the partition sort runs on 8-byte ints instead of the key
     strings (hash collisions are harmless — the merge groups by the REAL
-    keys). Use it when keys are long strings at volume (measured on the n-
-    gram miners: the string mergesort dominates the exchange).
+    keys). Measured ~neutral on the 4M-doc n-gram miner (the exchange is
+    volume-bound there, not sort-bound); reach for it when keys are much
+    longer than 8 bytes AND profiling shows the partition sort dominating.
     """
     import pyarrow as pa
 
