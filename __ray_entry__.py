@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitions": E.q_transitions,
         "value_share": E.q_value_share,
         "trend_slope": E.q_trend_slope,
+        "ntile": E.q_ntile,
+        "longest_streak": E.q_longest_streak,
         "time_grid": E.q_time_grid,
         "time_grid_lerp": E.q_time_grid_lerp,
         "time_window": E.q_time_window,
@@ -581,6 +583,32 @@ def oracle_sql() -> dict[str, str]:
                        WHERE event_type='view')
             SELECT l.event_id, l.user_id, l.ts, l.value, round(r.fvalue, 6) AS fvalue
             FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""",
+        "ntile": """
+            SELECT event_id, user_id,
+                   CAST(ntile(4) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS BIGINT)
+                     AS tile
+            FROM events""",
+        # longest equal-value run per user; ties break to the EARLIEST run
+        "longest_streak": """
+            WITH o AS (SELECT user_id, event_type,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS rn,
+                              row_number() OVER (PARTITION BY user_id,
+                                                              event_type
+                                                 ORDER BY ts, event_id) AS rnt
+                       FROM events),
+                 isl AS (SELECT user_id, event_type,
+                                CAST(count(*) AS BIGINT) AS len,
+                                min(rn) AS first_rn
+                         FROM o GROUP BY user_id, event_type, rn - rnt),
+                 r AS (SELECT user_id, event_type AS streak_state,
+                              len AS streak_len,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY len DESC, first_rn)
+                                AS k
+                       FROM isl)
+            SELECT user_id, streak_state, streak_len FROM r WHERE k = 1""",
         # OLS slope per day, explicit sum formula with centered time on
         # both sides (identical arithmetic; regr_slope would differ in ulps)
         "trend_slope": """

@@ -682,3 +682,27 @@ def q_trend_slope(sf_dir: str) -> Dataset:
         )
 
     return sums.map_batches(fin, batch_format="pyarrow")
+
+
+def q_ntile(sf_dir: str) -> Dataset:
+    """Per-user NTILE(4) by event order (stages/lag.add_ntile)."""
+    from rp_extract_ray.stages.lag import add_ntile
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+    out = add_ntile(
+        ds, 4, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )
+    return out.select_columns(["event_id", "user_id", "tile"])
+
+
+def q_longest_streak(sf_dir: str) -> Dataset:
+    """Longest consecutive same-event-type run per user
+    (stages/lag.longest_streak); ties -> earliest run. Oracle:
+    gaps-and-islands rn-difference trick."""
+    from rp_extract_ray.stages.lag import longest_streak
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    return longest_streak(
+        ds, entity_col=ENTITY, state_col="event_type", order_cols=ORDER,
+        num_partitions=NP,
+    )

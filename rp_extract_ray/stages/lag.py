@@ -345,3 +345,96 @@ def transition_counts(
     return grouped_reduce(
         partial, ["from_state", "to_state"], {"n": ("n", "sum")}, combine_first=False
     )
+
+
+def ntile_within(starts: np.ndarray, k: int) -> np.ndarray:
+    """SQL ``NTILE(k)`` bucket of each row within its entity run, in the
+    frame's (already sorted) row order: the first ``n % k`` buckets take
+    ``n // k + 1`` rows, the rest ``n // k`` — exactly DuckDB/ANSI NTILE.
+    Fully vectorized from the per-row run-start indices."""
+    r = np.arange(len(starts), dtype=np.int64) - starts  # 0-based pos in run
+    run_starts = np.unique(starts)
+    sizes = np.diff(np.append(run_starts, len(starts)))
+    n = np.repeat(sizes, sizes).astype(np.int64)  # run size per row
+    q, rem = n // k, n % k
+    big_span = rem * (q + 1)
+    in_big = r < big_span
+    bucket = np.where(
+        in_big,
+        r // np.maximum(q + 1, 1),
+        rem + (r - big_span) // np.maximum(q, 1),
+    )
+    return (bucket + 1).astype(np.int64)
+
+
+def add_ntile(
+    ds: Dataset,
+    k: int,
+    *,
+    entity_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    out_col: str = "tile",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Append the NTILE(k)-by-order bucket per entity (one exchange)."""
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        pdf[out_col] = ntile_within(starts, k)
+        return pdf
+
+    return partitioned_apply(
+        ds, fn, entity_col=entity_col, order_cols=order_cols,
+        num_partitions=num_partitions,
+    )
+
+
+def longest_streak(
+    ds: Dataset,
+    *,
+    entity_col: str = "conv_id",
+    state_col: str = "role",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per entity: the longest run of consecutive equal ``state_col`` values
+    in event order, and that state (ties -> the earliest run) — the
+    repetition / loop-detection miner for transcript curation (an agent
+    stuck calling the same tool shows up as a long streak).
+
+    One entity exchange; run lengths are one vectorized diff/cumsum pass
+    (gaps-and-islands on value changes), the per-entity argmax a single
+    ordered groupby head."""
+    import numpy as np
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        m = len(pdf)
+        if m == 0:
+            return pd.DataFrame(
+                {entity_col: [], "streak_state": [],
+                 "streak_len": pd.Series([], dtype=np.int64)}
+            )
+        st = pdf[state_col].to_numpy()
+        is_run_start = np.zeros(m, dtype=bool)
+        is_run_start[np.unique(starts)] = True
+        brk = is_run_start.copy()
+        brk[1:] |= st[1:] != st[:-1]
+        island = np.cumsum(brk) - 1
+        ilen = np.bincount(island)
+        istart = np.flatnonzero(brk)
+        d = pd.DataFrame(
+            {
+                entity_col: pdf[entity_col].to_numpy()[istart],
+                "streak_state": st[istart],
+                "streak_len": ilen.astype(np.int64),
+            }
+        )
+        # earliest-longest per entity: stable sort by length desc only
+        d = d.sort_values("streak_len", ascending=False, kind="mergesort")
+        return (
+            d.groupby(entity_col, sort=False).head(1).reset_index(drop=True)
+        )
+
+    return partitioned_apply(
+        ds, fn, entity_col=entity_col, order_cols=order_cols,
+        num_partitions=num_partitions,
+    )
