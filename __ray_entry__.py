@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_ids": D.q_token_ids,
         "bigram_pmi": D.q_bigram_pmi,
         "boilerplate": D.q_boilerplate,
+        "repetition": D.q_repetition,
+        "boilerplate_share": D.q_boilerplate_share,
         "json_extract": E.q_json_extract,
         "langid": D.q_langid,
         "fingerprint": D.q_fingerprint,
@@ -1092,6 +1094,45 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, string_split(text, ' ') AS toks
                   FROM documents) t,
                  LATERAL unnest(range(1, len(toks) + 1)) AS u(i)""",
+        "boilerplate_share": r"""
+            WITH w AS (SELECT doc_id,
+                              array_to_string(
+                                ts[CAST(u.i AS INTEGER):CAST(u.i + 4 AS INTEGER)],
+                                ' ') AS gram
+                       FROM (SELECT doc_id,
+                                    regexp_extract_all(lower(text),
+                                                       '[0-9a-z_]+') AS ts
+                             FROM documents),
+                            LATERAL unnest(range(1, greatest(len(ts) - 4, 0) + 1))
+                              AS u(i)),
+                 bp AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM w)
+                        GROUP BY gram HAVING count(*) >= 2),
+                 sc AS (SELECT w.doc_id,
+                               round(sum(CASE WHEN bp.gram IS NULL
+                                              THEN 0.0 ELSE 1.0 END)
+                                     / CAST(count(*) AS DOUBLE), 6) AS sh
+                        FROM w LEFT JOIN bp USING (gram)
+                        GROUP BY w.doc_id)
+            SELECT d.doc_id, COALESCE(sc.sh, 0.0) AS bp_share
+            FROM documents d LEFT JOIN sc USING (doc_id)""",
+        # intra-doc repetition: 1 - distinct/total 3-grams; <3-token docs -> 0
+        "repetition": r"""
+            WITH g AS (SELECT doc_id,
+                              array_to_string(
+                                ts[CAST(u.i AS INTEGER):CAST(u.i + 2 AS INTEGER)],
+                                ' ') AS gram
+                       FROM (SELECT doc_id,
+                                    regexp_extract_all(lower(text),
+                                                       '[0-9a-z_]+') AS ts
+                             FROM documents),
+                            LATERAL unnest(range(1, greatest(len(ts) - 2, 0) + 1))
+                              AS u(i)),
+                 r AS (SELECT doc_id,
+                              round(1.0 - count(DISTINCT gram)
+                                          / CAST(count(*) AS DOUBLE), 6) AS rr
+                       FROM g GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(r.rr, 0.0) AS rep_ratio
+            FROM documents d LEFT JOIN r USING (doc_id)""",
         # boilerplate: 1-based INCLUSIVE list slices build the same 5-grams
         "boilerplate": r"""
             WITH g AS (SELECT DISTINCT doc_id,

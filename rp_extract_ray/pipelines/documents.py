@@ -461,3 +461,24 @@ def q_nb_classify(sf_dir: str) -> Dataset:
     ds = _docs(sf_dir, ["doc_id", "lang", "text"])
     model = nb_train(ds, text_col="text", label_col="lang")
     return nb_predict(ds, model, text_col="text", id_col="doc_id")
+
+
+def q_repetition(sf_dir: str) -> Dataset:
+    """Intra-doc 3-gram repetition ratio (Gopher-style quality signal).
+    Oracle: list-slice grams, count vs count-distinct per doc."""
+    from rp_extract_ray.stages.textstage import add_repetition_ratio
+
+    ds = add_repetition_ratio(_docs(sf_dir, ["doc_id", "text"]), n=3)
+    return ds.select_columns(["doc_id", "rep_ratio"])
+
+
+def q_boilerplate_share(sf_dir: str) -> Dataset:
+    """Per-doc fraction of 5-gram windows in the corpus boilerplate set
+    (mine once -> broadcast -> one scoring pass). Oracle: the boilerplate
+    CTE composed with a per-doc member-window count."""
+    from rp_extract_ray.stages.textstage import add_boilerplate_share
+
+    ds = add_boilerplate_share(
+        _docs(sf_dir, ["doc_id", "text"]), n=5, min_docs=2
+    )
+    return ds.select_columns(["doc_id", "bp_share"])

@@ -522,3 +522,123 @@ def boilerplate_ngrams(
         partial, batch_format="pandas"
     )
     return partitioned_apply(parts, merge, entity_col="gram", order_cols=())
+
+
+def add_repetition_ratio(
+    ds,
+    *,
+    text_col: str = "text",
+    n: int = 3,
+    out_col: str = "rep_ratio",
+    round_to: int = 6,
+):
+    """Intra-document repetition: ``1 - distinct_ngrams / total_ngrams``
+    over word ``n``-grams — the Gopher/C4-family quality signal for
+    loop/copy-paste degeneration (0 = no repeated n-gram, -> 1 = one n-gram
+    repeated throughout). Documents shorter than ``n`` tokens score 0.
+
+    Pure map (zero shuffle): per batch, grams are built from ``n`` shifted
+    object-array views and counted per doc with one unique() pass over
+    (doc, gram) pairs.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
+        arrs = toks.to_numpy()
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        total = int(lens.sum())
+        ratio = np.zeros(len(batch), dtype=np.float64)
+        if total >= n:
+            flat = np.concatenate(
+                [np.asarray(a, dtype=object) for a in arrs if len(a)]
+            )
+            m = total - n + 1
+            gram = flat[:m].copy()
+            for k in range(1, n):
+                gram = gram + " "
+                gram = gram + flat[k : m + k]
+            wins = np.maximum(lens[lens > 0] - n + 1, 0)
+            keep = np.zeros(m, dtype=bool)
+            starts_of = np.concatenate([[0], np.cumsum(lens[lens > 0])[:-1]])
+            ends_of = np.cumsum(lens[lens > 0])
+            for s_, e_ in zip(starts_of, ends_of):
+                if e_ - s_ >= n:
+                    keep[s_ : e_ - n + 1] = True
+            doc_pos = np.repeat(np.flatnonzero(lens > 0), wins)
+            d = pd.DataFrame({"_p": doc_pos, "_g": gram[keep]})
+            nd = d.drop_duplicates().groupby("_p", sort=False).size()
+            tot_by = pd.Series(wins, index=np.flatnonzero(lens > 0))
+            r = 1.0 - nd / tot_by.loc[nd.index]
+            ratio[nd.index.to_numpy()] = r.to_numpy()
+        batch[out_col] = round_half_away(ratio, round_to)
+        return batch
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def add_boilerplate_share(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+    out_col: str = "bp_share",
+    round_to: int = 6,
+):
+    """Per-document boilerplate load: the fraction of the doc's word
+    ``n``-gram windows that belong to the corpus cross-document repeated
+    set (:func:`boilerplate_ngrams` at ``min_docs``) — the filter-stage
+    composition: mine the shared set once, broadcast it, score every doc in
+    one streaming pass. Docs with fewer than ``n`` tokens score 0."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    bp = boilerplate_ngrams(
+        ds.select_columns([id_col, text_col]),
+        text_col=text_col, id_col=id_col, n=n, min_docs=min_docs,
+    ).to_pandas()  # bounded by the min_docs cut
+    bp_ref = ray.put(set(bp["gram"].tolist()))
+
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        wanted = ray.get(bp_ref)
+        toks = batch[text_col].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
+        arrs = toks.to_numpy()
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        total = int(lens.sum())
+        share = np.zeros(len(batch), dtype=np.float64)
+        if total >= n:
+            flat = np.concatenate(
+                [np.asarray(a, dtype=object) for a in arrs if len(a)]
+            )
+            m = total - n + 1
+            gram = flat[:m].copy()
+            for k in range(1, n):
+                gram = gram + " "
+                gram = gram + flat[k : m + k]
+            wins = np.maximum(lens[lens > 0] - n + 1, 0)
+            keep = np.zeros(m, dtype=bool)
+            starts_of = np.concatenate([[0], np.cumsum(lens[lens > 0])[:-1]])
+            ends_of = np.cumsum(lens[lens > 0])
+            for s_, e_ in zip(starts_of, ends_of):
+                if e_ - s_ >= n:
+                    keep[s_ : e_ - n + 1] = True
+            hit = pd.Series(gram[keep]).isin(wanted).to_numpy()
+            doc_pos = np.repeat(np.flatnonzero(lens > 0), wins)
+            hits_by = np.bincount(doc_pos, weights=hit, minlength=len(batch))
+            tot_by = np.bincount(doc_pos, minlength=len(batch))
+            nz = tot_by > 0
+            share[nz] = hits_by[nz] / tot_by[nz]
+        batch[out_col] = round_half_away(share, round_to)
+        return batch
+
+    return ds.map_batches(f, batch_format="pandas")
