@@ -620,10 +620,11 @@ def oracle_sql() -> dict[str, str]:
                        FROM events),
                  s AS (SELECT user_id, sum(x) AS sx, sum(y) AS sy,
                               sum(x * x) AS sxx, sum(x * y) AS sxy,
+                              min(x) AS xmin, max(x) AS xmax,
                               CAST(count(*) AS BIGINT) AS n
                        FROM m GROUP BY user_id)
             SELECT user_id, n,
-                   round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                   round(CASE WHEN xmax <= xmin THEN NULL
                          ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx)
                               * 86400.0 END, 6) AS slope
             FROM s""",
@@ -1070,9 +1071,10 @@ def oracle_sql() -> dict[str, str]:
                  sc AS (SELECT t.doc_id, p.lang,
                                any_value(p.lpri)
                                  + sum(ln((COALESCE(ct.n, 0) + 1)
-                                          / (tot.tot + voc.V))) AS s
+                                          / (COALESCE(tot.tot, 0) + voc.V)))
+                                 AS s
                         FROM tok t CROSS JOIN pri p
-                        JOIN tot ON tot.lang = p.lang
+                        LEFT JOIN tot ON tot.lang = p.lang
                         LEFT JOIN ct ON ct.lang = p.lang
                                     AND ct.token = t.token, voc
                         GROUP BY t.doc_id, p.lang),

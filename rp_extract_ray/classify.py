@@ -311,12 +311,18 @@ def nb_predict(
         known = idx.notna().to_numpy()
         rows = np.where(known, idx.fillna(0).to_numpy(np.int64), 0)
         tokmat = np.where(known[:, None], lp[rows], dflt[None, :])
-        ends = np.cumsum(lens)
-        starts_ = ends - lens
         scores = np.tile(pri, (n, 1))
         if len(flat):
-            csum = np.vstack([np.zeros(len(labs)), np.cumsum(tokmat, axis=0)])
-            scores += csum[ends] - csum[starts_]
+            # per-doc segment sums via reduceat — NOT batch-wide prefix-sum
+            # differences, whose ~1e-6-scale cancellation error varies with
+            # batch composition and can flip a near-tie argmax across
+            # partitionings. reduceat on an empty segment (zero-token doc)
+            # returns the NEXT doc's leading value, so those rows are
+            # zeroed explicitly.
+            nz = lens > 0
+            starts_ = (np.cumsum(lens) - lens)[nz]
+            seg = np.add.reduceat(tokmat, starts_, axis=0)
+            scores[nz] += seg
         pred = np.asarray(labs, dtype=object)[scores.argmax(axis=1)]
         return pa.table(
             {id_col: pa.array(pdf[id_col].to_numpy()), out_col: pa.array(pred)}

@@ -458,7 +458,9 @@ def q_nb_classify(sf_dir: str) -> Dataset:
     add-1-smoothed log-likelihood argmax in SQL."""
     from rp_extract_ray.classify import nb_predict, nb_train
 
-    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+    # three consumers (two training reductions + the scoring pass):
+    # materialize so the corpus is read once (same rationale as q_curation)
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"]).materialize()
     model = nb_train(ds, text_col="text", label_col="lang")
     return nb_predict(ds, model, text_col="text", id_col="doc_id")
 

@@ -589,7 +589,8 @@ def q_value_share(sf_dir: str) -> Dataset:
     from rp_extract_ray.stages.groupops import grouped_reduce
     from rp_extract_ray.stages.join import broadcast_join
 
-    ds = _events(sf_dir, ["event_id", "user_id", "value"])
+    # two consumers (totals aggregate + the share join): read once
+    ds = _events(sf_dir, ["event_id", "user_id", "value"]).materialize()
     totals = grouped_reduce(
         ds.select_columns(["user_id", "value"]), "user_id",
         {"total": ("value", "sum")},
@@ -660,6 +661,7 @@ def q_trend_slope(sf_dir: str) -> Dataset:
             "sx": ("sx", "sum"), "sy": ("sy", "sum"),
             "sxx": ("sxx", "sum"), "sxy": ("sxy", "sum"),
             "n": ("sx", "count"),
+            "xmin": ("sx", "min"), "xmax": ("sx", "max"),
         },
     )
 
@@ -669,8 +671,13 @@ def q_trend_slope(sf_dir: str) -> Dataset:
         sy = b.column("sy").to_numpy(zero_copy_only=False)
         sxx = b.column("sxx").to_numpy(zero_copy_only=False)
         sxy = b.column("sxy").to_numpy(zero_copy_only=False)
+        # zero time-variance guard on EXACT min/max (denom != 0 is float
+        # cancellation noise when all ts are equal — measured: 3 same-ts
+        # rows give denom = -0.015625 and a garbage finite slope)
+        xmin = b.column("xmin").to_numpy(zero_copy_only=False)
+        xmax = b.column("xmax").to_numpy(zero_copy_only=False)
         denom = n * sxx - sx * sx
-        slope = np.where(denom != 0, (n * sxy - sx * sy) / denom, np.nan)
+        slope = np.where(xmax > xmin, (n * sxy - sx * sy) / denom, np.nan)
         from rp_extract_ray.functions.rounding import round_half_away
 
         return pa.table(

@@ -448,6 +448,41 @@ def bigram_pmi(
     return j.map_batches(score, batch_format="pyarrow")
 
 
+def _doc_ngram_windows(texts, n: int):
+    """Shared per-batch word n-gram window builder for the miners below:
+    returns ``(doc_pos, grams, wins, nonzero_positions)`` where ``grams``
+    are the space-joined n-gram strings of every window that starts AND
+    ends inside one document, ``doc_pos`` the batch-row position of each
+    window's document, and ``wins`` the window count per nonzero-token doc
+    (aligned with ``nonzero_positions``). Returns None when the batch has
+    fewer than ``n`` tokens total. One place for the boundary-mask index
+    arithmetic (used by boilerplate_ngrams / add_repetition_ratio /
+    add_boilerplate_share)."""
+    toks = texts.fillna("").str.lower().str.findall(r"[0-9a-z_]+")
+    arrs = toks.to_numpy()
+    lens = np.array([len(a) for a in arrs], dtype=np.int64)
+    total = int(lens.sum())
+    if total < n:
+        return None
+    flat = np.concatenate([np.asarray(a, dtype=object) for a in arrs if len(a)])
+    m = total - n + 1
+    gram = flat[:m].copy()
+    for k in range(1, n):
+        gram = gram + " "
+        gram = gram + flat[k : m + k]
+    # window must start and end inside one document
+    starts_of = np.concatenate([[0], np.cumsum(lens[lens > 0])[:-1]])
+    ends_of = np.cumsum(lens[lens > 0])
+    keep = np.zeros(m, dtype=bool)
+    for s_, e_ in zip(starts_of, ends_of):
+        if e_ - s_ >= n:
+            keep[s_ : e_ - n + 1] = True
+    nonzero = np.flatnonzero(lens > 0)
+    wins = np.maximum(lens[lens > 0] - n + 1, 0)
+    doc_pos = np.repeat(nonzero, wins)
+    return doc_pos, gram[keep], wins, nonzero
+
+
 def boilerplate_ngrams(
     ds,
     *,
@@ -472,31 +507,15 @@ def boilerplate_ngrams(
     import pandas as pd
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch[text_col].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
-        arrs = toks.to_numpy()
-        lens = np.array([len(a) for a in arrs], dtype=np.int64)
-        total = int(lens.sum())
-        if total < n:
+        w = _doc_ngram_windows(batch[text_col], n)
+        if w is None:
             return pd.DataFrame(
                 {"gram": [], "n_docs": pd.Series([], dtype=np.int64)}
             )
-        flat = np.concatenate([np.asarray(a, dtype=object) for a in arrs if len(a)])
-        m = total - n + 1
-        gram = flat[:m].copy()
-        for k in range(1, n):
-            gram = gram + " "
-            gram = gram + flat[k : m + k]
-        # window must start and end inside one document
-        starts_of = np.concatenate([[0], np.cumsum(lens[lens > 0])[:-1]])
-        ends_of = np.cumsum(lens[lens > 0])
-        keep = np.zeros(m, dtype=bool)
-        for s, e in zip(starts_of, ends_of):
-            if e - s >= n:
-                keep[s : e - n + 1] = True
-        # per-window doc ids (windows per doc = max(len - n + 1, 0))
-        wins = np.maximum(lens[lens > 0] - n + 1, 0)
-        doc_rep = np.repeat(batch[id_col].to_numpy()[lens > 0], wins)
-        d = pd.DataFrame({"_doc": doc_rep, "gram": gram[keep]})
+        doc_pos, grams, _, _ = w
+        d = pd.DataFrame(
+            {"_doc": batch[id_col].to_numpy()[doc_pos], "gram": grams}
+        )
         d = d.drop_duplicates()
         vc = d["gram"].value_counts()
         return pd.DataFrame(
@@ -548,31 +567,13 @@ def add_repetition_ratio(
     from rp_extract_ray.functions.rounding import round_half_away
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch[text_col].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
-        arrs = toks.to_numpy()
-        lens = np.array([len(a) for a in arrs], dtype=np.int64)
-        total = int(lens.sum())
         ratio = np.zeros(len(batch), dtype=np.float64)
-        if total >= n:
-            flat = np.concatenate(
-                [np.asarray(a, dtype=object) for a in arrs if len(a)]
-            )
-            m = total - n + 1
-            gram = flat[:m].copy()
-            for k in range(1, n):
-                gram = gram + " "
-                gram = gram + flat[k : m + k]
-            wins = np.maximum(lens[lens > 0] - n + 1, 0)
-            keep = np.zeros(m, dtype=bool)
-            starts_of = np.concatenate([[0], np.cumsum(lens[lens > 0])[:-1]])
-            ends_of = np.cumsum(lens[lens > 0])
-            for s_, e_ in zip(starts_of, ends_of):
-                if e_ - s_ >= n:
-                    keep[s_ : e_ - n + 1] = True
-            doc_pos = np.repeat(np.flatnonzero(lens > 0), wins)
-            d = pd.DataFrame({"_p": doc_pos, "_g": gram[keep]})
+        w = _doc_ngram_windows(batch[text_col], n)
+        if w is not None:
+            doc_pos, grams, wins, nonzero = w
+            d = pd.DataFrame({"_p": doc_pos, "_g": grams})
             nd = d.drop_duplicates().groupby("_p", sort=False).size()
-            tot_by = pd.Series(wins, index=np.flatnonzero(lens > 0))
+            tot_by = pd.Series(wins, index=nonzero)
             r = 1.0 - nd / tot_by.loc[nd.index]
             ratio[nd.index.to_numpy()] = r.to_numpy()
         batch[out_col] = round_half_away(ratio, round_to)
@@ -601,6 +602,8 @@ def add_boilerplate_share(
 
     import ray
 
+    # two consumers (the miner and the scoring pass): read/score once
+    ds = ds.materialize()
     bp = boilerplate_ngrams(
         ds.select_columns([id_col, text_col]),
         text_col=text_col, id_col=id_col, n=n, min_docs=min_docs,
@@ -611,29 +614,11 @@ def add_boilerplate_share(
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         wanted = ray.get(bp_ref)
-        toks = batch[text_col].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
-        arrs = toks.to_numpy()
-        lens = np.array([len(a) for a in arrs], dtype=np.int64)
-        total = int(lens.sum())
         share = np.zeros(len(batch), dtype=np.float64)
-        if total >= n:
-            flat = np.concatenate(
-                [np.asarray(a, dtype=object) for a in arrs if len(a)]
-            )
-            m = total - n + 1
-            gram = flat[:m].copy()
-            for k in range(1, n):
-                gram = gram + " "
-                gram = gram + flat[k : m + k]
-            wins = np.maximum(lens[lens > 0] - n + 1, 0)
-            keep = np.zeros(m, dtype=bool)
-            starts_of = np.concatenate([[0], np.cumsum(lens[lens > 0])[:-1]])
-            ends_of = np.cumsum(lens[lens > 0])
-            for s_, e_ in zip(starts_of, ends_of):
-                if e_ - s_ >= n:
-                    keep[s_ : e_ - n + 1] = True
-            hit = pd.Series(gram[keep]).isin(wanted).to_numpy()
-            doc_pos = np.repeat(np.flatnonzero(lens > 0), wins)
+        w = _doc_ngram_windows(batch[text_col], n)
+        if w is not None:
+            doc_pos, grams, _, _ = w
+            hit = pd.Series(grams).isin(wanted).to_numpy()
             hits_by = np.bincount(doc_pos, weights=hit, minlength=len(batch))
             tot_by = np.bincount(doc_pos, minlength=len(batch))
             nz = tot_by > 0

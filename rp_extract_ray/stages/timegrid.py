@@ -169,13 +169,24 @@ def time_bucket_agg(
             gb[value_col]
             .agg(min_v="min", max_v="max", sum_v="sum", n="size")
             .reset_index()
-            .rename(columns={"_bucket": "bucket"})
         )
-        # POSITIONAL first/last (head/tail on the ordered frame), not pandas
-        # agg first/last which skip NaN — a null first value must surface as
-        # null, matching the SQL first_value window order statistic
-        g["open_v"] = gb[value_col].head(1).to_numpy()
-        g["close_v"] = gb[value_col].tail(1).to_numpy()
+        # POSITIONAL first/last rows (head/tail on the ordered frame), not
+        # pandas agg first/last which skip NaN — a null first value must
+        # surface as null, matching SQL first_value. MERGED on the group
+        # keys (not positionally aligned): head-order is first-occurrence
+        # while tail-order is last-occurrence, and the two only coincide
+        # when groups are contiguous — true for (ts, ...) order but not for
+        # arbitrary order_cols this generic stage accepts.
+        first = gb.head(1)[[entity_col, "_bucket", value_col]].rename(
+            columns={value_col: "open_v"}
+        )
+        last = gb.tail(1)[[entity_col, "_bucket", value_col]].rename(
+            columns={value_col: "close_v"}
+        )
+        g = g.merge(first, on=[entity_col, "_bucket"]).merge(
+            last, on=[entity_col, "_bucket"]
+        )
+        g = g.rename(columns={"_bucket": "bucket"})
         g["n"] = g["n"].astype(np.int64)
         return g[[entity_col, "bucket", "open_v", "close_v",
                   "min_v", "max_v", "sum_v", "n"]]

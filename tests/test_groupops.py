@@ -534,3 +534,31 @@ def test_review_fixes_regressions():
         .sort_values("e", ignore_index=True)
     )
     assert fo.loc[0, "flat"] == "a" and pd.isna(fo.loc[1, "flat"])
+
+
+def test_trend_slope_zero_time_variance_is_null():
+    """All-equal timestamps (3+ rows) must yield NULL slope, not float
+    cancellation noise (round-3 self-review finding)."""
+    import duckdb
+    import ray.data as rd
+    import ray
+
+    import tempfile, os
+    from rp_extract_ray.pipelines.events import q_trend_slope
+
+    ts = pd.Timestamp("2025-02-14 12:00:00.123456")
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(5, dtype=np.int64),
+            "ts": [ts, ts, ts, ts + pd.Timedelta("1h"), ts + pd.Timedelta("2h")],
+            "user_id": np.array([1, 1, 1, 2, 2], dtype=np.int64),
+            "event_type": ["view"] * 5,
+            "value": [3.0, 5.0, 7.0, 1.0, 2.0],
+            "props": ["{}"] * 5,
+        }
+    )
+    d = tempfile.mkdtemp()
+    ev.to_parquet(os.path.join(d, "events.parquet"))
+    out = q_trend_slope(d).to_pandas().sort_values("user_id", ignore_index=True)
+    assert np.isnan(out.loc[0, "slope"])  # user 1: zero time variance
+    assert np.isfinite(out.loc[1, "slope"])  # user 2: real slope
