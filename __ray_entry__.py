@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_share": E.q_value_share,
         "trend_slope": E.q_trend_slope,
         "ntile": E.q_ntile,
+        "winsorize": E.q_winsorize,
         "longest_streak": E.q_longest_streak,
         "time_grid": E.q_time_grid,
         "time_grid_lerp": E.q_time_grid_lerp,
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "baseline": R.q_baseline,
         "dup_check": R.q_dup_check,
         "dedup_exact": R.q_dedup_exact,
+        "dedup_normalized": D.q_dedup_normalized,
         "tpch_q1": R.q_tpch_q1,
         "join_agg": R.q_join_agg,
         "semi_join": R.q_semi_join,
@@ -585,12 +587,28 @@ def oracle_sql() -> dict[str, str]:
                        WHERE event_type='view')
             SELECT l.event_id, l.user_id, l.ts, l.value, round(r.fvalue, 6) AS fvalue
             FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""",
+        "dedup_normalized": r"""
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT doc_id,
+                         trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                           AS canon
+                  FROM documents)
+            GROUP BY canon""",
         "ntile": """
             SELECT event_id, user_id,
                    CAST(ntile(4) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS BIGINT)
                      AS tile
             FROM events""",
+        "winsorize": """
+            WITH c AS (SELECT user_id,
+                              quantile_cont(value, 0.05) AS lo,
+                              quantile_cont(value, 0.95) AS hi
+                       FROM events GROUP BY user_id)
+            SELECT e.event_id, e.user_id,
+                   round(least(greatest(e.value, c.lo), c.hi), 6) AS value_w
+            FROM events e JOIN c USING (user_id)""",
         # longest equal-value run per user; ties break to the EARLIEST run
         "longest_streak": """
             WITH o AS (SELECT user_id, event_type,

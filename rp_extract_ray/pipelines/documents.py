@@ -484,3 +484,16 @@ def q_boilerplate_share(sf_dir: str) -> Dataset:
         _docs(sf_dir, ["doc_id", "text"]), n=5, min_docs=2
     )
     return ds.select_columns(["doc_id", "bp_share"])
+
+
+def q_dedup_normalized(sf_dir: str) -> Dataset:
+    """Near-exact dedup on canonicalized text (lower + whitespace collapse +
+    trim); keeps min doc_id per class. Oracle: groupby the same regexp
+    canonicalization."""
+    from rp_extract_ray.stages.dedup import normalized_exact_dedup
+
+    out = normalized_exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_dups"]).rename_columns(["doc_id", "n"]),
+        batch_format="pyarrow",
+    )

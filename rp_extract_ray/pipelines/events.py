@@ -713,3 +713,35 @@ def q_longest_streak(sf_dir: str) -> Dataset:
         ds, entity_col=ENTITY, state_col="event_type", order_cols=ORDER,
         num_partitions=NP,
     )
+
+
+def q_winsorize(sf_dir: str) -> Dataset:
+    """Per-user winsorization: clip value into the user's [p05, p95]
+    (exact grouped quantiles broadcast back onto the stream — the numeric
+    twin of the per-language length filter). Oracle: quantile_cont join +
+    least/greatest."""
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.stages.groupops import grouped_quantiles
+    from rp_extract_ray.stages.join import broadcast_join
+
+    ds = _events(sf_dir, ["event_id", "user_id", "value"]).materialize()
+    cuts = grouped_quantiles(
+        ds, "user_id", "value", [0.05, 0.95], out_names=["lo", "hi"]
+    ).select_columns(["user_id", "lo", "hi"])
+    joined = broadcast_join(ds, cuts, on="user_id", value_cols=["lo", "hi"])
+
+    def clip(b: pa.Table) -> pa.Table:
+        v = pc.min_element_wise(
+            pc.max_element_wise(b.column("value"), b.column("lo")),
+            b.column("hi"),
+        )
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "value_w": v,
+            }
+        )
+
+    return _round(joined.map_batches(clip, batch_format="pyarrow"), {"value_w": 6})

@@ -1495,3 +1495,29 @@ def contamination_pairs(
         return t.filter(pa.array(cont >= min_containment)).cast(out_schema)
 
     return counted.map_batches(finish, batch_format="pyarrow")
+
+
+def normalized_exact_dedup(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """Exact dedup after text canonicalization (casefold + whitespace
+    collapse + strip) — the near-exact tier between byte-identity dedup
+    (:func:`exact_dedup`) and MinHash: catches re-encodes and formatting
+    variants at hash-groupby cost. Same shuffle design: one int64 content
+    hash per row, never the payload."""
+    import pyarrow.compute as pc
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        t = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(pc.fill_null(b.column(text_col), "")),
+                r"\s+", " ",
+            )
+        )
+        h = stable_hash(t.to_numpy(zero_copy_only=False))
+        return b.append_column("content_hash", pa.array(h.astype(np.int64)))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    return hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="n_dups")
+    )
