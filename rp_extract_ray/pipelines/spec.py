@@ -217,6 +217,36 @@ def _boilerplate(ds: Dataset, **kw) -> Dataset:
     return boilerplate_ngrams(ds, **kw)
 
 
+def _ntile(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.lag import add_ntile
+
+    return add_ntile(ds, kw.pop("k"), **kw)
+
+
+def _longest_streak(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.lag import longest_streak
+
+    return longest_streak(ds, **kw)
+
+
+def _repetition(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.textstage import add_repetition_ratio
+
+    return add_repetition_ratio(ds, **kw)
+
+
+def _boilerplate_share(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.textstage import add_boilerplate_share
+
+    return add_boilerplate_share(ds, **kw)
+
+
+def _dedup_normalized(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.dedup import normalized_exact_dedup
+
+    return normalized_exact_dedup(ds, **kw)
+
+
 _REGISTRY: dict[str, Callable[..., Dataset]] = {
     "turn_stats": _turn_stats,
     "sessionize": _sessionize,
@@ -251,6 +281,11 @@ _REGISTRY: dict[str, Callable[..., Dataset]] = {
     "token_ids": _token_ids,
     "bigram_pmi": _bigram_pmi,
     "boilerplate": _boilerplate,
+    "ntile": _ntile,
+    "longest_streak": _longest_streak,
+    "repetition": _repetition,
+    "boilerplate_share": _boilerplate_share,
+    "dedup_normalized": _dedup_normalized,
 }
 
 
