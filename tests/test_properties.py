@@ -167,3 +167,19 @@ def test_langid_single_pass_matches_naive_counts(texts):
     conf = round_half_away(scores[np.arange(len(t)), best] / total, 6)
     assert (out["lang_pred"].to_numpy() == pred.to_numpy()).all()
     assert np.allclose(out["lang_conf"].to_numpy(), conf)
+
+
+def test_registry_covers_round3_stages():
+    """The declarative registry (§2.10 surface) exposes every round-3 stage
+    family; unknown names still raise with the available list."""
+    from rp_extract_ray.pipelines.spec import available_stages
+
+    names = set(available_stages())
+    for expected in (
+        "merge_intervals", "time_bucket", "time_grid_lerp", "rollup", "cube",
+        "grouped_reduce", "cohort_retention", "flatten", "transitions",
+        "token_ids", "bigram_pmi", "boilerplate", "ntile", "longest_streak",
+        "repetition", "boilerplate_share", "dedup_normalized",
+    ):
+        assert expected in names, expected
+    assert len(names) >= 36
