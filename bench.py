@@ -79,6 +79,7 @@ def run_headline(paths: dict) -> dict:
         feature_backfill_payload_light,
     )
     from rp_extract_ray.state.metrics import MetricsSink, drain_metrics
+    from rp_extract_ray.sources.pqio import read_parquet_clean
 
     # warm the page cache so we measure compute + shuffle, not first disk
     # read — a bare count() is satisfied from parquet METADATA and warms
@@ -87,7 +88,7 @@ def run_headline(paths: dict) -> dict:
     import pyarrow as pa
 
     n_turns = int(
-        rd.read_parquet(paths["transcripts"])
+        read_parquet_clean(paths["transcripts"])
         .map_batches(
             lambda b: pa.table({"n": pa.array([len(b)], pa.int64())}),
             batch_format="pyarrow",
@@ -121,14 +122,14 @@ def run_headline(paths: dict) -> dict:
             # rounds (round 2 ran sink-less)
             ds = feature_backfill_payload_light(
                 shard_files,
-                rd.read_parquet(paths["conv_events"]),
+                read_parquet_clean(paths["conv_events"]),
                 k=16,
                 num_partitions=parts,
             )
         else:
             ds = feature_backfill(
-                rd.read_parquet(paths["transcripts"]),
-                rd.read_parquet(paths["conv_events"]),
+                read_parquet_clean(paths["transcripts"]),
+                read_parquet_clean(paths["conv_events"]),
                 k=16,
                 num_partitions=parts,
             )
@@ -142,7 +143,7 @@ def run_headline(paths: dict) -> dict:
         sink = MetricsSink.remote()
         feature_backfill_payload_light(
             shard_files,
-            rd.read_parquet(paths["conv_events"]),
+            read_parquet_clean(paths["conv_events"]),
             k=16,
             num_partitions=parts,
             metrics_sink=sink,

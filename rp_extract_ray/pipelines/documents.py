@@ -26,11 +26,15 @@ from rp_extract_ray.stages.textstage import (
 
 
 def _docs(sf_dir: str, columns=None) -> Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from rp_extract_ray.sources.pqio import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _emb(sf_dir: str) -> Dataset:
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from rp_extract_ray.sources.pqio import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
 
 def q_token_count(sf_dir: str) -> Dataset:
@@ -339,7 +343,9 @@ def q_kmeans(sf_dir: str) -> Dataset:
     (pipelines/oracle_literals.kmeans_sql — the golden-vector strategy)."""
     from rp_extract_ray.stages.kmeans import kmeans_assign, kmeans_lloyd
 
-    ds = rd.read_parquet(
+    from rp_extract_ray.sources.pqio import read_parquet_clean
+
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     C = kmeans_lloyd(ds, n_clusters=8, n_iter=5)

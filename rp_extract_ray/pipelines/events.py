@@ -30,7 +30,9 @@ NP = 32  # partitions for sf-scale correctness runs
 
 
 def _events(sf_dir: str, columns=None) -> Dataset:
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    from rp_extract_ray.sources.pqio import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/events.parquet", columns=columns)
 
 
 def _round(ds: Dataset, cols: dict[str, int]) -> Dataset:

@@ -24,7 +24,9 @@ from rp_extract_ray.stages.window import add_window_features
 def events_as_transcripts(sf_dir: str) -> Dataset:
     """Shape the driver ``events`` table into the transcript schema:
     user_id -> conv_id (entity), props -> text, event_type -> role."""
-    ds = rd.read_parquet(
+    from rp_extract_ray.sources.pqio import read_parquet_clean
+
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
     )

@@ -19,7 +19,9 @@ from rp_extract_ray.stages.join import broadcast_join, semi_anti_join
 
 
 def _read(sf_dir: str, table: str, columns=None) -> Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from rp_extract_ray.sources.pqio import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _round_cols(ds: Dataset, cols: dict[str, int]) -> Dataset:

@@ -1,0 +1,48 @@
+"""Parquet read wrapper: strip file-embedded schema metadata.
+
+Pandas-written parquet files (the driver's testdata included) embed a
+``b'pandas'`` metadata blob in the file schema. In this pyarrow version
+``hash(schema)`` raises ``unhashable type: 'dict'`` on such schemas, so every
+Ray Data stage that unifies block schemas (reads, shuffles, reduces) logs a
+noisy "Failed to hash the schemas (for deduplication)" warning per task.
+Passing an explicit metadata-free ``schema=`` to ``read_parquet`` makes every
+downstream block carry a clean, hashable schema. Companion to
+``stages.partition.strip_meta`` (which cleans tables we build from pandas).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+from ray.data import Dataset
+
+
+def read_parquet_clean(paths, *, columns=None, **kwargs) -> Dataset:
+    """``ray.data.read_parquet`` with a metadata-stripped explicit schema.
+
+    ``paths`` may be one path or a list; the schema is probed from the first
+    file and projected to ``columns``. Falls back to a plain read when the
+    schema probe fails (e.g. directory inputs with hive partition columns,
+    which live outside the file schema)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    first = paths[0] if isinstance(paths, (list, tuple)) else paths
+    if isinstance(first, str) and os.path.isdir(first):
+        # flat shard directory: probe the first file (hive-partitioned dirs
+        # fail the probe below and fall back — partition cols aren't in the
+        # file schema, so an explicit schema= would drop them)
+        inner = sorted(
+            f for f in os.listdir(first) if f.endswith(".parquet")
+        )
+        if inner:
+            first = os.path.join(first, inner[0])
+    try:
+        s = pq.read_schema(first).remove_metadata()
+        if columns is not None:
+            s = pa.schema([s.field(c) for c in columns])
+        kwargs["schema"] = s
+    except Exception:
+        pass
+    return rd.read_parquet(paths, columns=columns, **kwargs)

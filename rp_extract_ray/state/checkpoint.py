@@ -157,11 +157,11 @@ def compute_or_load(
 
 def read_partitioned(out_dir: str):
     """Read back a partitioned output directory (excluding sidecars)."""
-    import ray.data as rd
+    from rp_extract_ray.sources.pqio import read_parquet_clean
 
     files = sorted(
         os.path.join(out_dir, f)
         for f in os.listdir(out_dir)
         if f.startswith("part-") and f.endswith(".parquet")
     )
-    return rd.read_parquet(files)
+    return read_parquet_clean(files)

@@ -693,3 +693,39 @@ def test_extract_json_int_missing_and_negative():
     assert out["k"].tolist()[0] == 7
     assert pd.isna(out["k"][1]) and pd.isna(out["k"][2])
     assert out["k"].tolist()[3] == -12
+
+
+def test_knn_cosine_distributed_merge_identical(emb):
+    """The grouped_topk final merge (driver-RSS-bounded path for many
+    queries) must produce byte-identical results to the driver merge."""
+    ds = rd.from_pandas(emb)
+    qs = np.stack([np.array(emb.loc[i, "embedding"]) for i in (0, 7, 80)])
+    a = knn_cosine(ds, qs, k=5, distributed_merge=False)
+    b = knn_cosine(ds, qs, k=5, distributed_merge=True)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+def test_ivf_sample_unbiased_on_sorted_corpus():
+    """ivf_index fits k-means on a deterministic hash sample, not the first
+    rows: on a corpus SORTED by cluster, a limit()-sample would see only one
+    cluster and produce degenerate lists. With the hash sample every true
+    cluster must win a healthy list."""
+    rng = np.random.default_rng(11)
+    centers = np.eye(4, 16) * 10.0  # 4 well-separated clusters
+    rows = []
+    vid = 0
+    for c in range(4):  # SORTED: all of cluster 0 first, then 1, ...
+        for _ in range(250):
+            v = centers[c] + rng.normal(scale=0.2, size=16)
+            rows.append({"vec_id": vid, "embedding": v.tolist()})
+            vid += 1
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    assigned, C = ivf_index(ds, n_clusters=4, sample_rows=100, seed=3)
+    counts = (
+        assigned.select_columns(["list_id"]).to_pandas()["list_id"].value_counts()
+    )
+    # all 4 lists populated, none degenerate (biased sample gives ~1000/0/0/0)
+    assert len(counts) == 4
+    assert counts.min() >= 150 and counts.max() <= 400
