@@ -248,6 +248,87 @@ def scaling() -> dict:
     }
 
 
+def skew_stress() -> dict:
+    """Skew-stress protocol (VERDICT r3 item 1): one conversation = 20% of
+    the corpus. Runs the payload-light headline on a balanced corpus and on
+    the skewed corpus, unsalted and salted, in ONE Ray session. The pass bar:
+    salted-on-skewed within ~1.5x of the balanced run (unsalted-on-skewed is
+    reported to show the stall the salt removes)."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from rp_extract_ray.pipelines.flagship import feature_backfill_payload_light
+    from rp_extract_ray.sources.pqio import read_parquet_clean
+    from rp_extract_ray.synth import write_corpus
+
+    n_convs = int(os.environ.get("GRAFT_SKEW_CONVS", "7200"))
+    chunk = int(os.environ.get("GRAFT_SKEW_CHUNK", "8192"))
+    parts = int(os.environ.get("GRAFT_BENCH_PARTS", str(max(4 * NUM_CPUS, 32))))
+    balanced = write_corpus(
+        "/tmp/graft_skew_balanced_v1", n_convs=n_convs, seed=13, mean_turns=150,
+        shards=64,
+    )
+    skewed = write_corpus(
+        "/tmp/graft_skew_mega_v1", n_convs=n_convs, seed=13, mean_turns=150,
+        shards=64, mega_frac=0.2,
+    )
+
+    def shard_list(paths):
+        d = paths["transcripts"]
+        return sorted(os.path.join(d, f) for f in os.listdir(d))
+
+    def run(paths, salt, repeats=3) -> float:
+        files = shard_list(paths)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            n = feature_backfill_payload_light(
+                files,
+                read_parquet_clean(paths["conv_events"]),
+                k=16,
+                num_partitions=parts,
+                salt_chunk_turns=chunk if salt else None,
+            ).count()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3), n
+
+    wait_for_idle()
+    bal_unsalted, n_bal = run(balanced, salt=False)
+    bal_salted, _ = run(balanced, salt=True)
+    skew_unsalted, n_skew = run(skewed, salt=False)
+    skew_salted, _ = run(skewed, salt=True)
+    ray.shutdown()
+    return {
+        "metric": "skew_stress_mega_conv_20pct",
+        "turns_balanced": n_bal,
+        "turns_skewed": n_skew,
+        "balanced_unsalted_sec": bal_unsalted,
+        "balanced_salted_sec": bal_salted,
+        "skewed_unsalted_sec": skew_unsalted,
+        "skewed_salted_sec": skew_salted,
+        "salted_skew_vs_balanced": round(skew_salted / bal_unsalted, 3),
+        "salt_overhead_balanced": round(bal_salted / bal_unsalted, 3),
+        "unsalted_skew_penalty": round(skew_unsalted / bal_unsalted, 3),
+        "chunk_turns": chunk,
+        "num_cpus": NUM_CPUS,
+    }
+
+
 if __name__ == "__main__":
-    result = scaling() if "--scaling" in sys.argv else single_run()
+    if "--scaling" in sys.argv:
+        result = scaling()
+    elif "--skew" in sys.argv:
+        result = skew_stress()
+    else:
+        result = single_run()
     print(json.dumps(result))

@@ -63,6 +63,7 @@ def feature_backfill(
     fused: bool = True,
     add_stats: bool = True,
     dedup_right: str | None = None,
+    salt_chunk_turns: int | None = None,
 ) -> Dataset:
     """turn stats -> sessionize + sliding-window SSD features [-> as-of].
 
@@ -71,30 +72,55 @@ def feature_backfill(
     chain instead of one per stage (SURVEY.md §7.4: pick one partitioning key
     and reuse it). The as-of side defaults to the broadcast strategy (zero
     additional shuffle); set ``broadcast_asof=False`` when the right side is
-    too large for one node. The fused path runs unsalted (session ids need
-    whole conversations); for extreme single-conversation skew use the
-    standalone salted ``add_window_features`` + ``asof_join`` composition.
-    """
+    too large for one node.
+
+    ``salt_chunk_turns``: the skew-proof fused path. The plain fused exchange
+    keeps whole conversations per partition (session ids are a prefix count
+    from the conversation start), so ONE mega-conversation becomes one
+    partition's wall time. With ``salt_chunk_turns=N`` the fused kernel runs
+    under ``salted_session_apply``: conversations are chunked every N turns
+    with a k-row ghost overlap, session ids are re-based by the two-pass
+    chunk-offset merge, and the window kernel sees full ghost context —
+    bit-equal output, partition size bounded by ``N + k`` rows per
+    conversation (VERDICT r3 item 1; skew-stress benched in bench.py
+    --skew)."""
     ds = add_turn_stats(turns) if add_stats else turns
     if fused:
-        from rp_extract_ray.stages.lag import gap_seconds
-        from rp_extract_ray.stages.partition import partitioned_apply
-        from rp_extract_ray.stages.session import session_ids
         from rp_extract_ray.stages.window import window_stat_columns
 
-        def fn(pdf, starts):
-            gap, session = session_ids(
-                pdf[ts_col].to_numpy(), starts, session_gap_s
-            )
-            pdf["gap_s"] = gap
-            pdf["session_id"] = session
-            cols = window_stat_columns(pdf, series_cols, k, starts)
-            return pdf.assign(**cols)
+        if salt_chunk_turns is not None:
+            from rp_extract_ray.stages.session import salted_session_apply
 
-        ds = partitioned_apply(
-            ds, fn, entity_col=entity_col, order_cols=order_cols,
-            num_partitions=num_partitions,
-        )
+            def finish(pdf, starts):
+                return pdf.assign(
+                    **window_stat_columns(pdf, series_cols, k, starts)
+                )
+
+            ds = salted_session_apply(
+                ds, finish,
+                entity_col=entity_col, ts_col=ts_col,
+                turn_col="turn_idx",
+                gap_threshold_s=session_gap_s,
+                num_partitions=num_partitions,
+                chunk_turns=salt_chunk_turns, overlap=max(k, 1),
+            )
+        else:
+            from rp_extract_ray.stages.partition import partitioned_apply
+            from rp_extract_ray.stages.session import session_ids
+
+            def fn(pdf, starts):
+                gap, session = session_ids(
+                    pdf[ts_col].to_numpy(), starts, session_gap_s
+                )
+                pdf["gap_s"] = gap
+                pdf["session_id"] = session
+                cols = window_stat_columns(pdf, series_cols, k, starts)
+                return pdf.assign(**cols)
+
+            ds = partitioned_apply(
+                ds, fn, entity_col=entity_col, order_cols=order_cols,
+                num_partitions=num_partitions,
+            )
     else:
         ds = sessionize(
             ds, entity_col=entity_col, ts_col=ts_col, order_cols=order_cols,
@@ -130,9 +156,20 @@ def feature_backfill_payload_light(
     metrics_sink=None,
     blocks_per_shard: int = 4,
     rejoin_groups_per_shard: int = 1,
+    salt_chunk_turns: int | None = None,
+    salt_offsets: str = "auto",
 ) -> Dataset:
     """Payload-light backfill: the heavy ``text`` payload NEVER enters the
     all-to-all exchange.
+
+    ``salt_chunk_turns``: skew-proof mode — the fused feature exchange runs
+    under ``salted_session_apply`` (conversations chunked every N turns with
+    k-row ghost overlap; session ids re-based by the two-pass chunk-offset
+    merge). Pass A reads only ``(conv_id, turn_idx, ts)`` straight from the
+    shards (pruned read, no payload, no stats recompute). Output is
+    bit-equal to the unsalted path; no partition ever holds more than
+    ``N + k`` rows of one conversation, so one mega-conversation can no
+    longer stall the headline pipeline (VERDICT r3 item 1).
 
     The payload-through pipeline saturates on object-store/shuffle bandwidth
     once the corpus outgrows memory (measured: 8 and 32 CPUs hit the same
@@ -181,18 +218,55 @@ def feature_backfill_payload_light(
 
     slim = paths_ds.map_batches(project, batch_format="pyarrow", batch_size=1)
 
-    def fn(pdf, starts):
-        gap, session = session_ids(pdf[ts_col].to_numpy(), starts, session_gap_s)
-        pdf["gap_s"] = gap
-        pdf["session_id"] = session
-        cols = window_stat_columns(pdf, series_cols, k, starts)
-        return pdf.assign(**cols)
+    if salt_chunk_turns is not None:
+        from rp_extract_ray.stages.session import (
+            salted_session_apply,
+            session_chunk_offsets,
+        )
 
-    feats = partitioned_apply(
-        slim, fn, entity_col=entity_col, order_cols=(ts_col, turn_col),
-        num_partitions=num_partitions,
-        metrics_sink=metrics_sink, metrics_stage="feature_backfill",
-    )
+        offsets_ds = None
+        if salt_offsets in ("broadcast", "copartition"):
+            # two-pass modes want the offsets from a CHEAP source: a pruned
+            # direct read of just (conv_id, turn_idx, ts) from the shards,
+            # not a re-run of the stats projection
+            from rp_extract_ray.sources.pqio import read_parquet_clean
+
+            offsets_ds = session_chunk_offsets(
+                read_parquet_clean(
+                    shard_paths, columns=[entity_col, turn_col, ts_col]
+                ),
+                entity_col=entity_col, ts_col=ts_col, turn_col=turn_col,
+                gap_threshold_s=session_gap_s,
+                num_partitions=num_partitions, chunk_turns=salt_chunk_turns,
+            )
+
+        def finish(pdf, starts):
+            return pdf.assign(
+                **window_stat_columns(pdf, series_cols, k, starts)
+            )
+
+        feats = salted_session_apply(
+            slim, finish,
+            entity_col=entity_col, ts_col=ts_col, turn_col=turn_col,
+            gap_threshold_s=session_gap_s,
+            num_partitions=num_partitions,
+            chunk_turns=salt_chunk_turns, overlap=max(k, 1),
+            offsets=salt_offsets, offsets_ds=offsets_ds,
+            metrics_sink=metrics_sink, metrics_stage="feature_backfill",
+        )
+    else:
+        def fn(pdf, starts):
+            gap, session = session_ids(pdf[ts_col].to_numpy(), starts, session_gap_s)
+            pdf["gap_s"] = gap
+            pdf["session_id"] = session
+            cols = window_stat_columns(pdf, series_cols, k, starts)
+            return pdf.assign(**cols)
+
+        feats = partitioned_apply(
+            slim, fn, entity_col=entity_col, order_cols=(ts_col, turn_col),
+            num_partitions=num_partitions,
+            metrics_sink=metrics_sink, metrics_stage="feature_backfill",
+        )
     if events is not None:
         feats = asof_join(
             feats, events, entity_col=entity_col, ts_col=ts_col,

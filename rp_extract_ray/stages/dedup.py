@@ -25,7 +25,6 @@ import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
-from ray.data.aggregate import Count, Min
 
 from rp_extract_ray.functions.hashing import MinHasher, char_shingles, jaccard
 from rp_extract_ray.stages.partition import run_bounds, stable_hash
@@ -1107,8 +1106,7 @@ def embedding_near_dup(
     """
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Count
-
+    
     if n_planes is None:
         n = ds.count()
         n_planes = int(np.clip(np.ceil(np.log2(max(n, 2) / 256.0)), 4, 24))
@@ -1288,8 +1286,7 @@ def ngram_jaccard_pairs(
     ids must be < 2^31 (pair packing, see _dedup_pairs).
     """
     import ray
-    from ray.data.aggregate import Count
-
+    
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, cpus // 4)
@@ -1313,8 +1310,13 @@ def ngram_jaccard_pairs(
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
 
-    # per-doc set sizes (distributed; reused by the final jaccard join)
-    sizes = exploded.groupby(id_col).aggregate(Count(alias_name="n_sh"))
+    # per-doc set sizes (distributed; reused by the final jaccard join) —
+    # grouped_reduce: map-combined hash exchange, not the sort aggregate
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    sizes = grouped_reduce(
+        exploded.select_columns([id_col]), id_col, {"n_sh": (id_col, "count")}
+    )
 
     pairs = _bucket_pairs_partitioned(
         exploded, "sh", id_col, star_threshold=None, drop_above=drop_above
@@ -1390,8 +1392,7 @@ def contamination_pairs(
     pair packing).
     """
     import ray
-    from ray.data.aggregate import Count
-
+    
     from rp_extract_ray.stages.partition import partitioned_apply
 
     def make_explode(id_col: str, odd: int):
@@ -1428,9 +1429,10 @@ def contamination_pairs(
             m = pc.greater(b.column("df"), pa.scalar(drop_above))
             return pa.table({"sh": b.column("sh").cast(pa.int64())}).filter(m)
 
+        from rp_extract_ray.stages.groupops import grouped_reduce as _gr
+
         hot = (
-            c_sh.groupby("sh")
-            .aggregate(Count(alias_name="df"))
+            _gr(c_sh.select_columns(["sh"]), "sh", {"df": ("sh", "count")})
             .map_batches(keep_hot, batch_format="pyarrow")
             .to_pandas()["sh"]
         )

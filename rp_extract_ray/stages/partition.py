@@ -212,19 +212,13 @@ def partitioned_apply(
 
     SIDE_MARK = "_side_row"
 
-    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def run_group(pdf: pd.DataFrame, side_pdf: pd.DataFrame | None = None) -> pd.DataFrame:
         rows_in = len(pdf)
         part_id = int(pdf[PART_COL].iloc[0]) if rows_in else -1
         if metrics_sink is not None:
             from rp_extract_ray.state.metrics import PartitionMetrics
 
             pm = PartitionMetrics(part_id, metrics_stage)
-        side_pdf = None
-        if side is not None:
-            mark = pdf[SIDE_MARK].fillna(False).to_numpy(dtype=bool)
-            side_pdf = pdf.loc[mark, [entity_col, *side_cols]].reset_index(drop=True)
-            pdf = pdf.loc[~mark].drop(columns=[SIDE_MARK, *side_cols])
-            rows_in = len(pdf)
         pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
         ghost = chunk = None
         if GHOST_COL in pdf.columns:
@@ -259,17 +253,41 @@ def partitioned_apply(
         batch_format="pyarrow",
         fn_kwargs={"entity_col": entity_col, "num_partitions": num_partitions, "salt": salt},
     )
-    if side is not None:
-        def mark_side(b: pa.Table) -> pa.Table:
-            return b.append_column(SIDE_MARK, pa.array(np.ones(len(b), dtype=bool)))
+    if side is None:
+        return parted.groupby(PART_COL).map_groups(run_group, batch_format="pandas")
 
-        def mark_data(b: pa.Table) -> pa.Table:
-            return b.append_column(SIDE_MARK, pa.array(np.zeros(len(b), dtype=bool)))
-
-        parted = parted.map_batches(mark_data, batch_format="pyarrow").union(
-            side.map_batches(mark_side, batch_format="pyarrow")
+    def mark_side(b: pa.Table) -> pa.Table:
+        return strip_meta(b).append_column(
+            SIDE_MARK, pa.array(np.ones(len(b), dtype=bool))
         )
-    return parted.groupby(PART_COL).map_groups(run_group, batch_format="pandas")
+
+    def mark_data(b: pa.Table) -> pa.Table:
+        return b.append_column(SIDE_MARK, pa.array(np.zeros(len(b), dtype=bool)))
+
+    unioned = parted.map_batches(mark_data, batch_format="pyarrow").union(
+        side.map_batches(mark_side, batch_format="pyarrow")
+    )
+
+    def run_group_split(tbl: pa.Table) -> pd.DataFrame:
+        # split side rows while still ARROW: the unified schema has nulls in
+        # each side's missing columns, and a pandas conversion of the WHOLE
+        # group would upcast null-bearing int columns to float64. Filtering
+        # first leaves the data part null-free, so dtypes survive.
+        mark = np.asarray(
+            tbl.column(SIDE_MARK).to_numpy(zero_copy_only=False), dtype=bool
+        )
+        side_pdf = (
+            tbl.filter(pa.array(mark))
+            .select([entity_col, *side_cols])
+            .to_pandas()
+        )
+        keep = [c for c in tbl.column_names if c != SIDE_MARK and c not in side_cols]
+        data_pdf = tbl.filter(pa.array(~mark)).select(keep).to_pandas()
+        return run_group(data_pdf, side_pdf)
+
+    return unioned.groupby(PART_COL).map_groups(
+        run_group_split, batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------

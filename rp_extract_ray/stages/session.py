@@ -115,7 +115,7 @@ def sessionize(
     )
 
 
-def sessionize_salted(
+def session_chunk_offsets(
     ds: Dataset,
     *,
     entity_col: str = "conv_id",
@@ -124,45 +124,16 @@ def sessionize_salted(
     gap_threshold_s: float = DEFAULT_SESSION_GAP_S,
     num_partitions: int = 64,
     chunk_turns: int = 4096,
-    offsets: str = "auto",
-    broadcast_limit: int = 5_000_000,
 ) -> Dataset:
-    """Sessionize under salted chunking — the skew-proof path.
+    """Pass A of salted sessionization: the per-(entity, chunk) session
+    boundary-count table, per-entity prefix-summed into EXCLUSIVE chunk
+    offsets (boundaries in all earlier chunks of the entity).
 
-    ``session_id`` is a prefix count of boundaries from the conversation
-    START, which is not causal-bounded, so the plain salted path can't
-    compute it. Two phases (SURVEY.md §7.5-6 re-merge of partial window
-    states):
-
-    1. chunked pass (overlap=1: the gap at a chunk's first row needs one
-       ghost predecessor) computes LOCAL boundary flags and emits a tiny
-       per-(entity, chunk) boundary-count table;
-    2. the count table — one row per ``chunk_turns`` input rows — is
-       per-entity prefix-summed into chunk offsets and added to the local
-       prefix counts in a second chunked pass.
-
-    Offset delivery (``offsets=``): ``"broadcast"`` collects the offset
-    table driver-side and ships it via ``ray.put`` (right while chunks are
-    few); ``"copartition"`` keeps it distributed — the offsets are routed
-    through the SAME salted partitioner (each row tagged with the
-    destination ``_part`` of its (entity, chunk) unit) and ride the second
-    exchange as a co-partitioned side table, so nothing ever materializes
-    on the driver (the 10^12-turn path, where one row per 4096 turns is
-    still 2.4e8 rows). ``"auto"`` picks by counting the (materialized,
-    tiny) offset table against ``broadcast_limit``.
-
-    Shuffle volume: the numeric columns twice + a negligible side table; no
-    partition ever holds more than ``chunk_turns + 1`` rows of one entity.
-    """
-    import ray
-
-    from rp_extract_ray.stages.partition import (
-        PART_COL,
-        SaltSpec,
-        _chunk_part,
-        run_bounds,
-        stable_hash,
-    )
+    Runs salted with overlap=1 (the gap at a chunk's first row needs one
+    ghost predecessor). Output: one row per (entity, ``_chunk_id``) with
+    ``offset`` — one row per ``chunk_turns`` input rows, tiny by
+    construction. ``ds`` only needs ``(entity_col, turn_col, ts_col)``."""
+    from rp_extract_ray.stages.partition import SaltSpec, run_bounds
 
     salt = SaltSpec(chunk_turns=chunk_turns, overlap=1, turn_col=turn_col)
 
@@ -196,15 +167,23 @@ def sessionize_salted(
     # Ghost first rows are run starts and never boundaries, so local[e-1]
     # counts exactly the boundaries at real rows of the chunk.
 
+    return _prefix_offsets(counts_ds, entity_col, num_partitions)
+
+
+def _prefix_offsets(counts_ds: Dataset, entity_col: str, num_partitions: int) -> Dataset:
+    """(entity, _chunk_id, n_bounds) -> (entity, _chunk_id, offset): exclusive
+    per-entity prefix sum over chunk order (boundaries in all EARLIER
+    chunks). One tiny exchange — counts_ds has one row per chunk_turns input
+    rows."""
+
     def prefix_fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
         pdf = pdf.reset_index(drop=True)
         nb = pdf["n_bounds"].to_numpy(dtype=np.int64)
         cs = np.cumsum(nb)
-        # exclusive per-entity prefix: boundaries in all EARLIER chunks
         pdf["offset"] = cs - nb - (cs[starts] - nb[starts])
         return pdf[[entity_col, "_chunk_id", "offset"]]
 
-    offsets_ds = partitioned_apply(
+    return partitioned_apply(
         counts_ds,
         prefix_fn,
         entity_col=entity_col,
@@ -212,27 +191,208 @@ def sessionize_salted(
         num_partitions=num_partitions,
     )
 
-    def apply_offsets(pdf: pd.DataFrame, starts: np.ndarray, offs: dict) -> pd.DataFrame:
-        from rp_extract_ray.stages.lag import _run_ends
 
-        gap, local = session_ids(pdf[ts_col].to_numpy(), starts, gap_threshold_s)
-        ent = pdf[entity_col].to_numpy()
-        chunk = pdf[turn_col].to_numpy() // chunk_turns
-        # a run's chunk id = chunk of its LAST (always real) row — the ghost
-        # first row of a run belongs to the previous chunk by turn_idx
-        run_chunk = chunk[_run_ends(starts) - 1]
-        base = np.fromiter(
-            (offs.get((e, int(c)), 0) for e, c in zip(ent, run_chunk)),
-            dtype=np.int64,
-            count=len(ent),
+def salted_session_apply(
+    ds: Dataset,
+    finish_fn=None,
+    *,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    turn_col: str = "turn_idx",
+    gap_threshold_s: float = DEFAULT_SESSION_GAP_S,
+    num_partitions: int = 64,
+    chunk_turns: int = 4096,
+    overlap: int = 1,
+    offsets: str = "auto",
+    broadcast_limit: int = 5_000_000,
+    metrics_sink=None,
+    metrics_stage: str = "salted_session_apply",
+    offsets_ds: Dataset | None = None,
+) -> Dataset:
+    """Salted (skew-proof) sessionize, generalized to fuse extra causal
+    per-frame feature work into the same exchange.
+
+    ``session_id`` is a prefix count of boundaries from the conversation
+    START, which is not causal-bounded, so the plain salted path can't
+    compute it. Two phases (SURVEY.md §7.5-6 re-merge of partial window
+    states): :func:`session_chunk_offsets` produces per-(entity, chunk)
+    boundary offsets from a slim (entity, turn, ts) pass, then this second
+    salted pass computes gap_s + LOCAL boundary counts (masked to real
+    rows) and adds the chunk offset — bit-equal to the unsalted result.
+
+    ``finish_fn(pdf, starts) -> pdf`` (row-preserving) runs on the
+    ghost-padded frame AFTER ``gap_s``/``session_id`` are assigned — pass a
+    window-feature kernel here to fuse sessionization + sliding windows
+    into ONE salted exchange (the flagship composition, VERDICT r3 item 1).
+    ``overlap`` must cover ``finish_fn``'s causal horizon (>= k for
+    k-row sliding windows; the first ghost row's gap_s is 0-filled and
+    must stay outside every real row's window, hence overlap >= k not
+    k-1 — same contract as ``add_window_features(salt=...)``).
+
+    Offset delivery (``offsets=``):
+
+    * ``"auto"`` / ``"post"`` — the SINGLE-EXCHANGE mode (default): one
+      salted pass computes gap/features and LOCAL session ids; the
+      per-(entity, chunk) boundary counts are derived from the pass's own
+      output (max local id per chunk), prefix-summed, and applied as a
+      narrow broadcast rebase map over the materialized features. Shuffle
+      volume: the numeric columns ONCE. Requires ``finish_fn`` to not read
+      ``session_id`` (it sees the local id) and the offset table to fit the
+      driver (raises past ``broadcast_limit``).
+    * ``"broadcast"`` — two-pass: a slim (entity, turn, ts) pre-pass builds
+      the offsets, ``ray.put`` ships them, and the main salted pass
+      assigns FINAL session ids before ``finish_fn`` runs.
+    * ``"copartition"`` — two-pass, fully distributed: the offsets are
+      routed through the SAME salted partitioner and ride the main
+      exchange as a co-partitioned side table, so nothing ever
+      materializes on the driver (the 10^12-turn path, where one row per
+      4096 turns is still 2.4e8 rows).
+
+    No partition ever holds more than ``chunk_turns + overlap`` rows of one
+    entity, in any mode.
+    """
+    import ray
+
+    from rp_extract_ray.stages.partition import (
+        GHOST_COL,
+        PART_COL,
+        SaltSpec,
+        _chunk_part,
+        entity_starts,
+        run_bounds,
+        stable_hash,
+    )
+
+    salt = SaltSpec(chunk_turns=chunk_turns, overlap=overlap, turn_col=turn_col)
+
+    def apply_frame(pdf: pd.DataFrame, starts: np.ndarray, offs: dict | None) -> pd.DataFrame:
+        """Gap + session assignment (+ finish_fn) for one salted frame.
+        ``offs=None`` emits LOCAL session ids (the post-rebase mode adds the
+        chunk offsets in a narrow map afterwards)."""
+        ghost = (
+            pdf[GHOST_COL].to_numpy(dtype=bool)
+            if GHOST_COL in pdf.columns
+            else np.zeros(len(pdf), dtype=bool)
         )
+        pdf = pdf.drop(columns=[GHOST_COL], errors="ignore")
+        gap = gap_seconds(pdf[ts_col].to_numpy(), starts, fill_first=0.0)
+        n = len(pdf)
+        boundary = (gap > gap_threshold_s) & (np.arange(n) != starts)
+        # count boundaries at REAL rows only: with overlap > 1 the ghost
+        # prefix replays gaps already counted in the previous chunk
+        bc = np.cumsum(boundary & ~ghost)
+        local = (bc - bc[starts]).astype(np.int64)
+        if offs is not None:
+            ent = pdf[entity_col].to_numpy()
+            chunk = pdf[turn_col].to_numpy() // chunk_turns
+            rs, re_ = run_bounds(starts, n)
+            # per-RUN dict lookup, then repeat — a per-ROW lookup was pure
+            # Python cost over every row of every partition (measured as a
+            # big slice of the salted overhead)
+            base_run = np.fromiter(
+                # a run's chunk id = chunk of its LAST (always real) row —
+                # ghost prefix rows of a run belong to the previous chunk
+                (offs.get((ent[s], int(chunk[e - 1])), 0) for s, e in zip(rs, re_)),
+                dtype=np.int64,
+                count=len(rs),
+            )
+            local = local + np.repeat(base_run, re_ - rs)
         pdf["gap_s"] = gap
-        pdf["session_id"] = (local.astype(np.int64) + base).astype(np.int32)
-        return pdf
+        pdf["session_id"] = local.astype(np.int32)
+        out = finish_fn(pdf, starts) if finish_fn is not None else pdf
+        if len(out) != n:
+            raise ValueError("finish_fn must preserve row count")
+        return out.loc[~ghost]
 
     mode = offsets
-    if mode == "auto":
-        mode = "broadcast" if counts_ds.count() <= broadcast_limit else "copartition"
+    if mode in ("auto", "post"):
+        # ---- single-exchange mode: ONE salted pass computes gap/windows and
+        # LOCAL session ids; the per-(entity, chunk) boundary counts are then
+        # derived FROM THE OUTPUT (max local id per chunk — the count of
+        # boundaries in that chunk), prefix-summed into offsets, and applied
+        # as a NARROW broadcast map over the materialized features. No
+        # second all-to-all. Requires finish_fn to not read session_id
+        # (window kernels don't); pass offsets="broadcast"/"copartition" if
+        # it does, or if the offset table outgrows the driver. ----
+        import pyarrow as pa
+
+        from rp_extract_ray.stages.groupops import grouped_reduce
+
+        feats = partitioned_apply(
+            ds,
+            lambda pdf, starts: apply_frame(pdf, starts, None),
+            entity_col=entity_col, order_cols=(ts_col, turn_col),
+            num_partitions=num_partitions, salt=salt, expose_ghost=True,
+            metrics_sink=metrics_sink, metrics_stage=metrics_stage,
+        ).materialize()  # consumed twice: counts derivation + rebase
+
+        def chunk_counts(b: pa.Table) -> pa.Table:
+            ch = (
+                b.column(turn_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                // chunk_turns
+            )
+            return pa.table(
+                {
+                    entity_col: b.column(entity_col),
+                    "_chunk_id": pa.array(ch),
+                    "n_bounds": b.column("session_id").cast(pa.int64()),
+                }
+            )
+
+        counts = grouped_reduce(
+            feats.map_batches(chunk_counts, batch_format="pyarrow"),
+            [entity_col, "_chunk_id"],
+            {"n_bounds": ("n_bounds", "max")},
+        )
+        off_pdf = _prefix_offsets(counts, entity_col, num_partitions).to_pandas()
+        if len(off_pdf) > broadcast_limit:
+            raise ValueError(
+                f"offset table ({len(off_pdf)} rows) exceeds broadcast_limit; "
+                "use offsets='copartition' for driver-free delivery"
+            )
+        off_map = {
+            (e, int(c)): int(o)
+            for e, c, o in zip(
+                off_pdf[entity_col], off_pdf["_chunk_id"], off_pdf["offset"]
+            )
+        }
+        ref = ray.put(off_map)
+
+        def rebase(pdf: pd.DataFrame) -> pd.DataFrame:
+            offs = ray.get(ref)
+            ent = pdf[entity_col].to_numpy()
+            chunk = pdf[turn_col].to_numpy().astype(np.int64) // chunk_turns
+            starts = entity_starts(ent, chunk)
+            rs, re_ = run_bounds(starts, len(pdf))
+            base_run = np.fromiter(
+                (offs.get((ent[s], int(chunk[s])), 0) for s in rs),
+                dtype=np.int64,
+                count=len(rs),
+            )
+            base = np.repeat(base_run, re_ - rs)
+            pdf["session_id"] = (
+                pdf["session_id"].to_numpy().astype(np.int64) + base
+            ).astype(np.int32)
+            return pdf
+
+        # blocks arrive partition-sorted so runs are few; correctness does
+        # not depend on contiguity (each contiguous segment looks up its own
+        # (entity, chunk) key)
+        return feats.map_batches(rebase, batch_format="pandas")
+
+    if offsets_ds is None:
+        # ``offsets_ds=`` lets a caller supply pass A from a cheaper source
+        # (e.g. a pruned direct parquet read) instead of re-running ``ds``'s
+        # upstream lineage for the slim (entity, turn, ts) projection
+        offsets_ds = session_chunk_offsets(
+            ds,
+            entity_col=entity_col,
+            ts_col=ts_col,
+            turn_col=turn_col,
+            gap_threshold_s=gap_threshold_s,
+            num_partitions=num_partitions,
+            chunk_turns=chunk_turns,
+        )
 
     if mode == "broadcast":
         off_pdf = offsets_ds.to_pandas()
@@ -245,12 +405,12 @@ def sessionize_salted(
         ref = ray.put(off_map)
 
         def final(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
-            offs = ray.get(ref)
-            return apply_offsets(pdf, starts, offs)
+            return apply_frame(pdf, starts, ray.get(ref))
 
         return partitioned_apply(
             ds, final, entity_col=entity_col, order_cols=(ts_col, turn_col),
-            num_partitions=num_partitions, salt=salt,
+            num_partitions=num_partitions, salt=salt, expose_ghost=True,
+            metrics_sink=metrics_sink, metrics_stage=metrics_stage,
         )
 
     # ---- co-partitioned offsets: route each row to its (entity, chunk)
@@ -272,13 +432,44 @@ def sessionize_salted(
                 side_pdf[entity_col], side_pdf["_chunk_id"], side_pdf["offset"]
             )
         }
-        return apply_offsets(pdf, starts, offs)
+        return apply_frame(pdf, starts, offs)
 
     return partitioned_apply(
         ds, final_side, entity_col=entity_col, order_cols=(ts_col, turn_col),
-        num_partitions=num_partitions, salt=salt,
+        num_partitions=num_partitions, salt=salt, expose_ghost=True,
         side=side, side_cols=("_chunk_id", "offset"),
+        metrics_sink=metrics_sink, metrics_stage=metrics_stage,
     )
+
+
+def sessionize_salted(
+    ds: Dataset,
+    *,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    turn_col: str = "turn_idx",
+    gap_threshold_s: float = DEFAULT_SESSION_GAP_S,
+    num_partitions: int = 64,
+    chunk_turns: int = 4096,
+    offsets: str = "auto",
+    broadcast_limit: int = 5_000_000,
+) -> Dataset:
+    """Sessionize under salted chunking — the skew-proof path. Thin wrapper
+    over :func:`salted_session_apply` with no fused feature work."""
+    return salted_session_apply(
+        ds,
+        None,
+        entity_col=entity_col,
+        ts_col=ts_col,
+        turn_col=turn_col,
+        gap_threshold_s=gap_threshold_s,
+        num_partitions=num_partitions,
+        chunk_turns=chunk_turns,
+        overlap=1,
+        offsets=offsets,
+        broadcast_limit=broadcast_limit,
+    )
+
 
 
 def cohort_retention(

@@ -65,10 +65,15 @@ def _make_text(rng: np.random.Generator, n: int, pool_size: int = 50_000) -> lis
 
 
 def generate_transcripts(
-    n_convs: int = 100, seed: int = 7, mean_turns: int = 24, skew_frac: float = 0.02
+    n_convs: int = 100, seed: int = 7, mean_turns: int = 24, skew_frac: float = 0.02,
+    mega_frac: float = 0.0,
 ) -> pa.Table:
     """Transcript table with ``n_convs`` conversations; rows are shuffled
-    (file order != ts order — the engine must sort, FIXTURES.md F4)."""
+    (file order != ts order — the engine must sort, FIXTURES.md F4).
+
+    ``mega_frac > 0`` appends ONE pathological mega-conversation holding that
+    fraction of ALL turns (the skew-stress shape: one conversation = 20% of
+    the corpus) — the case the salted fused path exists for."""
     rng = np.random.default_rng(seed)
     lens = rng.lognormal(mean=np.log(mean_turns), sigma=0.9, size=n_convs)
     lens = np.maximum(lens.astype(np.int64), 1)
@@ -77,9 +82,14 @@ def generate_transcripts(
     hot = rng.choice(n_convs, size=n_hot, replace=False)
     lens[hot] = (np.median(lens) * rng.uniform(50, 100, size=n_hot)).astype(np.int64)
     lens[rng.choice(n_convs, size=max(1, n_convs // 50), replace=False)] = 1  # single-turn convs
+    names = [f"conv_{i:06d}" for i in range(n_convs)]
+    if mega_frac > 0:
+        mega_len = int(mega_frac / (1.0 - mega_frac) * lens.sum())
+        lens = np.append(lens, np.int64(mega_len))
+        names.append("conv_mega")
     total = int(lens.sum())
 
-    conv_id = np.repeat([f"conv_{i:06d}" for i in range(n_convs)], lens)
+    conv_id = np.repeat(names, lens)
     turn_idx = np.concatenate([np.arange(l, dtype=np.int32) for l in lens])
 
     role = _ROLES[(turn_idx % 4 + (rng.random(total) < 0.15) * rng.integers(0, 4, total)) % 4]
@@ -95,7 +105,7 @@ def generate_transcripts(
     gaps[rng.random(total) < 0.02] = rng.uniform(1800, 7200)
     gaps[rng.random(total) < 0.03] = 0.0
     gaps[turn_idx == 0] = 0.0
-    starts = rng.uniform(0, 90 * 86400, size=n_convs)  # conv start offsets (s)
+    starts = rng.uniform(0, 90 * 86400, size=len(lens))  # conv start offsets (s)
     gaps_cum = np.cumsum(gaps)
     conv_start_rows = np.concatenate([[0], np.cumsum(lens)[:-1]])
     base = gaps_cum - np.repeat(gaps_cum[conv_start_rows], lens)
@@ -153,6 +163,7 @@ def write_corpus(
     seed: int = 7,
     mean_turns: int = 24,
     shards: int = 1,
+    mega_frac: float = 0.0,
 ) -> dict:
     """Write transcripts (``shards`` parquet files) + conv_events under
     ``out_dir``.
@@ -172,7 +183,9 @@ def write_corpus(
         t_path = os.path.join(out_dir, "transcripts")
         have = os.path.isdir(t_path) and len(os.listdir(t_path)) == shards
     if not (have and os.path.exists(e_path)):
-        t = generate_transcripts(n_convs=n_convs, seed=seed, mean_turns=mean_turns)
+        t = generate_transcripts(
+            n_convs=n_convs, seed=seed, mean_turns=mean_turns, mega_frac=mega_frac
+        )
         if shards == 1:
             pq.write_table(t, t_path + ".tmp", row_group_size=64 * 1024)
             os.replace(t_path + ".tmp", t_path)

@@ -57,3 +57,92 @@ def test_salted_windows_on_giant_conv(skewed):
         assert np.isclose(got.loc[i, "text_len_wmax"], w.max()), i
         gw = gap[lo : i + 1]
         assert np.isclose(got.loc[i, "gap_s_wmean"], gw.mean()), i
+
+
+def _sorted_frame(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(["conv_id", "turn_idx"], ignore_index=True)[
+        sorted(df.columns)
+    ]
+
+
+def test_fused_salted_backfill_bit_equal(skewed):
+    """The salted fused flagship kernel (sessionize + windows in one salted
+    exchange, session ids re-based by the two-pass chunk-offset merge) must
+    be bit-equal to the unsalted fused path — including across the giant
+    conversation's chunk borders and for both offset delivery modes."""
+    from rp_extract_ray.pipelines.flagship import feature_backfill
+
+    ds = rd.from_pandas(skewed.sample(frac=1.0, random_state=7))
+    base = feature_backfill(
+        ds, None, k=K, num_partitions=16, add_stats=False,
+        series_cols=("text_len", "token_est", "gap_s"),
+    ).to_pandas()
+    salted = feature_backfill(
+        ds, None, k=K, num_partitions=16, add_stats=False,
+        series_cols=("text_len", "token_est", "gap_s"),
+        salt_chunk_turns=4096,
+    ).to_pandas()
+    a, b = _sorted_frame(base), _sorted_frame(salted)
+    assert list(a.columns) == list(b.columns)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    # sanity: the giant conversation actually crossed many chunks
+    assert skewed.conv_id.value_counts().max() > 4096 * 10
+
+
+def test_fused_salted_copartition_offsets(skewed):
+    """Same equality with the distributed (co-partitioned) offset delivery —
+    the 10^12-turn path where the offset table never touches the driver."""
+    from rp_extract_ray.stages.session import salted_session_apply
+    from rp_extract_ray.stages.window import window_stat_columns
+
+    ds = rd.from_pandas(skewed.sample(frac=1.0, random_state=11))
+
+    def finish(pdf, starts):
+        return pdf.assign(
+            **window_stat_columns(pdf, ("text_len", "gap_s"), K, starts)
+        )
+
+    out_b = salted_session_apply(
+        ds, finish, gap_threshold_s=1800.0, num_partitions=16,
+        chunk_turns=4096, overlap=K, offsets="broadcast",
+    ).to_pandas()
+    out_c = salted_session_apply(
+        ds, finish, gap_threshold_s=1800.0, num_partitions=16,
+        chunk_turns=4096, overlap=K, offsets="copartition",
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        _sorted_frame(out_b), _sorted_frame(out_c), check_exact=True
+    )
+
+
+def test_payload_light_salted_round_trip(tmp_path_factory):
+    """Payload-light backfill with salt_chunk_turns: text round-trips
+    byte-equal and features match the unsalted payload-light run."""
+    import ray.data as rd2
+
+    from rp_extract_ray.pipelines.flagship import feature_backfill_payload_light
+    from rp_extract_ray.synth import write_corpus
+
+    d = str(tmp_path_factory.mktemp("plsalt"))
+    p = write_corpus(d, n_convs=40, seed=9, mean_turns=30)
+    import os
+
+    shards = (
+        sorted(
+            os.path.join(p["transcripts"], f)
+            for f in os.listdir(p["transcripts"])
+        )
+        if os.path.isdir(p["transcripts"])
+        else [p["transcripts"]]
+    )
+    ev = rd2.read_parquet(p["conv_events"])
+    base = feature_backfill_payload_light(
+        shards, ev, k=8, num_partitions=8
+    ).to_pandas()
+    ev2 = rd2.read_parquet(p["conv_events"])
+    salted = feature_backfill_payload_light(
+        shards, ev2, k=8, num_partitions=8, salt_chunk_turns=64
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        _sorted_frame(base), _sorted_frame(salted), check_exact=True
+    )

@@ -1,0 +1,162 @@
+"""Resume drill: kill the production backfill mid-flight, resume, and prove
+the output equals an uninterrupted run (W2/J4 durability integration proof).
+
+Protocol:
+  1. run ``tools/run_backfill.py`` as a subprocess over a synthetic corpus;
+  2. SIGKILL it once ~half the partition ``.done`` markers exist;
+  3. re-run the same command — the manifest resume skips finished
+     partitions;
+  4. run a fresh uninterrupted job into a second directory;
+  5. verify the two outputs are row-identical under stable
+     ``(conv_id, turn_idx)`` ordering (full-frame equality incl. every
+     feature column, plus the north rule's byte-equal text round-trip
+     against the INPUT corpus).
+
+Usage: python tools/resume_drill.py [--turns-scale big|small]
+Prints one JSON line with the drill outcome.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def count_done(out_dir: str) -> int:
+    try:
+        return sum(
+            1 for f in os.listdir(out_dir)
+            if f.startswith("part-") and f.endswith(".done")
+        )
+    except FileNotFoundError:
+        return 0
+
+
+def backfill_cmd(inp: str, events: str, out: str, partitions: int, cpus: int) -> list[str]:
+    return [
+        sys.executable, os.path.join(REPO, "tools", "run_backfill.py"),
+        "--input", inp, "--events", events, "--output", out,
+        "--partitions", str(partitions), "--num-cpus", str(cpus),
+    ]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", choices=["small", "big"], default="small")
+    ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--partitions", type=int, default=128)
+    args = ap.parse_args()
+
+    from rp_extract_ray.synth import write_corpus
+
+    if args.scale == "big":
+        corpus = write_corpus(
+            "/tmp/graft_drill_big", n_convs=63_000, seed=13, mean_turns=150, shards=64
+        )
+    else:
+        corpus = write_corpus(
+            "/tmp/graft_drill_small", n_convs=9000, seed=13, mean_turns=150, shards=64
+        )
+    out_killed = "/tmp/graft_drill_out_resumed"
+    out_clean = "/tmp/graft_drill_out_clean"
+    for d in (out_killed, out_clean):
+        shutil.rmtree(d, ignore_errors=True)
+
+    cmd = backfill_cmd(
+        corpus["transcripts"], corpus["conv_events"], out_killed,
+        args.partitions, args.num_cpus,
+    )
+
+    # --- phase 1: launch and SIGKILL at ~50% done markers -------------------
+    proc = subprocess.Popen(cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    target = args.partitions // 2
+    killed_at = None
+    while proc.poll() is None:
+        n = count_done(out_killed)
+        if n >= target:
+            proc.send_signal(signal.SIGKILL)
+            proc.wait()
+            killed_at = n
+            break
+        time.sleep(0.05)
+    finished_early = killed_at is None  # job completed before 50% observed
+
+    # give the killed Ray session's raylet a moment to die
+    time.sleep(2.0)
+
+    # --- phase 2: resume to completion --------------------------------------
+    t0 = time.perf_counter()
+    r2 = subprocess.run(cmd, capture_output=True, text=True)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    resume_summary = json.loads(r2.stdout.strip().splitlines()[-1])
+    resume_wall = time.perf_counter() - t0
+
+    # --- phase 3: uninterrupted reference run --------------------------------
+    cmd_clean = backfill_cmd(
+        corpus["transcripts"], corpus["conv_events"], out_clean,
+        args.partitions, args.num_cpus,
+    )
+    r3 = subprocess.run(cmd_clean, capture_output=True, text=True)
+    assert r3.returncode == 0, r3.stderr[-2000:]
+
+    # --- phase 4: equality proof ---------------------------------------------
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    def load_sorted(d: str) -> pd.DataFrame:
+        files = sorted(
+            os.path.join(d, f) for f in os.listdir(d)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        df = pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+        return df.sort_values(["conv_id", "turn_idx"], ignore_index=True)[
+            sorted(df.columns)
+        ]
+
+    a, b = load_sorted(out_killed), load_sorted(out_clean)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+    def text_digest(s: pd.Series) -> str:
+        return hashlib.sha256(
+            "\x00".join(s.fillna("").astype(str)).encode()
+        ).hexdigest()
+
+    # north-rule invariant: per-turn text byte-equal vs the INPUT corpus
+    inp = pd.concat(
+        [
+            pq.read_table(os.path.join(corpus["transcripts"], f)).to_pandas()
+            for f in sorted(os.listdir(corpus["transcripts"]))
+        ],
+        ignore_index=True,
+    ).sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    assert len(inp) == len(a)
+    assert text_digest(inp["text"]) == text_digest(a["text"])
+
+    print(json.dumps({
+        "metric": "resume_drill",
+        "scale": args.scale,
+        "rows": int(len(a)),
+        "partitions": args.partitions,
+        "killed_at_done_markers": killed_at,
+        "finished_before_kill": finished_early,
+        "resumed_partitions_skipped": resume_summary["partitions_skipped"],
+        "resumed_partitions_written": resume_summary["partitions_written"],
+        "resume_wall_s": round(resume_wall, 2),
+        "outputs_identical": True,
+        "text_round_trip_byte_equal": True,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
