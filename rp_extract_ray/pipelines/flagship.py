@@ -9,8 +9,19 @@ turn, and as-of join the latest side-channel value — one feature row per
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
+
+# sink mode's per-group report row (one per written shard file)
+_SINK_REPORT_SCHEMA = pa.schema(
+    [
+        pa.field("shard", pa.int32()),
+        pa.field("file", pa.string()),
+        pa.field("rows", pa.int64()),
+    ]
+)
 
 import ray.data as rd
 from ray.data import Dataset
@@ -158,6 +169,8 @@ def feature_backfill_payload_light(
     rejoin_groups_per_shard: int = 1,
     salt_chunk_turns: int | None = None,
     salt_offsets: str = "auto",
+    sink_dir: str | None = None,
+    skip_shards: set[int] | frozenset[int] = frozenset(),
 ) -> Dataset:
     """Payload-light backfill: the heavy ``text`` payload NEVER enters the
     all-to-all exchange.
@@ -170,6 +183,20 @@ def feature_backfill_payload_light(
     bit-equal to the unsalted path; no partition ever holds more than
     ``N + k`` rows of one conversation, so one mega-conversation can no
     longer stall the headline pipeline (VERDICT r3 item 1).
+
+    ``sink_dir``: shard-aligned output sink — each rejoin group (== one
+    input shard's full-payload output, ``_pos``-sorted) is written
+    atomically to ``sink_dir/part-<shard-basename>.parquet`` + ``.done``
+    marker INSIDE the rejoin task, and the returned Dataset carries one
+    tiny report row per file instead of the data. This is the production
+    write path: the output partition IS the rejoin group, so the
+    full-payload table never enters another exchange (routing the result
+    through a generic hash-partitioned writer re-shuffles every byte a
+    second time). ``skip_shards`` (resume): rows of those shard indices are
+    dropped before the rejoin — features still recompute (conversations
+    span shards, the feature pass must see every turn) but finished shards'
+    payload re-read and file writes are skipped, and a resumed run's files
+    are byte-identical to an uninterrupted run's.
 
     The payload-through pipeline saturates on object-store/shuffle bandwidth
     once the corpus outgrows memory (measured: 8 and 32 CPUs hit the same
@@ -299,10 +326,28 @@ def feature_backfill_payload_light(
 
     payload_schema = pq.read_schema(shard_paths[0]) if shard_paths else None
 
+    if sink_dir is not None and skip_shards:
+        # resume: rows of already-written shards are dropped BEFORE the
+        # rejoin exchange (their features were recomputed — whole
+        # conversations span shards, so the feature pass must see every
+        # shard — but their payload re-read + file write are skipped)
+        skip_arr = pa.array(sorted(skip_shards), pa.int32())
+
+        def drop_done(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc2
+
+            return b.filter(
+                pc2.invert(pc2.is_in(b.column("_shard"), value_set=skip_arr))
+            )
+
+        feats = feats.map_batches(drop_done, batch_format="pyarrow")
+
     def rejoin(group: pa.Table) -> pa.Table:
         if len(group) == 0:
             # match the non-empty output shape (bookkeeping dropped, payload
             # appended as typed nulls) so block schemas unify downstream
+            if sink_dir is not None:
+                return _SINK_REPORT_SCHEMA.empty_table()
             if group.num_columns == 0 or payload_schema is None:
                 return group
             drop0 = [c for c in ("_shard", "_pos", "_rj") if c in group.column_names]
@@ -321,7 +366,35 @@ def feature_backfill_payload_light(
         for c in payload:
             group = group.append_column(c, taken.column(c))
         drop = ["_shard", "_pos"] + (["_rj"] if G > 1 else [])
-        return group.drop_columns(drop)
+        out = group.drop_columns(drop)
+        if sink_dir is None:
+            return out
+        # ---- shard-aligned sink: write THIS group's rows here, atomically.
+        # The output partition IS the rejoin group, so the full-payload
+        # table never enters another exchange (a generic write_partitioned
+        # after this pipeline re-shuffles every byte a second time —
+        # measured 4m53s vs ~40s feature pass at 9.4M turns). Deterministic
+        # content: rows are _pos-sorted, so a resumed and an uninterrupted
+        # run produce byte-identical files.
+        base = os.path.splitext(os.path.basename(shard_paths[shard]))[0]
+        sub = ""
+        if G > 1:
+            # all rows of a sub-group share pos % G (the _rj construction)
+            sub = f"-g{int(pos[order][0]) % G}"
+        path = os.path.join(sink_dir, f"part-{base}{sub}.parquet")
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)
+        with open(path + ".done.tmp", "w") as f:
+            f.write("ok")
+        os.replace(path + ".done.tmp", path + ".done")
+        return pa.table(
+            {
+                "shard": pa.array([shard], pa.int32()),
+                "file": pa.array([os.path.basename(path)], pa.string()),
+                "rows": pa.array([len(out)], pa.int64()),
+            }
+        )
 
     return feats.groupby(group_col).map_groups(rejoin, batch_format="pyarrow")
 

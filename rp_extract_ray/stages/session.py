@@ -10,9 +10,11 @@ vectorized over the sorted partition (per-entity cumsum via boundary masks).
 
 Point-in-time safe: a row's session_id depends only on gaps at or before it.
 Note on salting: session_id is a prefix count from the conversation START, so
-it is NOT causal-bounded — run it unsalted (whole conversations per
-partition), or pre-split skewed convs with the two-pass chunk-offset path
-(state/checkpoint.py discussion).
+it is NOT causal-bounded — the plain salted path can't compute it. The
+skew-proof forms are :func:`sessionize_salted` / :func:`salted_session_apply`
+(chunk-local counts re-based by per-(entity, chunk) offsets; single-exchange
+'post' mode or distributed 'copartition' mode), which are bit-equal to the
+unsalted result.
 """
 
 from __future__ import annotations

@@ -184,18 +184,26 @@ def ivf_index(
     )
     sample = np.stack(sampled[vec_col].to_numpy()).astype(np.float64)
     C = kmeans_fit(sample, n_clusters, seed=seed)
-    c_ref = ray.put(C)
 
     class Assign:
-        def __init__(self):
-            self.C = ray.get(c_ref)
+        # centroids passed as a plain constructor arg (small by design):
+        # an ObjectRef captured in the closure makes Ray warn that actor
+        # restarts may fail if the ref goes out of scope
+        def __init__(self, C):
+            self.C = C
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vecs = _unit(_as_matrix(batch.column(vec_col)))
             lid = (vecs @ self.C.T).argmax(axis=1).astype(np.int32)
             return batch.append_column("list_id", pa.array(lid))
 
-    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8)), C
+    assigned = ds.map_batches(
+        Assign,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"C": C},
+    )
+    return assigned, C
 
 
 def ivf_write(

@@ -47,3 +47,52 @@ def test_matches_payload_through(sharded_corpus):
         a = light[c].to_numpy(dtype=np.float64)
         b = through[c].to_numpy(dtype=np.float64)
         assert np.allclose(a, b, equal_nan=True), c
+
+
+def test_sink_dir_writes_shard_aligned(sharded_corpus, tmp_path_factory):
+    """sink_dir mode: one _pos-sorted file per input shard, content equal to
+    the returned-Dataset path; skip_shards drops finished shards' writes
+    while recomputing features (conversations span shards)."""
+    import pandas as pd
+
+    paths, shard_files = sharded_corpus
+    out1 = str(tmp_path_factory.mktemp("sink1"))
+    rep = feature_backfill_payload_light(
+        shard_files, rd.read_parquet(paths["conv_events"]),
+        k=8, num_partitions=8, sink_dir=out1,
+    ).to_pandas()
+    assert sorted(rep["shard"]) == list(range(len(shard_files)))
+    files = sorted(f for f in os.listdir(out1) if f.endswith(".parquet"))
+    assert len(files) == len(shard_files)
+    assert all(os.path.exists(os.path.join(out1, f + ".done")) for f in files)
+
+    ref = feature_backfill_payload_light(
+        shard_files, rd.read_parquet(paths["conv_events"]),
+        k=8, num_partitions=8,
+    ).to_pandas()
+    got = pd.concat(
+        [pq.read_table(os.path.join(out1, f)).to_pandas() for f in files],
+        ignore_index=True,
+    )
+    key = ["conv_id", "turn_idx"]
+    pd.testing.assert_frame_equal(
+        ref.sort_values(key, ignore_index=True)[sorted(ref.columns)],
+        got.sort_values(key, ignore_index=True)[sorted(got.columns)],
+        check_exact=True,
+    )
+
+    # resume: skip shards 0 and 2 — only 1 and 3 get (re)written, and their
+    # bytes are identical to the full run's
+    out2 = str(tmp_path_factory.mktemp("sink2"))
+    rep2 = feature_backfill_payload_light(
+        shard_files, rd.read_parquet(paths["conv_events"]),
+        k=8, num_partitions=8, sink_dir=out2, skip_shards={0, 2},
+    ).to_pandas()
+    assert sorted(rep2["shard"]) == [1, 3]
+    import hashlib
+
+    for f in sorted(os.listdir(out2)):
+        if f.endswith(".parquet"):
+            h1 = hashlib.sha256(open(os.path.join(out1, f), "rb").read()).hexdigest()
+            h2 = hashlib.sha256(open(os.path.join(out2, f), "rb").read()).hexdigest()
+            assert h1 == h2, f

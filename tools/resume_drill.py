@@ -78,8 +78,13 @@ def main() -> int:
     )
 
     # --- phase 1: launch and SIGKILL at ~50% done markers -------------------
+    n_shards = len(os.listdir(corpus["transcripts"]))
     proc = subprocess.Popen(cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-    target = args.partitions // 2
+    # sink mode: one done marker per input shard. Kill at the FIRST eighth:
+    # the shard writes land as one parallel burst at the end of the job, so
+    # a 50% target often observes every write complete between the poll and
+    # the SIGKILL landing — killing early leaves real work for the resume
+    target = max(1, n_shards // 8)
     killed_at = None
     while proc.poll() is None:
         n = count_done(out_killed)
@@ -123,29 +128,64 @@ def main() -> int:
             sorted(df.columns)
         ]
 
-    a, b = load_sorted(out_killed), load_sorted(out_clean)
-    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    # byte-equality: the shard-aligned sink writes _pos-sorted deterministic
+    # content, so a resumed run's files must be IDENTICAL BYTES to the
+    # uninterrupted run's
+    def file_hashes(d: str) -> dict[str, str]:
+        out = {}
+        for f in sorted(os.listdir(d)):
+            if f.startswith("part-") and f.endswith(".parquet"):
+                h = hashlib.sha256()
+                with open(os.path.join(d, f), "rb") as fh:
+                    for blk in iter(lambda: fh.read(1 << 20), b""):
+                        h.update(blk)
+                out[f] = h.hexdigest()
+        return out
+
+    ha, hb = file_hashes(out_killed), file_hashes(out_clean)
+    files_byte_equal = ha == hb
+    if not files_byte_equal:
+        # diagnostic fallback: byte inequality with identical semantics
+        # would show here as frame equality
+        a, b = load_sorted(out_killed), load_sorted(out_clean)
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
 
     def text_digest(s: pd.Series) -> str:
-        return hashlib.sha256(
-            "\x00".join(s.fillna("").astype(str)).encode()
-        ).hexdigest()
+        # streamed: one giant join of tens of millions of strings is the
+        # slowest step of the whole drill
+        h = hashlib.sha256()
+        arr = s.fillna("").to_numpy()
+        for i in range(0, len(arr), 1_000_000):
+            h.update("\x00".join(arr[i : i + 1_000_000]).encode())
+            h.update(b"\x01")
+        return h.hexdigest()
 
     # north-rule invariant: per-turn text byte-equal vs the INPUT corpus
-    inp = pd.concat(
-        [
-            pq.read_table(os.path.join(corpus["transcripts"], f)).to_pandas()
-            for f in sorted(os.listdir(corpus["transcripts"]))
-        ],
-        ignore_index=True,
-    ).sort_values(["conv_id", "turn_idx"], ignore_index=True)
-    assert len(inp) == len(a)
-    assert text_digest(inp["text"]) == text_digest(a["text"])
+    # (pruned 3-column loads — the feature columns were already proven
+    # identical by the file hashes)
+    def load_text(d: str, prefix: str) -> pd.DataFrame:
+        files = sorted(
+            os.path.join(d, f) for f in os.listdir(d)
+            if f.startswith(prefix) and f.endswith(".parquet")
+        )
+        df = pd.concat(
+            [
+                pq.read_table(f, columns=["conv_id", "turn_idx", "text"]).to_pandas()
+                for f in files
+            ],
+            ignore_index=True,
+        )
+        return df.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+
+    inp = load_text(corpus["transcripts"], "")
+    out = load_text(out_killed, "part-")
+    assert len(inp) == len(out)
+    assert text_digest(inp["text"]) == text_digest(out["text"])
 
     print(json.dumps({
         "metric": "resume_drill",
         "scale": args.scale,
-        "rows": int(len(a)),
+        "rows": int(len(out)),
         "partitions": args.partitions,
         "killed_at_done_markers": killed_at,
         "finished_before_kill": finished_early,
@@ -153,6 +193,7 @@ def main() -> int:
         "resumed_partitions_written": resume_summary["partitions_written"],
         "resume_wall_s": round(resume_wall, 2),
         "outputs_identical": True,
+        "part_files_byte_equal": files_byte_equal,
         "text_round_trip_byte_equal": True,
     }))
     return 0

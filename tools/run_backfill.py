@@ -37,6 +37,14 @@ def main() -> int:
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--session-gap-s", type=float, default=1800.0)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--salt-chunk-turns", type=int, default=None)
+    ap.add_argument(
+        "--generic-write",
+        action="store_true",
+        help="use the hash-partitioned write_partitioned sink instead of the "
+        "shard-aligned sink (costs a second full-payload exchange; kept for "
+        "outputs that must be co-located by conv_id hash)",
+    )
     args = ap.parse_args()
 
     import ray
@@ -69,17 +77,51 @@ def main() -> int:
 
     sink = MetricsSink.remote()
     t0 = time.perf_counter()
-    ds = feature_backfill_payload_light(
-        shards,
-        events,
-        k=args.k,
-        session_gap_s=args.session_gap_s,
-        num_partitions=args.partitions,
-        metrics_sink=sink,
-    )
-    report = write_partitioned(
-        ds, args.output, num_partitions=args.partitions, resume=not args.no_resume
-    )
+    if args.generic_write:
+        ds = feature_backfill_payload_light(
+            shards,
+            events,
+            k=args.k,
+            session_gap_s=args.session_gap_s,
+            num_partitions=args.partitions,
+            metrics_sink=sink,
+            salt_chunk_turns=args.salt_chunk_turns,
+        )
+        report = write_partitioned(
+            ds, args.output, num_partitions=args.partitions, resume=not args.no_resume
+        )
+    else:
+        # shard-aligned sink: one output file per input shard, written inside
+        # the rejoin task — the full-payload result never re-enters an
+        # exchange. Resume = shards whose .done marker exists skip their
+        # payload re-read + write (features still recompute: conversations
+        # span shards).
+        os.makedirs(args.output, exist_ok=True)
+        skip: set[int] = set()
+        if not args.no_resume:
+            done_files = {
+                f[:-5] for f in os.listdir(args.output) if f.endswith(".done")
+            }
+            for i, p in enumerate(shards):
+                base = os.path.splitext(os.path.basename(p))[0]
+                if f"part-{base}.parquet" in done_files:
+                    skip.add(i)
+        rep = feature_backfill_payload_light(
+            shards,
+            events,
+            k=args.k,
+            session_gap_s=args.session_gap_s,
+            num_partitions=args.partitions,
+            metrics_sink=sink,
+            salt_chunk_turns=args.salt_chunk_turns,
+            sink_dir=args.output,
+            skip_shards=skip,
+        ).to_pandas()  # tiny: one report row per written shard file
+        report = {
+            "written": sorted(int(s) for s in rep.get("shard", [])),
+            "skipped": sorted(skip),
+            "rows_written": int(rep["rows"].sum()) if len(rep) else 0,
+        }
     wall = time.perf_counter() - t0
 
     metrics = drain_metrics(sink)
