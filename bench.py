@@ -219,6 +219,20 @@ def single_run() -> dict:
     }
 
 
+def _cpu_busy_s() -> float:
+    """System-wide busy cpu-seconds since boot (/proc/stat), for honest
+    CPU-time accounting of a leg: wall-based efficiency readings > 1.0 only
+    say the small leg wasn't compute-saturated; busy-jiffy deltas measured
+    around each leg show the actual work done (the machine must be
+    otherwise idle — the idle-guard runs first)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    idle = vals[3] + vals[4]  # idle + iowait
+    hz = os.sysconf("SC_CLK_TCK")
+    return (sum(vals) - idle) / hz
+
+
 def scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(
@@ -226,11 +240,16 @@ def scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_HEADLINE_ONLY="1",
         )
+        busy0, t0 = _cpu_busy_s(), time.monotonic()
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        busy1, t1 = _cpu_busy_s(), time.monotonic()
+        res = json.loads(out.strip().splitlines()[-1])
+        res["_cpu_busy_s"] = round(busy1 - busy0, 1)
+        res["_leg_wall_s"] = round(t1 - t0, 1)
+        return res
 
     lo, hi = run(8), run(32)
     tps_lo, tps_hi = lo["turns_per_sec"], hi["turns_per_sec"]
@@ -245,6 +264,11 @@ def scaling() -> dict:
         "repeat_secs_32": hi.get("repeat_secs"),
         "scaling_efficiency": round(eff, 3),
         "turns": hi["turns"],
+        # whole-leg system CPU accounting (all repeats + warm-up + spawn):
+        "cpu_busy_s_8": lo["_cpu_busy_s"],
+        "cpu_busy_s_32": hi["_cpu_busy_s"],
+        "leg_wall_s_8": lo["_leg_wall_s"],
+        "leg_wall_s_32": hi["_leg_wall_s"],
     }
 
 
