@@ -195,6 +195,7 @@ def single_run() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    _tune_context(ctx)
     import logging
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
@@ -272,6 +273,20 @@ def scaling() -> dict:
     }
 
 
+def _tune_context(ctx) -> None:
+    """Single-node executor tuning (measured, 3.96M-turn headline):
+    the streaming executor's per-operator resource reservation
+    (op_resource_reservation_ratio=0.5) idles reserved slots in this
+    map -> exchange -> map -> exchange -> map pipeline — 8-CPU repeat 63 s
+    -> 17 s and 32-CPU 9.7 s -> 7.4 s with reservation off (ratio 0.1 does
+    NOT help: 58 s — the reservation mechanism itself idles the slots).
+    Reservation exists to prevent memory-pressure deadlocks in pathological
+    DAGs; this pipeline's exchanges are barriers anyway. GRAFT_OP_RESERVATION=1
+    restores the default."""
+    if os.environ.get("GRAFT_OP_RESERVATION", "0") != "1":
+        ctx.op_resource_reservation_enabled = False
+
+
 def skew_stress() -> dict:
     """Skew-stress protocol (VERDICT r3 item 1): one conversation = 20% of
     the corpus. Runs the payload-light headline on a balanced corpus and on
@@ -286,7 +301,9 @@ def skew_stress() -> dict:
     )
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    _ctx = DataContext.get_current()
+    _ctx.enable_progress_bars = False
+    _tune_context(_ctx)
     import logging
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
@@ -341,6 +358,11 @@ def skew_stress() -> dict:
         "skewed_unsalted_sec": skew_unsalted,
         "skewed_salted_sec": skew_salted,
         "salted_skew_vs_balanced": round(skew_salted / bal_unsalted, 3),
+        # corpora differ in size (the mega conv ADDS 25% turns): the
+        # per-turn normalization is the skew-robustness signal
+        "salted_skew_vs_balanced_per_turn": round(
+            (skew_salted / n_skew) / (bal_unsalted / n_bal), 3
+        ),
         "salt_overhead_balanced": round(bal_salted / bal_unsalted, 3),
         "unsalted_skew_penalty": round(skew_unsalted / bal_unsalted, 3),
         "chunk_turns": chunk,

@@ -59,7 +59,13 @@ def main() -> int:
     import ray.data as rd
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # measured: the executor's per-operator resource reservation idles
+    # reserved slots in this map->exchange->map->exchange pipeline (see
+    # bench._tune_context); GRAFT_OP_RESERVATION=1 restores the default
+    if os.environ.get("GRAFT_OP_RESERVATION", "0") != "1":
+        ctx.op_resource_reservation_enabled = False
 
     from rp_extract_ray.pipelines.flagship import feature_backfill_payload_light
     from rp_extract_ray.state.checkpoint import write_partitioned
