@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_distinct": R.q_group_distinct,
         # text analysis / dedup / similarity (training-data extensions)
         "token_count": D.q_token_count,
+        "pack_sequences": D.q_pack_sequences,
+        "pack_stats": D.q_pack_stats,
         "text_quality": D.q_text_quality,
         "curation": D.q_curation,
         "nb_classify": D.q_nb_classify,
@@ -1063,6 +1065,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
                      AS n_ws_tokens
             FROM documents""",
+        # packing: exclusive window cumsum over the SAME whitespace-token
+        # count, integer-bucketed by the 512-token budget (floor of a
+        # non-negative ratio == the engine's int64 division)
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                       AS n_ws_tokens
+              FROM documents)
+            SELECT doc_id, n_ws_tokens,
+                   CAST(FLOOR(CAST(COALESCE(SUM(n_ws_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS DOUBLE) / 512) AS BIGINT) AS pack_id
+            FROM t""",
+        "pack_stats": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                       AS n_ws_tokens
+              FROM documents),
+            p AS (
+              SELECT doc_id, n_ws_tokens,
+                     CAST(FLOOR(CAST(COALESCE(SUM(n_ws_tokens) OVER (
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS DOUBLE) / 512) AS BIGINT) AS pack_id
+              FROM t)
+            SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_ws_tokens) AS BIGINT) AS tok_sum
+            FROM p GROUP BY pack_id""",
         # ratios, stopword share, mean word length and the composite score,
         # replicated with the SAME RE2 regexes (Arrow count_substring_regex
         # and DuckDB regexp_* are both RE2 with non-overlapping leftmost

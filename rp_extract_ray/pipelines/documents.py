@@ -42,6 +42,32 @@ def q_token_count(sf_dir: str) -> Dataset:
     return ds.select_columns(["doc_id", "n_tokens", "n_ws_tokens"])
 
 
+def q_pack_sequences(sf_dir: str) -> Dataset:
+    """Sequence packing (stages/pack.py): documents laid end-to-end under
+    stable doc_id order and cut into 512-token packs —
+    pack_id = floor(exclusive_prefix_ws_tokens / 512). Oracle: the same
+    regexp token count + a window cumsum."""
+    from rp_extract_ray.stages.pack import pack_sequences
+
+    ds = add_token_counts(_docs(sf_dir, ["doc_id", "text"]))
+    return pack_sequences(
+        ds.select_columns(["doc_id", "n_ws_tokens"]),
+        token_col="n_ws_tokens", budget=512, num_partitions=16,
+    )
+
+
+def q_pack_stats(sf_dir: str) -> Dataset:
+    """Per-pack utilization (n_docs, tok_sum) over the 512-token packing —
+    the packing QA report. Oracle: GROUP BY over the window-cumsum CTE."""
+    from rp_extract_ray.stages.pack import pack_stats
+
+    ds = add_token_counts(_docs(sf_dir, ["doc_id", "text"]))
+    return pack_stats(
+        ds.select_columns(["doc_id", "n_ws_tokens"]),
+        token_col="n_ws_tokens", budget=512, num_partitions=16,
+    )
+
+
 def q_text_quality(sf_dir: str) -> Dataset:
     """Full quality-scoring surface: character-class ratios, whole-word
     stopword ratio, mean word length, and the composite quality score —

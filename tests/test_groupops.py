@@ -562,3 +562,44 @@ def test_trend_slope_zero_time_variance_is_null():
     out = q_trend_slope(d).to_pandas().sort_values("user_id", ignore_index=True)
     assert np.isnan(out.loc[0, "slope"])  # user 1: zero time variance
     assert np.isfinite(out.loc[1, "slope"])  # user 2: real slope
+
+
+def test_pack_sequences_partition_invariant():
+    """pack_id is a global ordered prefix: identical under any partition
+    count, and equal to the single-process cumsum."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rp_extract_ray.stages.pack import pack_sequences, pack_stats
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "tok": rng.integers(1, 400, size=n).astype(np.int64),
+        }
+    )
+    shuffled = df.sample(frac=1.0, random_state=2).reset_index(drop=True)
+    excl = np.concatenate([[0], np.cumsum(df["tok"].to_numpy())[:-1]])
+    expect = excl // 256
+
+    for p in (3, 16):
+        got = (
+            pack_sequences(
+                rd.from_pandas(shuffled), token_col="tok", budget=256,
+                num_partitions=p,
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert (got["pack_id"].to_numpy() == expect).all(), p
+
+    st = pack_stats(
+        rd.from_pandas(shuffled), token_col="tok", budget=256, num_partitions=5
+    ).to_pandas()
+    # every pack except possibly the last covers >= budget tokens once its
+    # straddling head doc is accounted: totals must sum to the corpus
+    assert int(st["tok_sum"].sum()) == int(df["tok"].sum())
+    assert int(st["n_docs"].sum()) == n
