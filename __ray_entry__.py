@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_distinct": R.q_group_distinct,
         # text analysis / dedup / similarity (training-data extensions)
         "token_count": D.q_token_count,
+        "redact": D.q_redact,
         "pack_sequences": D.q_pack_sequences,
         "pack_stats": D.q_pack_stats,
         "text_quality": D.q_text_quality,
@@ -1064,6 +1065,23 @@ def oracle_sql() -> dict[str, str]:
                      AS n_tokens,
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
                      AS n_ws_tokens
+            FROM documents""",
+        "redact": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(COALESCE(text, ''),
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       'https?://\S+', '<URL>', 'g'),
+                     '\+?\d[\d\-\s()]{7,}\d', '<PHONE>', 'g') AS text,
+                   CAST(len(regexp_extract_all(COALESCE(text, ''),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                     AS n_emails,
+                   CAST(len(regexp_extract_all(COALESCE(text, ''),
+                     'https?://\S+')) AS BIGINT) AS n_urls,
+                   CAST(len(regexp_extract_all(COALESCE(text, ''),
+                     '\+?\d[\d\-\s()]{7,}\d')) AS BIGINT) AS n_phones
             FROM documents""",
         # packing: exclusive window cumsum over the SAME whitespace-token
         # count, integer-bucketed by the 512-token budget (floor of a

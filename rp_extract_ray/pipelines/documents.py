@@ -42,6 +42,16 @@ def q_token_count(sf_dir: str) -> Dataset:
     return ds.select_columns(["doc_id", "n_tokens", "n_ws_tokens"])
 
 
+def q_redact(sf_dir: str) -> Dataset:
+    """PII redaction scrub (stages/textstage.redact_pii): emails/URLs/phone
+    spans replaced with typed placeholders + per-doc match counts. Oracle:
+    the same RE2 patterns via regexp_extract_all counts + nested
+    regexp_replace(..., 'g') in the same order."""
+    from rp_extract_ray.stages.textstage import redact_pii
+
+    return redact_pii(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_pack_sequences(sf_dir: str) -> Dataset:
     """Sequence packing (stages/pack.py): documents laid end-to-end under
     stable doc_id order and cut into 512-token packs —

@@ -729,3 +729,29 @@ def test_ivf_sample_unbiased_on_sorted_corpus():
     # all 4 lists populated, none degenerate (biased sample gives ~1000/0/0/0)
     assert len(counts) == 4
     assert counts.min() >= 150 and counts.max() <= 400
+
+
+def test_redact_pii():
+    from rp_extract_ray.stages.textstage import redact_pii
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "mail me at a.b+c@example.org or visit https://x.io/p?q=1",
+                "call +1 (555) 123-4567 now",
+                None,
+                "clean text",
+            ],
+        }
+    )
+    out = redact_pii(rd.from_pandas(df)).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    assert out.loc[0, "text"] == "mail me at <EMAIL> or visit <URL>"
+    assert out.loc[0, "n_emails"] == 1 and out.loc[0, "n_urls"] == 1
+    assert out.loc[1, "text"] == "call <PHONE> now"
+    assert out.loc[1, "n_phones"] == 1
+    assert out.loc[2, "text"] == ""  # null -> scrubbed empty
+    assert out.loc[3, "text"] == "clean text"
+    assert out[["n_emails", "n_urls", "n_phones"]].to_numpy().sum() == 3
