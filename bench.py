@@ -328,7 +328,7 @@ def skew_stress() -> dict:
         d = paths["transcripts"]
         return sorted(os.path.join(d, f) for f in os.listdir(d))
 
-    def run(paths, salt, repeats=3) -> float:
+    def run(paths, salt, repeats=3) -> tuple[float, int]:
         files = shard_list(paths)
         best = float("inf")
         for _ in range(repeats):

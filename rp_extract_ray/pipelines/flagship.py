@@ -75,8 +75,14 @@ def feature_backfill(
     add_stats: bool = True,
     dedup_right: str | None = None,
     salt_chunk_turns: int | None = None,
+    turn_col: str = "turn_idx",
 ) -> Dataset:
     """turn stats -> sessionize + sliding-window SSD features [-> as-of].
+
+    ``turn_col`` (salted path only) names the dense per-conversation ordinal
+    the chunker salts on; it must appear in ``order_cols`` as the tiebreak
+    (raises otherwise — silently chunking by a column the sort ignores would
+    desynchronize chunk units from frame order).
 
     Scale design: the gap/session/window computations FUSE into a single
     ``partitioned_apply`` — ONE all-to-all exchange for the whole feature
@@ -102,6 +108,12 @@ def feature_backfill(
         if salt_chunk_turns is not None:
             from rp_extract_ray.stages.session import salted_session_apply
 
+            if turn_col not in order_cols:
+                raise ValueError(
+                    f"salted path chunks on turn_col={turn_col!r}, which must "
+                    f"be part of order_cols={order_cols!r}"
+                )
+
             def finish(pdf, starts):
                 return pdf.assign(
                     **window_stat_columns(pdf, series_cols, k, starts)
@@ -110,7 +122,7 @@ def feature_backfill(
             ds = salted_session_apply(
                 ds, finish,
                 entity_col=entity_col, ts_col=ts_col,
-                turn_col="turn_idx",
+                turn_col=turn_col,
                 gap_threshold_s=session_gap_s,
                 num_partitions=num_partitions,
                 chunk_turns=salt_chunk_turns, overlap=max(k, 1),

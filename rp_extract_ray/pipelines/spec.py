@@ -247,6 +247,24 @@ def _dedup_normalized(ds: Dataset, **kw) -> Dataset:
     return normalized_exact_dedup(ds, **kw)
 
 
+def _redact(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.textstage import redact_pii
+
+    return redact_pii(ds, **kw)
+
+
+def _pack(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.pack import pack_sequences
+
+    return pack_sequences(ds, **kw)
+
+
+def _pack_stats(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.pack import pack_stats
+
+    return pack_stats(ds, **kw)
+
+
 _REGISTRY: dict[str, Callable[..., Dataset]] = {
     "turn_stats": _turn_stats,
     "sessionize": _sessionize,
@@ -286,6 +304,10 @@ _REGISTRY: dict[str, Callable[..., Dataset]] = {
     "repetition": _repetition,
     "boilerplate_share": _boilerplate_share,
     "dedup_normalized": _dedup_normalized,
+    # round-4 additions
+    "redact": _redact,
+    "pack": _pack,
+    "pack_stats": _pack_stats,
 }
 
 

@@ -60,7 +60,11 @@ def pack_sequences(
     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / budget) AS
     BIGINT)``. Output columns: ``(id_col, token_col, pack_id)``.
     """
-    slim = ds.select_columns([id_col, token_col])
+    # the slim (id, tokens) projection is consumed THREE times (bounds
+    # sample, totals, final assign) — materialize it once so the caller's
+    # upstream lineage (e.g. regex token counting over the full text) runs
+    # exactly once; 16 B/row in the object store, spillable
+    slim = ds.select_columns([id_col, token_col]).materialize()
     bounds = range_partition_bounds(
         slim, id_col, num_partitions, sample_rate=sample_rate, seed=seed
     )

@@ -223,9 +223,8 @@ def partitioned_apply(
         ghost = chunk = None
         if GHOST_COL in pdf.columns:
             if expose_ghost:
-                ghost_kept = pdf[GHOST_COL].to_numpy()
                 chunk = pdf.pop(CHUNK_COL).to_numpy()
-                ghost = None  # fn handles ghosts itself (aggregating output)
+                ghost = None  # fn handles ghosts itself (reads GHOST_COL)
             else:
                 # dtype=bool matters: after a heterogeneous union (side
                 # tables) the column arrives as object, and ~object_array

@@ -345,42 +345,55 @@ def salted_session_apply(
             feats.map_batches(chunk_counts, batch_format="pyarrow"),
             [entity_col, "_chunk_id"],
             {"n_bounds": ("n_bounds", "max")},
-        )
-        off_pdf = _prefix_offsets(counts, entity_col, num_partitions).to_pandas()
-        if len(off_pdf) > broadcast_limit:
-            raise ValueError(
-                f"offset table ({len(off_pdf)} rows) exceeds broadcast_limit; "
-                "use offsets='copartition' for driver-free delivery"
-            )
-        off_map = {
-            (e, int(c)): int(o)
-            for e, c, o in zip(
-                off_pdf[entity_col], off_pdf["_chunk_id"], off_pdf["offset"]
-            )
-        }
-        ref = ray.put(off_map)
+        ).materialize()  # tiny: one row per (entity, chunk)
+        # guard BEFORE any driver-side collect: count() on the materialized
+        # table is metadata. 'auto' falls back to the distributed two-pass
+        # (pass 1's work is redone — the documented price of auto at a scale
+        # the caller should have declared); explicit 'post' raises instead.
+        n_off = counts.count()
+        if n_off > broadcast_limit:
+            if mode == "post":
+                raise ValueError(
+                    f"offset table ({n_off} rows) exceeds broadcast_limit; "
+                    "use offsets='copartition' for driver-free delivery"
+                )
+            # 'auto' past the driver budget: fall THROUGH to the distributed
+            # two-pass below, reusing the already-computed counts for its
+            # offsets (pass 1's feature work is redone — the price of auto
+            # at a scale the caller should have declared up front)
+            offsets_ds = _prefix_offsets(counts, entity_col, num_partitions)
+            mode = "copartition"
+        else:
+            off_pdf = _prefix_offsets(counts, entity_col, num_partitions).to_pandas()
+            off_map = {
+                (e, int(c)): int(o)
+                for e, c, o in zip(
+                    off_pdf[entity_col], off_pdf["_chunk_id"], off_pdf["offset"]
+                )
+            }
+            ref = ray.put(off_map)
 
-        def rebase(pdf: pd.DataFrame) -> pd.DataFrame:
-            offs = ray.get(ref)
-            ent = pdf[entity_col].to_numpy()
-            chunk = pdf[turn_col].to_numpy().astype(np.int64) // chunk_turns
-            starts = entity_starts(ent, chunk)
-            rs, re_ = run_bounds(starts, len(pdf))
-            base_run = np.fromiter(
-                (offs.get((ent[s], int(chunk[s])), 0) for s in rs),
-                dtype=np.int64,
-                count=len(rs),
-            )
-            base = np.repeat(base_run, re_ - rs)
-            pdf["session_id"] = (
-                pdf["session_id"].to_numpy().astype(np.int64) + base
-            ).astype(np.int32)
-            return pdf
+            def rebase(pdf: pd.DataFrame) -> pd.DataFrame:
+                offs = ray.get(ref)
+                ent = pdf[entity_col].to_numpy()
+                chunk = pdf[turn_col].to_numpy().astype(np.int64) // chunk_turns
+                starts = entity_starts(ent, chunk)
+                rs, re_ = run_bounds(starts, len(pdf))
+                base_run = np.fromiter(
+                    (offs.get((ent[s], int(chunk[s])), 0) for s in rs),
+                    dtype=np.int64,
+                    count=len(rs),
+                )
+                base = np.repeat(base_run, re_ - rs)
+                pdf["session_id"] = (
+                    pdf["session_id"].to_numpy().astype(np.int64) + base
+                ).astype(np.int32)
+                return pdf
 
-        # blocks arrive partition-sorted so runs are few; correctness does
-        # not depend on contiguity (each contiguous segment looks up its own
-        # (entity, chunk) key)
-        return feats.map_batches(rebase, batch_format="pandas")
+            # blocks arrive partition-sorted so runs are few; correctness
+            # does not depend on contiguity (each contiguous segment looks
+            # up its own (entity, chunk) key)
+            return feats.map_batches(rebase, batch_format="pandas")
 
     if offsets_ds is None:
         # ``offsets_ds=`` lets a caller supply pass A from a cheaper source

@@ -183,3 +183,12 @@ def test_registry_covers_round3_stages():
     ):
         assert expected in names, expected
     assert len(names) >= 36
+
+
+def test_registry_covers_round4_stages():
+    from rp_extract_ray.pipelines.spec import available_stages
+
+    names = set(available_stages())
+    for expected in ("redact", "pack", "pack_stats"):
+        assert expected in names, expected
+    assert len(names) >= 39

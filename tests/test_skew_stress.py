@@ -146,3 +146,28 @@ def test_payload_light_salted_round_trip(tmp_path_factory):
     pd.testing.assert_frame_equal(
         _sorted_frame(base), _sorted_frame(salted), check_exact=True
     )
+
+
+def test_salted_auto_falls_back_to_copartition(skewed):
+    """offsets='auto' past broadcast_limit must NOT collect the offset table
+    driver-side: it falls back to the distributed two-pass and still matches
+    the unsalted result; explicit 'post' raises instead."""
+    from rp_extract_ray.stages.session import salted_session_apply, sessionize
+
+    ds = rd.from_pandas(skewed.sample(frac=1.0, random_state=13))
+    base = sessionize(
+        ds, order_cols=("ts", "turn_idx"), num_partitions=8
+    ).to_pandas()
+    got = salted_session_apply(
+        ds, None, gap_threshold_s=1800.0, num_partitions=8,
+        chunk_turns=4096, offsets="auto", broadcast_limit=3,  # force fallback
+    ).to_pandas()
+    a = _sorted_frame(base)
+    b = _sorted_frame(got)
+    assert (a["session_id"].to_numpy() == b["session_id"].to_numpy()).all()
+
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        salted_session_apply(
+            ds, None, gap_threshold_s=1800.0, num_partitions=8,
+            chunk_turns=4096, offsets="post", broadcast_limit=3,
+        ).to_pandas()

@@ -3,7 +3,9 @@ the output equals an uninterrupted run (W2/J4 durability integration proof).
 
 Protocol:
   1. run ``tools/run_backfill.py`` as a subprocess over a synthetic corpus;
-  2. SIGKILL it once ~half the partition ``.done`` markers exist;
+  2. SIGKILL it once an eighth of the shard ``.done`` markers exist
+     (the writes land as one final parallel burst — killing early leaves
+     real work for the resume);
   3. re-run the same command — the manifest resume skips finished
      partitions;
   4. run a fresh uninterrupted job into a second directory;
@@ -12,7 +14,7 @@ Protocol:
      feature column, plus the north rule's byte-equal text round-trip
      against the INPUT corpus).
 
-Usage: python tools/resume_drill.py [--turns-scale big|small]
+Usage: python tools/resume_drill.py [--scale small|big]
 Prints one JSON line with the drill outcome.
 """
 
@@ -77,7 +79,7 @@ def main() -> int:
         args.partitions, args.num_cpus,
     )
 
-    # --- phase 1: launch and SIGKILL at ~50% done markers -------------------
+    # --- phase 1: launch and SIGKILL mid-write ------------------------------
     n_shards = len(os.listdir(corpus["transcripts"]))
     proc = subprocess.Popen(cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     # sink mode: one done marker per input shard. Kill at the FIRST eighth:

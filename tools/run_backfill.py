@@ -47,6 +47,39 @@ def main() -> int:
     )
     args = ap.parse_args()
 
+    if os.path.isdir(args.input):
+        shards = sorted(
+            os.path.join(args.input, f)
+            for f in os.listdir(args.input)
+            if f.endswith(".parquet")
+        )
+    else:
+        shards = [args.input]
+
+    skip: set[int] = set()
+    if not args.generic_write:
+        os.makedirs(args.output, exist_ok=True)
+        if not args.no_resume:
+            done_files = {
+                f[:-5] for f in os.listdir(args.output) if f.endswith(".done")
+            }
+            for i, p in enumerate(shards):
+                base = os.path.splitext(os.path.basename(p))[0]
+                if f"part-{base}.parquet" in done_files:
+                    skip.add(i)
+        if len(skip) == len(shards):
+            # every shard already written + marked: nothing to do — exit
+            # BEFORE paying ray.init and the full feature recompute
+            print(json.dumps({
+                "rows_written": 0,
+                "partitions_written": 0,
+                "partitions_skipped": len(skip),
+                "wall_s": 0.0,
+                "rows_per_sec": None,
+                "output": args.output,
+            }))
+            return 0
+
     import ray
 
     if not ray.is_initialized():
@@ -71,14 +104,6 @@ def main() -> int:
     from rp_extract_ray.state.checkpoint import write_partitioned
     from rp_extract_ray.state.metrics import MetricsSink, drain_metrics
 
-    if os.path.isdir(args.input):
-        shards = sorted(
-            os.path.join(args.input, f)
-            for f in os.listdir(args.input)
-            if f.endswith(".parquet")
-        )
-    else:
-        shards = [args.input]
     events = rd.read_parquet(args.events) if args.events else None
 
     sink = MetricsSink.remote()
@@ -99,19 +124,9 @@ def main() -> int:
     else:
         # shard-aligned sink: one output file per input shard, written inside
         # the rejoin task — the full-payload result never re-enters an
-        # exchange. Resume = shards whose .done marker exists skip their
-        # payload re-read + write (features still recompute: conversations
-        # span shards).
-        os.makedirs(args.output, exist_ok=True)
-        skip: set[int] = set()
-        if not args.no_resume:
-            done_files = {
-                f[:-5] for f in os.listdir(args.output) if f.endswith(".done")
-            }
-            for i, p in enumerate(shards):
-                base = os.path.splitext(os.path.basename(p))[0]
-                if f"part-{base}.parquet" in done_files:
-                    skip.add(i)
+        # exchange. Resume (skip computed above, before ray.init) = shards
+        # whose .done marker exists skip their payload re-read + write
+        # (features still recompute: conversations span shards).
         rep = feature_backfill_payload_light(
             shards,
             events,
