@@ -47,6 +47,7 @@ QUERY_NAMES = [
     "token_ids", "bigram_pmi", "time_bucket", "merge_intervals",
     "cohort_retention", "knn_ivf", "boilerplate",
     "curation", "nb_classify", "time_grid_lerp", "transitions",
+    "redact", "pack_sequences", "pack_stats",
 ]
 
 
