@@ -75,6 +75,12 @@ class SaltSpec:
     operators that read up to ``lead_overlap`` FUTURE rows (leads) are exact
     at chunk tails too. Without it, a lead column under salting is silently
     NaN at every chunk tail where the unsalted path has real values.
+
+    CONTRACT: ``turn_col`` must be the DENSE 0-based per-entity ordinal (the
+    transcript input contract). Chunk membership and ghost overlap are
+    selected by ``turn % chunk_turns`` POSITIONS — a gappy ordinal would
+    under-fill the ghost context and silently truncate chunk-border windows.
+    Guard untrusted input with ``validate_transcripts(require_dense=True)``.
     """
 
     chunk_turns: int = 4096

@@ -33,7 +33,15 @@ def validate_transcripts(
     errors: str = "raise",  # 'raise' | 'drop'
     num_partitions: int = 64,
     metrics_sink=None,
+    require_dense: bool = False,
 ) -> Dataset:
+    """``require_dense=True`` additionally enforces that ``turn_col`` is the
+    DENSE 0-based per-conversation ordinal (starts at 0, increments by 1) —
+    the precondition of the salted chunker (``SaltSpec``): ghost overlap is
+    selected by ``turn % chunk_turns`` positions, so a gappy ordinal would
+    under-fill the chunk-border window context SILENTLY. Run this check
+    before any ``salt_chunk_turns`` pipeline on untrusted input."""
+
     def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
         ent = pdf[entity_col].to_numpy()
         turn = pdf[turn_col].to_numpy()
@@ -63,6 +71,21 @@ def validate_transcripts(
                 f"ts decreases along {turn_col} within entity: "
                 f"{bad.to_records(index=False).tolist()}"
             )
+        if require_dense:
+            turn = pdf[turn_col].to_numpy()
+            from rp_extract_ray.stages.partition import entity_starts
+
+            st = entity_starts(pdf[entity_col].to_numpy())
+            # dense 0-based ordinal: turn[i] == i - run_start(i)
+            expect = np.arange(n, dtype=np.int64) - st
+            bad_mask = turn.astype(np.int64) != expect
+            if bad_mask.any():
+                bad = pdf.loc[bad_mask, [entity_col, turn_col]].head(5)
+                raise ValueError(
+                    f"{turn_col} is not the dense 0-based per-entity ordinal "
+                    f"(salted chunking precondition): "
+                    f"{bad.to_records(index=False).tolist()}"
+                )
         return pdf
 
     return partitioned_apply(

@@ -36,3 +36,35 @@ def test_nonmonotone_ts_rejected():
     ds = _mk([("a", 0, 100), ("a", 1, 50)])
     with pytest.raises(Exception, match="decreases"):
         validate_transcripts(ds, num_partitions=2).count()
+
+
+def test_require_dense_ordinal():
+    """require_dense enforces the salted-chunker precondition: turn_idx is
+    the dense 0-based per-conversation ordinal."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from rp_extract_ray.stages.validate import validate_transcripts
+
+    ok = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 3 + ["b"] * 2,
+            "turn_idx": np.array([0, 1, 2, 0, 1], dtype=np.int32),
+            "ts": pd.to_datetime(
+                [1_700_000_000 + i for i in (0, 5, 9, 0, 3)], unit="s"
+            ),
+        }
+    )
+    out = validate_transcripts(
+        rd.from_pandas(ok), num_partitions=2, require_dense=True
+    ).to_pandas()
+    assert len(out) == 5
+
+    gappy = ok.copy()
+    gappy.loc[2, "turn_idx"] = 7  # a filtered-row hole
+    with pytest.raises(Exception, match="dense 0-based"):
+        validate_transcripts(
+            rd.from_pandas(gappy), num_partitions=2, require_dense=True
+        ).to_pandas()
