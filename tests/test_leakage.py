@@ -159,3 +159,47 @@ def test_time_window_no_future_leakage(corpus):
             clean.loc[past, c].to_numpy(dtype=np.float64),
             dirty.loc[past, c].to_numpy(dtype=np.float64),
         ), c
+
+
+def test_salted_fused_future_poisoning(corpus):
+    """The salted fused flagship path (salted_session_apply post mode inside
+    feature_backfill) has the same zero-leakage property: poisoning every
+    row with ts > t0 leaves all features at as-of points <= t0 bit-identical."""
+    from rp_extract_ray.pipelines.flagship import feature_backfill
+
+    t, ev = corpus
+    pdf = t.to_pandas()
+    t0 = pdf["ts"].quantile(0.5)
+    poisoned = pdf.copy()
+    fut = poisoned["ts"] > t0
+    poisoned.loc[fut, "text"] = "XXXXX GARBAGE " * 50
+    ev_pdf = ev.to_pandas()
+    ev_poisoned = ev_pdf.copy()
+    ev_poisoned.loc[ev_poisoned["ts"] > t0, "value"] = 1e9
+
+    def run(tt, evv):
+        return (
+            feature_backfill(
+                rd.from_arrow(tt), rd.from_arrow(evv),
+                k=8, num_partitions=8, salt_chunk_turns=32,
+            )
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+        )
+
+    clean = run(t, ev)
+    dirty = run(
+        pa.Table.from_pandas(poisoned, preserve_index=False),
+        pa.Table.from_pandas(ev_poisoned, preserve_index=False),
+    )
+    past = (clean["ts"] <= t0).to_numpy()
+    num_cols = [
+        c for c in clean.columns
+        if clean[c].dtype.kind in "ifc" and c not in ("turn_idx",)
+    ]
+    assert len(num_cols) > 20
+    for c in num_cols:
+        a = clean.loc[past, c].to_numpy(dtype=np.float64)
+        b = dirty.loc[past, c].to_numpy(dtype=np.float64)
+        same = (a == b) | (np.isnan(a) & np.isnan(b))
+        assert same.all(), (c, np.flatnonzero(~same)[:5])
