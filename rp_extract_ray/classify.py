@@ -205,8 +205,10 @@ def align_predictions(
         i = b.column_names.index(on)
         return b.set_column(i, on, key)
 
-    left = pred.map_batches(norm, batch_format="pyarrow")
-    right = truth.map_batches(norm, batch_format="pyarrow")
+    from rp_extract_ray.stages.partition import arrow_clean
+
+    left = arrow_clean(pred.map_batches(norm, batch_format="pyarrow"))
+    right = arrow_clean(truth.map_batches(norm, batch_format="pyarrow"))
     return left.join(
         right, "inner", num_partitions, on=(on,), right_suffix="_truth"
     )

@@ -27,7 +27,7 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from rp_extract_ray.functions.hashing import MinHasher, char_shingles, jaccard
-from rp_extract_ray.stages.partition import run_bounds, stable_hash
+from rp_extract_ray.stages.partition import arrow_clean, run_bounds, stable_hash
 
 _MH_CACHE: dict = {}
 
@@ -458,7 +458,7 @@ def verify_pairs_jaccard(
 
     docs = ds.map_batches(
         lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
-    ).join(cand_ids, "left_semi", num_partitions, on=(id_col,))
+    ).join(arrow_clean(cand_ids), "left_semi", num_partitions, on=(id_col,))
 
     sh_schema = pa.schema(
         [pa.field(id_col, pa.int64()), pa.field("_sh", pa.binary())]
@@ -493,9 +493,9 @@ def verify_pairs_jaccard(
 
     sh_a = docs_sh.map_batches(as_side("a"), batch_format="pyarrow")
     sh_b = docs_sh.map_batches(as_side("b"), batch_format="pyarrow")
-    joined = uniq.join(sh_a, "inner", pair_partitions, on=("id_a",)).join(
-        sh_b, "inner", pair_partitions, on=("id_b",)
-    )
+    joined = arrow_clean(uniq).join(
+        arrow_clean(sh_a), "inner", pair_partitions, on=("id_a",)
+    ).join(arrow_clean(sh_b), "inner", pair_partitions, on=("id_b",))
 
     def batch_jaccard(b: pa.Table) -> pa.Table:
         if len(b) == 0:
@@ -680,9 +680,9 @@ def dedup_clusters_distributed(
                 lambda b: b.rename_columns(["eid_b", "lab_b"]),
                 batch_format="pyarrow",
             )
-            tagged = edges.join(la, "inner", num_partitions, on=("eid_a",)).join(
-                lb, "inner", num_partitions, on=("eid_b",)
-            )
+            tagged = arrow_clean(edges).join(
+                arrow_clean(la), "inner", num_partitions, on=("eid_a",)
+            ).join(arrow_clean(lb), "inner", num_partitions, on=("eid_b",))
 
             def props(b: pa.Table) -> pa.Table:
                 pa_ = b.column("lab_a").to_numpy(zero_copy_only=False)
@@ -758,7 +758,7 @@ def dedup_clusters_distributed(
             ).select(["id", "lab"]).cast(_changed_schema)
 
         changed = (
-            new_labels.join(old, "inner", num_partitions, on=("id",))
+            arrow_clean(new_labels).join(arrow_clean(old), "inner", num_partitions, on=("id",))
             .map_batches(changed_rows, batch_format="pyarrow")
             .materialize()
         )
@@ -1329,9 +1329,9 @@ def ngram_jaccard_pairs(
     sz_b = sizes.map_batches(
         lambda b: b.rename_columns(["id_b", "n_b"]), batch_format="pyarrow"
     )
-    joined = counted.join(sz_a, "inner", num_partitions, on=("id_a",)).join(
-        sz_b, "inner", num_partitions, on=("id_b",)
-    )
+    joined = arrow_clean(counted).join(
+        arrow_clean(sz_a), "inner", num_partitions, on=("id_a",)
+    ).join(arrow_clean(sz_b), "inner", num_partitions, on=("id_b",))
 
     out_schema = pa.schema(
         [pa.field("id_a", pa.int64()), pa.field("id_b", pa.int64()),

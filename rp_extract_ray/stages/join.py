@@ -121,7 +121,11 @@ def semi_anti_join(
         how = "left_anti" if anti else "left_semi"
         if norm is None:
             side = keys.select_columns([keys_on])
-            return big.join(side, how, num_partitions, on=(on,), right_on=(keys_on,))
+            from rp_extract_ray.stages.partition import arrow_clean
+
+            return arrow_clean(big).join(
+                arrow_clean(side), how, num_partitions, on=(on,), right_on=(keys_on,)
+            )
         # match on a normalized temp key; original columns pass through
         KEY = "_norm_key"
 
@@ -253,11 +257,13 @@ def hash_join(
     ``right_suffix``. Aggregator sizing note: Ray spawns ``num_partitions``
     join actors at 0.125 CPU each — the default scales with the cluster.
     """
+    from rp_extract_ray.stages.partition import arrow_clean
+
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, cpus // 2)
-    return left.join(
-        right,
+    return arrow_clean(left).join(
+        arrow_clean(right),
         how,
         num_partitions,
         on=(on,),

@@ -53,6 +53,15 @@ def strip_meta(t: pa.Table) -> pa.Table:
     return t.replace_schema_metadata(None) if t.schema.metadata else t
 
 
+def arrow_clean(ds: Dataset) -> Dataset:
+    """Convert a Dataset's blocks to metadata-free Arrow. Use on the inputs
+    of ``Dataset.join``: its hash-shuffle aggregators unify block schemas,
+    and pandas-derived blocks carry the unhashable pandas metadata blob (see
+    :func:`strip_meta`) — one warning line per aggregator task otherwise.
+    The pandas->arrow conversion happens either way; this just fronts it."""
+    return ds.map_batches(strip_meta, batch_format="pyarrow")
+
+
 def stable_hash(values) -> np.ndarray:
     """Deterministic uint64 hash of an array of keys (any dtype)."""
     arr = np.asarray(values)
