@@ -1084,8 +1084,9 @@ def oracle_sql() -> dict[str, str]:
                      '\+?\d[\d\-\s()]{7,}\d')) AS BIGINT) AS n_phones
             FROM documents""",
         # packing: exclusive window cumsum over the SAME whitespace-token
-        # count, integer-bucketed by the 512-token budget (floor of a
-        # non-negative ratio == the engine's int64 division)
+        # count, integer-bucketed by the 512-token budget. Integer division
+        # (DuckDB // on BIGINT) keeps the oracle exact past 2^53 cumulative
+        # tokens, matching the engine's int64 floor division bit-for-bit.
         "pack_sequences": r"""
             WITH t AS (
               SELECT doc_id,
@@ -1093,10 +1094,10 @@ def oracle_sql() -> dict[str, str]:
                        AS n_ws_tokens
               FROM documents)
             SELECT doc_id, n_ws_tokens,
-                   CAST(FLOOR(CAST(COALESCE(SUM(n_ws_tokens) OVER (
+                   CAST(COALESCE(SUM(n_ws_tokens) OVER (
                        ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                     AS DOUBLE) / 512) AS BIGINT) AS pack_id
+                     // 512 AS BIGINT) AS pack_id
             FROM t""",
         "pack_stats": r"""
             WITH t AS (

@@ -64,24 +64,50 @@ class MediaFeatureExtractor:
     parsed by the from-scratch numpy codec (functions/wav.py — the S1
     `wavio.readwav` analogue, no external libs) and featurized with the
     reference's normalize -> mono-project -> 7-stat chain (M1-M3 + M15).
-    ``mode='stub'`` raises NotImplementedError from the decode kernel (the
-    honest placeholder for COMPRESSED codecs — mp3/jpeg/h264 libs are not in
-    this environment); ``mode='fake'`` produces a deterministic
-    payload-derived feature vector so the full pipeline (schema, batching,
-    output layout) is testable end-to-end regardless of codec availability.
+    ``mode='subprocess'`` is the reference's external-decoder bridge
+    (S3/S5, /root/reference/audiofile_read.py:139-212) made real:
+    ``functions/decode_bridge.py`` shells the payload through an injectable
+    command list (ffmpeg/mpg123/lame by default) to a temp WAV, parses it
+    with the S1 codec, and featurizes like ``mode='wav'`` — proven here with
+    an injected WAV-emitting command, and working unchanged wherever ffmpeg
+    exists on PATH. ``mode='stub'`` raises NotImplementedError from the
+    decode kernel (the honest placeholder for in-process COMPRESSED codecs —
+    mp3/jpeg/h264 libs are not in this environment); ``mode='fake'``
+    produces a deterministic payload-derived feature vector so the full
+    pipeline (schema, batching, output layout) is testable end-to-end
+    regardless of codec availability.
     """
 
     FEAT_DIM = 16
 
-    def __init__(self, mode: Literal["stub", "fake", "wav"] = "fake"):
-        self.mode = mode  # per-actor init: real impl loads codec/model here
+    def __init__(
+        self,
+        mode: Literal["stub", "fake", "wav", "subprocess"] = "fake",
+        decoder_cmds: list | None = None,
+    ):
+        # per-actor init: decoder templates resolved once, real impl loads
+        # codec/model state here
+        self.mode = mode
+        self.decoder_cmds = decoder_cmds
 
-    def _decode(self, payload: bytes, kind: str) -> np.ndarray:
+    def _decode(self, payload: bytes, kind: str, mime: str = "") -> np.ndarray:
         if self.mode == "stub":
             raise NotImplementedError(
                 "compressed-media codecs unavailable in this environment; "
                 "plug a real decoder here (PIL / torchaudio / pyav)"
             )
+        if self.mode == "subprocess":
+            from rp_extract_ray.functions.decode_bridge import (
+                MIME_EXT,
+                decode_bytes_via_subprocess,
+            )
+            from rp_extract_ray.functions.wav import normalize_pcm
+
+            ext = MIME_EXT.get(mime, ".mp3")
+            rate, sampwidth, data, _cmd = decode_bytes_via_subprocess(
+                payload, ext, self.decoder_cmds
+            )
+            return normalize_pcm(data, sampwidth).mean(axis=1)
         if self.mode == "wav":
             from rp_extract_ray.functions.wav import normalize_pcm, parse_wav_bytes
 
@@ -95,10 +121,15 @@ class MediaFeatureExtractor:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         from rp_extract_ray.functions.stats import seven_stats
 
+        mimes = (
+            batch["mime"] if "mime" in batch.columns else [""] * len(batch)
+        )
         feats = np.zeros((len(batch), self.FEAT_DIM), dtype=np.float64)
-        for i, (payload, kind) in enumerate(zip(batch["payload"], batch["kind"])):
-            sig = self._decode(payload, kind)
-            if self.mode == "wav":
+        for i, (payload, kind, mime) in enumerate(
+            zip(batch["payload"], batch["kind"], mimes)
+        ):
+            sig = self._decode(payload, kind, mime)
+            if self.mode in ("wav", "subprocess"):
                 st = seven_stats(sig[None, :])[0]  # M15 kernel on the signal
                 rms = float(np.sqrt(np.mean(sig * sig))) if len(sig) else 0.0
                 feats[i, :9] = [*st, rms, float(len(sig))]
@@ -112,15 +143,16 @@ class MediaFeatureExtractor:
 
 def extract_media_features(
     ds: Dataset,
-    mode: Literal["stub", "fake"] = "fake",
+    mode: Literal["stub", "fake", "wav", "subprocess"] = "fake",
     *,
+    decoder_cmds: list | None = None,
     batch_size: int = 64,       # large binary rows -> small batches
     concurrency=(1, 8),
     num_cpus: float = 1,
 ) -> Dataset:
     return ds.map_batches(
         MediaFeatureExtractor,
-        fn_constructor_kwargs={"mode": mode},
+        fn_constructor_kwargs={"mode": mode, "decoder_cmds": decoder_cmds},
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,

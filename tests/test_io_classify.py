@@ -358,3 +358,73 @@ def test_naive_bayes_learns_separable_vocab():
         assert (out["pred"].to_numpy() == df["lang"].to_numpy()).all()
         preds.append(out["pred"].to_numpy())
     assert (preds[0] == preds[1]).all()
+
+
+def test_npz_roundtrip_and_arff(tmp_path):
+    """W6 NPZ bundle (/root/reference/rp_feature_io.py:790-812): Dataset ->
+    NPZ -> Dataset round-trip preserves ids/labels/values, and the
+    reference-parity npz2arff converter emits a re-parseable ARFF."""
+    import pyarrow as pa
+
+    from rp_extract_ray.sources.arff import read_arff
+    from rp_extract_ray.sources.npzio import (
+        npz_to_arff,
+        npz_to_parquet,
+        read_npz_features,
+        write_npz_features,
+    )
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(20, 4)).round(6)
+    ids = np.array([f"doc{i:03d}.wav" for i in range(20)])
+    labels = np.array(["rock" if i % 2 else "jazz" for i in range(20)])
+    tbl = pa.table(
+        {
+            "id": pa.array(ids),
+            "label": pa.array(labels),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1)), 4
+            ),
+        }
+    )
+    npz_path = str(tmp_path / "feat.npz")
+    n = write_npz_features(
+        rd.from_arrow(tbl).repartition(3), npz_path, [f"a{i}" for i in range(4)]
+    )
+    assert n == 20
+
+    ds, attrs = read_npz_features(npz_path)
+    assert attrs == ["a0", "a1", "a2", "a3"]
+    back = ds.to_pandas().sort_values("id", ignore_index=True)
+    assert (back["id"].to_numpy() == ids).all()
+    assert (back["label"].to_numpy() == labels).all()
+    np.testing.assert_allclose(np.stack(back["vec"].to_numpy()), mat)
+
+    arff_path = str(tmp_path / "feat.arff")
+    npz_to_arff(npz_path, arff_path, "feat", include_filenames=True)
+    adf = read_arff(arff_path).to_pandas().sort_values("ID", ignore_index=True)
+    assert len(adf) == 20 and "class" in adf.columns
+    np.testing.assert_allclose(
+        adf[["a0", "a1", "a2", "a3"]].to_numpy(), mat, rtol=1e-6
+    )
+
+    pq_dir = str(tmp_path / "pq")
+    assert npz_to_parquet(npz_path, pq_dir) == 20
+    pq = rd.read_parquet(pq_dir).to_pandas().sort_values("id", ignore_index=True)
+    np.testing.assert_allclose(np.stack(pq["vec"].to_numpy()), mat)
+
+
+def test_npz_no_filenames(tmp_path):
+    """include_filenames=False reference case: ids synthesize from row index;
+    labels column optional."""
+    from rp_extract_ray.sources.npzio import read_npz_features
+
+    np.savez(
+        str(tmp_path / "nf.npz"),
+        data=np.arange(12, dtype=np.float64).reshape(6, 2),
+        attribute_names=np.array(["x", "y"], dtype=object),
+    )
+    ds, attrs = read_npz_features(str(tmp_path / "nf.npz"))
+    pdf = ds.to_pandas()
+    assert attrs == ["x", "y"] and "label" not in pdf.columns
+    assert sorted(pdf["id"]) == [str(i) for i in range(6)]

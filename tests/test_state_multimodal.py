@@ -234,3 +234,81 @@ def test_media_plans_null_metadata():
     assert pd.isna(rs.loc[3, "target_width"])  # image with null width
     assert pd.isna(rs.loc[4, "target_width"])  # null kind
     assert pd.isna(rs.loc[1, "target_width"])  # video
+
+
+def test_decode_bridge_subprocess(tmp_path):
+    """S3 external-decoder bridge (/root/reference/audiofile_read.py:139-212)
+    with an injected WAV-emitting command: missing-binary fallthrough, happy
+    path, nonzero-rc error, and no-decoder error — all reference behaviors."""
+    import numpy as np
+    import pytest
+
+    from rp_extract_ray.functions.decode_bridge import (
+        DecoderError,
+        decode_bytes_via_subprocess,
+    )
+    from rp_extract_ray.functions.wav import write_wav24_bytes
+
+    sig = (np.arange(100) * 1000 - 50000).astype(np.int32)
+    payload = write_wav24_bytes(8000, sig)
+
+    # first tool missing on the system -> silently falls through to `cp`,
+    # which "decodes" by emitting the WAV bytes (payload already is WAV)
+    decoders = [
+        (["definitely-not-a-decoder-xyz", "{in}", "{out}"], (".mp3",)),
+        (["cp", "{in}", "{out}"], (".mp3",)),
+    ]
+    rate, w, data, cmd = decode_bytes_via_subprocess(payload, "mp3", decoders)
+    assert (rate, w, cmd) == (8000, 3, "cp")
+    assert (data[:, 0] == sig).all()
+
+    # eligible decoder runs and fails -> hard DecoderError (ref :193-195)
+    bad = [(["sh", "-c", "exit 3", "{in}", "{out}"], (".mp3",))]
+    with pytest.raises(DecoderError):
+        decode_bytes_via_subprocess(payload, ".mp3", bad)
+
+    # no decoder supports the extension -> OSError naming the candidates
+    with pytest.raises(OSError, match="no appropriate decoder"):
+        decode_bytes_via_subprocess(payload, ".ogg", decoders)
+
+    # no_extension_check runs the first tool on ANY extension (ref :190)
+    rate2, _, data2, _ = decode_bytes_via_subprocess(
+        payload, ".ogg", decoders[1:], no_extension_check=True
+    )
+    assert rate2 == 8000 and (data2[:, 0] == sig).all()
+
+
+def test_media_extractor_subprocess_mode():
+    """mode='subprocess' through the actor pool equals mode='wav' features
+    when the injected decoder emits the same WAV bytes."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rp_extract_ray.functions.wav import write_wav24_bytes
+    from rp_extract_ray.stages.multimodal import extract_media_features
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(6):
+        sig = (rng.normal(scale=2**19, size=256)).astype(np.int32)
+        rows.append(
+            {"media_id": i, "kind": "audio",
+             "payload": write_wav24_bytes(16000, sig), "mime": "audio/mpeg"}
+        )
+    df = pd.DataFrame(rows)
+    cp_decoder = [(["cp", "{in}", "{out}"], (".mp3",))]
+    via_sub = (
+        extract_media_features(
+            rd.from_pandas(df), mode="subprocess", decoder_cmds=cp_decoder
+        )
+        .to_pandas().sort_values("media_id")
+    )
+    via_wav = (
+        extract_media_features(rd.from_pandas(df), mode="wav")
+        .to_pandas().sort_values("media_id")
+    )
+    np.testing.assert_allclose(
+        np.stack(via_sub["media_feat"].to_numpy()),
+        np.stack(via_wav["media_feat"].to_numpy()),
+    )
