@@ -23,6 +23,7 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 
@@ -317,6 +318,7 @@ def verify_pairs_jaccard(
     jaccard_threshold: float = 0.6,
     num_partitions: int | None = None,
     broadcast_pairs_limit: int = 50_000,
+    broadcast_docs_limit: int = 100_000,
 ) -> Dataset:
     """Exact-shingle-Jaccard verification of candidate pairs — DISTRIBUTED.
 
@@ -329,6 +331,14 @@ def verify_pairs_jaccard(
     sets — per-pair work is intrinsic; the loop body is a C kernel). The
     shuffle payload is the candidate pairs' shingle sets, bounded by the LSH
     candidate count (star expansion keeps that O(corpus)), never the corpus.
+
+    The broadcast collapse fires on either gate: pair count ≤
+    ``broadcast_pairs_limit``, OR (pairs over the limit but) DISTINCT
+    candidate docs ≤ ``broadcast_docs_limit`` by a one-pass HLL estimate —
+    dup-heavy corpora produce many pairs over few docs, and the broadcast
+    cost is the shingle LUT (per-doc, ~2 KB each; the 100k default is
+    ~200 MB, one plasma copy per node), not the pair count. Candidate ids
+    for the LUT are collected per-block-distinct, never the raw pair list.
     """
     import ray
     import ray.data as rd
@@ -369,18 +379,55 @@ def verify_pairs_jaccard(
     # and must not funnel through a pair-sized partition count.
     pair_partitions = max(1, min(num_partitions, n_pairs // 50_000 + 1))
 
-    if n_pairs <= broadcast_pairs_limit:
-        # BROADCAST VERIFY: below the limit the candidate pairs (and so the
-        # candidate docs' shingle sets, ~kB each) are object-store small.
-        # Three Dataset.join ops cost ~2 s fixed EACH at 32 CPUs (same
-        # aggregator-actor overhead as the sort-based groupby, measured);
-        # this path replaces them with one corpus scan + one pair map.
-        # Above the limit the distributed join path below is the scale
-        # road (its shuffle is bounded by the candidate count).
-        pair_pdf = uniq.to_pandas()
-        wanted = np.unique(
-            np.concatenate([pair_pdf["id_a"], pair_pdf["id_b"]]).astype(np.int64)
+    use_broadcast = n_pairs <= broadcast_pairs_limit
+    if not use_broadcast:
+        # many pairs can still mean few DOCS (dup-heavy corpora): one
+        # constant-shuffle HLL pass over the flat id stream decides whether
+        # the shingle LUT fits a broadcast; 1.25 covers the HLL error band
+        from rp_extract_ray.functions.sketch import approx_distinct
+
+        flat = uniq.map_batches(
+            lambda b: pa.table(
+                {
+                    id_col: pa.concat_arrays(
+                        [
+                            b.column("id_a").cast(pa.int64()).combine_chunks(),
+                            b.column("id_b").cast(pa.int64()).combine_chunks(),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
         )
+        use_broadcast = (
+            approx_distinct(flat, id_col) * 1.25 <= broadcast_docs_limit
+        )
+
+    if use_broadcast:
+        # BROADCAST VERIFY: the candidate docs' shingle sets (~kB each) are
+        # object-store small. Three Dataset.join ops cost ~2 s fixed EACH
+        # at 32 CPUs (same aggregator-actor overhead as the sort-based
+        # groupby, measured); this path replaces them with one corpus scan
+        # + one pair map. Above both gates the distributed join path below
+        # is the scale road (its shuffle is bounded by the candidate count).
+        # Wanted ids collapse per-block-distinct first so the driver never
+        # holds the raw pair list.
+        id_parts = uniq.map_batches(
+            lambda b: pa.table(
+                {
+                    id_col: pc.unique(
+                        pa.concat_arrays(
+                            [
+                                b.column("id_a").cast(pa.int64()).combine_chunks(),
+                                b.column("id_b").cast(pa.int64()).combine_chunks(),
+                            ]
+                        )
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        wanted = np.unique(id_parts[id_col].to_numpy().astype(np.int64))
         want_ref = ray.put(wanted)
 
         def wanted_shingles(b: pa.Table) -> pa.Table:
@@ -584,12 +631,22 @@ def dedup_clusters_distributed(
     max_rounds: int = 20,
     num_partitions: int | None = None,
     stats: dict | None = None,
+    driver_edges_limit: int = 2_000_000,
 ) -> Dataset:
     """Distributed connected components: min-label propagation as Ray hash
     joins + groupby-min rounds. The pair table and the label table live in
     the object store end-to-end; the driver sees ONE scalar per round (the
     count of changed labels, which is also the convergence test). Rounds are
     O(component diameter): 2-4 for near-dup graphs.
+
+    Small graphs collapse to the DRIVER rounds (``dedup_clusters`` driver
+    mode): each distributed round costs seconds of join/groupby fixed
+    overhead, so below ``driver_edges_limit`` edges (2M default — a ~32 MB
+    bounded pull, milliseconds of numpy) the whole propagation runs in one
+    driver step. Verified near-dup pair sets are SMALL relative to the
+    corpus (the LSH + exact-verify funnel), so this is the common case;
+    dup-heavy corpora whose edge sets outgrow the limit take the
+    distributed rounds below unchanged.
 
     Frontier contraction per round: a node's label can only decrease when a
     NEIGHBOR's label decreased in the previous round, so from round 2 on
@@ -623,6 +680,13 @@ def dedup_clusters_distributed(
         ),
         batch_format="pyarrow",
     ).materialize()  # reused every round
+
+    if edges.count() <= driver_edges_limit:
+        pdf = edges.to_pandas().rename(columns={"eid_a": "id_a", "eid_b": "id_b"})
+        out = dedup_clusters(pdf, max_rounds=max_rounds, mode="driver")
+        if stats is not None:
+            stats["mode"] = "driver-collapse"
+        return rd.from_pandas(out)
 
     def flat(b: pa.Table) -> pa.Table:
         ids = np.concatenate(

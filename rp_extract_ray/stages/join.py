@@ -168,6 +168,7 @@ def bloom_semi_join(
     fpp: float = 0.01,
     exact: bool = True,
     num_partitions: int | None = None,
+    broadcast_keys_limit: int = 2_000_000,
 ) -> Dataset:
     """Semi join accelerated by a distributed-built Bloom filter.
 
@@ -188,10 +189,20 @@ def bloom_semi_join(
     right trade when a downstream stage tolerates strays.
 
     ``n_keys_hint`` sizes the filter: an int, ``"count"`` (default — the key
-    row count, a metadata-only parquet read, a safe upper bound on distinct;
-    oversizes the filter when keys repeat heavily), or ``"hll"`` (one
-    constant-shuffle HLL pass, functions/sketch.py — pay it when the key
-    side is much bigger than its distinct set and filter memory matters).
+    ROW count, which on a bare parquet read is metadata-only, no scan; a
+    safe upper bound on distinct that oversizes the filter when keys repeat
+    heavily), or ``"hll"`` (one constant-shuffle HLL pass,
+    functions/sketch.py — pay it when the key side is much bigger than its
+    distinct set and filter memory matters).
+
+    ``broadcast_keys_limit``: when the size hint says the key side fits a
+    broadcast anyway (< limit keys; int64 keys at the 2M default are a
+    ~16 MB Arrow array, one plasma copy per node), the Bloom machinery is
+    skipped ENTIRELY: per-batch-distinct keys collapse on the driver and a
+    zero-shuffle broadcast ``is_in`` filter gives the exact answer. The
+    filter build + distributed join only pay off when the key side
+    genuinely cannot broadcast — below the limit they are pure fixed cost
+    (measured: the bloom path was ~2x a plain broadcast at TPC-H sf0.1).
     """
     import numpy as np
 
@@ -203,14 +214,42 @@ def bloom_semi_join(
     )
 
     keys_on = keys_on or on
-    key_ds = keys.select_columns([keys_on]).materialize()  # 2 passes: size + build
+    key_ds = keys.select_columns([keys_on])
     if n_keys_hint == "count":
-        n_keys_hint = max(key_ds.count(), 1)
+        # row count, NOT distinct: metadata-only on a read lineage, one
+        # streamed pass otherwise (never a driver materialization)
+        n_keys = max(keys.count(), 1)
     elif n_keys_hint == "hll":
         from rp_extract_ray.functions.sketch import approx_distinct
 
-        n_keys_hint = max(approx_distinct(key_ds, keys_on), 1)
-    n_bits, n_hashes = bloom_params(int(n_keys_hint), fpp)
+        n_keys = max(approx_distinct(key_ds, keys_on), 1)
+    else:
+        n_keys = max(int(n_keys_hint), 1)
+
+    if n_keys <= broadcast_keys_limit:
+        # exact broadcast collapse: per-batch distinct bounds what reaches
+        # the driver by the true distinct count, one ray.put ships the set
+        parts = key_ds.map_batches(
+            lambda b: pa.table({keys_on: pc.unique(b.column(keys_on))}),
+            batch_format="pyarrow",
+        ).to_pandas()
+        if len(parts) == 0:  # empty key side: typed empty set, all-false mask
+            key_arr = pa.array([], type=key_ds.schema().base_schema.field(keys_on).type)
+        else:
+            key_arr = pc.unique(pa.array(parts[keys_on]))
+        ref = ray.put(key_arr)
+
+        def bfilt(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch.column(on), value_set=ray.get(ref))
+            return batch.filter(mask)
+
+        return big.map_batches(bfilt, batch_format="pyarrow")
+
+    # big key side: one materialize so the TWO consumers below (filter
+    # build, exact join) don't replay the key lineage; blocks stay in the
+    # object store, never on the driver
+    key_ds = key_ds.materialize()
+    n_bits, n_hashes = bloom_params(n_keys, fpp)
 
     def partial(b: pa.Table) -> pa.Table:
         words = bloom_accumulate(

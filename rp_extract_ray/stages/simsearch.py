@@ -151,6 +151,7 @@ def ivf_index(
     n_clusters: int = 16,
     sample_rows: int = 10_000,
     seed: int = 3,
+    count_hint: int | None = None,
 ) -> tuple[Dataset, np.ndarray]:
     """(assigned dataset with ``list_id`` column, centroids). The assignment
     is a pure map (no shuffle); downstream search probes selected lists.
@@ -161,8 +162,16 @@ def ivf_index(
     sample, and centroids fit on them produce skewed lists (VERDICT r3
     item 5). One pruned pass; only ~``sample_rows`` (vec, id, hash) rows
     ever reach the driver, smallest-hash-first so the result is identical
-    under any partitioning."""
-    cnt = ds.count()
+    under any partitioning.
+
+    ``count_hint``: approximate row count used only to size the sampling
+    threshold. On a bare parquet-read ``ds`` the default ``ds.count()`` is
+    metadata-only (no scan); for COMPUTED lineages count() executes the
+    pipeline, so pass a hint (an UNDERestimate keeps the full sample via
+    the driver-side trim; an overestimate shrinks the sample
+    proportionally — stay within ~25% or underestimate) or materialize
+    upstream."""
+    cnt = int(count_hint) if count_hint is not None else ds.count()
     frac = min(1.0, (1.25 * sample_rows) / max(cnt, 1))
     threshold = np.uint64(min(int(np.ceil(frac * 2**32)), 2**32 - 1))
 
@@ -185,24 +194,20 @@ def ivf_index(
     sample = np.stack(sampled[vec_col].to_numpy()).astype(np.float64)
     C = kmeans_fit(sample, n_clusters, seed=seed)
 
-    class Assign:
-        # centroids passed as a plain constructor arg (small by design):
-        # an ObjectRef captured in the closure makes Ray warn that actor
-        # restarts may fail if the ref goes out of scope
-        def __init__(self, C):
-            self.C = C
+    # stateless TASK closure over a ray.put ref (the join.py broadcast
+    # pattern): ray.get on a local plasma object is zero-copy per batch, the
+    # stage scales to every free CPU, and no actor holds constructor args in
+    # the object store (the actor form emitted a core_worker E-line about
+    # restarts with in-store constructor args on every run)
+    C_ref = ray.put(C)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _unit(_as_matrix(batch.column(vec_col)))
-            lid = (vecs @ self.C.T).argmax(axis=1).astype(np.int32)
-            return batch.append_column("list_id", pa.array(lid))
+    def assign(batch: pa.Table) -> pa.Table:
+        Cl = ray.get(C_ref)
+        vecs = _unit(_as_matrix(batch.column(vec_col)))
+        lid = (vecs @ Cl.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("list_id", pa.array(lid))
 
-    assigned = ds.map_batches(
-        Assign,
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-        fn_constructor_kwargs={"C": C},
-    )
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
     return assigned, C
 
 

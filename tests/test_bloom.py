@@ -63,11 +63,29 @@ def _sides(seed=5, n_big=4000, n_keys=600):
 
 
 def test_bloom_semi_join_exact_equals_plain():
+    # broadcast_keys_limit=0 forces the BLOOM path (the default would
+    # collapse 600 keys to the broadcast filter, tested separately below)
     big, keys = _sides()
     got = bloom_semi_join(
         rd.from_pandas(big).repartition(9),
         rd.from_pandas(keys).repartition(4),
-        on="k", num_partitions=4,
+        on="k", num_partitions=4, broadcast_keys_limit=0,
+    ).to_pandas()
+    want = semi_anti_join(
+        rd.from_pandas(big), rd.from_pandas(keys), on="k", num_partitions=4
+    ).to_pandas()
+    canon = lambda d: d.sort_values(["k", "v"]).reset_index(drop=True)[["k", "v"]]
+    pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+def test_bloom_semi_join_broadcast_collapse_equals_plain():
+    """Default path for small key sides: the auto-collapsed broadcast
+    filter gives the same exact answer as the distributed semi join."""
+    big, keys = _sides(seed=9)
+    got = bloom_semi_join(
+        rd.from_pandas(big).repartition(9),
+        rd.from_pandas(keys).repartition(4),
+        on="k", num_partitions=4,  # default limit -> collapse
     ).to_pandas()
     want = semi_anti_join(
         rd.from_pandas(big), rd.from_pandas(keys), on="k", num_partitions=4
@@ -79,7 +97,8 @@ def test_bloom_semi_join_exact_equals_plain():
 def test_bloom_semi_join_approx_is_superset():
     big, keys = _sides(seed=6)
     approx = bloom_semi_join(
-        rd.from_pandas(big), rd.from_pandas(keys), on="k", exact=False, fpp=0.01
+        rd.from_pandas(big), rd.from_pandas(keys), on="k", exact=False,
+        fpp=0.01, broadcast_keys_limit=0,
     ).to_pandas()
     exact = big[big.k.isin(set(keys.k))]
     # every true match survives (no false negatives) ...

@@ -322,16 +322,21 @@ def test_dedup_clusters_distributed_matches_driver():
         dedup_clusters(pairs, mode="driver")
         .sort_values("id", ignore_index=True)
     )
-    dist = (
-        dedup_clusters(rd.from_pandas(pairs), mode="distributed")
-        .to_pandas()
-        .sort_values("id", ignore_index=True)
-    )
-    assert (drv["id"].to_numpy() == dist["id"].to_numpy()).all()
-    assert (drv["cluster_id"].to_numpy() == dist["cluster_id"].to_numpy()).all()
-    # chain 1-2-3-4-5 all collapse to 1 (needs >1 round)
-    lab = dist.set_index("id")["cluster_id"]
-    assert lab[5] == 1 and lab[4] == 1
+    from rp_extract_ray.stages.dedup import dedup_clusters_distributed
+
+    # force the distributed rounds (the default would driver-collapse a
+    # graph this small), then check the collapse path gives the same answer
+    for kw in ({"driver_edges_limit": 0}, {}):
+        dist = (
+            dedup_clusters_distributed(rd.from_pandas(pairs), **kw)
+            .to_pandas()
+            .sort_values("id", ignore_index=True)
+        )
+        assert (drv["id"].to_numpy() == dist["id"].to_numpy()).all()
+        assert (drv["cluster_id"].to_numpy() == dist["cluster_id"].to_numpy()).all()
+        # chain 1-2-3-4-5 all collapse to 1 (needs >1 round)
+        lab = dist.set_index("id")["cluster_id"]
+        assert lab[5] == 1 and lab[4] == 1
 
 
 def test_embedding_hot_bucket_10k_bounded():
@@ -480,7 +485,9 @@ def test_distributed_cc_chain_prunes_converged_edges():
     )
     stats: dict = {}
     dist = (
-        dedup_clusters_distributed(rd.from_pandas(pairs), max_rounds=40, stats=stats)
+        dedup_clusters_distributed(
+            rd.from_pandas(pairs), max_rounds=40, stats=stats, driver_edges_limit=0
+        )
         .to_pandas()
         .sort_values("id", ignore_index=True)
     )
