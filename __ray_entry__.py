@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rhythm_features": E.q_rhythm,
         "rhythm_segments": E.q_rhythm_segments,
         "ring_stream": E.q_ring_stream,
+        "ring_stream_sharded": E.q_ring_stream_sharded,
         "flagship_backfill": E.q_flagship,
     }
     return q
@@ -448,7 +449,7 @@ def _ewma_sql(alpha: float = 0.25, window: int = 8) -> str:
 def oracle_sql() -> dict[str, str]:
     from rp_extract_ray.pipelines import oracle_literals as _lit
 
-    return {
+    out = {
         "lag_lead": f"""
             SELECT event_id, user_id, ts, value,
                    lag(value)    OVER ({_W}) AS value_lag1,
@@ -1374,3 +1375,7 @@ def oracle_sql() -> dict[str, str]:
                      AS mean_norm
             FROM embeddings GROUP BY label""",
     }
+    # the sharded ring path must produce the EXACT same rows as the
+    # single-actor stream — one oracle gates both
+    out["ring_stream_sharded"] = out["ring_stream"]
+    return out

@@ -32,7 +32,7 @@ os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.55")
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_CORPUS = os.environ.get("GRAFT_BENCH_CORPUS", "/tmp/graft_bench_corpus_v4")
+BENCH_CORPUS = os.environ.get("GRAFT_BENCH_CORPUS", "/tmp/graft_bench_corpus_v5")
 HEADLINE_ONLY = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY", "0") == "1"
 
 QUERY_NAMES = [
@@ -48,13 +48,19 @@ QUERY_NAMES = [
     "cohort_retention", "knn_ivf", "boilerplate",
     "curation", "nb_classify", "time_grid_lerp", "transitions",
     "redact", "pack_sequences", "pack_stats",
+    "ring_stream",
 ]
 
 
 def build_corpus() -> dict:
     from rp_extract_ray.synth import write_corpus
 
-    return write_corpus(BENCH_CORPUS, n_convs=9000, seed=13, mean_turns=150, shards=64)
+    # 192 shards (v4: 64): the rejoin stage runs one task per shard, so 64
+    # capped the 32-CPU leg at 2 task waves — the straggler of wave 2 set the
+    # wall time and the nominal 8->32 efficiency read 0.52 from underfill
+    # alone (VERDICT r4). 192 gives 6 waves at 32 CPUs / 24 at 8 CPUs
+    # (~21k turns per shard, still far above per-task overhead).
+    return write_corpus(BENCH_CORPUS, n_convs=9000, seed=13, mean_turns=150, shards=192)
 
 
 def wait_for_idle(max_wait_s: float = 120.0, load_frac: float = 0.25) -> float:
@@ -166,6 +172,72 @@ def run_headline(paths: dict) -> dict:
     }
 
 
+def run_ring(paths: dict) -> dict:
+    """Streaming ring path at bench-corpus scale (VERDICT r4 item 7): the
+    corpus rows arrive INTERLEAVED across conversations (the generator
+    emits them in arrival order, like a production event log), so the feed
+    build sorts to the conversation-contiguous ts stream the ring contract
+    requires, materializes it once, and both ring variants then time PURE
+    stream consumption. The sf0.1 events-table entry (``ring_stream`` in
+    the sweep) stays the correctness-scale number; this one measures
+    actor-stream throughput on 3.96M turns where spawn costs amortize.
+    Output identity sharded==single is pytest-gated (test_ring_timegrid)."""
+    import pyarrow as pa
+
+    from rp_extract_ray.sources.pqio import read_parquet_clean
+    from rp_extract_ray.stages.ring import (
+        streaming_window_features,
+        streaming_window_features_sharded,
+    )
+    from rp_extract_ray.stages.turns import add_turn_stats
+
+    shard_files = sorted(
+        os.path.join(paths["transcripts"], f)
+        for f in os.listdir(paths["transcripts"])
+    ) if os.path.isdir(paths["transcripts"]) else [paths["transcripts"]]
+
+    # ring state tracks the numeric series only — drop the payload before
+    # it enters the actor stream. materialize() is load-bearing twice over:
+    # it keeps block order deterministic for the stream contract AND breaks
+    # operator fusion — without it Ray Data fuses read->stats->ring into
+    # the concurrency-1 ring actor and the WHOLE pipeline runs
+    # single-threaded (observed: one MapWorker at 100%, 31 idle). Built
+    # ONCE so both legs time the ring consumption, not the feed build.
+    t0 = time.perf_counter()
+    base = (
+        add_turn_stats(read_parquet_clean(shard_files))
+        .select_columns(["conv_id", "turn_idx", "ts", "text_len", "token_est"])
+        .sort(["conv_id", "ts", "turn_idx"])
+        .materialize()
+    )
+    out = {"ring_feed_build_sec": round(time.perf_counter() - t0, 3)}
+
+    t0 = time.perf_counter()
+    n = streaming_window_features(
+        base, series_cols=("text_len", "token_est")
+    ).count()
+    sec = round(time.perf_counter() - t0, 3)
+    out["ring_single_sec"] = sec
+    out["ring_single_turns_per_sec"] = round(n / sec, 1)
+
+    # sharded scale-out: per-shard datasets consumed CONCURRENTLY (one
+    # thread per count) — the union-combined form drains branches
+    # sequentially under preserve_order and measures the same as single
+    # (see streaming_window_features_sharded docstring)
+    from concurrent.futures import ThreadPoolExecutor
+
+    branches = streaming_window_features_sharded(
+        base, series_cols=("text_len", "token_est"), n_shards=8, combine=False
+    )
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(len(branches)) as ex:
+        n8 = sum(ex.map(lambda b: b.count(), branches))
+    sec = round(time.perf_counter() - t0, 3)
+    out["ring_sharded8_sec"] = sec
+    out["ring_sharded8_turns_per_sec"] = round(n8 / sec, 1)
+    return out
+
+
 def run_queries(sf_dir: str) -> dict:
     import __ray_entry__ as entrymod
 
@@ -185,12 +257,14 @@ def run_queries(sf_dir: str) -> dict:
 def single_run() -> dict:
     import ray
 
+    store = os.environ.get("GRAFT_OBJECT_STORE_BYTES")  # spill drill knob
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        object_store_memory=int(store) if store else None,
     )
     from ray.data import DataContext
 
@@ -205,6 +279,8 @@ def single_run() -> dict:
     load = wait_for_idle()
     head = run_headline(paths)
     queries = {} if HEADLINE_ONLY else run_queries(SF_DIR)
+    ring = {} if HEADLINE_ONLY else run_ring(paths)
+    spill = _spill_stats() if store else {}
     ray.shutdown()
     return {
         "metric": "asof_join_windowed_feature_backfill_sec",
@@ -218,6 +294,72 @@ def single_run() -> dict:
         "repeat_secs": head["repeat_secs"],
         "load_avg_at_start": load,
         "metrics_sidecar_rows": head["metrics_rows"],
+        **ring,
+        **spill,
+    }
+
+
+def _spill_stats() -> dict:
+    """Object-store spill/restore counters for the CURRENT Ray session,
+    parsed from the memory summary (the same numbers `ray memory
+    --stats-only` prints)."""
+    import re
+
+    try:
+        from ray._private.internal_api import memory_summary
+
+        txt = memory_summary(stats_only=True)
+    except Exception:
+        return {}
+    out = {}
+    m = re.search(r"Spilled (\d+) MiB, (\d+) objects", txt)
+    if m:
+        out["spilled_mib"] = int(m.group(1))
+        out["spilled_objects"] = int(m.group(2))
+    m = re.search(r"Restored (\d+) MiB, (\d+) objects", txt)
+    if m:
+        out["restored_mib"] = int(m.group(1))
+        out["restored_objects"] = int(m.group(2))
+    m = re.search(r"Plasma memory usage (\d+) MiB", txt)
+    if m:
+        out["plasma_mib"] = int(m.group(1))
+    return out
+
+
+def spill_drill() -> dict:
+    """Memory-pressure drill (VERDICT r4 item 5): the headline pipeline with
+    a deliberately UNDERSIZED object store vs the tuned store, fresh process
+    each, same corpus. Pass bar: the undersized leg finishes (streaming
+    executor + plasma spill-to-disk absorb the pressure — no OOM, no
+    deadlock) with bounded slowdown, and the artifact carries the spill
+    counters proving pressure was real. The tuned-store leg is expected to
+    spill ~nothing. On a real cluster the equivalent knob is per-node
+    ``object_store_memory``."""
+    small = int(os.environ.get("GRAFT_SPILL_STORE_BYTES", str(2 * 1024**3)))
+
+    def run(store_bytes: int | None) -> dict:
+        env = dict(os.environ, GRAFT_BENCH_HEADLINE_ONLY="1",
+                   GRAFT_BENCH_REPEATS="2")
+        if store_bytes:
+            env["GRAFT_OBJECT_STORE_BYTES"] = str(store_bytes)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    tuned, tiny = run(None), run(small)
+    return {
+        "metric": "spill_drill_headline",
+        "store_tuned_sec": tuned["value"],
+        "store_tiny_sec": tiny["value"],
+        "store_tiny_bytes": small,
+        "slowdown": round(tiny["value"] / tuned["value"], 3),
+        "turns": tiny["turns"],
+        "tiny_spilled_mib": tiny.get("spilled_mib", 0),
+        "tiny_spilled_objects": tiny.get("spilled_objects", 0),
+        "tiny_restored_mib": tiny.get("restored_mib", 0),
+        "num_cpus": NUM_CPUS,
     }
 
 
@@ -376,6 +518,8 @@ if __name__ == "__main__":
         result = scaling()
     elif "--skew" in sys.argv:
         result = skew_stress()
+    elif "--spill-drill" in sys.argv:
+        result = spill_drill()
     else:
         result = single_run()
     print(json.dumps(result))

@@ -200,7 +200,11 @@ def feature_backfill_payload_light(
     input shard's full-payload output, ``_pos``-sorted) is written
     atomically to ``sink_dir/part-<shard-basename>.parquet`` + ``.done``
     marker INSIDE the rejoin task, and the returned Dataset carries one
-    tiny report row per file instead of the data. This is the production
+    tiny report row per file instead of the data. The writes are plain
+    os-path IO from worker tasks: ``sink_dir`` (and ``shard_paths``) must
+    be a filesystem every worker node shares — object storage via fsspec
+    mount, NFS, or a single-node cluster; on multi-node local disks the
+    files would silently scatter per node. This is the production
     write path: the output partition IS the rejoin group, so the
     full-payload table never enters another exchange (routing the result
     through a generic hash-partitioned writer re-shuffles every byte a
@@ -343,6 +347,15 @@ def feature_backfill_payload_light(
         # rejoin exchange (their features were recomputed — whole
         # conversations span shards, so the feature pass must see every
         # shard — but their payload re-read + file write are skipped)
+        if G != 1:
+            # skip granularity is the whole SHARD; with G>1 a shard emits G
+            # sub-files and a partially-written shard would silently lose
+            # its unwritten -g{j} sub-groups on resume (ADVICE r4)
+            raise ValueError(
+                "skip_shards resume requires rejoin_groups_per_shard=1 "
+                f"(got {G}): sub-group files of a skipped shard that were "
+                "never written would be silently lost"
+            )
         skip_arr = pa.array(sorted(skip_shards), pa.int32())
 
         def drop_done(b: pa.Table) -> pa.Table:

@@ -29,6 +29,7 @@ def read_parquet_clean(paths, *, columns=None, **kwargs) -> Dataset:
     import pyarrow.parquet as pq
 
     first = paths[0] if isinstance(paths, (list, tuple)) else paths
+    last = paths[-1] if isinstance(paths, (list, tuple)) else None
     if isinstance(first, str) and os.path.isdir(first):
         # flat shard directory: probe the first file (hive-partitioned dirs
         # fail the probe below and fall back — partition cols aren't in the
@@ -38,8 +39,19 @@ def read_parquet_clean(paths, *, columns=None, **kwargs) -> Dataset:
         )
         if inner:
             first = os.path.join(first, inner[0])
+            last = os.path.join(
+                os.path.dirname(first), inner[-1]
+            ) if len(inner) > 1 else None
     try:
         s = pq.read_schema(first).remove_metadata()
+        if last is not None and last != first:
+            # heterogeneous-shard guard: schema evolution usually shows
+            # between the OLDEST and NEWEST shard — if the probe doesn't
+            # hold for the last file too, fall back to the plain read,
+            # whose reader unifies schemas instead of silently coercing
+            # every shard to the first file's (two footer reads, no scan)
+            if pq.read_schema(last).remove_metadata() != s:
+                raise ValueError("shard schemas differ")
         if columns is not None:
             s = pa.schema([s.field(c) for c in columns])
         kwargs["schema"] = s

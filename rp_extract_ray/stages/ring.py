@@ -24,7 +24,7 @@ many batches; that is the point.
 
 from __future__ import annotations
 
-from collections import defaultdict
+
 from typing import Sequence
 
 import numpy as np
@@ -64,15 +64,11 @@ class RingFeaturizer:
         self.ts_col = ts_col
         self.pctl = list(pctl)
         self.session_gap_s = session_gap_s
-        # state: conv -> {series: last<=k values chronological}, prev_ts, session
-        self.buf: dict = defaultdict(
-            lambda: {
-                "tails": {c: np.empty(0, np.float64) for c in self.series_cols},
-                "n": 0,
-                "prev_ts": None,
-                "session": 0,
-            }
-        )
+        # state: at most ONE entry — the last batch's tail conversation
+        # ({"tails": {series: last<=k values}, "prev_ts", "session"}); every
+        # other conversation is complete once a later one starts (ordering
+        # contract), so its state would be dead weight
+        self.buf: dict = {}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         from rp_extract_ray.stages.partition import entity_starts, run_bounds
@@ -84,54 +80,80 @@ class RingFeaturizer:
         starts = entity_starts(ents)
         run_starts, run_ends = run_bounds(starts, n)
 
-        # ---- gap_s: one vectorized diff; run heads read carried prev_ts ----
+        # Under the ordering contract (conversation-contiguous stream) at
+        # most ONE conversation can carry state into this batch: the
+        # previous batch's tail. Every other run starts fresh — so carried
+        # state is a single O(1) lookup, not a per-run dict walk (profiled:
+        # the per-run loops were half the remaining cost on short-conv
+        # streams after the window matrices were batched).
+        carried = self.buf.get(ents[0]) if n else None
+        tail0 = (
+            len(carried["tails"][self.series_cols[0]]) if carried else 0
+        )
+
+        # ---- gap_s: one vectorized diff; run heads restart at 0 except a
+        # carried head, which reads the stored prev_ts ----
         gaps = np.empty(n)
         if n:
             gaps[1:] = (ts[1:] - ts[:-1]) / 1e6
-            gaps[0] = 0.0
-        head_prev = np.array(
-            [
-                self.buf[ents[s]]["prev_ts"] if self.buf[ents[s]]["prev_ts"] is not None else -1
-                for s in run_starts
-            ],
-            dtype=np.float64,
-        )
-        gaps[run_starts] = np.where(
-            head_prev >= 0, (ts[run_starts] - head_prev) / 1e6, 0.0
-        )
+        gaps[run_starts] = 0.0
+        if carried is not None and carried["prev_ts"] is not None:
+            gaps[0] = (ts[0] - carried["prev_ts"]) / 1e6
 
-        # ---- session ids: cumulative boundary count + carried base ----
+        # ---- session ids: cumulative boundary count, re-based per run ----
         sessions = None
         if self.session_gap_s is not None:
             boundary = (gaps > self.session_gap_s).astype(np.int64)
             cs = np.cumsum(boundary)
-            base = np.array(
-                [self.buf[ents[s]]["session"] for s in run_starts], dtype=np.int64
-            )
-            # per-run: session = base + cs - (cs at run start - boundary at start)
+            # per-run rebase: session = base + cs - (cs at run start - boundary at start)
             is_start = np.zeros(n, dtype=np.int64)
             is_start[run_starts] = 1
             run_id = np.cumsum(is_start) - 1
             cs_at_start = (cs - boundary)[run_starts]
+            base = np.zeros(len(run_starts), dtype=np.int64)
+            if carried is not None:
+                base[0] = carried["session"]
             sessions = (base[run_id] + cs - cs_at_start[run_id]).astype(np.int32)
 
-        # ---- window stats: per-run matrices, batch-level kernels ----
+        # ---- window stats: ONE masked matrix per series per batch ----
+        # (same batch-level vectorization as the bulk stage, stages/window
+        # window_stat_columns): the carried tail is prepended to the series,
+        # per-position run starts (shifted by the tail length; 0 for the
+        # carried run so its windows reach into the tail) mask cross-run
+        # windows, and the first tail0 output rows are sliced off. One
+        # window_matrix + one stat-kernel pass per series — the old shape
+        # paid one numpy setup per CONVERSATION (41k calls / 20k rows on a
+        # short-conv stream, 8.6k rows/s single-thread; this one: 90k+).
         series_vals = {
             c: (gaps if c == "gap_s" else batch[c].to_numpy(dtype=np.float64))
             for c in self.series_cols
         }
+        pos_starts_real = starts.astype(np.int64) + tail0
+        if carried is not None and len(run_ends):
+            pos_starts_real[: run_ends[0]] = 0
+        pos_starts = (
+            np.concatenate([np.zeros(tail0, np.int64), pos_starts_real])
+            if tail0
+            else pos_starts_real
+        )
+        last_unit_start = (
+            (0 if len(run_starts) == 1 and carried is not None else int(run_starts[-1]) + tail0)
+            if n
+            else 0
+        )
+        new_tails: dict[str, np.ndarray] = {}
         out: dict[str, np.ndarray] = {}
         for c in self.series_cols:
             v = series_vals[c]
-            mats = []
-            for s, e in zip(run_starts, run_ends):
-                st = self.buf[ents[s]]
-                tail = st["tails"][c]
-                ser = np.concatenate([tail, v[s:e]])
-                w = window_matrix(ser, self.k, np.zeros(len(ser), dtype=np.int64))
-                mats.append(w[len(tail):])
-                st["tails"][c] = ser[-self.k:]
-            w_all = np.vstack(mats) if mats else np.empty((0, self.k))
+            aug = np.concatenate([carried["tails"][c], v]) if tail0 else v
+            w_all = (
+                window_matrix(aug, self.k, pos_starts)[tail0:]
+                if n
+                else np.empty((0, self.k))
+            )
+            # copy: a view would pin the whole batch array for the life of
+            # the carried state
+            new_tails[c] = aug[max(last_unit_start, len(aug) - self.k):].copy()
             cnt = (~np.isnan(w_all)).sum(axis=1)
             sorted_w = np.sort(w_all, axis=1)
             stats = seven_stats_nan(w_all, sorted_w=sorted_w, cnt=cnt)
@@ -143,24 +165,17 @@ class RingFeaturizer:
                 for jj, p in enumerate(self.pctl):
                     out[f"{c}_wp{int(p)}"] = q[jj]
 
-        # ---- commit per-run scalar state ----
-        for s, e in zip(run_starts, run_ends):
-            st = self.buf[ents[s]]
-            st["prev_ts"] = ts[e - 1]
-            st["n"] += e - s
-            if sessions is not None:
-                st["session"] = int(sessions[e - 1])
-
-        # ---- evict finished conversations ----
-        # under the ordering contract a conversation's rows are contiguous in
-        # the stream, so every conv except the batch's LAST one is complete
-        # and its ring state is dead; without eviction the dict grows one
-        # entry per conversation EVER seen (~400 B x millions on a long
-        # stream). Only the tail conv may continue into the next batch.
+        # ---- carry ONLY the batch tail's state (finished conversations'
+        # state is dead under the contiguity contract; the dict stays O(1)
+        # however many conversations stream through) ----
         if n:
-            tail = ents[n - 1]
-            for key in [k for k in self.buf if k != tail]:
-                del self.buf[key]
+            self.buf = {
+                ents[n - 1]: {
+                    "tails": new_tails,
+                    "prev_ts": ts[n - 1],
+                    "session": int(sessions[n - 1]) if sessions is not None else 0,
+                }
+            }
 
         res = batch.copy()
         res["gap_s"] = gaps
@@ -186,7 +201,13 @@ def streaming_window_features(
     every batch in order. ``preserve_order`` is set on the OUTPUT dataset's
     own context (each Dataset carries a DataContext copy that its whole plan
     executes under), so the session-global DataContext is untouched. For
-    multi-core scale-out use :func:`streaming_window_features_sharded`."""
+    multi-core scale-out use :func:`streaming_window_features_sharded`.
+
+    Fusion caveat: when ``ds`` ends in plain ``map_batches`` stages (no
+    sort/shuffle/materialize between them and this call), Ray Data fuses
+    them INTO this concurrency-1 actor and the whole upstream runs
+    single-threaded. Put a barrier (``ds.materialize()``, or any shuffle)
+    before this stage so only the state actor is serial."""
     out = ds.map_batches(
         RingFeaturizer,
         fn_constructor_kwargs={
@@ -214,7 +235,8 @@ def streaming_window_features_sharded(
     ts_col: str = "ts",
     session_gap_s: float | None = 1800.0,
     batch_size: int = 4096,
-) -> Dataset:
+    combine: bool = True,
+) -> Dataset | list[Dataset]:
     """Multi-actor scale-out of the streaming ring path.
 
     The entity space is hash-sharded into ``n_shards`` per-shard streams;
@@ -226,11 +248,29 @@ def streaming_window_features_sharded(
     the union of the shard streams (row order across shards is not
     meaningful; within a conversation, rows keep their stream order).
 
+    ``combine`` (measured wall-clock trade): ``True`` returns ONE unioned
+    Dataset — but a union executing under global ``preserve_order``
+    drains its branches SEQUENTIALLY, so wall time ≈ the single-actor path
+    (measured 54.8 s vs 57.7 s at 3.96M turns) and the extra actors buy
+    nothing. ``False`` returns the per-shard Datasets; consume them
+    CONCURRENTLY (one thread per ``count()``/write, or one downstream job
+    per shard) and the actors genuinely run in parallel — measured
+    270.8k turns/s vs 68.6k single, 3.9x on 8 shards. Union-combine is the
+    right shape only when a single downstream Dataset is required and
+    throughput is not the point (e.g. the oracle-gated query).
+
     At cluster scale, prefer one sharded stage per input partition (e.g. one
     per CDC log partition) so no filter pass is replicated; this helper
     replicates the filter per shard, which is the right trade when the
     source is one ordered stream (each pass is a cheap vectorized hash
     filter, and the alternative — a shuffle — would break stream order).
+
+    Sizing: every shard pins ONE 1-CPU actor for the whole plan, so
+    ``n_shards`` must leave CPU slots for the upstream feed — n_shards ==
+    session CPUs starves the feed tasks and the plan livelocks (measured
+    at 8/8). Keep n_shards ≤ CPUs/2; the upstream lineage is materialized
+    once here so the N branch filters replay cheap object-store reads, not
+    the (typically sorted) upstream computation.
     """
     import numpy as np
     import pyarrow as pa
@@ -242,20 +282,25 @@ def streaming_window_features_sharded(
             ds, series_cols, k=k, entity_col=entity_col, ts_col=ts_col,
             session_gap_s=session_gap_s, batch_size=batch_size,
         )
+    ds = ds.materialize()  # N consumers below — one upstream execution
 
     def pick(b: pa.Table, shard: int) -> pa.Table:
         h = stable_hash(b.column(entity_col).to_numpy(zero_copy_only=False))
         return b.filter(pa.array(h % np.uint64(n_shards) == shard))
 
-    out = None
+    branches = []
     for s in range(n_shards):
         sub = ds.map_batches(
             pick, batch_format="pyarrow", fn_kwargs={"shard": s}
         )
-        feats = streaming_window_features(
+        branches.append(streaming_window_features(
             sub, series_cols, k=k, entity_col=entity_col, ts_col=ts_col,
             session_gap_s=session_gap_s, batch_size=batch_size,
-        )
-        out = feats if out is None else out.union(feats)
+        ))
+    if not combine:
+        return branches
+    out = branches[0]
+    for feats in branches[1:]:
+        out = out.union(feats)
     out.context.execution_options.preserve_order = True
     return out

@@ -96,3 +96,20 @@ def test_sink_dir_writes_shard_aligned(sharded_corpus, tmp_path_factory):
             h1 = hashlib.sha256(open(os.path.join(out1, f), "rb").read()).hexdigest()
             h2 = hashlib.sha256(open(os.path.join(out2, f), "rb").read()).hexdigest()
             assert h1 == h2, f
+
+
+def test_skip_shards_requires_single_rejoin_group(sharded_corpus):
+    """skip_shards granularity is the whole shard: with G>1 sub-group files
+    a partial shard would silently lose sub-groups, so the combination
+    raises (ADVICE r4)."""
+    import pytest
+
+    from rp_extract_ray.pipelines.flagship import feature_backfill_payload_light
+
+    paths, shard_files = sharded_corpus
+    with pytest.raises(ValueError, match="rejoin_groups_per_shard=1"):
+        feature_backfill_payload_light(
+            shard_files, None, k=8, num_partitions=8,
+            sink_dir="/tmp/never_written", skip_shards={0},
+            rejoin_groups_per_shard=2,
+        )

@@ -68,3 +68,33 @@ def test_require_dense_ordinal():
         validate_transcripts(
             rd.from_pandas(gappy), num_partitions=2, require_dense=True
         ).to_pandas()
+
+
+def test_read_parquet_clean_heterogeneous_shards(tmp_path):
+    """Schema-evolution guard (ADVICE r4): when the first and last shard
+    disagree, the explicit-schema fast path must fall back to the plain
+    read so later shards' wider types/extra columns unify instead of being
+    coerced to the first file's schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rp_extract_ray.sources.pqio import read_parquet_clean
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "v": pa.array([1.0, 2.0], pa.float64())}), a)
+    pq.write_table(
+        pa.table({"id": pa.array([3, 4], pa.int64()),
+                  "v": pa.array([3.0, 4.0], pa.float64()),
+                  "extra": pa.array(["x", "y"], pa.string())}), b)
+
+    pdf = read_parquet_clean([a, b]).to_pandas().sort_values("id", ignore_index=True)
+    assert len(pdf) == 4
+    assert "extra" in pdf.columns          # unified, not dropped
+    assert pdf["extra"].isna().sum() == 2  # nulls for the old shard
+
+    # homogeneous shards still take the explicit-schema fast path
+    pdf2 = read_parquet_clean([a, a], columns=["id"]).to_pandas()
+    assert list(pdf2.columns) == ["id"] and len(pdf2) == 4
