@@ -60,7 +60,11 @@ def build_corpus() -> dict:
     # wall time and the nominal 8->32 efficiency read 0.52 from underfill
     # alone (VERDICT r4). 192 gives 6 waves at 32 CPUs / 24 at 8 CPUs
     # (~21k turns per shard, still far above per-task overhead).
-    return write_corpus(BENCH_CORPUS, n_convs=9000, seed=13, mean_turns=150, shards=192)
+    # GRAFT_BENCH_CONVS scales the corpus (63_000 ~= the 27.4M-turn
+    # sustained-scale protocol); the cache dir must change with it.
+    n_convs = int(os.environ.get("GRAFT_BENCH_CONVS", "9000"))
+    corpus = BENCH_CORPUS if n_convs == 9000 else f"{BENCH_CORPUS}_c{n_convs}"
+    return write_corpus(corpus, n_convs=n_convs, seed=13, mean_turns=150, shards=192)
 
 
 def wait_for_idle(max_wait_s: float = 120.0, load_frac: float = 0.25) -> float:

@@ -220,6 +220,11 @@ def streaming_window_features(
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=1,
+        # a restarted featurizer would resume with EMPTY ring state and
+        # silently mis-feature every in-flight conversation — fail loudly
+        # instead (also drops the core_worker.cc:2246 ctor-args-in-store
+        # E-line from run logs)
+        max_restarts=0,
     )
     out.context.execution_options.preserve_order = True
     return out
