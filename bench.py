@@ -71,12 +71,24 @@ def wait_for_idle(max_wait_s: float = 120.0, load_frac: float = 0.25) -> float:
     """Idle-machine guard: round-2's official bench recorded 17.1 s while
     same-code fresh runs measured 10.5-12.2 s — co-running work on this
     shared VM skews the artifact. Wait (bounded) until the 1-min load
-    average drops below ``load_frac`` of the machine's CPUs; return the
-    load at the moment we proceed so the artifact records the conditions."""
+    average drops below ``load_frac`` of the machine's CPUs AND live
+    hypervisor steal is under 2%% (steal is invisible to the load average
+    but dominates wall time: measured 18.6 s at 0.1%% steal vs 103 s at
+    12%% steal for the same repeat); return the load at the moment we
+    proceed so the artifact records the conditions."""
     ncpu = os.cpu_count() or NUM_CPUS
     deadline = time.monotonic() + max_wait_s
+
+    def steal_now() -> float:
+        s0, t0 = _stat_jiffies()
+        time.sleep(2.0)
+        s1, t1 = _stat_jiffies()
+        return 100.0 * (s1 - s0) / max(1, t1 - t0)
+
     load = os.getloadavg()[0]
-    while load > load_frac * ncpu and time.monotonic() < deadline:
+    while time.monotonic() < deadline:
+        if load <= load_frac * ncpu and steal_now() < 2.0:
+            break
         time.sleep(5.0)
         load = os.getloadavg()[0]
     return round(load, 2)
@@ -122,8 +134,10 @@ def run_headline(paths: dict) -> dict:
         for f in os.listdir(paths["transcripts"])
     ) if os.path.isdir(paths["transcripts"]) else [paths["transcripts"]]
     secs: list[float] = []
+    steals: list[float] = []
     metrics_rows = 0
     for _ in range(repeats):
+        st0, tot0 = _stat_jiffies()
         t0 = time.perf_counter()
         if mode == "light":
             # NO metrics sink inside timed repeats: the sidecar costs one
@@ -146,6 +160,10 @@ def run_headline(paths: dict) -> dict:
             )
         out_rows = ds.count()
         secs.append(round(time.perf_counter() - t0, 3))
+        st1, tot1 = _stat_jiffies()
+        steals.append(
+            round(100.0 * (st1 - st0) / max(1, tot1 - tot0), 1)
+        )
         assert out_rows == n_turns, (out_rows, n_turns)
     sink = None
     if mode == "light":
@@ -169,6 +187,7 @@ def run_headline(paths: dict) -> dict:
         "turns": n_turns,
         "turns_per_sec": n_turns / best,
         "repeat_secs": secs,
+        "repeat_steal_pct": steals,
         "metrics_rows": metrics_rows,
         "metrics_path": os.path.join(metrics_dir, "_metrics.parquet")
         if sink is not None
@@ -296,6 +315,7 @@ def single_run() -> dict:
         "turns": head["turns"],
         "turns_per_sec": round(head["turns_per_sec"], 1),
         "repeat_secs": head["repeat_secs"],
+        "repeat_steal_pct": head["repeat_steal_pct"],
         "load_avg_at_start": load,
         "metrics_sidecar_rows": head["metrics_rows"],
         **ring,
@@ -305,28 +325,38 @@ def single_run() -> dict:
 
 def _spill_stats() -> dict:
     """Object-store spill/restore counters for the CURRENT Ray session,
-    parsed from the memory summary (the same numbers `ray memory
-    --stats-only` prints)."""
+    parsed from the session's raylet log (`memory_summary` needs grpc,
+    which this container lacks). The raylet logs a cumulative
+    ``Spilled N MiB, M objects`` line as pressure evolves — the LAST
+    occurrence is the session total."""
+    import glob
     import re
 
     try:
-        from ray._private.internal_api import memory_summary
+        import ray._private.worker as rw
 
-        txt = memory_summary(stats_only=True)
+        session_dir = rw._global_node.get_session_dir_path()
+        log = os.path.join(session_dir, "logs", "raylet.out")
     except Exception:
+        logs = sorted(
+            glob.glob("/tmp/ray/*/session_*/logs/raylet.out"),
+            key=os.path.getmtime,
+        )
+        if not logs:
+            return {}
+        log = logs[-1]
+    try:
+        with open(log, "r", errors="replace") as f:
+            txt = f.read()
+    except OSError:
         return {}
     out = {}
-    m = re.search(r"Spilled (\d+) MiB, (\d+) objects", txt)
-    if m:
+    for m in re.finditer(r"Spilled (\d+) MiB, (\d+) objects", txt):
         out["spilled_mib"] = int(m.group(1))
         out["spilled_objects"] = int(m.group(2))
-    m = re.search(r"Restored (\d+) MiB, (\d+) objects", txt)
-    if m:
+    for m in re.finditer(r"Restored (\d+) MiB, (\d+) objects", txt):
         out["restored_mib"] = int(m.group(1))
         out["restored_objects"] = int(m.group(2))
-    m = re.search(r"Plasma memory usage (\d+) MiB", txt)
-    if m:
-        out["plasma_mib"] = int(m.group(1))
     return out
 
 
@@ -363,6 +393,8 @@ def spill_drill() -> dict:
         "tiny_spilled_mib": tiny.get("spilled_mib", 0),
         "tiny_spilled_objects": tiny.get("spilled_objects", 0),
         "tiny_restored_mib": tiny.get("restored_mib", 0),
+        "tuned_steal_pct": tuned.get("repeat_steal_pct"),
+        "tiny_steal_pct": tiny.get("repeat_steal_pct"),
         "num_cpus": NUM_CPUS,
     }
 
@@ -379,6 +411,19 @@ def _cpu_busy_s() -> float:
     idle = vals[3] + vals[4]  # idle + iowait
     hz = os.sysconf("SC_CLK_TCK")
     return (sum(vals) - idle) / hz
+
+
+def _stat_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies since boot. Hypervisor steal is the one
+    contamination the load-average idle-guard CANNOT see: a co-tenant VM
+    burning the physical cores shows load 0 here while repeats run 3-5x
+    slow (measured: identical code 10.6 s and 37 s twenty minutes apart).
+    Recording per-repeat steal%% makes a contaminated sample self-evident
+    in the artifact instead of reading as a code regression."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
 
 
 def scaling() -> dict:
@@ -410,6 +455,8 @@ def scaling() -> dict:
         "sec_32": hi["value"],
         "repeat_secs_8": lo.get("repeat_secs"),
         "repeat_secs_32": hi.get("repeat_secs"),
+        "repeat_steal_pct_8": lo.get("repeat_steal_pct"),
+        "repeat_steal_pct_32": hi.get("repeat_steal_pct"),
         "scaling_efficiency": round(eff, 3),
         "turns": hi["turns"],
         # whole-leg system CPU accounting (all repeats + warm-up + spawn):
