@@ -32,7 +32,7 @@ os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.55")
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_CORPUS = os.environ.get("GRAFT_BENCH_CORPUS", "/tmp/graft_bench_corpus_v5")
+BENCH_CORPUS = os.environ.get("GRAFT_BENCH_CORPUS", "/tmp/graft_bench_corpus_v6")
 HEADLINE_ONLY = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY", "0") == "1"
 
 QUERY_NAMES = [
@@ -55,16 +55,23 @@ QUERY_NAMES = [
 def build_corpus() -> dict:
     from rp_extract_ray.synth import write_corpus
 
-    # 192 shards (v4: 64): the rejoin stage runs one task per shard, so 64
-    # capped the 32-CPU leg at 2 task waves — the straggler of wave 2 set the
-    # wall time and the nominal 8->32 efficiency read 0.52 from underfill
-    # alone (VERDICT r4). 192 gives 6 waves at 32 CPUs / 24 at 8 CPUs
-    # (~21k turns per shard, still far above per-task overhead).
-    # GRAFT_BENCH_CONVS scales the corpus (63_000 ~= the 27.4M-turn
-    # sustained-scale protocol); the cache dir must change with it.
+    # Shard count: 64 on the default 3.96M-turn corpus — the SAME protocol as
+    # every prior round's official headline, so numbers stay comparable.
+    # Round-5 A/B (32 CPUs, interleaved): 64 shards best 11.7-12.3 s vs 192
+    # shards 17.9-19.2 s — at this corpus size more shards only add fixed
+    # per-shard cost (a project read + a rejoin re-read per shard); the r4
+    # "underfill" reading of the 32-CPU scaling leg was therefore NOT a wave
+    # artifact worth fixing this way. The 63k-conv sustained-scale corpus
+    # gets 192 shards (~143k turns/shard) where per-shard cost amortizes and
+    # the 8-CPU leg keeps 24 task waves. GRAFT_BENCH_CONVS scales the corpus
+    # (63_000 ~= the 27.4M-turn protocol); the cache dir changes with it.
     n_convs = int(os.environ.get("GRAFT_BENCH_CONVS", "9000"))
+    default_shards = 64 if n_convs <= 20_000 else 192
+    shards = int(os.environ.get("GRAFT_BENCH_SHARDS", str(default_shards)))
     corpus = BENCH_CORPUS if n_convs == 9000 else f"{BENCH_CORPUS}_c{n_convs}"
-    return write_corpus(corpus, n_convs=n_convs, seed=13, mean_turns=150, shards=192)
+    if shards != default_shards:
+        corpus = f"{corpus}_s{shards}"
+    return write_corpus(corpus, n_convs=n_convs, seed=13, mean_turns=150, shards=shards)
 
 
 def wait_for_idle(max_wait_s: float = 120.0, load_frac: float = 0.25) -> float:

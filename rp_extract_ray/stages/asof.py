@@ -149,11 +149,20 @@ def asof_join(
         # is a cheap local object-store read, and a task pool scales to every
         # free CPU instead of a fixed actor count (an actor pool here also
         # gets operator-fused with upstream stages and caps their parallelism)
-        def broadcast_merge(batch: pd.DataFrame) -> pd.DataFrame:
+        # DECLARED pyarrow, converted to pandas inside: Ray's sort planner
+        # picks its shuffle block format from the declared batch_format of
+        # upstream map_batches stages (measured — a batch_format="pandas"
+        # stage makes every downstream Dataset.sort convert its whole
+        # shuffle to pandas blocks even when the UDF returns Arrow, which
+        # re-converts per reduce and tags blocks with the unhashable pandas
+        # metadata blob: the "Failed to hash the schemas" spam). The
+        # arrow->pandas hop for the merge_asof kernel happens either way.
+        def broadcast_merge(batch: pa.Table) -> pa.Table:
             small_loc = ray.get(right_ref)
-            ren = {c: (f"{c}_r" if c in batch.columns else c) for c in rvc}
-            return _merge_asof_frames(
-                batch,
+            pdf = batch.to_pandas()
+            ren = {c: (f"{c}_r" if c in pdf.columns else c) for c in rvc}
+            out = _merge_asof_frames(
+                pdf,
                 small_loc.rename(columns=ren),
                 entity_col=entity_col,
                 ts_col=ts_col,
@@ -162,8 +171,11 @@ def asof_join(
                 value_cols=[ren[c] for c in rvc],
                 right_prepared=True,
             )
+            from rp_extract_ray.stages.partition import strip_meta
 
-        return left.map_batches(broadcast_merge, batch_format="pandas")
+            return strip_meta(pa.Table.from_pandas(out, preserve_index=False))
+
+        return left.map_batches(broadcast_merge, batch_format="pyarrow")
 
     # ---- co-partitioned path (both sides large): tag, union, merge ----
     # No left-side schema probe: Ray's union/shuffle unifies heterogeneous

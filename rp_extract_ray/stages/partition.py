@@ -260,7 +260,14 @@ def partitioned_apply(
             # blocking: the metrics row is durable once the partition task
             # reports success (one tiny actor call per PARTITION, not per row)
             _ray.get(metrics_sink.add.remote(pm.row(rows_in, len(out))))
-        return out
+        # return ARROW, not the kernel's DataFrame: one pandas-block stage in
+        # a lineage makes every DOWNSTREAM Dataset.sort emit pandas blocks
+        # (measured: the flagship's rejoin exchange ran its whole reduce on
+        # pandas and re-converted per group), and pandas blocks carry the
+        # metadata blob whose schema hash fails in every shuffle reduce task
+        if isinstance(out, pd.DataFrame):
+            out = pa.Table.from_pandas(out, preserve_index=False)
+        return strip_meta(out)
 
     parted = ds.map_batches(
         _add_part,

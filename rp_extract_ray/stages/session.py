@@ -373,27 +373,44 @@ def salted_session_apply(
             }
             ref = ray.put(off_map)
 
-            def rebase(pdf: pd.DataFrame) -> pd.DataFrame:
+            # pure-arrow rebase (numpy kernel over arrow columns, no pandas
+            # hop): a batch_format="pandas" stage here would flip every
+            # downstream Dataset.sort in the caller's lineage to pandas
+            # shuffle blocks (see partitioned_apply.run_group)
+            def rebase(tbl):
+                import pyarrow as _pa
+
                 offs = ray.get(ref)
-                ent = pdf[entity_col].to_numpy()
-                chunk = pdf[turn_col].to_numpy().astype(np.int64) // chunk_turns
+                ent = tbl.column(entity_col).to_numpy(zero_copy_only=False)
+                chunk = (
+                    tbl.column(turn_col)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    // chunk_turns
+                )
                 starts = entity_starts(ent, chunk)
-                rs, re_ = run_bounds(starts, len(pdf))
+                rs, re_ = run_bounds(starts, len(ent))
                 base_run = np.fromiter(
                     (offs.get((ent[s], int(chunk[s])), 0) for s in rs),
                     dtype=np.int64,
                     count=len(rs),
                 )
                 base = np.repeat(base_run, re_ - rs)
-                pdf["session_id"] = (
-                    pdf["session_id"].to_numpy().astype(np.int64) + base
+                new_sid = (
+                    tbl.column("session_id")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    + base
                 ).astype(np.int32)
-                return pdf
+                i = tbl.column_names.index("session_id")
+                return tbl.set_column(
+                    i, "session_id", _pa.array(new_sid, _pa.int32())
+                )
 
             # blocks arrive partition-sorted so runs are few; correctness
             # does not depend on contiguity (each contiguous segment looks
             # up its own (entity, chunk) key)
-            return feats.map_batches(rebase, batch_format="pandas")
+            return feats.map_batches(rebase, batch_format="pyarrow")
 
     if offsets_ds is None:
         # ``offsets_ds=`` lets a caller supply pass A from a cheaper source
