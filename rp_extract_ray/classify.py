@@ -248,9 +248,12 @@ def nb_train(
         g["n"] = g["n"].astype(np.int64)
         return g
 
+    from rp_extract_ray.stages.partition import arrow_out
+
     ct = grouped_reduce(
         ds.select_columns([label_col, text_col]).map_batches(
-            tok_partial, batch_format="pandas"
+            lambda b: arrow_out(tok_partial(b.to_pandas())),
+            batch_format="pyarrow",
         ),
         ["label", "token"],
         {"n": ("n", "sum")},

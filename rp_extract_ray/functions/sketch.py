@@ -182,8 +182,10 @@ def group_hll_distinct(
             rows.append((g, regs.tobytes()))
         return pd.DataFrame(rows, columns=[group_col, "_regs"])
 
+    from rp_extract_ray.stages.partition import arrow_out
+
     parts = ds.select_columns([group_col, value_col]).map_batches(
-        partial, batch_format="pandas"
+        lambda b: arrow_out(partial(b.to_pandas())), batch_format="pyarrow"
     )
 
     def merge(pdf: "pd.DataFrame", starts: np.ndarray) -> "pd.DataFrame":

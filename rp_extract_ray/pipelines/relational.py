@@ -388,8 +388,13 @@ def q_top_terms(sf_dir: str, k: int = 20) -> "pd.DataFrame":
 
     from rp_extract_ray.stages.groupops import grouped_reduce
 
+    from rp_extract_ray.stages.partition import arrow_out
+
     counted = grouped_reduce(
-        ds.map_batches(explode_counts, batch_format="pandas"),
+        ds.map_batches(
+            lambda b: arrow_out(explode_counts(b.to_pandas())),
+            batch_format="pyarrow",
+        ),
         "token", {"n": ("n", "sum")}, combine_first=False,
     )
     return distributed_topk(counted, ["n", "token"], [True, False], k)
@@ -604,10 +609,12 @@ def q_group_distinct(sf_dir: str) -> Dataset:
 
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
 
-    def local_distinct(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pdf.drop_duplicates()
+    def local_distinct(tbl):
+        from rp_extract_ray.stages.partition import arrow_out
 
-    pairs = ds.map_batches(local_distinct, batch_format="pandas")
+        return arrow_out(tbl.to_pandas().drop_duplicates())
+
+    pairs = ds.map_batches(local_distinct, batch_format="pyarrow")
     uniq = grouped_reduce(
         pairs, ["o_orderpriority", "o_custkey"],
         {"_n": ("o_custkey", "count")}, combine_first=False,

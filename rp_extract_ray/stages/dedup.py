@@ -129,13 +129,14 @@ def _dedup_pairs(pairs: Dataset) -> Dataset:
     pair is packed into one int64 key (requires ids < 2^31, true for doc
     ids) and deduplicated with the engine's own partitioned pass."""
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf["pair_key"] = (pdf["id_a"].to_numpy(np.int64) << np.int64(31)) | pdf[
-            "id_b"
-        ].to_numpy(np.int64)
-        return pdf
+    def pack(b: pa.Table) -> pa.Table:
+        key = (
+            b.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+            << np.int64(31)
+        ) | b.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("pair_key", pa.array(key))
 
-    packed = pairs.map_batches(pack, batch_format="pandas")
+    packed = pairs.map_batches(pack, batch_format="pyarrow")
 
     def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
         run_starts, run_ends = run_bounds(starts, len(pdf))
@@ -188,12 +189,17 @@ def minhash_lsh_pairs(
     carry_sig = verify and est_margin is not None
     est_min = max(0.0, jaccard_threshold - (est_margin or 0.0))
 
-    def signatures(batch: pd.DataFrame) -> pd.DataFrame:
+    def signatures(batch: pa.Table) -> pa.Table:
         # stateless TASKS, not an actor pool: the permutation coefficients
         # are built once per WORKER PROCESS (module-level cache) so the
-        # stage scales to every free CPU instead of a fixed actor count
+        # stage scales to every free CPU instead of a fixed actor count.
+        # DECLARED pyarrow (pandas conversion happens inside, only for the
+        # text column the hasher needs): a pandas-declared stage makes the
+        # downstream bucket exchange sort pandas blocks (see
+        # partition.run_group for the measured rule).
         mh = _minhasher_cached(num_perm, shingle_k)
-        sigs = mh.signatures_batch(batch[text_col].fillna(""))  # (n, num_perm)
+        texts = batch.column(text_col).to_pandas().fillna("")
+        sigs = mh.signatures_batch(texts)  # (n, num_perm)
         bh = np.empty((len(batch), bands), dtype=np.int64)
         for b in range(bands):
             seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
@@ -204,17 +210,21 @@ def minhash_lsh_pairs(
             # wraparound intended; scalar uint64 mult warns, so mask in int
             mix = np.uint64(((b + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
             bh[:, b] = (h ^ mix).astype(np.int64)
-        out = {
-            id_col: np.repeat(batch[id_col].to_numpy(), bands),
-            "band_hash": bh.reshape(-1),
+        cols = {
+            id_col: pa.array(
+                np.repeat(
+                    batch.column(id_col).to_numpy(zero_copy_only=False), bands
+                )
+            ),
+            "band_hash": pa.array(bh.reshape(-1)),
         }
         if carry_sig:
-            out["_sig"] = np.repeat(
-                np.array([s.tobytes() for s in sigs], dtype=object), bands
-            )
-        return pd.DataFrame(out)
+            cols["_sig"] = pa.array(
+                [s.tobytes() for s in sigs], pa.binary()
+            ).take(pa.array(np.repeat(np.arange(len(sigs)), bands)))
+        return pa.table(cols)
 
-    exploded = ds.map_batches(signatures, batch_format="pandas", batch_size=512)
+    exploded = ds.map_batches(signatures, batch_format="pyarrow", batch_size=512)
 
     # pair generation: one partitioned pass over bucket RUNS, not one
     # map_groups call per bucket (most buckets are singletons; a per-bucket
@@ -907,13 +917,14 @@ def simhash_pairs(
 
     tok = re.compile(r"\w+", re.ASCII)  # shipped in the closure, compiled once
 
-    def sigs_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    def sigs_batch(batch: pa.Table) -> pa.Table:
         # stateless tasks (scale to all CPUs); per-doc work = one regex
         # findall; hashing + bit aggregation run ONCE over the batch's
-        # concatenated token stream
+        # concatenated token stream. Declared pyarrow so the downstream
+        # band-key exchange sorts arrow blocks (partition.run_group rule).
         toks = [
             np.array(tok.findall((t or "").lower()), dtype=object)
-            for t in batch[text_col].fillna("")
+            for t in batch.column(text_col).to_pandas().fillna("")
         ]
         flat, counts = tokens_hash_batch(toks)
         sh = simhash64_batch(flat, counts)
@@ -925,14 +936,19 @@ def simhash_pairs(
             ],
             axis=1,
         ).reshape(-1)
-        rows = {
-            id_col: np.repeat(batch[id_col].to_numpy(), 4),
-            "band_key": keys,
-            "simhash": np.repeat(sh.astype(np.int64), 4),
-        }
-        return pd.DataFrame(rows)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    np.repeat(
+                        batch.column(id_col).to_numpy(zero_copy_only=False), 4
+                    )
+                ),
+                "band_key": pa.array(keys),
+                "simhash": pa.array(np.repeat(sh.astype(np.int64), 4)),
+            }
+        )
 
-    exploded = ds.map_batches(sigs_batch, batch_format="pandas", batch_size=512)
+    exploded = ds.map_batches(sigs_batch, batch_format="pyarrow", batch_size=512)
 
     from rp_extract_ray.stages.partition import partitioned_apply
 
@@ -975,11 +991,12 @@ def simhash_pairs(
         num_partitions=_exchange_partitions(),
     )
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf["pair_key"] = (pdf["id_a"].to_numpy(np.int64) << np.int64(31)) | pdf[
-            "id_b"
-        ].to_numpy(np.int64)
-        return pdf
+    def pack(b: pa.Table) -> pa.Table:
+        key = (
+            b.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+            << np.int64(31)
+        ) | b.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("pair_key", pa.array(key))
 
     def first_fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
         run_starts, run_ends = run_bounds(starts, len(pdf))
@@ -996,7 +1013,7 @@ def simhash_pairs(
         )
 
     return partitioned_apply(
-        pairs.map_batches(pack, batch_format="pandas"),
+        pairs.map_batches(pack, batch_format="pyarrow"),
         first_fn, entity_col="pair_key", order_cols=("id_a",), num_partitions=_exchange_partitions(),
     )
 

@@ -74,8 +74,13 @@ def grouped_topk(
     else:
         asc = [not d for d in descending]
 
+    from rp_extract_ray.stages.partition import arrow_out
+
+    # declared pyarrow: the pruned partials feed a keyed exchange — a
+    # pandas-declared stage would flip that sort to pandas blocks
     pruned = ds.map_batches(
-        lambda b: _local_topk(b, gcols, scols, asc, k), batch_format="pandas"
+        lambda b: arrow_out(_local_topk(b.to_pandas(), gcols, scols, asc, k)),
+        batch_format="pyarrow",
     )
 
     # final select: ONE keyed exchange co-locating whole groups, then ONE
@@ -318,8 +323,13 @@ def grouped_reduce(
         return res
 
     stage1_spec = dict(how)
+    from rp_extract_ray.stages.partition import arrow_out as _arrow_out
+
     parts = (
-        ds.map_batches(lambda b: agg(b, stage1_spec), batch_format="pandas")
+        ds.map_batches(
+            lambda b: _arrow_out(agg(b.to_pandas(), stage1_spec)),
+            batch_format="pyarrow",
+        )
         if combine_first
         else ds
     )

@@ -44,6 +44,18 @@ CHUNK_COL = "_chunk"
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+def arrow_out(df: pd.DataFrame) -> pa.Table:
+    """Convert a kernel's pandas result to a metadata-free Arrow table.
+
+    Use as the RETURN conversion of any map stage whose lineage later hits a
+    ``sort``/``groupby``: Ray's sort picks its shuffle block format from the
+    DECLARED ``batch_format`` of upstream map_batches stages, so a
+    pandas-declared stage flips the whole downstream shuffle to pandas
+    blocks (re-converted per reduce task, plus the unhashable pandas
+    metadata blob). Declare ``batch_format="pyarrow"`` and convert inside."""
+    return strip_meta(pa.Table.from_pandas(df, preserve_index=False))
+
+
 def strip_meta(t: pa.Table) -> pa.Table:
     """Drop schema metadata (zero-copy). Ray's pandas->arrow block conversion
     attaches a ``b'pandas'`` metadata blob whose schema hash raises

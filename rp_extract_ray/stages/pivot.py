@@ -70,6 +70,10 @@ def pivot_counts(
 
     from rp_extract_ray.stages.groupops import grouped_reduce
 
-    parts = ds.map_batches(partial, batch_format="pandas")
+    from rp_extract_ray.stages.partition import arrow_out
+
+    parts = ds.map_batches(
+        lambda b: arrow_out(partial(b.to_pandas())), batch_format="pyarrow"
+    )
     how = {c: (c, "sum") for c in (*cnt_cols, *sum_cols)}
     return grouped_reduce(parts, key_col, how, combine_first=False)

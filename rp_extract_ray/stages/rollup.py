@@ -75,7 +75,11 @@ def grouping_sets_aggregate(
 
     from rp_extract_ray.stages.groupops import grouped_reduce
 
-    parts = ds.map_batches(partial, batch_format="pandas")
+    from rp_extract_ray.stages.partition import arrow_out
+
+    parts = ds.map_batches(
+        lambda b: arrow_out(partial(b.to_pandas())), batch_format="pyarrow"
+    )
     how = {a: (a, "sum") for a in sum_cols}
     how[count_alias] = (count_alias, "sum")
     return grouped_reduce(parts, all_keys, how, combine_first=False)

@@ -77,6 +77,8 @@ def standardize_grouped(
 
     from ray.data.aggregate import Sum
 
+    from rp_extract_ray.stages.partition import arrow_out as _arrow_out
+
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
         tmp = pdf[[group_col, *cols]].copy()
         for c in cols:
@@ -93,7 +95,10 @@ def standardize_grouped(
         f"{p}_{c}" for c in cols for p in ("_s", "_q", "_n")
     ]
     stats = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(
+            lambda b: _arrow_out(partial(b.to_pandas())),
+            batch_format="pyarrow",
+        )
         .groupby(group_col)
         .aggregate(*[Sum(c, alias_name=c) for c in moment_cols])
         .materialize()

@@ -298,17 +298,22 @@ def encode_token_ids(
 
     from rp_extract_ray.pipelines.relational import distributed_topk
 
-    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def count_partial(tbl: pa.Table) -> pa.Table:
+        batch = tbl.to_pandas()
         toks = batch[text_col].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
         flat = pd.Series(np.concatenate(toks.to_numpy()) if len(toks) else [])
         vc = flat.value_counts()
-        return pd.DataFrame({"token": vc.index.to_numpy(), "n": vc.to_numpy()})
+        # arrow out: the token reduce downstream sorts these blocks
+        return pa.table(
+            {"token": pa.array(vc.index.to_numpy(), pa.string()),
+             "n": pa.array(vc.to_numpy().astype(np.int64))}
+        )
 
     from rp_extract_ray.stages.groupops import grouped_reduce
 
     counted = grouped_reduce(
         ds.select_columns([text_col]).map_batches(
-            count_partial, batch_format="pandas"
+            count_partial, batch_format="pyarrow"
         ),
         "token", {"n": ("n", "sum")}, combine_first=False,
     )
@@ -409,15 +414,20 @@ def bigram_pmi(
 
     from rp_extract_ray.stages.groupops import grouped_reduce
 
+    from rp_extract_ray.stages.partition import arrow_out
+
+    # partials declared pyarrow so the two keyed exchanges sort arrow blocks
     uni = grouped_reduce(
         ds.select_columns([text_col]).map_batches(
-            lambda b: partial(b, "uni"), batch_format="pandas"
+            lambda b: arrow_out(partial(b.to_pandas(), "uni")),
+            batch_format="pyarrow",
         ),
         "w", {"n": ("n", "sum")}, combine_first=False,
     )
     bi = partitioned_apply(
         ds.select_columns([text_col]).map_batches(
-            lambda b: partial(b, "bi"), batch_format="pandas"
+            lambda b: arrow_out(partial(b.to_pandas(), "bi")),
+            batch_format="pyarrow",
         ),
         merge_bi, entity_col="_bk", order_cols=(),
     )
@@ -537,8 +547,10 @@ def boilerplate_ngrams(
         )
         return out[out["n_docs"] >= min_docs]
 
+    from rp_extract_ray.stages.partition import arrow_out
+
     parts = ds.select_columns([id_col, text_col]).map_batches(
-        partial, batch_format="pandas"
+        lambda b: arrow_out(partial(b.to_pandas())), batch_format="pyarrow"
     )
     return partitioned_apply(parts, merge, entity_col="gram", order_cols=())
 

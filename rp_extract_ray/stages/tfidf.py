@@ -56,16 +56,21 @@ def doc_token_counts(
     ``n_doc`` total tokens in the doc. Documents with zero tokens emit no
     rows (matching SQL's unnest semantics)."""
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+    def explode(tbl: pa.Table):
+        from rp_extract_ray.stages.partition import arrow_out
+
+        # declared pyarrow (downstream token exchange stays on arrow
+        # blocks); only the two needed columns cross into pandas
+        batch = tbl.select([id_col, text_col]).to_pandas()
         toks = batch[text_col].fillna("").str.lower().str.findall(pattern)
         lens = toks.str.len().to_numpy()
         ids = batch[id_col].to_numpy()
         if lens.sum() == 0:
-            return pd.DataFrame(
+            return arrow_out(pd.DataFrame(
                 {id_col: ids[:0], "token": np.array([], dtype=object),
                  "cnt": np.array([], dtype=np.int64),
                  "n_doc": np.array([], dtype=np.int64)}
-            )
+            ))
         flat = pd.DataFrame(
             {
                 id_col: np.repeat(ids, lens),
@@ -83,9 +88,9 @@ def doc_token_counts(
         out["n_doc"] = (
             out[id_col].map(pd.Series(lens, index=ids)).astype(np.int64)
         )
-        return out
+        return arrow_out(out)
 
-    return docs.map_batches(explode, batch_format="pandas")
+    return docs.map_batches(explode, batch_format="pyarrow")
 
 
 def document_frequency(doc_tokens: Dataset) -> Dataset:
