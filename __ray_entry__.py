@@ -1108,10 +1108,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             p AS (
               SELECT doc_id, n_ws_tokens,
-                     CAST(FLOOR(CAST(COALESCE(SUM(n_ws_tokens) OVER (
+                     CAST(COALESCE(SUM(n_ws_tokens) OVER (
                          ORDER BY doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                       AS DOUBLE) / 512) AS BIGINT) AS pack_id
+                       // 512 AS BIGINT) AS pack_id
               FROM t)
             SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_ws_tokens) AS BIGINT) AS tok_sum

@@ -603,3 +603,36 @@ def test_pack_sequences_partition_invariant():
     # straddling head doc is accounted: totals must sum to the corpus
     assert int(st["tok_sum"].sum()) == int(df["tok"].sum())
     assert int(st["n_docs"].sum()) == n
+
+
+def test_kmeans_tree_merge_fan_invariant(monkeypatch):
+    """Forcing the fan-in to 2 exercises multi-level seed/partial merges;
+    centroids must match the wide-fan run exactly (additive partials merge
+    in stable block order at every fan)."""
+    import ray.data as rd
+
+    from rp_extract_ray.stages import kmeans as K
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(0.0, 5.0, size=(400, 6))
+    df = pd.DataFrame(
+        {"vec_id": np.arange(400, dtype=np.int64), "embedding": list(X)}
+    )
+    ds = rd.from_pandas(df).repartition(11)
+    # sliver coalescing would fold 11 blocks back to 1 at 400 rows; pin the
+    # group size down so the tree actually has leaves to merge
+    monkeypatch.setattr(K, "_MERGE_FAN", 2)
+    real_pin = K._pinned_blocks
+
+    def no_coalesce(d, id_col, vec_col):
+        mat = d.select_columns([id_col, vec_col]).materialize()
+        return [
+            K._prep_block.remote(id_col, vec_col, r) for r in mat.to_arrow_refs()
+        ]
+
+    monkeypatch.setattr(K, "_pinned_blocks", no_coalesce)
+    C_fan2 = K.kmeans_lloyd(ds, n_clusters=4, n_iter=3)
+    monkeypatch.setattr(K, "_MERGE_FAN", 64)
+    monkeypatch.setattr(K, "_pinned_blocks", real_pin)
+    C_wide = K.kmeans_lloyd(ds, n_clusters=4, n_iter=3)
+    assert np.allclose(C_fan2, C_wide, rtol=0, atol=1e-9)
