@@ -381,6 +381,10 @@ def spill_drill() -> dict:
     def run(store_bytes: int | None) -> dict:
         env = dict(os.environ, GRAFT_BENCH_HEADLINE_ONLY="1",
                    GRAFT_BENCH_REPEATS="2")
+        # the tuned leg must NOT inherit a store override from the parent
+        # shell — otherwise both legs run undersized and the drill's
+        # slowdown ratio falsely reads ~1.0
+        env.pop("GRAFT_OBJECT_STORE_BYTES", None)
         if store_bytes:
             env["GRAFT_OBJECT_STORE_BYTES"] = str(store_bytes)
         out = subprocess.run(

@@ -280,7 +280,10 @@ def q_ring_stream_sharded(sf_dir: str, k: int = 8) -> Dataset:
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    return q_ring_stream(sf_dir, k=k, n_shards=max(2, min(8, cpus // 4)))
+    # clamp to cpus//2 (floor 1) so tiny sessions never pin every slot —
+    # the 2-shard floor on a 2-CPU session IS the measured livelock above
+    n_shards = min(max(2, min(8, cpus // 4)), max(1, cpus // 2))
+    return q_ring_stream(sf_dir, k=k, n_shards=n_shards)
 
 
 def q_rhythm_segments(sf_dir: str) -> Dataset:

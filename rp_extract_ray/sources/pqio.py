@@ -28,20 +28,27 @@ def read_parquet_clean(paths, *, columns=None, **kwargs) -> Dataset:
 
     import pyarrow.parquet as pq
 
-    first = paths[0] if isinstance(paths, (list, tuple)) else paths
-    last = paths[-1] if isinstance(paths, (list, tuple)) else None
-    if isinstance(first, str) and os.path.isdir(first):
-        # flat shard directory: probe the first file (hive-partitioned dirs
-        # fail the probe below and fall back — partition cols aren't in the
-        # file schema, so an explicit schema= would drop them)
-        inner = sorted(
-            f for f in os.listdir(first) if f.endswith(".parquet")
-        )
-        if inner:
-            first = os.path.join(first, inner[0])
-            last = os.path.join(
-                os.path.dirname(first), inner[-1]
-            ) if len(inner) > 1 else None
+    def files_in(p):
+        # flat shard directory → its sorted .parquet files (hive-partitioned
+        # dirs fail the probe below and fall back — partition cols aren't in
+        # the file schema, so an explicit schema= would drop them)
+        if isinstance(p, str) and os.path.isdir(p):
+            inner = sorted(
+                f for f in os.listdir(p) if f.endswith(".parquet")
+            )
+            return [os.path.join(p, f) for f in inner] or [p]
+        return [p]
+
+    if isinstance(paths, (list, tuple)):
+        # probe the FIRST file of the first path and the LAST file of the
+        # last path, so cross-directory schema evolution is caught too
+        first = files_in(paths[0])[0]
+        last = files_in(paths[-1])[-1]
+    else:
+        inner = files_in(paths)
+        first, last = inner[0], inner[-1]
+    if last == first:
+        last = None
     try:
         s = pq.read_schema(first).remove_metadata()
         if last is not None and last != first:

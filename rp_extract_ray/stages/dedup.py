@@ -28,7 +28,27 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from rp_extract_ray.functions.hashing import MinHasher, char_shingles, jaccard
-from rp_extract_ray.stages.partition import arrow_clean, run_bounds, stable_hash
+from rp_extract_ray.stages.partition import (
+    arrow_clean,
+    run_bounds,
+    stable_hash,
+    strip_meta,
+)
+
+
+def _pair_ids_table(b: pa.Table, col: str, unique: bool = False) -> pa.Table:
+    """Flatten a candidate-pair block's (id_a ∪ id_b) to one int64 column —
+    the shared kernel of the HLL gate, the broadcast wanted-set collapse,
+    and the distributed semi-join feed below."""
+    ids = pa.concat_arrays(
+        [
+            b.column("id_a").cast(pa.int64()).combine_chunks(),
+            b.column("id_b").cast(pa.int64()).combine_chunks(),
+        ]
+    )
+    if unique:
+        ids = pc.unique(ids)
+    return pa.table({col: ids})
 
 _MH_CACHE: dict = {}
 
@@ -397,17 +417,7 @@ def verify_pairs_jaccard(
         from rp_extract_ray.functions.sketch import approx_distinct
 
         flat = uniq.map_batches(
-            lambda b: pa.table(
-                {
-                    id_col: pa.concat_arrays(
-                        [
-                            b.column("id_a").cast(pa.int64()).combine_chunks(),
-                            b.column("id_b").cast(pa.int64()).combine_chunks(),
-                        ]
-                    )
-                }
-            ),
-            batch_format="pyarrow",
+            lambda b: _pair_ids_table(b, id_col), batch_format="pyarrow"
         )
         use_broadcast = (
             approx_distinct(flat, id_col) * 1.25 <= broadcast_docs_limit
@@ -423,18 +433,7 @@ def verify_pairs_jaccard(
         # Wanted ids collapse per-block-distinct first so the driver never
         # holds the raw pair list.
         id_parts = uniq.map_batches(
-            lambda b: pa.table(
-                {
-                    id_col: pc.unique(
-                        pa.concat_arrays(
-                            [
-                                b.column("id_a").cast(pa.int64()).combine_chunks(),
-                                b.column("id_b").cast(pa.int64()).combine_chunks(),
-                            ]
-                        )
-                    )
-                }
-            ),
+            lambda b: _pair_ids_table(b, id_col, unique=True),
             batch_format="pyarrow",
         ).to_pandas()
         wanted = np.unique(id_parts[id_col].to_numpy().astype(np.int64))
@@ -502,16 +501,11 @@ def verify_pairs_jaccard(
 
         return uniq.map_batches(verify_broadcast, batch_format="pyarrow")
 
-    def flat_ids(b: pa.Table) -> pa.Table:
-        ids = np.concatenate(
-            [b.column("id_a").to_numpy(zero_copy_only=False),
-             b.column("id_b").to_numpy(zero_copy_only=False)]
-        ).astype(np.int64)
-        return pa.table({id_col: pa.array(ids)})
-
     # no dedup groupby needed: left_semi keeps a left row once regardless of
     # duplicate right keys, so the raw (id_a ∪ id_b) stream joins directly
-    cand_ids = uniq.map_batches(flat_ids, batch_format="pyarrow")
+    cand_ids = uniq.map_batches(
+        lambda b: _pair_ids_table(b, id_col), batch_format="pyarrow"
+    )
 
     docs = ds.map_batches(
         lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
@@ -696,7 +690,12 @@ def dedup_clusters_distributed(
         out = dedup_clusters(pdf, max_rounds=max_rounds, mode="driver")
         if stats is not None:
             stats["mode"] = "driver-collapse"
-        return rd.from_pandas(out)
+        # metadata-free Arrow, not from_pandas: a pandas block here would
+        # flip every downstream sort/groupby exchange back to pandas blocks
+        # (the arrow-lineage rule, see partition.strip_meta)
+        return rd.from_arrow(
+            strip_meta(pa.Table.from_pandas(out, preserve_index=False))
+        )
 
     def flat(b: pa.Table) -> pa.Table:
         ids = np.concatenate(

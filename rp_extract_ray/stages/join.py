@@ -216,9 +216,19 @@ def bloom_semi_join(
     keys_on = keys_on or on
     key_ds = keys.select_columns([keys_on])
     if n_keys_hint == "count":
-        # row count, NOT distinct: metadata-only on a read lineage, one
-        # streamed pass otherwise (never a driver materialization)
-        n_keys = max(keys.count(), 1)
+        # row count, NOT distinct. Bare read lineages answer from parquet
+        # metadata (no scan); a COMPUTED keys lineage would pay a full
+        # execution for count() and then a SECOND one in whichever path
+        # consumes key_ds below — so materialize the projected key column
+        # once instead and count its blocks for free (both paths reuse it)
+        try:
+            meta = keys._meta_count()
+        except Exception:
+            meta = None
+        if meta is None:
+            key_ds = key_ds.materialize()
+            meta = key_ds.count()
+        n_keys = max(meta, 1)
     elif n_keys_hint == "hll":
         from rp_extract_ray.functions.sketch import approx_distinct
 

@@ -98,3 +98,33 @@ def test_read_parquet_clean_heterogeneous_shards(tmp_path):
     # homogeneous shards still take the explicit-schema fast path
     pdf2 = read_parquet_clean([a, a], columns=["id"]).to_pandas()
     assert list(pdf2.columns) == ["id"] and len(pdf2) == 4
+
+
+def test_read_parquet_clean_cross_directory_evolution(tmp_path):
+    """The probe must reach the LAST path element's last file: with a list
+    of shard paths where only the final one evolved, the guard still has to
+    fall back (the old code probed first/last within the FIRST directory
+    only, so cross-path evolution was silently coerced)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rp_extract_ray.sources.pqio import read_parquet_clean
+
+    old = tmp_path / "old"
+    old.mkdir()
+    p0, p1 = str(old / "p0.parquet"), str(old / "p1.parquet")
+    p_new = str(tmp_path / "new.parquet")
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64())}), p0)
+    pq.write_table(pa.table({"id": pa.array([3, 4], pa.int64())}), p1)
+    pq.write_table(
+        pa.table({"id": pa.array([5], pa.int64()),
+                  "extra": pa.array(["x"], pa.string())}), p_new)
+
+    pdf = read_parquet_clean([p0, p1, p_new]).to_pandas()
+    assert "extra" in pdf.columns and len(pdf) == 5
+    assert pdf["extra"].notna().sum() == 1
+
+    # a directory as a path element resolves to its files for the probe;
+    # homogeneous dir keeps the fast path
+    pdf2 = read_parquet_clean(str(old)).to_pandas()
+    assert list(pdf2.columns) == ["id"] and len(pdf2) == 4
