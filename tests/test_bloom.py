@@ -107,3 +107,27 @@ def test_bloom_semi_join_approx_is_superset():
     )
     # ... and strays stay near the design fpp
     assert len(approx) - len(exact) <= 0.05 * (len(big) - len(exact)) + 5
+
+
+def test_bloom_semi_join_computed_keys_lineage():
+    """Keys side as a COMPUTED lineage (filter over the raw frame): the
+    "count" hint can't answer from metadata, so the join must take the
+    materialize-once fallback — and still be exact through BOTH the
+    broadcast collapse and the forced bloom path."""
+    big, keys_all = _sides(seed=3)
+    keys_ds = (
+        rd.from_pandas(keys_all)
+        .repartition(4)
+        .filter(lambda r: r["k"] % 2 == 0)
+    )
+    keys_pd = keys_all[keys_all["k"] % 2 == 0]
+    want = semi_anti_join(
+        rd.from_pandas(big), rd.from_pandas(keys_pd), on="k", num_partitions=4
+    ).to_pandas()
+    canon = lambda d: d.sort_values(["k", "v"]).reset_index(drop=True)[["k", "v"]]
+    for limit in (2_000_000, 0):  # broadcast collapse, then forced bloom
+        got = bloom_semi_join(
+            rd.from_pandas(big).repartition(9), keys_ds,
+            on="k", num_partitions=4, broadcast_keys_limit=limit,
+        ).to_pandas()
+        pd.testing.assert_frame_equal(canon(got), canon(want))
