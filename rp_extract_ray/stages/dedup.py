@@ -18,8 +18,6 @@ Training-data-pipeline extensions (round-1 brief). Scale shapes:
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
