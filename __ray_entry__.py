@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": R.q_hll_distinct,
         "group_hll": R.q_group_hll,
         "group_distinct": R.q_group_distinct,
+        "group_mode": E.q_group_mode,
+        "group_corr": R.q_group_corr,
         # text analysis / dedup / similarity (training-data extensions)
         "token_count": D.q_token_count,
         "redact": D.q_redact,
@@ -963,6 +965,29 @@ def oracle_sql() -> dict[str, str]:
                           FROM c WHERE cum >= 0.99 * t.n
                           ORDER BY bin LIMIT 1), 6) AS l_extendedprice_p99
             FROM t""",
+        # deterministic mode tie-break mirrored exactly: highest count,
+        # then smallest value (ROW_NUMBER, not DuckDB's mode() whose
+        # tie-break is unspecified)
+        "group_mode": """
+            WITH c AS (SELECT user_id, event_type,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY user_id, event_type),
+                 r AS (SELECT user_id, event_type, n,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY n DESC, event_type ASC) AS rn
+                       FROM c)
+            SELECT user_id, event_type AS mode_event_type, n
+            FROM r WHERE rn = 1""",
+        # corr's closed form is convention-free (sample/population factors
+        # cancel), so SQL corr() matches the engine's moment formula;
+        # round(6) on both sides absorbs float-sum-order noise
+        "group_corr": """
+            SELECT l_returnflag, l_linestatus,
+                   round(corr(CAST(l_quantity AS DOUBLE),
+                              CAST(l_extendedprice AS DOUBLE)), 6)
+                     AS corr_qty_price
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "group_quantiles": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n,
                    round(quantile_cont(CAST(length(text) AS DOUBLE), 0.25), 6)

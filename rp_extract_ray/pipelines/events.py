@@ -767,3 +767,14 @@ def q_winsorize(sf_dir: str) -> Dataset:
         )
 
     return _round(joined.map_batches(clip, batch_format="pyarrow"), {"value_w": 6})
+
+
+def q_group_mode(sf_dir: str) -> Dataset:
+    """Dominant (most frequent) event type per user — exact per-group MODE
+    with the deterministic highest-count / smallest-value tie-break
+    (stages/groupops.grouped_mode). The exchange carries distinct
+    (user, type) pairs, never raw events."""
+    from rp_extract_ray.stages.groupops import grouped_mode
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    return grouped_mode(ds, "user_id", "event_type", out_name="mode_event_type")

@@ -624,3 +624,20 @@ def q_group_distinct(sf_dir: str) -> Dataset:
         {"n_distinct": ("o_orderpriority", "count")}, combine_first=False,
     )
     return out
+
+
+def q_group_corr(sf_dir: str) -> Dataset:
+    """Per-(returnflag, linestatus) Pearson correlation of quantity and
+    extended price via additive moment partials
+    (stages/groupops.grouped_corr) — six numbers per key per block cross
+    the exchange regardless of row count."""
+    from rp_extract_ray.stages.groupops import grouped_corr
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_corr(
+        ds, ["l_returnflag", "l_linestatus"], "l_quantity", "l_extendedprice",
+        out_name="corr_qty_price",
+    )

@@ -265,6 +265,18 @@ def _pack_stats(ds: Dataset, **kw) -> Dataset:
     return pack_stats(ds, **kw)
 
 
+def _group_mode(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.groupops import grouped_mode
+
+    return grouped_mode(ds, **kw)
+
+
+def _group_corr(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.groupops import grouped_corr
+
+    return grouped_corr(ds, **kw)
+
+
 _REGISTRY: dict[str, Callable[..., Dataset]] = {
     "turn_stats": _turn_stats,
     "sessionize": _sessionize,
@@ -308,6 +320,9 @@ _REGISTRY: dict[str, Callable[..., Dataset]] = {
     "redact": _redact,
     "pack": _pack,
     "pack_stats": _pack_stats,
+    # round-5 additions
+    "group_mode": _group_mode,
+    "group_corr": _group_corr,
 }
 
 

@@ -361,3 +361,133 @@ def grouped_reduce(
         num_partitions=num_partitions or 32,
     )
     return out
+
+
+def grouped_mode(
+    ds: Dataset,
+    key: str,
+    val: str,
+    *,
+    out_name: str | None = None,
+    count_name: str = "n",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Exact per-group MODE (most frequent value) with a deterministic
+    tie-break: highest count first, then the smallest value.
+
+    Everyday curation op (dominant event type per user, dominant language
+    per source) with no Ray Data aggregate. Scale shape: the only exchange
+    that sees data volume is :func:`grouped_reduce`'s (key, val) pair-count
+    — map-side combine shrinks it to distinct pairs per block — and the
+    final argmax exchange carries one row per distinct pair. Nothing is
+    bounded by row count, only by pair cardinality. Reference analogue:
+    none (the reference's only categorical reduction is the class-count
+    table, classes_io.py per SURVEY.md §2.7); this is the distributed
+    generalization.
+    """
+    from rp_extract_ray.stages.partition import partitioned_apply
+
+    out_name = out_name or f"mode_{val}"
+    counts = grouped_reduce(
+        ds.select_columns([key, val]),
+        [key, val],
+        {count_name: (val, "count")},
+        num_partitions=num_partitions,
+    )
+
+    def pick(pdf: pd.DataFrame, starts) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [key, count_name, val],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        top = pdf.drop_duplicates(subset=[key], keep="first")
+        return top.rename(columns={val: out_name})[[key, out_name, count_name]]
+
+    return partitioned_apply(
+        counts,
+        pick,
+        entity_col=key,
+        order_cols=(),
+        num_partitions=num_partitions or 32,
+    )
+
+
+def grouped_corr(
+    ds: Dataset,
+    keys: "Sequence[str] | str",
+    x: str,
+    y: str,
+    *,
+    out_name: str = "corr",
+    round_to: int | None = 6,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Exact per-group Pearson correlation of two numeric columns via
+    additive moment partials (n, Σx, Σy, Σxy, Σx², Σy²).
+
+    The moments are associative sums, so :func:`grouped_reduce`'s map-side
+    combine makes the exchange carry six numbers per distinct key per block
+    regardless of row count; the closed form
+    ``(nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²))`` is algebraically
+    identical for the sample and population conventions (the 1/(n−1)
+    factors cancel), so it matches SQL ``corr``. Degenerate groups (n < 2
+    or zero variance in either column) yield NULL, matching SQL. Rounded to
+    ``round_to`` decimals half-away-from-zero (SQL ROUND) so float-sum
+    ordering noise can't flip an oracle hash; pass ``round_to=None`` for
+    raw doubles.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    klist = [keys] if isinstance(keys, str) else list(keys)
+
+    def moments(b: pa.Table) -> pa.Table:
+        xf = pc.cast(b.column(x), pa.float64())
+        yf = pc.cast(b.column(y), pa.float64())
+        t = b.select(klist)
+        t = t.append_column("_x", xf)
+        t = t.append_column("_y", yf)
+        t = t.append_column("_xy", pc.multiply(xf, yf))
+        t = t.append_column("_xx", pc.multiply(xf, xf))
+        t = t.append_column("_yy", pc.multiply(yf, yf))
+        return t
+
+    red = grouped_reduce(
+        ds.select_columns(klist + [x, y]).map_batches(
+            moments, batch_format="pyarrow"
+        ),
+        klist,
+        {
+            "_n": ("_x", "count"),
+            "_sx": ("_x", "sum"),
+            "_sy": ("_y", "sum"),
+            "_sxy": ("_xy", "sum"),
+            "_sxx": ("_xx", "sum"),
+            "_syy": ("_yy", "sum"),
+        },
+        num_partitions=num_partitions,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        from rp_extract_ray.functions.rounding import round_half_away
+
+        n = b.column("_n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b.column("_sx").to_numpy(zero_copy_only=False)
+        sy = b.column("_sy").to_numpy(zero_copy_only=False)
+        sxy = b.column("_sxy").to_numpy(zero_copy_only=False)
+        sxx = b.column("_sxx").to_numpy(zero_copy_only=False)
+        syy = b.column("_syy").to_numpy(zero_copy_only=False)
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            denom = np.sqrt(vx * vy)
+            c = cov / denom
+        valid = (n >= 2) & (denom > 0) & np.isfinite(c)
+        if round_to is not None:
+            c = np.where(valid, round_half_away(np.where(valid, c, 0.0), round_to), c)
+        arr = pa.array(c, type=pa.float64(), mask=~valid)
+        return b.select(klist).append_column(out_name, arr)
+
+    return red.map_batches(finish, batch_format="pyarrow")

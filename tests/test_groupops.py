@@ -636,3 +636,62 @@ def test_kmeans_tree_merge_fan_invariant(monkeypatch):
     monkeypatch.setattr(K, "_pinned_blocks", real_pin)
     C_wide = K.kmeans_lloyd(ds, n_clusters=4, n_iter=3)
     assert np.allclose(C_fan2, C_wide, rtol=0, atol=1e-9)
+
+
+def test_grouped_mode_tiebreak_and_partition_invariance():
+    """Highest count wins; count ties resolve to the SMALLEST value —
+    identically under 1 block and many slivers."""
+    import ray.data as rd
+
+    from rp_extract_ray.stages.groupops import grouped_mode
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"] * 4 + ["c"] * 1,
+            # a: x:2 y:2 z:1 -> tie x/y -> 'x'; b: q:3 p:1 -> 'q'; c: single row
+            "v": ["y", "x", "z", "x", "y", "q", "q", "p", "q", "solo"],
+        }
+    )
+    want = pd.DataFrame(
+        {"k": ["a", "b", "c"], "mode_v": ["x", "q", "solo"], "n": [2, 3, 1]}
+    )
+    for parts in (1, 7):
+        got = (
+            grouped_mode(rd.from_pandas(df).repartition(parts), "k", "v")
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        got["n"] = got["n"].astype(np.int64)
+        pd.testing.assert_frame_equal(got, want.astype({"n": np.int64}))
+
+
+def test_grouped_corr_matches_numpy_and_nulls_degenerate():
+    import ray.data as rd
+
+    from rp_extract_ray.stages.groupops import grouped_corr
+
+    rng = np.random.default_rng(11)
+    n = 400
+    k = rng.choice(["g1", "g2"], n)
+    x = rng.normal(0, 3, n)
+    y = 0.6 * x + rng.normal(0, 1, n)
+    df = pd.DataFrame({"k": k, "x": x, "y": y})
+    # degenerate groups: constant x (zero variance) and a single row
+    df = pd.concat(
+        [
+            df,
+            pd.DataFrame({"k": ["flat"] * 3, "x": [5.0] * 3, "y": [1.0, 2.0, 3.0]}),
+            pd.DataFrame({"k": ["one"], "x": [1.0], "y": [2.0]}),
+        ],
+        ignore_index=True,
+    )
+    got = (
+        grouped_corr(rd.from_pandas(df).repartition(9), "k", "x", "y")
+        .to_pandas()
+        .set_index("k")["corr"]
+    )
+    for g in ("g1", "g2"):
+        sub = df[df["k"] == g]
+        want = np.corrcoef(sub["x"], sub["y"])[0, 1]
+        assert abs(got[g] - round(want, 6)) <= 1e-6
+    assert pd.isna(got["flat"]) and pd.isna(got["one"])

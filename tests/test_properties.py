@@ -192,3 +192,12 @@ def test_registry_covers_round4_stages():
     for expected in ("redact", "pack", "pack_stats"):
         assert expected in names, expected
     assert len(names) >= 39
+
+
+def test_registry_covers_round5_stages():
+    from rp_extract_ray.pipelines.spec import available_stages
+
+    names = set(available_stages())
+    for expected in ("group_mode", "group_corr"):
+        assert expected in names, expected
+    assert len(names) >= 41
