@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_distinct": R.q_group_distinct,
         "group_mode": E.q_group_mode,
         "group_corr": R.q_group_corr,
+        "unpivot": R.q_unpivot,
         # text analysis / dedup / similarity (training-data extensions)
         "token_count": D.q_token_count,
         "redact": D.q_redact,
@@ -988,6 +989,23 @@ def oracle_sql() -> dict[str, str]:
                               CAST(l_extendedprice AS DOUBLE)), 6)
                      AS corr_qty_price
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "unpivot": """
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS variable,
+                   CAST(l_quantity AS DOUBLE) AS value
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   CAST(l_extendedprice AS DOUBLE)
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   CAST(l_discount AS DOUBLE)
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax',
+                   CAST(l_tax AS DOUBLE)
+            FROM lineitem""",
         "group_quantiles": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n,
                    round(quantile_cont(CAST(length(text) AS DOUBLE), 0.25), 6)

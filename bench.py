@@ -48,7 +48,7 @@ QUERY_NAMES = [
     "cohort_retention", "knn_ivf", "boilerplate",
     "curation", "nb_classify", "time_grid_lerp", "transitions",
     "redact", "pack_sequences", "pack_stats",
-    "ring_stream", "group_mode", "group_corr",
+    "ring_stream", "group_mode", "group_corr", "unpivot",
 ]
 
 

@@ -641,3 +641,20 @@ def q_group_corr(sf_dir: str) -> Dataset:
         ds, ["l_returnflag", "l_linestatus"], "l_quantity", "l_extendedprice",
         out_name="corr_qty_price",
     )
+
+
+def q_unpivot(sf_dir: str) -> Dataset:
+    """Wide → long melt of four lineitem measures (stages/pivot.unpivot):
+    a pure per-block Arrow kernel, no shuffle — the inverse reshape of
+    pivot_counts."""
+    from rp_extract_ray.stages.pivot import unpivot
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax"],
+    )
+    return unpivot(
+        ds, ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )

@@ -277,6 +277,12 @@ def _group_corr(ds: Dataset, **kw) -> Dataset:
     return grouped_corr(ds, **kw)
 
 
+def _unpivot(ds: Dataset, **kw) -> Dataset:
+    from rp_extract_ray.stages.pivot import unpivot
+
+    return unpivot(ds, **kw)
+
+
 _REGISTRY: dict[str, Callable[..., Dataset]] = {
     "turn_stats": _turn_stats,
     "sessionize": _sessionize,
@@ -323,6 +329,7 @@ _REGISTRY: dict[str, Callable[..., Dataset]] = {
     # round-5 additions
     "group_mode": _group_mode,
     "group_corr": _group_corr,
+    "unpivot": _unpivot,
 }
 
 

@@ -77,3 +77,51 @@ def pivot_counts(
     )
     how = {c: (c, "sum") for c in (*cnt_cols, *sum_cols)}
     return grouped_reduce(parts, key_col, how, combine_first=False)
+
+
+def unpivot(
+    ds: Dataset,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    *,
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> Dataset:
+    """Wide → long melt: one output row per (input row, value column),
+    ``var_name`` holding the source column's name and ``value_name`` its
+    value cast to float64 (SQL UNPIVOT / pandas melt semantics, nulls
+    preserved).
+
+    The inverse of :func:`pivot_counts` and the other half of the everyday
+    reshape pair (long feature tables for per-feature grouped stats out of
+    wide descriptor rows). Scale shape: a PURE per-block Arrow kernel — one
+    table slice + concat per value column, no shuffle, no driver state; a
+    block fans out to exactly ``len(value_cols)`` times its rows, so block
+    size is the only memory knob. Output rows interleave per block (all of
+    column A's rows, then B's, per block) — order-insensitive consumers
+    (groupbys, the driver's sorted value-hash) see UNPIVOT exactly.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ids = list(id_cols)
+    vals = list(value_cols)
+
+    def melt(b: pa.Table) -> pa.Table:
+        parts = []
+        base = b.select(ids)
+        for c in vals:
+            t = base.append_column(
+                var_name, pa.array([c] * len(b), type=pa.string())
+            )
+            t = t.append_column(
+                value_name, pc.cast(b.column(c), pa.float64())
+            )
+            parts.append(t)
+        if not parts:
+            return pa.table({})
+        return pa.concat_tables(parts)
+
+    return ds.select_columns(ids + vals).map_batches(
+        melt, batch_format="pyarrow"
+    )

@@ -695,3 +695,30 @@ def test_grouped_corr_matches_numpy_and_nulls_degenerate():
         want = np.corrcoef(sub["x"], sub["y"])[0, 1]
         assert abs(got[g] - round(want, 6)) <= 1e-6
     assert pd.isna(got["flat"]) and pd.isna(got["one"])
+
+
+def test_unpivot_matches_pandas_melt():
+    import ray.data as rd
+
+    from rp_extract_ray.stages.pivot import unpivot
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(50, dtype=np.int64),
+            "a": rng.normal(size=50),
+            "b": rng.normal(size=50),
+            "c": rng.normal(size=50),
+        }
+    )
+    df.loc[7, "b"] = np.nan  # nulls preserved
+    got = (
+        unpivot(rd.from_pandas(df).repartition(6), ["id"], ["a", "b", "c"])
+        .to_pandas()
+        .sort_values(["id", "variable"], ignore_index=True)
+    )
+    want = (
+        df.melt(id_vars=["id"], value_vars=["a", "b", "c"])
+        .sort_values(["id", "variable"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -198,6 +198,6 @@ def test_registry_covers_round5_stages():
     from rp_extract_ray.pipelines.spec import available_stages
 
     names = set(available_stages())
-    for expected in ("group_mode", "group_corr"):
+    for expected in ("group_mode", "group_corr", "unpivot"):
         assert expected in names, expected
-    assert len(names) >= 41
+    assert len(names) >= 42
