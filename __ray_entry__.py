@@ -65,6 +65,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_grid": E.q_time_grid,
         "time_grid_lerp": E.q_time_grid_lerp,
         "time_window": E.q_time_window,
+        "rolling_median": E.q_rolling_median,
+        "minmax_scale": E.q_minmax_scale,
+        "group_minmax": E.q_group_minmax,
         # relational coverage (SURVEY.md §2.5-§2.8)
         "class_counts": R.q_class_counts,
         "min_instances": R.q_min_instances,
@@ -73,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": R.q_dedup_exact,
         "dedup_normalized": D.q_dedup_normalized,
         "tpch_q1": R.q_tpch_q1,
+        "tpch_q3": R.q_tpch_q3,
+        "tpch_q6": R.q_tpch_q6,
         "join_agg": R.q_join_agg,
         "semi_join": R.q_semi_join,
         "bloom_semi_join": R.q_bloom_semi_join,
@@ -105,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": D.q_pack_sequences,
         "pack_stats": D.q_pack_stats,
         "text_quality": D.q_text_quality,
+        "char_entropy": D.q_char_entropy,
+        "edit_distance_pairs": D.q_edit_distance_pairs,
         "curation": D.q_curation,
         "nb_classify": D.q_nb_classify,
         "tfidf_top_terms": D.q_tfidf,
@@ -872,6 +879,31 @@ def oracle_sql() -> dict[str, str]:
                    round((value - avg(value) OVER ()) / stddev_pop(value) OVER (), 6)
                      AS value_z
             FROM events""",
+        # trailing k=5 rolling median; quantile_cont == np.nanquantile 'linear'
+        "rolling_median": f"""
+            SELECT event_id, user_id, ts, value,
+                   round(quantile_cont(value, 0.5)
+                         OVER ({_W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+                     AS value_rq50
+            FROM events""",
+        # global [0,1] min-max; zero-range -> 0.0 (engine guard; can't fire
+        # on this corpus but keeps the expressions aligned)
+        "minmax_scale": """
+            SELECT event_id, value,
+                   round(CASE WHEN max(value) OVER () = min(value) OVER ()
+                              THEN 0.0
+                              ELSE (value - min(value) OVER ())
+                                   / (max(value) OVER () - min(value) OVER ())
+                         END, 6) AS value_mm
+            FROM events""",
+        "group_minmax": """
+            SELECT event_id, event_type, value,
+                   round(CASE WHEN max(value) OVER w = min(value) OVER w
+                              THEN 0.0
+                              ELSE (value - min(value) OVER w)
+                                   / (max(value) OVER w - min(value) OVER w)
+                         END, 6) AS value_gmm
+            FROM events WINDOW w AS (PARTITION BY event_type)""",
         "class_counts": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang""",
         "min_instances": """
@@ -894,6 +926,26 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_discount), 6) AS avg_disc,
                    CAST(count(*) AS BIGINT) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24""",
+        # ORDER BY the ROUNDED revenue (matches the engine's round-then-topk);
+        # l_orderkey tiebreak makes the limit set deterministic
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-06-30'
+              AND l_shipdate  > TIMESTAMP '1996-06-30'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         "join_agg": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
                    round(sum(o_totalprice), 2) AS total
@@ -1203,6 +1255,31 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT e.doc_id, bp.lang AS pred FROM empty e, bp""",
         "text_quality": _text_quality_sql(),
+        # per-doc char-distribution Shannon entropy; round-6 absorbs the
+        # summation-order difference vs the engine's sorted-codepoint fold
+        "char_entropy": """
+            WITH cnt AS (
+              SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+              FROM (SELECT doc_id,
+                           unnest(string_split(coalesce(text, ''), '')) AS ch
+                    FROM documents)
+              GROUP BY doc_id, ch),
+            tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id),
+            e AS (SELECT cnt.doc_id, -sum((c / n) * log2(c / n)) AS ent
+                  FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id)
+            SELECT d.doc_id, round(coalesce(e.ent, 0.0), 6) AS char_entropy
+            FROM documents d LEFT JOIN e USING (doc_id)""",
+        # prefix-blocked exact Levenshtein; DuckDB levenshtein counts bytes,
+        # == codepoints on this ASCII corpus (functions/editdist.py docstring)
+        "edit_distance_pairs": """
+            WITH t AS (SELECT doc_id,
+                              substr(coalesce(text, ''), 1, 16)  AS blk,
+                              substr(coalesce(text, ''), 1, 200) AS tt
+                       FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.tt, b.tt) AS BIGINT) AS dist
+            FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.tt, b.tt) <= 20""",
         "curation": _curation_sql(),
         "token_explode": r"""
             SELECT doc_id, CAST(u.i AS BIGINT) AS pos,

@@ -539,3 +539,29 @@ def q_dedup_normalized(sf_dir: str) -> Dataset:
         lambda b: b.select(["doc_id", "n_dups"]).rename_columns(["doc_id", "n"]),
         batch_format="pyarrow",
     )
+
+
+def q_char_entropy(sf_dir: str) -> Dataset:
+    """Per-document character-distribution Shannon entropy
+    (stages/textstage.char_entropy_batch — one np.unique over the
+    batch-concatenated codepoints, reduceat fold per doc). Oracle: the
+    same -SUM(p*log2 p) over an unnested char-count CTE."""
+    from rp_extract_ray.stages.textstage import add_char_entropy
+
+    ds = add_char_entropy(_docs(sf_dir, ["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "char_entropy"])
+
+
+def q_edit_distance_pairs(sf_dir: str) -> Dataset:
+    """Prefix-blocked exact Levenshtein near-dup pairs
+    (stages/dedup.edit_distance_pairs + functions/editdist.py): one
+    string-keyed exchange on the 16-char prefix, in-block pairwise verify
+    over the first 200 chars, dist <= 20 emitted. Oracle: DuckDB
+    ``levenshtein`` self-join on the same blocking key (byte == codepoint
+    cost on this ASCII corpus)."""
+    from rp_extract_ray.stages.dedup import edit_distance_pairs
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return edit_distance_pairs(
+        ds, prefix=16, truncate=200, max_dist=20, num_partitions=16
+    )

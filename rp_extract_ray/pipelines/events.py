@@ -778,3 +778,42 @@ def q_group_mode(sf_dir: str) -> Dataset:
 
     ds = _events(sf_dir, ["user_id", "event_type"])
     return grouped_mode(ds, "user_id", "event_type", out_name="mode_event_type")
+
+
+def q_rolling_median(sf_dir: str, k: int = 5) -> Dataset:
+    """Trailing k-row median of value per user (stages/lag.
+    rolling_quantile_within): the robust sliding-trend feature. Oracle:
+    ``median(value) OVER (... ROWS k-1 PRECEDING AND CURRENT ROW)`` —
+    DuckDB's quantile_cont interpolation matches np.nanquantile 'linear'."""
+    from rp_extract_ray.stages.lag import add_rolling_quantile
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    ds = add_rolling_quantile(
+        ds, ["value"], k=k, q=0.5,
+        entity_col=ENTITY, order_cols=ORDER, num_partitions=NP,
+    )
+    ds = ds.select_columns(["event_id", "user_id", "ts", "value", "value_rq50"])
+    return _round(ds, {"value_rq50": 6})
+
+
+def q_minmax_scale(sf_dir: str) -> Dataset:
+    """Global [0,1] min-max rescaling of value (stages/standardize.
+    minmax_scale, the MinMaxScaler counterpart of M24). Oracle: window
+    min/max over the whole table with the zero-range->0 guard."""
+    from rp_extract_ray.stages.standardize import minmax_scale
+
+    ds = _events(sf_dir, ["event_id", "value"])
+    out = minmax_scale(ds, ["value"], round_to=6)
+    return out.select_columns(["event_id", "value", "value_mm"])
+
+
+def q_group_minmax(sf_dir: str) -> Dataset:
+    """Per-event-type min-max rescaling (stages/standardize.
+    minmax_scale_grouped): map-side bounds combine + broadcast apply —
+    the per-feature normalization a mixed-scale feature table needs.
+    Oracle: window min/max PARTITION BY event_type."""
+    from rp_extract_ray.stages.standardize import minmax_scale_grouped
+
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+    out = minmax_scale_grouped(ds, ["value"], "event_type", round_to=6)
+    return out.select_columns(["event_id", "event_type", "value", "value_gmm"])

@@ -141,6 +141,100 @@ def q_tpch_q1(sf_dir: str) -> Dataset:
     return _round_cols(out, {"sum_qty": 2, "sum_revenue": 2, "avg_disc": 6})
 
 
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 shape (filter + global sum): one column-pruned read, a
+    vectorized Arrow filter, per-block partial revenue sums, one tiny
+    final aggregate — nothing but the filtered revenue column ever moves."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1997, 1, 1), type=pa.timestamp("us"))
+
+    def rev(b: pa.Table) -> pa.Table:
+        ship, disc = b.column("l_shipdate"), b.column("l_discount")
+        m = pc.and_(
+            pc.and_(pc.greater_equal(ship, lo), pc.less(ship, hi)),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(disc, pa.scalar(0.05)),
+                    pc.less_equal(disc, pa.scalar(0.07)),
+                ),
+                pc.less(b.column("l_quantity"), pa.scalar(24.0)),
+            ),
+        )
+        f = b.filter(m)
+        r = pc.multiply(f.column("l_extendedprice"), f.column("l_discount"))
+        # per-block partial: one float64 per block crosses to the driver
+        return pa.table({"rev": pa.array([pc.sum(r).as_py() or 0.0], pa.float64())})
+
+    total = ds.map_batches(rev, batch_format="pyarrow").aggregate(_Sum("rev"))
+    return pd.DataFrame({"revenue": [round(float(total["sum(rev)"]), 2)]})
+
+
+def q_tpch_q3(
+    sf_dir: str, segment: str = "BUILDING", cutoff: str = "1996-06-30", k: int = 10
+):
+    """TPC-H Q3 shape (3-way join + grouped sum + top-k): segment keys
+    broadcast-semi-filter orders, the date-pruned sides meet in a
+    hash-partitioned big-big join on orderkey, revenue pre-aggregates
+    map-side through grouped_reduce's keyed exchange, and the top-k is the
+    per-block-partial merge (no global sort). Composite pipeline gate over
+    J1/J2/A-family/§2.7 primitives."""
+    import datetime as _dt
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.join import hash_join
+
+    cut = pa.scalar(
+        _dt.datetime.fromisoformat(cutoff), type=pa.timestamp("us")
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), segment)).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"), cut)),
+        batch_format="pyarrow",
+    )
+    orders = semi_anti_join(
+        orders, cust, on="o_custkey", keys_on="c_custkey"
+    ).drop_columns(["o_custkey"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.greater(b.column("l_shipdate"), cut))
+        r = pc.multiply(
+            f.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), f.column("l_discount")),
+        )
+        return pa.table({"l_orderkey": f.column("l_orderkey"), "rev": r})
+
+    line = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(rev, batch_format="pyarrow")
+
+    joined = hash_join(line, orders, on="l_orderkey", right_on="o_orderkey")
+    agg = grouped_reduce(
+        joined,
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        {"revenue": ("rev", "sum")},
+    )
+    agg = _round_cols(agg, {"revenue": 2})
+    return distributed_topk(agg, ["revenue", "l_orderkey"], [True, False], k)
+
+
 def q_join_agg(sf_dir: str) -> Dataset:
     """Broadcast inner join orders->customer (J2/J3 analogue) + aggregate.
     The small side is read driver-side with pyarrow (a dimension table does

@@ -1619,3 +1619,93 @@ def normalized_exact_dedup(
         "content_hash",
         {id_col: (id_col, "min"), "n_dups": (id_col, "count")},
     )
+
+
+def edit_distance_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    prefix: int = 16,
+    truncate: int = 200,
+    max_dist: int = 20,
+    max_block: int = 4096,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Prefix-blocked exact Levenshtein near-dup pairs — the
+    edit-distance tier of the dedup family, between
+    :func:`normalized_exact_dedup` (formatting variants) and
+    :func:`minhash_lsh_pairs` (set overlap): catches small in-place edits
+    (typo fixes, a changed number, template fill-ins) that shift many
+    shingles but few characters.
+
+    Blocking key = the first ``prefix`` characters of the text (exact
+    match). ONE string-keyed exchange co-locates each block; within a
+    block every (id_a < id_b) pair verifies with unit-cost edit distance
+    (functions/editdist.py) over the first ``truncate`` characters, and
+    pairs with ``dist <= max_dist`` are emitted as
+    (id_a, id_b, dist: int64).
+
+    Scale shape: prefix blocking bounds candidate pairs by the block-size
+    distribution, not n² — on natural text, blocks are tiny (near-dups +
+    hash accidents). The verify loop is per-CANDIDATE-PAIR, the same cost
+    model as the MinHash verify stage. A corpus with a shared boilerplate
+    head (every doc opens identically) breaks the assumption — the kernel
+    raises above ``max_block`` docs per block to make that explicit;
+    route such corpora through :func:`minhash_lsh_pairs` or strip the
+    boilerplate first (stages/textstage.boilerplate_ngrams).
+    """
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.functions.editdist import levenshtein
+    from rp_extract_ray.stages.partition import partitioned_apply
+
+    def add_key(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b.column(text_col), "")
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "_blk": pc.utf8_slice_codeunits(txt, 0, prefix),
+                "_t": pc.utf8_slice_codeunits(txt, 0, truncate),
+            }
+        )
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+
+    out_cols = {"id_a": np.int64, "id_b": np.int64, "dist": np.int64}
+
+    def verify(pdf, starts) -> "pd.DataFrame":
+        import pandas as pd
+
+        ids_all = pdf[id_col].to_numpy()
+        txt_all = pdf["_t"].to_numpy()
+        run_starts = np.unique(starts)
+        run_ends = np.append(run_starts[1:], len(pdf))
+        ia, ib, dd = [], [], []
+        for s, e in zip(run_starts, run_ends):
+            m = e - s
+            if m < 2:
+                continue
+            if m > max_block:
+                raise ValueError(
+                    f"edit_distance_pairs: block of {m} docs share a "
+                    f"{prefix}-char prefix (> max_block={max_block}); "
+                    "strip boilerplate or use minhash_lsh_pairs"
+                )
+            ids, txts = ids_all[s:e], txt_all[s:e]
+            ai, bi = np.triu_indices(m, k=1)
+            for x, y in zip(ai, bi):
+                d = levenshtein(txts[x], txts[y])
+                if d <= max_dist:
+                    ia.append(ids[x])
+                    ib.append(ids[y])
+                    dd.append(d)
+        return pd.DataFrame(
+            {c: np.array(v, dtype=t) for (c, t), v in zip(out_cols.items(), (ia, ib, dd))}
+        )
+
+    kw = {} if num_partitions is None else {"num_partitions": num_partitions}
+    # order by id within block -> id_a < id_b falls out of the triu indices
+    return partitioned_apply(
+        keyed, verify, entity_col="_blk", order_cols=(id_col,), **kw
+    )

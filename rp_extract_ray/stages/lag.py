@@ -137,6 +137,73 @@ def cumulative_within(
     }
 
 
+def rolling_quantile_within(
+    values: np.ndarray, starts: np.ndarray, k: int, q: float
+) -> np.ndarray:
+    """Trailing ``k``-row quantile of ``values`` within each entity run —
+    SQL ``quantile_cont(q) OVER (... ROWS k-1 PRECEDING AND CURRENT ROW)``
+    semantics (``median`` is ``q=0.5``): linear interpolation between order
+    statistics, window NULLs skipped, min_periods=1 (a run's first row sees
+    a 1-row window).
+
+    Vectorized as ``k`` full-array shifts stacked into an (n, k) matrix and
+    ONE ``np.nanquantile`` along axis 1 — no per-entity or per-row loop.
+    Positions before the run start land as NaN in the matrix, which is
+    exactly the "window clipped at the entity boundary" semantics. Causal
+    (reads rows at or before t only); safe under salting with
+    ``overlap >= k - 1``. Memory is the k× value copy — callers pick small
+    windows (k ≤ ~64) per the same bound as ``ewma_within``.
+    """
+    import warnings
+
+    v = values.astype(np.float64, copy=False)
+    mat = np.stack(
+        [v if j == 0 else shifted(v, j, starts) for j in range(k)], axis=1
+    )
+    with warnings.catch_warnings():
+        # all-NaN window (current value null at a run start) -> NaN, the
+        # SQL "window holds only NULLs -> NULL" case; suppress the warning
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        return np.nanquantile(mat, q, axis=1)
+
+
+def add_rolling_quantile(
+    ds: Dataset,
+    value_cols: Sequence[str],
+    *,
+    k: int,
+    q: float = 0.5,
+    suffix: str | None = None,
+    entity_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    num_partitions: int = 64,
+    salt: SaltSpec | None = None,
+) -> Dataset:
+    """Append the trailing ``k``-row quantile_cont(``q``) of each value
+    column per entity (default suffix ``_rq50`` style from ``q``). One
+    entity-hash exchange via ``partitioned_apply``; the kernel is
+    :func:`rolling_quantile_within`. The robust-smoothing counterpart of
+    ``add_ewma_features`` — a rolling median is the outlier-resistant
+    trend feature a mean/EWMA can't give (reference analogue: the
+    per-segment median aggregation of M20, rp_extract.py per SURVEY.md
+    §2.3, generalized to a causal sliding window)."""
+    if salt is not None and salt.overlap < k - 1:
+        raise ValueError(f"salt.overlap={salt.overlap} < window horizon {k - 1}")
+    sfx = suffix if suffix is not None else f"_rq{int(round(q * 100))}"
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        for c in value_cols:
+            pdf[f"{c}{sfx}"] = rolling_quantile_within(
+                pdf[c].to_numpy(dtype=np.float64), starts, k, q
+            )
+        return pdf
+
+    return partitioned_apply(
+        ds, fn, entity_col=entity_col, order_cols=order_cols,
+        num_partitions=num_partitions, salt=salt,
+    )
+
+
 def rank_within(
     pdf: pd.DataFrame, starts: np.ndarray, col: str
 ) -> dict[str, np.ndarray]:

@@ -144,3 +144,109 @@ def standardize_grouped(
     else:
         joined = hash_join(ds, stats, on=group_col)
     return joined.map_batches(apply, batch_format="pyarrow")
+
+
+def minmax_scale(
+    ds: Dataset,
+    cols: Sequence[str],
+    *,
+    suffix: str = "_mm",
+    round_to: int | None = None,
+) -> Dataset:
+    """Append ``<col>_mm`` = (v - min) / (max - min) per column — the
+    [0, 1] rescaling counterpart of :func:`standardize` (sklearn
+    MinMaxScaler semantics; a zero-range column maps to 0.0 so constant
+    features stay well-defined). Same two-pass shape: one tiny global
+    Min/Max aggregate, then a broadcast vectorized ``map_batches``."""
+    from ray.data.aggregate import Max, Min
+
+    aggs = []
+    for c in cols:
+        aggs += [Min(c, alias_name=f"mn_{c}"), Max(c, alias_name=f"mx_{c}")]
+    row = ds.aggregate(*aggs)
+    bounds = {c: (float(row[f"mn_{c}"]), float(row[f"mx_{c}"])) for c in cols}
+
+    def apply(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            mn, mx = bounds[c]
+            rng = mx - mn
+            v = batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            z = (v - mn) / rng if rng > 0 else np.zeros(len(v))
+            if round_to is not None:
+                from rp_extract_ray.functions.rounding import round_half_away
+
+                z = round_half_away(z, round_to)
+            batch = batch.append_column(f"{c}{suffix}", pa.array(z))
+        return batch
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def minmax_scale_grouped(
+    ds: Dataset,
+    cols: Sequence[str],
+    group_col: str,
+    *,
+    suffix: str = "_gmm",
+    round_to: int | None = None,
+    broadcast_limit: int = 1_000_000,
+) -> Dataset:
+    """Per-group min-max rescaling (zero-range groups -> 0.0). Pass 1
+    pre-aggregates (min, max) per group INSIDE each batch so the groupby
+    exchange carries one bounds row per (group, block); pass 2 applies the
+    bounds as a broadcast lookup when the group count is small, else a
+    hash-partitioned join — the same scale shape as
+    :func:`standardize_grouped`."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Min
+
+    from rp_extract_ray.stages.partition import arrow_out as _arrow_out
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf[[group_col, *cols]].groupby(group_col, sort=False)
+        out = {}
+        for c in cols:
+            out[f"_mn_{c}"] = g[c].min()
+            out[f"_mx_{c}"] = g[c].max()
+        return pd.DataFrame(out).reset_index()
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            Min(f"_mn_{c}", alias_name=f"_mn_{c}"),
+            Max(f"_mx_{c}", alias_name=f"_mx_{c}"),
+        ]
+    stats = (
+        ds.map_batches(
+            lambda b: _arrow_out(partial(b.to_pandas())),
+            batch_format="pyarrow",
+        )
+        .groupby(group_col)
+        .aggregate(*aggs)
+        .materialize()
+    )
+
+    def apply(b: pa.Table) -> pa.Table:
+        for c in cols:
+            v = b.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            mn = b.column(f"_mn_{c}").to_numpy(zero_copy_only=False).astype(np.float64)
+            mx = b.column(f"_mx_{c}").to_numpy(zero_copy_only=False).astype(np.float64)
+            rng = mx - mn
+            z = np.where(rng > 0, (v - mn) / np.where(rng > 0, rng, 1.0), 0.0)
+            if round_to is not None:
+                from rp_extract_ray.functions.rounding import round_half_away
+
+                z = round_half_away(z, round_to)
+            b = b.append_column(f"{c}{suffix}", pa.array(z))
+        return b.drop_columns(
+            [f"_mn_{c}" for c in cols] + [f"_mx_{c}" for c in cols]
+        )
+
+    from rp_extract_ray.stages.join import broadcast_join, hash_join
+
+    if int(stats.count()) <= broadcast_limit:
+        joined = broadcast_join(ds, stats, on=group_col)
+    else:
+        joined = hash_join(ds, stats, on=group_col)
+    return joined.map_batches(apply, batch_format="pyarrow")

@@ -1,0 +1,197 @@
+"""Round-5 kernels: rolling quantile, min-max scaling, Levenshtein,
+char entropy, prefix-blocked edit-distance pairs — each vs a naive oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from rp_extract_ray.functions.editdist import levenshtein
+from rp_extract_ray.stages.lag import rolling_quantile_within
+from rp_extract_ray.stages.textstage import char_entropy_batch
+
+
+def _starts(cid):
+    starts = np.zeros(len(cid), dtype=np.int64)
+    for i in range(1, len(cid)):
+        starts[i] = i if cid[i] != cid[i - 1] else starts[i - 1]
+    return starts
+
+
+# ---------------------------------------------------------------- rolling q
+
+
+def test_rolling_quantile_matches_pandas_rolling():
+    rng = np.random.default_rng(11)
+    cid = np.sort(rng.integers(0, 6, 400))
+    v = rng.normal(size=400)
+    v[rng.choice(400, 30, replace=False)] = np.nan
+    starts = _starts(cid)
+    for k, q in [(5, 0.5), (3, 0.25), (8, 0.9)]:
+        got = rolling_quantile_within(v, starts, k, q)
+        exp = (
+            pd.Series(v)
+            .groupby(cid)
+            .rolling(k, min_periods=1)
+            .quantile(q, interpolation="linear")
+            .to_numpy()
+        )
+        np.testing.assert_allclose(got, exp, equal_nan=True, atol=1e-12)
+
+
+def test_rolling_quantile_respects_run_boundaries():
+    # two entities back-to-back: second run's first row must NOT see the first
+    v = np.array([1.0, 2.0, 3.0, 100.0, 101.0])
+    starts = np.array([0, 0, 0, 3, 3])
+    got = rolling_quantile_within(v, starts, 3, 0.5)
+    np.testing.assert_allclose(got, [1.0, 1.5, 2.0, 100.0, 100.5])
+
+
+# ---------------------------------------------------------------- min-max
+
+
+def test_minmax_scale_and_grouped(ray_session):
+    from rp_extract_ray.stages.standardize import minmax_scale, minmax_scale_grouped
+
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(40),
+            "g": np.repeat(["a", "b", "c", "d"], 10),
+            "v": np.concatenate(
+                [np.linspace(-3, 7, 10), np.linspace(0, 1, 10),
+                 np.full(10, 5.0), np.linspace(100, 200, 10)]
+            ),
+        }
+    )
+    ds = rd.from_pandas(pdf).repartition(4)
+    out = minmax_scale(ds, ["v"]).to_pandas().sort_values("id")
+    lo, hi = pdf["v"].min(), pdf["v"].max()
+    np.testing.assert_allclose(out["v_mm"], (pdf["v"] - lo) / (hi - lo), atol=1e-12)
+
+    outg = minmax_scale_grouped(ds, ["v"], "g").to_pandas().sort_values("id")
+    exp = pdf.groupby("g")["v"].transform(
+        lambda s: np.zeros(len(s)) if s.max() == s.min()
+        else (s - s.min()) / (s.max() - s.min())
+    )
+    np.testing.assert_allclose(outg["v_gmm"].to_numpy(), exp.to_numpy(), atol=1e-12)
+    # group "c" is constant -> zero-range guard
+    assert (outg.loc[outg["g"] == "c", "v_gmm"] == 0.0).all()
+
+
+# ---------------------------------------------------------------- editdist
+
+
+def _naive_lev(a, b):
+    m, n = len(a), len(b)
+    d = np.zeros((m + 1, n + 1), dtype=np.int64)
+    d[:, 0] = np.arange(m + 1)
+    d[0, :] = np.arange(n + 1)
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            d[i, j] = min(
+                d[i - 1, j] + 1,
+                d[i, j - 1] + 1,
+                d[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return int(d[m, n])
+
+
+def test_levenshtein_matches_naive_dp():
+    rng = np.random.default_rng(7)
+    alpha = "abcde"
+    for _ in range(60):
+        a = "".join(rng.choice(list(alpha), rng.integers(0, 12)))
+        b = "".join(rng.choice(list(alpha), rng.integers(0, 12)))
+        assert levenshtein(a, b) == _naive_lev(a, b), (a, b)
+
+
+def test_levenshtein_edges_and_unicode():
+    assert levenshtein("", "") == 0
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("kitten", "sitting") == 3
+    # codepoint (not byte) costs: one multi-byte substitution == 1
+    assert levenshtein("café", "cafe") == 1
+    assert levenshtein("\U0001f600ab", "ab") == 1
+
+
+def test_edit_distance_pairs_blocks(ray_session):
+    from rp_extract_ray.stages.dedup import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [
+                base,
+                base.replace("lazy", "hazy"),          # dist 1, same prefix
+                base.replace("quick", "slow"),          # changes prefix -> new block
+                "completely different text here " * 5,  # own block
+                base + " extra tail beyond truncate",   # same 200-prefix? dist via tail
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(2)
+    out = (
+        edit_distance_pairs(ds, prefix=16, truncate=200, max_dist=20, num_partitions=4)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 1) in pairs
+    assert all(a < b for a, b in pairs)
+    # doc 2 and 3 share no prefix with the base family
+    assert not any(2 in p or 3 in p for p in pairs)
+    d01 = int(out.loc[(out["id_a"] == 0) & (out["id_b"] == 1), "dist"].iloc[0])
+    assert d01 == _naive_lev(docs["text"][0][:200], docs["text"][1][:200])
+
+
+def test_edit_distance_pairs_hot_block_raises(ray_session):
+    import pytest
+
+    from rp_extract_ray.stages.dedup import edit_distance_pairs
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(20, dtype=np.int64),
+            "text": ["SHARED BOILERPLATE HEAD " + str(i) for i in range(20)],
+        }
+    )
+    ds = rd.from_pandas(docs)
+    with pytest.raises(Exception, match="max_block"):
+        edit_distance_pairs(ds, max_block=8, num_partitions=2).materialize()
+
+
+# ---------------------------------------------------------------- entropy
+
+
+def test_char_entropy_known_values():
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": ["", "aaaa", "aabb", "abcd"],
+        }
+    )
+    out = char_entropy_batch(t)
+    ent = out.column("char_entropy").to_pylist()
+    np.testing.assert_allclose(ent, [0.0, 0.0, 1.0, 2.0], atol=1e-9)
+
+
+def test_char_entropy_matches_naive_random():
+    rng = np.random.default_rng(3)
+    texts = [
+        "".join(rng.choice(list("abcdefg h\nxyz"), rng.integers(1, 300)))
+        for _ in range(25)
+    ] + [None, ""]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    got = char_entropy_batch(t).column("char_entropy").to_pylist()
+    for txt, g in zip(texts, got):
+        if not txt:
+            assert g == 0.0
+            continue
+        _, c = np.unique(list(txt), return_counts=True)
+        p = c / c.sum()
+        assert abs(g - round(float(-(p * np.log2(p)).sum()), 6)) < 2e-6
