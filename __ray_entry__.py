@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_median": E.q_rolling_median,
         "minmax_scale": E.q_minmax_scale,
         "group_minmax": E.q_group_minmax,
+        "latest_per_key": E.q_latest_per_key,
         # relational coverage (SURVEY.md §2.5-§2.8)
         "class_counts": R.q_class_counts,
         "min_instances": R.q_min_instances,
@@ -78,6 +79,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1": R.q_tpch_q1,
         "tpch_q3": R.q_tpch_q3,
         "tpch_q6": R.q_tpch_q6,
+        "order_count_dist": R.q_order_count_dist,
+        "large_orders": R.q_large_orders,
+        "priority_returns": R.q_priority_returns,
         "join_agg": R.q_join_agg,
         "semi_join": R.q_semi_join,
         "bloom_semi_join": R.q_bloom_semi_join,
@@ -904,6 +908,15 @@ def oracle_sql() -> dict[str, str]:
                                    / (max(value) OVER w - min(value) OVER w)
                          END, 6) AS value_gmm
             FROM events WINDOW w AS (PARTITION BY event_type)""",
+        # snapshot dedup: newest row per user, (ts, event_id) total order
+        "latest_per_key": """
+            SELECT event_id, user_id, ts, round(value, 6) AS value
+            FROM (SELECT event_id, user_id, ts, value,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                  FROM events)
+            WHERE rn = 1""",
         "class_counts": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang""",
         "min_instances": """
@@ -946,6 +959,35 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate  > TIMESTAMP '1996-06-30'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+        # Q13 shape: zero-order customers kept by the LEFT JOIN
+        "order_count_dist": """
+            SELECT n_orders, CAST(count(*) AS BIGINT) AS n_custs
+            FROM (SELECT c_custkey,
+                         CAST(coalesce(t.cnt, 0) AS BIGINT) AS n_orders
+                  FROM customer
+                  LEFT JOIN (SELECT o_custkey, count(*) AS cnt
+                             FROM orders GROUP BY o_custkey) t
+                    ON c_custkey = t.o_custkey)
+            GROUP BY n_orders""",
+        "large_orders": """
+            SELECT c_name, o_orderkey, o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   round(t.sum_qty, 2) AS sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(l_quantity) > 200.0) t
+              ON o_orderkey = t.l_orderkey
+            JOIN customer ON o_custkey = c_custkey""",
+        "priority_returns": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate <  TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority""",
         "join_agg": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
                    round(sum(o_totalprice), 2) AS total

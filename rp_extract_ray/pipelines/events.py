@@ -817,3 +817,17 @@ def q_group_minmax(sf_dir: str) -> Dataset:
     ds = _events(sf_dir, ["event_id", "event_type", "value"])
     out = minmax_scale_grouped(ds, ["value"], "event_type", round_to=6)
     return out.select_columns(["event_id", "event_type", "value", "value_gmm"])
+
+
+def q_latest_per_key(sf_dir: str) -> Dataset:
+    """Latest event per user (stages/dedup.latest_per_key): the
+    "newest version per key wins" snapshot-dedup primitive. Oracle:
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
+    event_id DESC) = 1."""
+    from rp_extract_ray.stages.dedup import latest_per_key
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    out = latest_per_key(ds, ENTITY, ORDER, num_partitions=NP)
+    return _round(
+        out.select_columns(["event_id", "user_id", "ts", "value"]), {"value": 6}
+    )

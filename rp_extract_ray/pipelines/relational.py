@@ -752,3 +752,125 @@ def q_unpivot(sf_dir: str) -> Dataset:
         ds, ["l_orderkey", "l_linenumber"],
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
     )
+
+
+def q_order_count_dist(sf_dir: str) -> Dataset:
+    """TPC-H Q13 shape (outer join + two-level aggregate): how many
+    customers placed exactly N orders, INCLUDING the zero-order tail that
+    an inner join would drop. Orders pre-aggregate to one count row per
+    customer through grouped_reduce's keyed exchange (map-side combine),
+    the customer spine LEFT-OUTER hash-joins that small per-key table, and
+    the final histogram is a second tiny keyed reduction — at 100 TB the
+    only full-table shuffle is the per-custkey combine, whose exchange
+    volume is distinct-keys-per-block, not rows."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.join import hash_join
+
+    counts = grouped_reduce(
+        _read(sf_dir, "orders", ["o_custkey"]),
+        "o_custkey",
+        {"n_orders": ("o_custkey", "count")},
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    j = hash_join(cust, counts, on="c_custkey", right_on="o_custkey", how="left_outer")
+
+    def fill(b: pa.Table) -> pa.Table:
+        n = pc.fill_null(b.column("n_orders"), 0).cast(pa.int64())
+        return pa.table({"n_orders": n})
+
+    hist = grouped_reduce(
+        j.map_batches(fill, batch_format="pyarrow"),
+        "n_orders",
+        {"n_custs": ("n_orders", "count")},
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_orders": b.column("n_orders").cast(pa.int64()),
+                "n_custs": b.column("n_custs").cast(pa.int64()),
+            }
+        )
+
+    return hist.map_batches(fin, batch_format="pyarrow")
+
+
+def q_large_orders(sf_dir: str, min_qty: float = 200.0) -> Dataset:
+    """TPC-H Q18 shape (grouped HAVING feeding a join chain): orders whose
+    total lineitem quantity exceeds ``min_qty``, annotated with the
+    customer name. The HAVING side collapses lineitem to one (orderkey,
+    sum_qty) row per order map-side before its single keyed exchange; only
+    the few survivors hash-join orders, and the customer dimension rides a
+    broadcast. Output: c_name, o_orderkey, o_orderdate, o_totalprice,
+    sum_qty."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.join import hash_join
+
+    qty = grouped_reduce(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
+        "l_orderkey",
+        {"sum_qty": ("l_quantity", "sum")},
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b.column("sum_qty"), min_qty)),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    j = hash_join(orders, qty, on="o_orderkey", right_on="l_orderkey")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = broadcast_join(j, cust.to_pandas(), on="o_custkey", small_on="c_custkey")
+    out = out.select_columns(
+        ["c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]
+    )
+    return _round_cols(out, {"o_totalprice": 2, "sum_qty": 2})
+
+
+def q_priority_returns(sf_dir: str) -> Dataset:
+    """TPC-H Q4 shape (EXISTS decorrelated to a semi join + grouped
+    count): orders in a one-quarter window with at least one RETURNED
+    lineitem, counted per priority. The key side projects to bare
+    orderkeys before the semi join (distinct-keys exchange), the count is
+    a keyed reduction."""
+    import datetime as _dt
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    lo = pa.scalar(_dt.datetime(1996, 7, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1996, 10, 1), type=pa.timestamp("us"))
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), lo),
+                pc.less(b.column("o_orderdate"), hi),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    returned = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b.filter(
+                    pc.equal(b.column("l_returnflag"), "R")
+                ).column("l_orderkey")
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    semi = semi_anti_join(orders, returned, on="o_orderkey", keys_on="l_orderkey")
+    out = grouped_reduce(
+        semi.select_columns(["o_orderpriority"]),
+        "o_orderpriority",
+        {"n": ("o_orderpriority", "count")},
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "n": b.column("n").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -1709,3 +1709,50 @@ def edit_distance_pairs(
     return partitioned_apply(
         keyed, verify, entity_col="_blk", order_cols=(id_col,), **kw
     )
+
+
+def latest_per_key(
+    ds: Dataset,
+    key_col: str,
+    order_cols: "Sequence[str]",
+    *,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Keep the LATEST row per key — snapshot deduplication
+    (``row_number() OVER (PARTITION BY key ORDER BY ... DESC) = 1``), the
+    "newest version of each document/record wins" primitive of a
+    CDC-style or re-crawled training corpus. Deterministic: ``order_cols``
+    must be a total order within a key (include a unique tiebreaker).
+
+    Scale shape: stage 1 reduces each BLOCK to its per-key winner with a
+    vectorized sort + tail(1) — the keyed exchange then carries at most
+    distinct-keys-per-block rows, never the raw table (the same map-side
+    combine argument as ``grouped_reduce``, but keeping WHOLE rows, which
+    an associative min/max reduction cannot). Stage 2 is one
+    ``partitioned_apply`` exchange whose kernel picks each run's last row
+    in sorted order. Two-stage argmax like this is exact because
+    "latest" is associative over row sets.
+    """
+    import numpy as np
+
+    from rp_extract_ray.stages.partition import arrow_out, partitioned_apply
+
+    ocols = list(order_cols)
+
+    def block_winners(b: pa.Table) -> pa.Table:
+        pdf = b.to_pandas().sort_values([key_col, *ocols], kind="mergesort")
+        return arrow_out(pdf.groupby(key_col, sort=False).tail(1))
+
+    part = ds.map_batches(block_winners, batch_format="pyarrow")
+
+    def fin(pdf, starts):
+        n = len(pdf)
+        if n == 0:
+            return pdf
+        last = np.append(starts[1:] != starts[:-1], True)
+        return pdf[last]
+
+    kw = {} if num_partitions is None else {"num_partitions": num_partitions}
+    return partitioned_apply(
+        part, fin, entity_col=key_col, order_cols=ocols, **kw
+    )

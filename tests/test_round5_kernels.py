@@ -195,3 +195,39 @@ def test_char_entropy_matches_naive_random():
         _, c = np.unique(list(txt), return_counts=True)
         p = c / c.sum()
         assert abs(g - round(float(-(p * np.log2(p)).sum()), 6)) < 2e-6
+
+
+# ---------------------------------------------------------------- latest
+
+
+def test_latest_per_key_matches_naive_and_partitioning(ray_session):
+    from rp_extract_ray.stages.dedup import latest_per_key
+
+    rng = np.random.default_rng(5)
+    n = 600
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, n),
+            "ts": rng.integers(0, 50, n),       # heavy ts ties within a key
+            "uid": np.arange(n, dtype=np.int64),  # unique tiebreaker
+            "v": rng.normal(size=n).round(4),
+        }
+    )
+    exp = (
+        pdf.sort_values(["k", "ts", "uid"])
+        .groupby("k", sort=False)
+        .tail(1)
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    for nparts, nblocks in [(2, 1), (8, 5), (16, 13)]:
+        got = (
+            latest_per_key(
+                rd.from_pandas(pdf).repartition(nblocks),
+                "k", ("ts", "uid"), num_partitions=nparts,
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)[exp.columns.tolist()]
+        )
+        pd.testing.assert_frame_equal(got, exp)
