@@ -182,16 +182,18 @@ def q_tpch_q6(sf_dir: str):
 def q_tpch_q3(
     sf_dir: str, segment: str = "BUILDING", cutoff: str = "1996-06-30", k: int = 10
 ):
-    """TPC-H Q3 shape (3-way join + grouped sum + top-k): segment keys
-    broadcast-semi-filter orders, the date-pruned sides meet in a
-    hash-partitioned big-big join on orderkey, revenue pre-aggregates
-    map-side through grouped_reduce's keyed exchange, and the top-k is the
-    per-block-partial merge (no global sort). Composite pipeline gate over
-    J1/J2/A-family/§2.7 primitives."""
+    """TPC-H Q3 shape (3-way join + grouped sum + top-k). Shuffle-minimal
+    plan: revenue pre-aggregates to ONE row per orderkey BEFORE the join
+    (o_orderdate/o_orderpriority are functionally dependent on the key, so
+    grouping early is exact and cuts join volume by the lineitems-per-order
+    factor), the segment semi-filter runs on the orders side in parallel,
+    one repartition join attaches the order attributes, and the top-k is
+    the per-block-partial merge (no global sort). Composite pipeline gate
+    over J1/J2/A-family/§2.7 primitives."""
     import datetime as _dt
 
-    from rp_extract_ray.stages.groupops import grouped_reduce
-    from rp_extract_ray.stages.join import hash_join
+    from rp_extract_ray.stages.groupops import grouped_reduce_join
+    from rp_extract_ray.stages.join import repartition_join
 
     cut = pa.scalar(
         _dt.datetime.fromisoformat(cutoff), type=pa.timestamp("us")
@@ -208,8 +210,8 @@ def q_tpch_q3(
         lambda b: b.filter(pc.less(b.column("o_orderdate"), cut)),
         batch_format="pyarrow",
     )
-    orders = semi_anti_join(
-        orders, cust, on="o_custkey", keys_on="c_custkey"
+    orders = repartition_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", how="semi"
     ).drop_columns(["o_custkey"])
 
     def rev(b: pa.Table) -> pa.Table:
@@ -225,13 +227,15 @@ def q_tpch_q3(
         ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(rev, batch_format="pyarrow")
 
-    joined = hash_join(line, orders, on="l_orderkey", right_on="o_orderkey")
-    agg = grouped_reduce(
-        joined,
-        ["l_orderkey", "o_orderdate", "o_orderpriority"],
-        {"revenue": ("rev", "sum")},
+    joined = grouped_reduce_join(
+        line, "l_orderkey", {"revenue": ("rev", "sum")},
+        side=orders, side_on="o_orderkey",
+        side_cols=["o_orderdate", "o_orderpriority"],
     )
-    agg = _round_cols(agg, {"revenue": 2})
+    agg = _round_cols(joined, {"revenue": 2})
+    agg = agg.select_columns(
+        ["l_orderkey", "o_orderdate", "o_orderpriority", "revenue"]
+    )
     return distributed_topk(agg, ["revenue", "l_orderkey"], [True, False], k)
 
 
@@ -764,7 +768,7 @@ def q_order_count_dist(sf_dir: str) -> Dataset:
     only full-table shuffle is the per-custkey combine, whose exchange
     volume is distinct-keys-per-block, not rows."""
     from rp_extract_ray.stages.groupops import grouped_reduce
-    from rp_extract_ray.stages.join import hash_join
+    from rp_extract_ray.stages.join import repartition_join
 
     counts = grouped_reduce(
         _read(sf_dir, "orders", ["o_custkey"]),
@@ -772,7 +776,10 @@ def q_order_count_dist(sf_dir: str) -> Dataset:
         {"n_orders": ("o_custkey", "count")},
     )
     cust = _read(sf_dir, "customer", ["c_custkey"])
-    j = hash_join(cust, counts, on="c_custkey", right_on="o_custkey", how="left_outer")
+    j = repartition_join(
+        cust, counts, on="c_custkey", right_on="o_custkey", how="left_outer",
+        right_cols=["o_custkey", "n_orders"],
+    )
 
     def fill(b: pa.Table) -> pa.Table:
         n = pc.fill_null(b.column("n_orders"), 0).cast(pa.int64())
@@ -804,7 +811,7 @@ def q_large_orders(sf_dir: str, min_qty: float = 200.0) -> Dataset:
     broadcast. Output: c_name, o_orderkey, o_orderdate, o_totalprice,
     sum_qty."""
     from rp_extract_ray.stages.groupops import grouped_reduce
-    from rp_extract_ray.stages.join import hash_join
+    from rp_extract_ray.stages.join import repartition_join
 
     qty = grouped_reduce(
         _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
@@ -817,7 +824,10 @@ def q_large_orders(sf_dir: str, min_qty: float = 200.0) -> Dataset:
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
     )
-    j = hash_join(orders, qty, on="o_orderkey", right_on="l_orderkey")
+    j = repartition_join(
+        orders, qty, on="o_orderkey", right_on="l_orderkey",
+        right_cols=["l_orderkey", "sum_qty"],
+    )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     out = broadcast_join(j, cust.to_pandas(), on="o_custkey", small_on="c_custkey")
     out = out.select_columns(
@@ -859,7 +869,11 @@ def q_priority_returns(sf_dir: str) -> Dataset:
         ),
         batch_format="pyarrow",
     )
-    semi = semi_anti_join(orders, returned, on="o_orderkey", keys_on="l_orderkey")
+    from rp_extract_ray.stages.join import repartition_join
+
+    semi = repartition_join(
+        orders, returned, on="o_orderkey", right_on="l_orderkey", how="semi"
+    )
     out = grouped_reduce(
         semi.select_columns(["o_orderpriority"]),
         "o_orderpriority",

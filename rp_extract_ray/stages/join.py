@@ -319,3 +319,124 @@ def hash_join(
         right_on=(right_on or on,),
         right_suffix=right_suffix,
     )
+
+
+def repartition_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_partitions: int | None = None,
+    right_cols: Sequence[str] | None = None,
+) -> Dataset:
+    """Distributed equi-join through the repo's own keyed exchange
+    (partition.``_add_part`` tag -> union -> ONE ``groupby(PART_COL)``
+    shuffle -> vectorized pandas hash-merge per partition) — the
+    ``grouped_reduce`` argument applied to joins: Ray's native
+    ``Dataset.join`` spawns ``num_partitions`` dedicated join actors whose
+    startup (~0.3 s each, measured) dominates small and medium joins
+    (np=2 -> 2 s, np=16 -> 5 s, np=32 -> 10 s at sf0.1), while this path
+    reuses the ordinary task-based shuffle (~0.5-1.5 s for the same
+    inputs) and scales the same way: both sides hash-partition by key,
+    partitions merge independently, nothing materializes on the driver.
+
+    ``how``: inner / left_outer / full_outer / semi / anti. For semi/anti
+    the right side is projected to bare distinct-per-block keys before the
+    exchange and the kernel is an ``isin`` mask — same truth as
+    ``semi_anti_join`` without the JoinOperator fixed cost.
+
+    Contracts (documented, not silently broken):
+    * non-key column names must be DISJOINT between the sides (the union
+      would alias them) — rename upstream, as all pipelines here do;
+    * the join key arrives under the LEFT name (right key renamed), like
+      Ray's native join;
+    * outer nulls follow pandas dtype rules (int + null -> float64):
+      fill/cast downstream, or use ``hash_join`` when typed-null columns
+      must survive verbatim;
+    * ``right_cols``: the right side's column names (pre-rename). Pass it
+      when the right lineage is expensive — omitted, it is read from
+      ``right.schema()``, which may execute the lineage's first block.
+
+    Use ``hash_join`` when the fixed actor cost amortizes (very large
+    inputs, many partitions) or full typed-null fidelity matters; use this
+    for everything interactive and for join-shaped finals.
+    """
+    import numpy as np
+
+    from rp_extract_ray.stages.partition import (
+        PART_COL,
+        _add_part,
+        strip_meta,
+    )
+
+    right_on = right_on or on
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 2)
+    SIDE = "_side"
+    semi = how in ("semi", "anti")
+    anti = how == "anti"
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        t = _add_part(strip_meta(b), on, num_partitions, None)
+        return t.append_column(SIDE, pa.array(np.ones(len(b), dtype=np.int8)))
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        if semi:
+            # distinct keys per block: the exchange carries keys, not rows
+            t = pa.table({on: pc.unique(b.column(right_on))})
+        else:
+            names = [on if c == right_on else c for c in b.column_names]
+            t = strip_meta(b).rename_columns(names)
+        t = _add_part(t, on, num_partitions, None)
+        return t.append_column(SIDE, pa.array(np.zeros(len(t), dtype=np.int8)))
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    how_pd = {"inner": "inner", "left_outer": "left", "full_outer": "outer"}.get(how)
+    if how_pd is None and not semi:
+        raise ValueError(f"repartition_join: unsupported how={how!r}")
+    if semi:
+        r_value_cols: list[str] = []
+    else:
+        # the explicit right column set (NOT provenance-guessed from nulls:
+        # a legitimately all-null left column in one partition would be
+        # misattributed and dropped, drifting the schema across partitions)
+        rnames = list(right_cols) if right_cols is not None else right.schema().names
+        r_value_cols = [on if c == right_on else c for c in rnames]
+        r_value_cols = [c for c in r_value_cols if c != on]
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        side = group.column(SIDE).to_numpy()
+        group = group.drop_columns([SIDE, PART_COL])
+        lmask = pa.array(side == 1)
+        ltbl = group.filter(lmask)
+        rtbl = group.filter(pa.array(side == 0))
+        if semi:
+            keys = pc.unique(rtbl.column(on))
+            m = pc.is_in(ltbl.column(on), value_set=keys)
+            out = ltbl.filter(pc.invert(m) if anti else m)
+            return strip_meta(out)
+        # union-unified schema: each side's missing columns arrive all-null
+        # in the other side's rows; split by the declared column sets
+        lcols = [c for c in group.column_names if c not in r_value_cols]
+        lpdf = ltbl.select(lcols).to_pandas()
+        rpdf = rtbl.select([on, *[c for c in r_value_cols if c in group.column_names]]).to_pandas()
+        merged = lpdf.merge(rpdf, on=on, how=how_pd)
+        # outer-join nulls upcast int64 -> float64 only in partitions that
+        # HAVE orphans; normalize to pandas nullable Int64 so every
+        # partition emits the group schema's integer type (no cross-block
+        # dtype drift in the downstream unify)
+        gschema = group.schema
+        for c in merged.columns:
+            idx = gschema.get_field_index(c)
+            if idx >= 0 and merged[c].dtype.kind == "f":
+                gt = gschema.field(idx).type
+                if pa.types.is_integer(gt):
+                    merged[c] = merged[c].astype("Int64")
+        return strip_meta(pa.Table.from_pandas(merged, preserve_index=False))
+
+    unioned = lt.union(rt)
+    return unioned.groupby(PART_COL).map_groups(merge_group, batch_format="pyarrow")

@@ -231,3 +231,136 @@ def test_latest_per_key_matches_naive_and_partitioning(ray_session):
             .reset_index(drop=True)[exp.columns.tolist()]
         )
         pd.testing.assert_frame_equal(got, exp)
+
+
+# ---------------------------------------------------------------- rejoin
+
+
+def test_repartition_join_all_modes(ray_session):
+    from rp_extract_ray.stages.join import repartition_join
+
+    rng = np.random.default_rng(2)
+    L = pd.DataFrame(
+        {
+            "k": rng.integers(0, 120, 800),
+            "lv": rng.normal(size=800).round(3),
+            "lid": np.arange(800, dtype=np.int64),
+        }
+    )
+    R = pd.DataFrame(
+        {
+            "rk": rng.integers(60, 180, 300),  # orphans on both sides
+            "rv": rng.integers(0, 100, 300),
+            "rid": np.arange(300, dtype=np.int64),
+        }
+    )
+    lds, rds = rd.from_pandas(L).repartition(5), rd.from_pandas(R).repartition(3)
+
+    def canon(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            df[c] = df[c].astype("float64")
+        return df.sort_values(list(df.columns), ignore_index=True).fillna(-9e9)
+
+    for how, pdhow in [("inner", "inner"), ("left_outer", "left"), ("full_outer", "outer")]:
+        got = repartition_join(
+            lds, rds, on="k", right_on="rk", how=how, num_partitions=7
+        ).to_pandas()
+        exp = L.merge(R.rename(columns={"rk": "k"}), on="k", how=pdhow)
+        np.testing.assert_allclose(
+            canon(got).to_numpy(), canon(exp).to_numpy(), atol=0
+        )
+    for how in ["semi", "anti"]:
+        got = repartition_join(
+            lds, rds, on="k", right_on="rk", how=how, num_partitions=7
+        ).to_pandas()
+        mask = L["k"].isin(R["rk"])
+        exp = L[mask] if how == "semi" else L[~mask]
+        np.testing.assert_allclose(
+            canon(got).to_numpy(), canon(exp).to_numpy(), atol=0
+        )
+
+
+def test_repartition_join_no_int_dtype_drift(ray_session):
+    # a partitioning where SOME partitions have orphans and others don't
+    # must still yield ONE integer-typed column, not a float/int mix
+    from rp_extract_ray.stages.join import repartition_join
+
+    L = pd.DataFrame({"k": np.arange(100, dtype=np.int64)})
+    R = pd.DataFrame(
+        {"k": np.arange(0, 100, 2, dtype=np.int64),
+         "rv": np.arange(50, dtype=np.int64)}
+    )
+    out = repartition_join(
+        rd.from_pandas(L).repartition(4), rd.from_pandas(R).repartition(2),
+        on="k", how="left_outer", num_partitions=6,
+    )
+    sch = out.schema().base_schema  # block-level Arrow schema, pre-pandas
+    assert pa.types.is_integer(sch.field("rv").type), sch
+    pdf = out.to_pandas()
+    assert int(pdf["rv"].isna().sum()) == 50
+
+
+def test_grouped_reduce_join_matches_two_step(ray_session):
+    from rp_extract_ray.stages.groupops import grouped_reduce_join
+
+    rng = np.random.default_rng(9)
+    data = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, 2000),
+            "v": rng.normal(size=2000).round(3),
+        }
+    )
+    side = pd.DataFrame(
+        {
+            "sk": np.arange(0, 70, dtype=np.int64),  # side orphans beyond k range
+            "attr": [f"a{i}" for i in range(70)],
+        }
+    )
+    exp_inner = (
+        data.groupby("k")
+        .agg(total=("v", "sum"), n=("v", "count"))
+        .reset_index()
+        .merge(side.rename(columns={"sk": "k"}), on="k", how="inner")
+        .sort_values("k", ignore_index=True)
+    )
+    got = (
+        grouped_reduce_join(
+            rd.from_pandas(data).repartition(6),
+            "k",
+            {"total": ("v", "sum"), "n": ("v", "count")},
+            side=rd.from_pandas(side).repartition(3),
+            side_on="sk",
+            side_cols=["attr"],
+            num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)[exp_inner.columns.tolist()]
+    )
+    got["n"] = got["n"].astype(exp_inner["n"].dtype)
+    pd.testing.assert_frame_equal(got, exp_inner, atol=1e-9)
+
+    # left join keeps reduced groups with no side row
+    side2 = side[side["sk"] < 25]
+    exp_left = (
+        data.groupby("k")
+        .agg(total=("v", "sum"))
+        .reset_index()
+        .merge(side2.rename(columns={"sk": "k"}), on="k", how="left")
+        .sort_values("k", ignore_index=True)
+    )
+    got2 = (
+        grouped_reduce_join(
+            rd.from_pandas(data).repartition(6),
+            "k",
+            {"total": ("v", "sum")},
+            side=rd.from_pandas(side2).repartition(2),
+            side_on="sk",
+            side_cols=["attr"],
+            join="left",
+            num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)[exp_left.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(got2, exp_left, atol=1e-9)
