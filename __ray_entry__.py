@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": D.q_text_quality,
         "char_entropy": D.q_char_entropy,
         "edit_distance_pairs": D.q_edit_distance_pairs,
+        "embedding_covariance": D.q_embedding_covariance,
+        "pca_variance": D.q_pca_variance,
         "curation": D.q_curation,
         "nb_classify": D.q_nb_classify,
         "tfidf_top_terms": D.q_tfidf,
@@ -1468,6 +1470,17 @@ def oracle_sql() -> dict[str, str]:
         # /root/reference/rp_extract.py:424-445)
         "fingerprint": _lit.fingerprint_sql(),
         "kmeans_clusters": _lit.kmeans_sql(),
+        "pca_variance": _lit.pca_variance_sql(),
+        # covar_pop over index-exploded vectors; round-6 on both sides
+        "embedding_covariance": """
+            WITH e AS (SELECT vec_id, CAST(u.i AS BIGINT) - 1 AS i,
+                              CAST(embedding[u.i] AS DOUBLE) AS x
+                       FROM embeddings,
+                            LATERAL unnest(range(1, len(embedding) + 1)) AS u(i))
+            SELECT a.i AS i, b.i AS j,
+                   round(covar_pop(a.x, b.x), 6) + 0 AS cov
+            FROM e a JOIN e b ON a.vec_id = b.vec_id
+            GROUP BY a.i, b.i""",
         "group_hll": _lit.group_hll_sql(),
         "simhash_pairs": _lit.simhash_pairs_sql(),
         "rhythm_features": _lit.rhythm_sql(),

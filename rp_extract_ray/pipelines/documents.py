@@ -565,3 +565,38 @@ def q_edit_distance_pairs(sf_dir: str) -> Dataset:
     return edit_distance_pairs(
         ds, prefix=16, truncate=200, max_dist=20, num_partitions=16
     )
+
+
+def q_embedding_covariance(sf_dir: str):
+    """The d×d population covariance of the embedding corpus — the
+    distributed surface of the PCA pipeline (stages/pca.py: one map pass
+    of bounded (n, Σx, ΣxxT) partials, d² driver state). Oracle: DuckDB
+    ``covar_pop`` over index-exploded embeddings."""
+    from rp_extract_ray.sources.pqio import read_parquet_clean
+    from rp_extract_ray.stages.pca import embedding_covariance
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return embedding_covariance(ds)
+
+
+def q_pca_variance(sf_dir: str, k: int = 8):
+    """Top-k PCA eigenvalues (explained variance) of the embedding
+    corpus. Eigenvalues are the STABLE gateable surface of this
+    near-degenerate random spectrum (eigenvectors are not — see
+    stages/pca.py); oracle: literal table from an independent pure-Python
+    covariance + cyclic-Jacobi solver
+    (pipelines/oracle_literals.pca_variance_sql)."""
+    import pandas as pd
+
+    from rp_extract_ray.functions.rounding import round_half_away
+    from rp_extract_ray.sources.pqio import read_parquet_clean
+    from rp_extract_ray.stages.pca import pca_fit
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    _, w, _ = pca_fit(ds, k)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(k, dtype=np.int64),
+            "eigval": round_half_away(w, 6),
+        }
+    )

@@ -407,3 +407,67 @@ def group_hll_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     return f"""
     SELECT o_orderpriority, CAST(n_distinct AS BIGINT) AS n_distinct
     FROM (VALUES {vals_sql}) AS t(o_orderpriority, n_distinct)"""
+
+
+def _pca_eigvals_longhand(sf_dir: str, k: int = 8) -> list[float]:
+    """Top-k population-covariance eigenvalues, computed INDEPENDENTLY of
+    the engine: pure-Python covariance accumulation + cyclic Jacobi
+    rotations (no numpy linalg). Eigenvalues are stable to summation-order
+    noise (Weyl), unlike the eigenvectors of this near-degenerate random
+    spectrum — so the spectrum is the gateable surface."""
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    vecs = [[float(x) for x in v] for v in tb.column("embedding").to_pylist()]
+    n, d = len(vecs), len(vecs[0])
+    mean = [sum(v[j] for v in vecs) / n for j in range(d)]
+    a = [[0.0] * d for _ in range(d)]
+    for v in vecs:
+        c = [x - m for x, m in zip(v, mean)]
+        for i in range(d):
+            ci = c[i]
+            row = a[i]
+            for j in range(i, d):
+                row[j] += ci * c[j]
+    for i in range(d):
+        for j in range(i, d):
+            a[i][j] /= n
+            a[j][i] = a[i][j]
+
+    import math
+
+    for _ in range(50):  # cyclic Jacobi sweeps
+        off = max(
+            abs(a[i][j]) for i in range(d) for j in range(i + 1, d)
+        )
+        if off < 1e-13:
+            break
+        for p in range(d - 1):
+            for q in range(p + 1, d):
+                if abs(a[p][q]) < 1e-15:
+                    continue
+                theta = (a[q][q] - a[p][p]) / (2.0 * a[p][q])
+                t = math.copysign(1.0, theta) / (
+                    abs(theta) + math.sqrt(theta * theta + 1.0)
+                )
+                c = 1.0 / math.sqrt(t * t + 1.0)
+                s = t * c
+                for i in range(d):
+                    aip, aiq = a[i][p], a[i][q]
+                    a[i][p] = c * aip - s * aiq
+                    a[i][q] = s * aip + c * aiq
+                for i in range(d):
+                    api, aqi = a[p][i], a[q][i]
+                    a[p][i] = c * api - s * aqi
+                    a[q][i] = s * api + c * aqi
+    return sorted((a[i][i] for i in range(d)), reverse=True)[:k]
+
+
+def pca_variance_sql(sf_dir: str = ORACLE_SF_DIR, k: int = 8) -> str:
+    vals = ",\n      ".join(
+        f"({r}, {round(v, 6):.6f})"
+        for r, v in enumerate(_pca_eigvals_longhand(sf_dir, k))
+    )
+    return f"""
+    SELECT CAST(rank AS BIGINT) AS rank, CAST(eigval AS DOUBLE) AS eigval
+    FROM (VALUES {vals}) AS t(rank, eigval)"""

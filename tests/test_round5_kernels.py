@@ -364,3 +364,48 @@ def test_grouped_reduce_join_matches_two_step(ray_session):
         .sort_values("k", ignore_index=True)[exp_left.columns.tolist()]
     )
     pd.testing.assert_frame_equal(got2, exp_left, atol=1e-9)
+
+
+# ---------------------------------------------------------------- pca
+
+
+def test_pca_fit_project_properties(ray_session):
+    from rp_extract_ray.stages.pca import covariance_moments, pca_fit, pca_project
+
+    rng = np.random.default_rng(4)
+    d, n, k = 12, 400, 4
+    # anisotropic data: a well-separated spectrum so components are stable
+    scales = np.array([8, 6, 4, 3, 1, 1, 1, 1, 1, 1, 1, 1], dtype=np.float64)
+    X = rng.normal(size=(n, d)) * scales
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(X.astype(np.float32))}
+    )
+    ds = rd.from_pandas(pdf).repartition(5)
+
+    nn, mean, cov = covariance_moments(ds)
+    Xf = X.astype(np.float32).astype(np.float64)
+    exp_cov = np.cov(Xf.T, bias=True)
+    assert nn == n
+    np.testing.assert_allclose(cov, exp_cov, atol=1e-9)
+
+    comps, w, mu = pca_fit(ds, k)
+    # orthonormal rows
+    np.testing.assert_allclose(comps @ comps.T, np.eye(k), atol=1e-9)
+    # eigenvalues descending and matching numpy
+    exp_w = np.sort(np.linalg.eigvalsh(exp_cov))[::-1][:k]
+    np.testing.assert_allclose(w, exp_w, atol=1e-9)
+    # projection equals single-process PCA up to per-component sign
+    Z = (
+        pca_project(ds, comps, mu)
+        .to_pandas()
+        .sort_values("vec_id")["pca"]
+        .pipe(lambda s: np.stack(s.to_numpy()))
+    )
+    Vref = np.linalg.eigh(exp_cov)[1][:, ::-1][:, :k]
+    Zref = (Xf - Xf.mean(0)) @ Vref
+    for c in range(k):
+        same = np.allclose(Z[:, c], Zref[:, c], atol=1e-6)
+        flip = np.allclose(Z[:, c], -Zref[:, c], atol=1e-6)
+        assert same or flip
+    # variance along component c equals eigenvalue c
+    np.testing.assert_allclose(Z.var(axis=0), w, rtol=1e-9)
