@@ -120,11 +120,13 @@ def semi_anti_join(
             num_partitions = max(2, cpus // 2)
         how = "left_anti" if anti else "left_semi"
         if norm is None:
-            side = keys.select_columns([keys_on])
-            from rp_extract_ray.stages.partition import arrow_clean
-
-            return arrow_clean(big).join(
-                arrow_clean(side), how, num_partitions, on=(on,), right_on=(keys_on,)
+            # task-shuffle path: same hash-partitioned both-sides shape,
+            # without Dataset.join's per-actor startup floor (see
+            # repartition_join docstring for the measurement)
+            return repartition_join(
+                big, keys, on=on, right_on=keys_on,
+                how="anti" if anti else "semi",
+                num_partitions=num_partitions,
             )
         # match on a normalized temp key; original columns pass through
         KEY = "_norm_key"
