@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_pairs": D.q_edit_distance_pairs,
         "embedding_covariance": D.q_embedding_covariance,
         "pca_variance": D.q_pca_variance,
+        "lm_score": D.q_lm_score,
         "curation": D.q_curation,
         "nb_classify": D.q_nb_classify,
         "tfidf_top_terms": D.q_tfidf,
@@ -1313,6 +1314,20 @@ def oracle_sql() -> dict[str, str]:
                   FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id)
             SELECT d.doc_id, round(coalesce(e.ent, 0.0), 6) AS char_entropy
             FROM documents d LEFT JOIN e USING (doc_id)""",
+        # add-one char-trigram LM: counts joined back to gram instances,
+        # cross entropy = avg -log2 p; round-6 absorbs summation order
+        "lm_score": """
+            WITH g AS (
+              SELECT doc_id, substr(text, CAST(u.i AS INTEGER), 3) AS g
+              FROM documents,
+                   LATERAL unnest(range(1, greatest(length(text) - 2, 0) + 1))
+                     AS u(i)),
+            cnt AS (SELECT g, CAST(count(*) AS DOUBLE) AS c FROM g GROUP BY g),
+            tot AS (SELECT sum(c) AS t, CAST(count(*) AS DOUBLE) AS v FROM cnt),
+            s AS (SELECT doc_id, avg(-log2((c + 1) / (t + v))) AS xent
+                  FROM g JOIN cnt USING (g), tot GROUP BY doc_id)
+            SELECT d.doc_id, round(coalesce(s.xent, 0.0), 6) + 0 AS lm_score
+            FROM documents d LEFT JOIN s USING (doc_id)""",
         # prefix-blocked exact Levenshtein; DuckDB levenshtein counts bytes,
         # == codepoints on this ASCII corpus (functions/editdist.py docstring)
         "edit_distance_pairs": """

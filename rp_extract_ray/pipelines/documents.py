@@ -600,3 +600,13 @@ def q_pca_variance(sf_dir: str, k: int = 8):
             "eigval": round_half_away(w, 6),
         }
     )
+
+
+def q_lm_score(sf_dir: str) -> Dataset:
+    """Char-trigram LM cross-entropy per doc (stages/textstage.
+    lm_trigram_score): corpus-fit add-one model, vocab-bounded broadcast,
+    vectorized scoring. Oracle: the same count/smooth/avg expressed over a
+    substr-exploded trigram CTE."""
+    from rp_extract_ray.stages.textstage import lm_trigram_score
+
+    return lm_trigram_score(_docs(sf_dir, ["doc_id", "text"]))

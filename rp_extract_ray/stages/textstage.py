@@ -717,3 +717,104 @@ def redact_pii(ds: Dataset, text_col: str = "text") -> Dataset:
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _pack_char_trigrams(texts: pa.ChunkedArray | pa.Array):
+    """(doc_idx, packed_keys) for every char trigram fully inside one doc
+    of the batch — the char-level sibling of :func:`_doc_ngram_windows`.
+    Three consecutive codepoints pack into ONE int64 (21 bits each,
+    codepoints < 2^21), so counting is np.unique over ints and the model
+    broadcast is two flat arrays. Vectorized: one utf-32 decode of the
+    concatenated batch text + three shifted views."""
+    text = pc.fill_null(texts, "")
+    lens = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+    joined = "".join(text.to_pylist())
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    total = len(cps)
+    if total < 3:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    m = total - 2
+    keys = (cps[:m] << np.uint64(42)) | (cps[1 : m + 1] << np.uint64(21)) | cps[2 : m + 2]
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)[:m]
+    # window must end inside the same doc: start positions whose doc has
+    # >= 3 remaining chars
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    keep = np.zeros(m, dtype=bool)
+    for s_, e_ in zip(starts, ends):
+        if e_ - s_ >= 3:
+            keep[s_ : e_ - 2] = True
+    return doc_idx[keep], keys[keep].astype(np.int64)
+
+
+def lm_trigram_score(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Character-trigram language-model quality score per document —
+    the classic LM-based curation filter (CCNet/Gopher family use a
+    KenLM; this is the self-contained n-gram equivalent): fit P(g) =
+    (count(g)+1) / (total+V) over the corpus (add-one smoothing), score
+    each doc as the mean -log2 P(g) over its trigram instances (cross
+    entropy, bits/gram; lower = more typical text). Docs with < 3 chars
+    score 0.
+
+    Scale shape: pass 1 is per-block packed-int partial counts through
+    ONE keyed exchange (grouped_reduce), and only the TRUE-vocab-sized
+    (gram, count) table — bounded by distinct trigrams, not corpus size —
+    reaches the driver and broadcasts as two flat arrays; pass 2 is a
+    vectorized searchsorted lookup + reduceat mean per batch. Unseen
+    grams (scoring a corpus the model was not fit on) take the smoothed
+    floor log2(1/(total+V))."""
+    import ray
+
+    from rp_extract_ray.functions.rounding import round_half_away
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, keys = _pack_char_trigrams(b.column(text_col))
+        if len(keys) == 0:
+            return pa.table(
+                {"g": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        uniq, cnt = np.unique(keys, return_counts=True)
+        return pa.table({"g": pa.array(uniq), "c": pa.array(cnt.astype(np.int64))})
+
+    vocab = grouped_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "g", {"c": ("c", "sum")},
+        combine_first=False, num_partitions=num_partitions,
+    ).to_pandas()  # bounded by the distinct-trigram vocabulary
+    keys = vocab["g"].to_numpy(dtype=np.int64)
+    order = np.argsort(keys)
+    keys = keys[order]
+    counts = vocab["c"].to_numpy(dtype=np.float64)[order]
+    total, V = counts.sum(), float(len(counts))
+    logp = np.log2((counts + 1.0) / (total + V))
+    floor = np.log2(1.0 / (total + V))
+    ref = ray.put((keys, logp, floor))
+
+    def score(b: pa.Table) -> pa.Table:
+        ks, lp, fl = ray.get(ref)
+        doc_idx, gk = _pack_char_trigrams(b.column(text_col))
+        out = np.zeros(len(b), dtype=np.float64)
+        if len(gk):
+            pos = np.searchsorted(ks, gk)
+            pos_c = np.minimum(pos, len(ks) - 1)
+            vals = np.where(ks[pos_c] == gk, lp[pos_c], fl)
+            bounds = np.flatnonzero(np.diff(doc_idx)) + 1
+            starts_ = np.concatenate([[0], bounds])
+            sums = np.add.reduceat(vals, starts_)
+            cnts = np.diff(np.concatenate([starts_, [len(vals)]]))
+            out[doc_idx[starts_]] = -sums / cnts
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "lm_score": pa.array(round_half_away(out, 6) + 0.0),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -409,3 +409,54 @@ def test_pca_fit_project_properties(ray_session):
         assert same or flip
     # variance along component c equals eigenvalue c
     np.testing.assert_allclose(Z.var(axis=0), w, rtol=1e-9)
+
+
+# ---------------------------------------------------------------- lm score
+
+
+def test_lm_trigram_score_matches_naive(ray_session):
+    from collections import Counter
+
+    from rp_extract_ray.stages.textstage import lm_trigram_score
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "zz",                      # < 3 chars -> 0
+        "",                        # empty -> 0
+        "completely different words here",
+        "caférépété unicode grams",  # multi-byte codepoints
+    ]
+    pdf = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    # naive reference
+    grams = [
+        [t[i : i + 3] for i in range(len(t) - 2)] for t in texts
+    ]
+    cnt = Counter(g for gs in grams for g in gs)
+    T, V = sum(cnt.values()), len(cnt)
+    import math
+
+    exp = [
+        0.0 if not gs
+        else round(-sum(math.log2((cnt[g] + 1) / (T + V)) for g in gs) / len(gs), 6)
+        for gs in grams
+    ]
+    got = (
+        lm_trigram_score(rd.from_pandas(pdf).repartition(3), num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")["lm_score"]
+        .to_numpy()
+    )
+    np.testing.assert_allclose(got, exp, atol=2e-6)
+
+
+def test_lm_trigram_score_unseen_floor(ray_session):
+    # score a corpus, then score different text against the SAME packing:
+    # unseen grams must take the smoothed floor, not crash or zero
+    from rp_extract_ray.stages.textstage import _pack_char_trigrams
+    import pyarrow as pa
+
+    d, k = _pack_char_trigrams(pa.chunked_array([pa.array(["abcd", "xy", None])]))
+    # "abcd" -> 2 windows (abc, bcd); "xy" and None -> none
+    assert list(d) == [0, 0]
+    assert len(set(k)) == 2
