@@ -210,8 +210,12 @@ def q_tpch_q3(
         lambda b: b.filter(pc.less(b.column("o_orderdate"), cut)),
         batch_format="pyarrow",
     )
+    # metadata-only upper bound on the key side (pre-filter customer rows):
+    # under the broadcast budget the semi collapses to a zero-shuffle probe
+    hint = _read(sf_dir, "customer", ["c_custkey"])._meta_count()
     orders = repartition_join(
-        orders, cust, on="o_custkey", right_on="c_custkey", how="semi"
+        orders, cust, on="o_custkey", right_on="c_custkey", how="semi",
+        size_hint=hint, broadcast_limit=2_000_000,
     ).drop_columns(["o_custkey"])
 
     def rev(b: pa.Table) -> pa.Table:
@@ -824,9 +828,12 @@ def q_large_orders(sf_dir: str, min_qty: float = 200.0) -> Dataset:
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
     )
+    # upper bound on the reduced side: distinct orderkeys <= lineitem rows
+    hint = _read(sf_dir, "lineitem", ["l_orderkey"])._meta_count()
     j = repartition_join(
         orders, qty, on="o_orderkey", right_on="l_orderkey",
         right_cols=["l_orderkey", "sum_qty"],
+        size_hint=hint, broadcast_limit=2_000_000,
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     out = broadcast_join(j, cust.to_pandas(), on="o_custkey", small_on="c_custkey")
@@ -871,8 +878,10 @@ def q_priority_returns(sf_dir: str) -> Dataset:
     )
     from rp_extract_ray.stages.join import repartition_join
 
+    hint = _read(sf_dir, "lineitem", ["l_orderkey"])._meta_count()
     semi = repartition_join(
-        orders, returned, on="o_orderkey", right_on="l_orderkey", how="semi"
+        orders, returned, on="o_orderkey", right_on="l_orderkey", how="semi",
+        size_hint=hint, broadcast_limit=2_000_000,
     )
     out = grouped_reduce(
         semi.select_columns(["o_orderpriority"]),

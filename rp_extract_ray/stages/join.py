@@ -332,6 +332,8 @@ def repartition_join(
     how: str = "inner",
     num_partitions: int | None = None,
     right_cols: Sequence[str] | None = None,
+    size_hint: int | None = None,
+    broadcast_limit: int = 0,
 ) -> Dataset:
     """Distributed equi-join through the repo's own keyed exchange
     (partition.``_add_part`` tag -> union -> ONE ``groupby(PART_COL)``
@@ -361,6 +363,16 @@ def repartition_join(
       when the right lineage is expensive — omitted, it is read from
       ``right.schema()``, which may execute the lineage's first block.
 
+    ``size_hint``/``broadcast_limit`` (the bloom_semi_join pattern): when
+    the caller knows an UPPER BOUND on the right side's rows (typically a
+    metadata-only parquet count of its pre-filter source) and it is at or
+    under ``broadcast_limit``, the exchange collapses to the zero-shuffle
+    broadcast path — distinct keys + ``is_in`` for semi/anti, a
+    driver-materialized ``broadcast_join`` for inner/left_outer — which is
+    exactly what a planner should pick for a broadcastable side at any
+    cluster size. Default limit 0 = never collapse (the caller opts in
+    with an honest bound; full_outer never collapses).
+
     Use ``hash_join`` when the fixed actor cost amortizes (very large
     inputs, many partitions) or full typed-null fidelity matters; use this
     for everything interactive and for join-shaped finals.
@@ -380,6 +392,51 @@ def repartition_join(
     SIDE = "_side"
     semi = how in ("semi", "anti")
     anti = how == "anti"
+
+    if (
+        size_hint is not None
+        and size_hint <= broadcast_limit
+        and how in ("semi", "anti", "inner", "left_outer")
+    ):
+        if semi:
+            # distinct keys collapse: per-batch unique bounds what reaches
+            # the driver by the true distinct count; one ray.put, is_in probe
+            parts = right.map_batches(
+                lambda b: pa.table({right_on: pc.unique(b.column(right_on))}),
+                batch_format="pyarrow",
+            ).to_pandas()
+            key_arr = pc.unique(pa.array(parts[right_on])) if len(parts) else None
+            ref = ray.put(key_arr)
+
+            def bfilt(batch: pa.Table) -> pa.Table:
+                ks = ray.get(ref)
+                if ks is None:
+                    m = pa.array(np.zeros(len(batch), dtype=bool))
+                else:
+                    m = pc.is_in(batch.column(on), value_set=ks)
+                return batch.filter(pc.invert(m) if anti else m)
+
+            return left.map_batches(bfilt, batch_format="pyarrow")
+        # multiplicity-preserving broadcast merge (broadcast_join dedups its
+        # small side — right for dimension tables, wrong for a general join)
+        small_pdf = right.to_pandas()
+        if right_on != on:
+            small_pdf = small_pdf.rename(columns={right_on: on})
+        sref = ray.put(small_pdf)
+        int_rcols = [
+            c for c in small_pdf.columns
+            if c != on and small_pdf[c].dtype.kind in "iu"
+        ]
+        how_b = "left" if how == "left_outer" else "inner"
+
+        def bmerge(b: pa.Table) -> pa.Table:
+            merged = b.to_pandas().merge(ray.get(sref), on=on, how=how_b)
+            for c in int_rcols:  # same Int64 normalization as the exchange path
+                if merged[c].dtype.kind == "f":
+                    merged[c] = merged[c].astype("Int64")
+            return strip_meta(pa.Table.from_pandas(merged, preserve_index=False))
+
+        return left.map_batches(bmerge, batch_format="pyarrow")
 
     def tag_left(b: pa.Table) -> pa.Table:
         t = _add_part(strip_meta(b), on, num_partitions, None)

@@ -460,3 +460,36 @@ def test_lm_trigram_score_unseen_floor(ray_session):
     # "abcd" -> 2 windows (abc, bcd); "xy" and None -> none
     assert list(d) == [0, 0]
     assert len(set(k)) == 2
+
+
+def test_repartition_join_broadcast_collapse_same_truth(ray_session):
+    from rp_extract_ray.stages.join import repartition_join
+
+    rng = np.random.default_rng(13)
+    L = pd.DataFrame({"k": rng.integers(0, 80, 500), "lv": np.arange(500, dtype=np.int64)})
+    R = pd.DataFrame({"rk": rng.integers(40, 120, 200), "rv": np.arange(200, dtype=np.int64)})
+    lds, rds = rd.from_pandas(L).repartition(4), rd.from_pandas(R).repartition(2)
+
+    def run(how, **kw):
+        return (
+            repartition_join(lds, rds, on="k", right_on="rk", how=how,
+                             num_partitions=5, **kw)
+            .to_pandas()
+            .sort_values(["k", "lv"], ignore_index=True)
+            .reset_index(drop=True)
+        )
+
+    for how in ["semi", "anti", "inner", "left_outer"]:
+        dist = run(how)
+        bcast = run(how, size_hint=len(R), broadcast_limit=1000)
+        a = dist[sorted(dist.columns)].astype("float64").fillna(-9e9)
+        b = bcast[sorted(bcast.columns)].astype("float64").fillna(-9e9)
+        a = a.sort_values(list(a.columns), ignore_index=True)
+        b = b.sort_values(list(b.columns), ignore_index=True)
+        np.testing.assert_allclose(a.to_numpy(), b.to_numpy(), atol=0, err_msg=how)
+    # over-limit hint must NOT collapse (stays on the exchange, same truth)
+    over = run("semi", size_hint=len(R), broadcast_limit=10)
+    np.testing.assert_allclose(
+        over[sorted(over.columns)].astype("float64").to_numpy(),
+        run("semi")[sorted(over.columns)].astype("float64").to_numpy(),
+    )
