@@ -771,18 +771,16 @@ def q_order_count_dist(sf_dir: str) -> Dataset:
     the final histogram is a second tiny keyed reduction — at 100 TB the
     only full-table shuffle is the per-custkey combine, whose exchange
     volume is distinct-keys-per-block, not rows."""
-    from rp_extract_ray.stages.groupops import grouped_reduce
-    from rp_extract_ray.stages.join import repartition_join
+    from rp_extract_ray.stages.groupops import grouped_reduce, grouped_reduce_join
 
-    counts = grouped_reduce(
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    # fused: per-custkey count reduce + the customer spine ride ONE keyed
+    # exchange; join="right" keeps zero-order customers (the Q13 tail)
+    j = grouped_reduce_join(
         _read(sf_dir, "orders", ["o_custkey"]),
         "o_custkey",
         {"n_orders": ("o_custkey", "count")},
-    )
-    cust = _read(sf_dir, "customer", ["c_custkey"])
-    j = repartition_join(
-        cust, counts, on="c_custkey", right_on="o_custkey", how="left_outer",
-        right_cols=["o_custkey", "n_orders"],
+        side=cust, side_on="c_custkey", side_cols=[], join="right",
     )
 
     def fill(b: pa.Table) -> pa.Table:

@@ -553,10 +553,12 @@ def grouped_reduce_join(
     Exact when the side's non-key columns are what a post-reduce join
     would attach (one fewer shuffle, same dataflow as TPC-H Q3's
     "group lineitem revenue by orderkey, then attach order attributes").
-    ``join``: inner / left (left = keep reduced groups with no side row;
-    side orphans are dropped either way — use ``repartition_join`` for
-    full outer semantics). Single key column only: the fusion trades
-    generality for the exchange count."""
+    ``join``: inner / left / right (left = keep reduced groups with no
+    side row, dropping side orphans; right = keep EVERY side row — the
+    "spine" join, e.g. TPC-H Q13's all-customers-even-with-zero-orders —
+    dropping unmatched groups; use ``repartition_join`` for full outer).
+    Single key column only: the fusion trades generality for the
+    exchange count."""
     import pyarrow as pa
 
     from rp_extract_ray.stages.partition import (
@@ -565,7 +567,7 @@ def grouped_reduce_join(
         stable_hash,
     )
 
-    if join not in ("inner", "left"):
+    if join not in ("inner", "left", "right"):
         raise ValueError(f"grouped_reduce_join: unsupported join={join!r}")
     side_on = side_on or key
 

@@ -493,3 +493,25 @@ def test_repartition_join_broadcast_collapse_same_truth(ray_session):
         over[sorted(over.columns)].astype("float64").to_numpy(),
         run("semi")[sorted(over.columns)].astype("float64").to_numpy(),
     )
+
+
+def test_grouped_reduce_join_right_keeps_spine(ray_session):
+    from rp_extract_ray.stages.groupops import grouped_reduce_join
+
+    data = pd.DataFrame({"k": [1, 1, 2, 5], "v": [1.0, 2.0, 3.0, 4.0]})
+    spine = pd.DataFrame({"sk": np.arange(4, dtype=np.int64)})  # 0..3: 0,3 have no data; 5 not in spine
+    got = (
+        grouped_reduce_join(
+            rd.from_pandas(data).repartition(2),
+            "k", {"total": ("v", "sum")},
+            side=rd.from_pandas(spine).repartition(2),
+            side_on="sk", side_cols=[], join="right",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    assert got["k"].tolist() == [0, 1, 2, 3]          # spine kept, group 5 dropped
+    t = got["total"].tolist()
+    assert t[1] == 3.0 and t[2] == 3.0
+    assert pd.isna(t[0]) and pd.isna(t[3])            # zero-data spine rows -> null
