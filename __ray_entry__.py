@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs": D.q_cosine_pairs,
         "knn_cosine": D.q_knn,
         "knn_ivf": D.q_knn_ivf,
+        "knn_lsh": D.q_knn_lsh,
         "embedding_label_stats": D.q_embedding_label_stats,
         "kmeans_clusters": D.q_kmeans,
         # full windowed/rhythm feature stages
@@ -1543,6 +1544,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(
                        embedding,
                        (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                     vec_id
+            LIMIT 10""",
+        "knn_lsh": """
+            SELECT vec_id,
+                   round(CAST(list_cosine_similarity(
+                       embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 7)) AS DOUBLE),
+                         4) AS cos
+            FROM embeddings
+            ORDER BY list_cosine_similarity(
+                       embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 7)) DESC,
                      vec_id
             LIMIT 10""",
         "knn_ivf": """

@@ -49,12 +49,12 @@ QUERY_NAMES = [
     "curation", "nb_classify", "time_grid_lerp", "transitions",
     "redact", "pack_sequences", "pack_stats",
     "ring_stream", "group_mode", "group_corr", "unpivot",
-    # round-5 additions (sweep grew 47 -> 61 names: cross-round SUM
+    # round-5 additions (sweep grew 47 -> 62 names: cross-round SUM
     # comparisons must use the shared prefix; per-query values compare 1:1)
     "rolling_median", "minmax_scale", "group_minmax", "latest_per_key",
     "char_entropy", "edit_distance_pairs", "tpch_q3", "tpch_q6",
     "order_count_dist", "large_orders", "priority_returns",
-    "embedding_covariance", "pca_variance", "lm_score",
+    "embedding_covariance", "pca_variance", "lm_score", "knn_lsh",
 ]
 
 

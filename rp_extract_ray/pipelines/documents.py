@@ -610,3 +610,30 @@ def q_lm_score(sf_dir: str) -> Dataset:
     from rp_extract_ray.stages.textstage import lm_trigram_score
 
     return lm_trigram_score(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_knn_lsh(sf_dir: str, query_id: int = 7, k: int = 10):
+    """Random-hyperplane LSH similarity search (stages/simsearch.
+    lsh_index/lsh_search). Probing at max_hamming = n_planes covers every
+    bucket, so the whole mechanism — plane assignment, multi-probe
+    enumeration, bucket filter, partial top-k — is gated against the same
+    exact list_cosine_similarity oracle as knn_cosine/knn_ivf; the scale
+    path drops max_hamming (recall gated in tests)."""
+    from rp_extract_ray.stages.simsearch import lsh_index, lsh_search
+
+    ds = _emb(sf_dir)
+    q = (
+        ds.map_batches(
+            lambda b: b.filter(pa.compute.equal(b.column("vec_id"), query_id)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["embedding"]
+    )
+    qv = np.asarray(list(q)[0], dtype=np.float64)
+    assigned, planes = lsh_index(ds, n_planes=8)
+    res = lsh_search(assigned, planes, qv[None, :], k=k, max_hamming=8)
+    out = res[["vec_id", "cos"]].copy()
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    out["cos"] = round_half_away(out["cos"].to_numpy(), 4)
+    return out

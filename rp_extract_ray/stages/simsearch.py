@@ -291,3 +291,79 @@ def ivf_search(
     )
     res = knn_cosine(filtered, q, vec_col=vec_col, id_col=id_col, k=k)
     return res
+
+
+def lsh_index(
+    ds: Dataset,
+    *,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 7,
+) -> tuple[Dataset, np.ndarray]:
+    """(assigned dataset with ``bucket`` int32 column, planes (n_planes, d))
+    — random-hyperplane LSH bucketing, the sibling of :func:`ivf_index`
+    without a training pass: bucket = the sign-bit pattern of the vector
+    against ``n_planes`` seeded Gaussian hyperplanes (2^n_planes buckets;
+    cosine-similar vectors collide with probability 1 - theta/pi per bit).
+    Assignment is a pure broadcast map — no shuffle, no sample, no fit —
+    which is the right trade when the corpus churns too fast to retrain
+    centroids. At scale the index is written bucket-partitioned (same
+    layout as ivf_write) and probed buckets prune at the read."""
+    probe_row = ds.limit(1).to_pandas()
+    d = len(probe_row[vec_col].iloc[0])
+    planes = np.random.default_rng(seed).normal(size=(n_planes, d))
+    planes = _unit(planes)
+    p_ref = ray.put(planes)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        P = ray.get(p_ref)
+        vecs = _unit(_as_matrix(batch.column(vec_col)))
+        bits = (vecs @ P.T) >= 0.0
+        bucket = (bits @ weights).astype(np.int32)
+        return batch.append_column("bucket", pa.array(bucket))
+
+    return ds.map_batches(assign, batch_format="pyarrow"), planes
+
+
+def lsh_search(
+    assigned: Dataset,
+    planes: np.ndarray,
+    queries: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    max_hamming: int = 1,
+) -> pd.DataFrame:
+    """Approximate top-k: scan only rows whose bucket is within
+    ``max_hamming`` bit flips of each query's bucket (multi-probe LSH).
+    ``max_hamming = n_planes`` probes every bucket — the result is then
+    EXACT, which is what the oracle query gates (the whole mechanism:
+    plane assignment, probe enumeration, bucket filter, partial top-k);
+    the scale path drops ``max_hamming`` (recall pytest-gated)."""
+    from itertools import combinations
+
+    n_planes = planes.shape[0]
+    q = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    bits = (q @ planes.T) >= 0.0
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    wanted: set[int] = set()
+    for row in bits:
+        base = int(row @ weights)
+        for r in range(min(max_hamming, n_planes) + 1):
+            for flip in combinations(range(n_planes), r):
+                m = base
+                for f in flip:
+                    m ^= 1 << f
+                wanted.add(m)
+
+    filtered = assigned.map_batches(
+        lambda b: b.filter(
+            pa.compute.is_in(
+                b.column("bucket"), value_set=pa.array(sorted(wanted), pa.int32())
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return knn_cosine(filtered, q, vec_col=vec_col, id_col=id_col, k=k)

@@ -515,3 +515,37 @@ def test_grouped_reduce_join_right_keeps_spine(ray_session):
     t = got["total"].tolist()
     assert t[1] == 3.0 and t[2] == 3.0
     assert pd.isna(t[0]) and pd.isna(t[3])            # zero-data spine rows -> null
+
+
+# ---------------------------------------------------------------- lsh ann
+
+
+def test_lsh_partial_probe_recall_on_clustered_data(ray_session):
+    from rp_extract_ray.stages.simsearch import knn_cosine, lsh_index, lsh_search
+
+    rng = np.random.default_rng(21)
+    d, n_clusters, per = 16, 8, 40
+    centers = rng.normal(size=(n_clusters, d)) * 4.0
+    X = np.concatenate([c + rng.normal(size=(per, d)) * 0.2 for c in centers])
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(X), dtype=np.int64),
+            "embedding": list(X.astype(np.float32)),
+        }
+    )
+    ds = rd.from_pandas(pdf).repartition(4)
+    assigned, planes = lsh_index(ds, n_planes=8)
+    q = X[3][None, :]
+    exact = knn_cosine(ds, q, k=10)["vec_id"].tolist()
+    # full probe == exact (the oracle-gate property)
+    full = lsh_search(assigned, planes, q, k=10, max_hamming=8)["vec_id"].tolist()
+    assert full == exact
+    # partial probe: clustered neighbors share buckets; recall@10 stays high
+    part = lsh_search(assigned, planes, q, k=10, max_hamming=1)["vec_id"].tolist()
+    recall = len(set(part) & set(exact)) / 10
+    assert recall >= 0.7, recall
+    # bucket column is deterministic across repartitionings
+    b1 = assigned.to_pandas().sort_values("vec_id")["bucket"].to_numpy()
+    assigned2, _ = lsh_index(ds.repartition(9), n_planes=8)
+    b2 = assigned2.to_pandas().sort_values("vec_id")["bucket"].to_numpy()
+    np.testing.assert_array_equal(b1, b2)
