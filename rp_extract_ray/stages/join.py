@@ -363,6 +363,13 @@ def repartition_join(
       when the right lineage is expensive — omitted, it is read from
       ``right.schema()``, which may execute the lineage's first block.
 
+    Null keys follow SQL semantics on every path (exchange and broadcast
+    collapse): a null key never matches — inner and semi drop null-key
+    left rows, left_outer keeps them with null right values, anti keeps
+    them, and null right keys never produce matches (pandas merge alone
+    would match NaN == NaN; the right side is null-key-filtered before it
+    can).
+
     ``size_hint``/``broadcast_limit`` (the bloom_semi_join pattern): when
     the caller knows an UPPER BOUND on the right side's rows (typically a
     metadata-only parquet count of its pre-filter source) and it is at or
@@ -402,7 +409,9 @@ def repartition_join(
             # distinct keys collapse: per-batch unique bounds what reaches
             # the driver by the true distinct count; one ray.put, is_in probe
             parts = right.map_batches(
-                lambda b: pa.table({right_on: pc.unique(b.column(right_on))}),
+                lambda b: pa.table(
+                    {right_on: pc.unique(b.column(right_on)).drop_null()}
+                ),
                 batch_format="pyarrow",
             ).to_pandas()
             key_arr = pc.unique(pa.array(parts[right_on])) if len(parts) else None
@@ -413,7 +422,9 @@ def repartition_join(
                 if ks is None:
                     m = pa.array(np.zeros(len(batch), dtype=bool))
                 else:
-                    m = pc.is_in(batch.column(on), value_set=ks)
+                    m = pc.fill_null(
+                        pc.is_in(batch.column(on), value_set=ks), False
+                    )
                 return batch.filter(pc.invert(m) if anti else m)
 
             return left.map_batches(bfilt, batch_format="pyarrow")
@@ -422,6 +433,7 @@ def repartition_join(
         small_pdf = right.to_pandas()
         if right_on != on:
             small_pdf = small_pdf.rename(columns={right_on: on})
+        small_pdf = small_pdf[small_pdf[on].notna()]  # SQL: nulls never match
         sref = ray.put(small_pdf)
         int_rcols = [
             c for c in small_pdf.columns
@@ -444,11 +456,14 @@ def repartition_join(
 
     def tag_right(b: pa.Table) -> pa.Table:
         if semi:
-            # distinct keys per block: the exchange carries keys, not rows
-            t = pa.table({on: pc.unique(b.column(right_on))})
+            # distinct NON-NULL keys per block (SQL: null keys never match)
+            t = pa.table({on: pc.unique(b.column(right_on)).drop_null()})
         else:
             names = [on if c == right_on else c for c in b.column_names]
             t = strip_meta(b).rename_columns(names)
+            # null right keys can never match; dropping them here keeps the
+            # pandas merge (which WOULD match NaN == NaN) on SQL semantics
+            t = t.filter(pc.is_valid(t.column(on)))
         t = _add_part(t, on, num_partitions, None)
         return t.append_column(SIDE, pa.array(np.zeros(len(t), dtype=np.int8)))
 
@@ -475,7 +490,10 @@ def repartition_join(
         rtbl = group.filter(pa.array(side == 0))
         if semi:
             keys = pc.unique(rtbl.column(on))
-            m = pc.is_in(ltbl.column(on), value_set=keys)
+            # null probe -> no match: semi drops it, anti keeps it (the
+            # native left_anti semantics this path replaced); fill_null
+            # makes the invert well-defined
+            m = pc.fill_null(pc.is_in(ltbl.column(on), value_set=keys), False)
             out = ltbl.filter(pc.invert(m) if anti else m)
             return strip_meta(out)
         # union-unified schema: each side's missing columns arrive all-null

@@ -75,10 +75,33 @@ def arrow_clean(ds: Dataset) -> Dataset:
 
 
 def stable_hash(values) -> np.ndarray:
-    """Deterministic uint64 hash of an array of keys (any dtype)."""
+    """Deterministic uint64 hash of an array of keys (any dtype).
+
+    VALUE-stable across block dtypes: an int64 arrow column converts to
+    float64 wherever a BLOCK happens to contain a null
+    (``to_numpy(zero_copy_only=False)``), and hashing the float bit
+    pattern would route the same key value to different partitions
+    depending on its block's null content (found via a null-key join
+    repro: k=2 in a null-bearing block landed in a different partition
+    than k=2 in a clean block). Integral finite floats therefore hash as
+    their int64 value; non-integral/NaN elements hash as floats (NaN's
+    hash is a constant, so null keys co-locate)."""
     arr = np.asarray(values)
     if arr.dtype == object or arr.dtype.kind in ("U", "S"):
         return pd.util.hash_array(arr.astype(object))
+    if arr.dtype.kind == "f":
+        with np.errstate(invalid="ignore"):
+            integral = (
+                np.isfinite(arr)
+                & (np.floor(arr) == arr)
+                & (np.abs(arr) < 2**63)
+            )
+        out = pd.util.hash_array(arr)  # NaN/inf/fractional path
+        if integral.any():
+            out[integral] = pd.util.hash_array(
+                arr[integral].astype(np.int64)
+            )
+        return out
     return pd.util.hash_array(arr)
 
 

@@ -549,3 +549,54 @@ def test_lsh_partial_probe_recall_on_clustered_data(ray_session):
     assigned2, _ = lsh_index(ds.repartition(9), n_planes=8)
     b2 = assigned2.to_pandas().sort_values("vec_id")["bucket"].to_numpy()
     np.testing.assert_array_equal(b1, b2)
+
+
+def test_repartition_join_null_keys_sql_semantics(ray_session):
+    # SQL truth: null keys never match. Covers BOTH the dtype-stability fix
+    # in stable_hash (a value in a null-bearing block must co-locate with
+    # the same value in a clean block) and the null-match rules.
+    from rp_extract_ray.stages.join import repartition_join
+
+    L = pa.table(
+        {"k": pa.array([1, 2, None, None], pa.int64()),
+         "lv": pa.array([10, 20, 30, 40], pa.int64())}
+    )
+    R = pa.table(
+        {"k": pa.array([2, None], pa.int64()),
+         "rv": pa.array([200, 999], pa.int64())}
+    )
+    # repartition(2) puts L's null rows in a separate block from k=1,2 —
+    # the exact layout that exposed the float64-bits routing bug
+    lds = rd.from_arrow(L).repartition(2)
+    rds = rd.from_arrow(R)
+
+    def run(how, **kw):
+        return (
+            repartition_join(lds, rds, on="k", how=how, num_partitions=3, **kw)
+            .to_pandas()
+            .sort_values("lv", ignore_index=True)
+        )
+
+    for kw in [{}, {"size_hint": 2, "broadcast_limit": 10}]:
+        inner = run("inner", **kw)
+        assert inner["lv"].tolist() == [20] and inner["rv"].tolist() == [200], kw
+        lo = run("left_outer", **kw)
+        assert lo["lv"].tolist() == [10, 20, 30, 40]
+        assert lo["rv"].fillna(-1).tolist() == [-1, 200, -1, -1]
+        semi = run("semi", **kw)
+        assert semi["lv"].tolist() == [20]
+        anti = run("anti", **kw)
+        assert anti["lv"].tolist() == [10, 30, 40]
+
+
+def test_stable_hash_value_stable_across_null_blocks():
+    from rp_extract_ray.stages.partition import stable_hash
+
+    clean = pa.array([1, 2, 3], pa.int64()).to_numpy(zero_copy_only=False)
+    dirty = pa.array([2, None], pa.int64()).to_numpy(zero_copy_only=False)
+    assert clean.dtype.kind == "i" and dirty.dtype.kind == "f"
+    assert stable_hash(clean)[1] == stable_hash(dirty)[0]  # k=2 both paths
+    # NaN hashes to ONE constant -> null keys co-locate
+    two_nans = pa.array([None, None], pa.int64()).to_numpy(zero_copy_only=False)
+    h = stable_hash(two_nans)
+    assert h[0] == h[1]
