@@ -461,9 +461,12 @@ def repartition_join(
         else:
             names = [on if c == right_on else c for c in b.column_names]
             t = strip_meta(b).rename_columns(names)
-            # null right keys can never match; dropping them here keeps the
-            # pandas merge (which WOULD match NaN == NaN) on SQL semantics
-            t = t.filter(pc.is_valid(t.column(on)))
+            if how != "full_outer":
+                # null right keys can never match; dropping them keeps the
+                # pandas merge (which WOULD match NaN == NaN) on SQL
+                # semantics. full_outer keeps them — they surface as
+                # orphans (split off before the merge in the kernel).
+                t = t.filter(pc.is_valid(t.column(on)))
         t = _add_part(t, on, num_partitions, None)
         return t.append_column(SIDE, pa.array(np.zeros(len(t), dtype=np.int8)))
 
@@ -500,8 +503,22 @@ def repartition_join(
         # in the other side's rows; split by the declared column sets
         lcols = [c for c in group.column_names if c not in r_value_cols]
         lpdf = ltbl.select(lcols).to_pandas()
-        rpdf = rtbl.select([on, *[c for c in r_value_cols if c in group.column_names]]).to_pandas()
+        rsel = [on, *[c for c in r_value_cols if c in group.column_names]]
+        if how == "full_outer":
+            # null-key right rows reach here only under full_outer: split
+            # them off so the merge cannot pair NaN == NaN, then re-enter
+            # the output as right orphans
+            valid = pc.is_valid(rtbl.column(on))
+            rnull_pdf = rtbl.filter(pc.invert(valid)).select(rsel).to_pandas()
+            rtbl = rtbl.filter(valid)
+        else:
+            rnull_pdf = None
+        rpdf = rtbl.select(rsel).to_pandas()
         merged = lpdf.merge(rpdf, on=on, how=how_pd)
+        if rnull_pdf is not None and len(rnull_pdf):
+            import pandas as pd  # right orphans: left columns stay null
+
+            merged = pd.concat([merged, rnull_pdf], ignore_index=True)
         # outer-join nulls upcast int64 -> float64 only in partitions that
         # HAVE orphans; normalize to pandas nullable Int64 so every
         # partition emits the group schema's integer type (no cross-block

@@ -600,3 +600,31 @@ def test_stable_hash_value_stable_across_null_blocks():
     two_nans = pa.array([None, None], pa.int64()).to_numpy(zero_copy_only=False)
     h = stable_hash(two_nans)
     assert h[0] == h[1]
+
+
+def test_repartition_join_full_outer_null_keys(ray_session):
+    from rp_extract_ray.stages.join import repartition_join
+
+    L = pa.table(
+        {"k": pa.array([1, None], pa.int64()), "lv": pa.array([10, 30], pa.int64())}
+    )
+    R = pa.table(
+        {"k": pa.array([1, None, 7], pa.int64()),
+         "rv": pa.array([100, 999, 700], pa.int64())}
+    )
+    out = (
+        repartition_join(
+            rd.from_arrow(L).repartition(2), rd.from_arrow(R),
+            on="k", how="full_outer", num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values(["lv", "rv"], ignore_index=True, na_position="last")
+    )
+    # SQL full outer: (1,10,100); left null-key orphan (null,30,null);
+    # right orphans (7,null,700) and (null,null,999) — NaN never matches NaN
+    assert len(out) == 4
+    matched = out[(out["lv"] == 10)]
+    assert matched["rv"].tolist() == [100]
+    assert out["rv"].fillna(-1).tolist().count(999) == 1
+    lv30 = out[out["lv"] == 30]
+    assert len(lv30) == 1 and pd.isna(lv30["rv"].iloc[0])
