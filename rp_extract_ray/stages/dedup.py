@@ -1032,8 +1032,10 @@ def _vec_matrix(col: pa.ChunkedArray) -> np.ndarray:
         return np.stack(list(m)).astype(np.float64)
     offsets = arr.offsets.to_numpy(zero_copy_only=False)
     widths = np.diff(offsets)
-    d = int(widths[0]) if len(widths) else 0
-    if len(widths) and not (widths == d).all():
+    if len(widths) == 0:  # empty block (post-filter) -> typed empty matrix
+        return np.zeros((0, 0), dtype=np.float64)
+    d = int(widths[0])
+    if not (widths == d).all():
         raise ValueError("ragged embedding column")
     flat = arr.values.to_numpy(zero_copy_only=False)
     return flat[offsets[0]: offsets[-1]].reshape(-1, d).astype(np.float64)

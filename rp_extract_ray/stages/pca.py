@@ -40,6 +40,14 @@ def covariance_moments(ds: Dataset, vec_col: str = "embedding"):
     distributed pass of per-block (n, Σx, ΣxxT) partials."""
 
     def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:  # empty block: contribute nothing
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.binary()),
+                    "ss": pa.array([], pa.binary()),
+                }
+            )
         X = _as_matrix(b.column(vec_col))
         s = X.sum(axis=0)
         ss = X.T @ X
@@ -118,6 +126,10 @@ def pca_project(
 
     def proj(b: pa.Table) -> pa.Table:
         comps, mu = ray.get(ref)
+        if len(b) == 0:
+            return b.append_column(
+                out_col, pa.array([], pa.list_(pa.float64()))
+            )
         X = _as_matrix(b.column(vec_col))
         Z = (X - mu) @ comps.T
         return b.append_column(

@@ -61,6 +61,14 @@ def knn_cosine(
     # all free CPUs, no actor-pool cap or startup latency
     def partial_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
+        if len(batch) == 0:  # post-filter empty block
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int32()),
+                    id_col: pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
         vecs = _unit(_as_matrix(batch.column(vec_col)))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         sims = vecs @ qm.T  # (n, nq)
@@ -202,6 +210,8 @@ def ivf_index(
     C_ref = ray.put(C)
 
     def assign(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("list_id", pa.array([], pa.int32()))
         Cl = ray.get(C_ref)
         vecs = _unit(_as_matrix(batch.column(vec_col)))
         lid = (vecs @ Cl.T).argmax(axis=1).astype(np.int32)
@@ -317,6 +327,8 @@ def lsh_index(
     weights = (1 << np.arange(n_planes, dtype=np.int64))
 
     def assign(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("bucket", pa.array([], pa.int32()))
         P = ray.get(p_ref)
         vecs = _unit(_as_matrix(batch.column(vec_col)))
         bits = (vecs @ P.T) >= 0.0

@@ -628,3 +628,30 @@ def test_repartition_join_full_outer_null_keys(ray_session):
     assert out["rv"].fillna(-1).tolist().count(999) == 1
     lv30 = out[out["lv"] == 30]
     assert len(lv30) == 1 and pd.isna(lv30["rv"].iloc[0])
+
+
+def test_vector_kernels_survive_empty_blocks(ray_session):
+    # a filter that empties SOME blocks must not crash the matrix kernels
+    from rp_extract_ray.stages.dedup import _vec_matrix
+    from rp_extract_ray.stages.simsearch import knn_cosine, lsh_index, lsh_search
+
+    empty = pa.chunked_array([pa.array([], pa.list_(pa.float32()))])
+    assert _vec_matrix(empty).shape == (0, 0)
+
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(60, 8))
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(60, dtype=np.int64), "embedding": list(X.astype(np.float32))}
+    )
+    ds = rd.from_pandas(pdf).repartition(6)
+    # filter keeps only 3 ids -> most blocks empty downstream
+    few = ds.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b.column("vec_id"),
+                                            value_set=pa.array([5, 20, 40], pa.int64()))),
+        batch_format="pyarrow",
+    )
+    out = knn_cosine(few, X[5][None, :], k=3)
+    assert out["vec_id"].iloc[0] == 5
+    assigned, planes = lsh_index(ds, n_planes=6)
+    res = lsh_search(assigned, planes, X[20][None, :], k=3, max_hamming=0)
+    assert 20 in res["vec_id"].tolist()
