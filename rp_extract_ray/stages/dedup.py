@@ -1742,6 +1742,13 @@ def latest_per_key(
     ocols = list(order_cols)
 
     def block_winners(b: pa.Table) -> pa.Table:
+        if b.column(key_col).null_count:
+            raise ValueError(
+                "latest_per_key: null keys are not supported (SQL's "
+                "PARTITION BY groups all nulls together, but the "
+                "vectorized run detection cannot — filter or fill them "
+                "upstream)"
+            )
         pdf = b.to_pandas().sort_values([key_col, *ocols], kind="mergesort")
         return arrow_out(pdf.groupby(key_col, sort=False).tail(1))
 

@@ -567,6 +567,8 @@ def grouped_reduce_join(
         stable_hash,
     )
 
+    import pyarrow.compute as pc
+
     if join not in ("inner", "left", "right"):
         raise ValueError(f"grouped_reduce_join: unsupported join={join!r}")
     side_on = side_on or key
@@ -607,6 +609,9 @@ def grouped_reduce_join(
         for c in side_cols:
             cols[c] = b.column(c)
         t = pa.table(cols)
+        # null side keys never match (SQL join semantics; the pandas merge
+        # below would pair NaN == NaN with the null-key GROUP otherwise)
+        t = t.filter(pc.is_valid(t.column(key)))
         h = stable_hash(t.column(key).to_numpy(zero_copy_only=False))
         part = (h % np.uint64(num_partitions)).astype(np.int32)
         return t.append_column(PART_COL, pa.array(part, pa.int32()))

@@ -801,7 +801,13 @@ def lm_trigram_score(
         ks, lp, fl = ray.get(ref)
         doc_idx, gk = _pack_char_trigrams(b.column(text_col))
         out = np.zeros(len(b), dtype=np.float64)
-        if len(gk):
+        if len(gk) and len(ks) == 0:
+            # scoring against an empty model (fit corpus had no trigrams):
+            # every gram takes the smoothed floor
+            bounds = np.flatnonzero(np.diff(doc_idx)) + 1
+            starts_ = np.concatenate([[0], bounds])
+            out[doc_idx[starts_]] = -fl
+        elif len(gk):
             pos = np.searchsorted(ks, gk)
             pos_c = np.minimum(pos, len(ks) - 1)
             vals = np.where(ks[pos_c] == gk, lp[pos_c], fl)
