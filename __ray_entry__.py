@@ -79,6 +79,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1": R.q_tpch_q1,
         "tpch_q3": R.q_tpch_q3,
         "tpch_q6": R.q_tpch_q6,
+        "tpch_q5": R.q_tpch_q5,
+        "tpch_q14": R.q_tpch_q14,
+        "histogram": R.q_histogram,
+        "intersect_keys": R.q_intersect_keys,
+        "except_keys": R.q_except_keys,
         "order_count_dist": R.q_order_count_dist,
         "large_orders": R.q_large_orders,
         "priority_returns": R.q_priority_returns,
@@ -108,7 +113,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_mode": E.q_group_mode,
         "group_corr": R.q_group_corr,
         "unpivot": R.q_unpivot,
+        "event_paths": E.q_event_paths,
         # text analysis / dedup / similarity (training-data extensions)
+        "hash_split": D.q_hash_split,
+        "mix_weighted": D.q_mix_weighted,
         "token_count": D.q_token_count,
         "redact": D.q_redact,
         "pack_sequences": D.q_pack_sequences,
@@ -950,6 +958,62 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1997-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24""",
+        "tpch_q5": """
+            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY n_name""",
+        "tpch_q14": """
+            SELECT round(
+                100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                 THEN l_extendedprice * (1 - l_discount)
+                                 ELSE 0 END)
+                      / sum(l_extendedprice * (1 - l_discount)), 6
+            ) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'""",
+        "histogram": """
+            SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(o_totalprice), 2) AS s
+            FROM orders GROUP BY 1""",
+        "intersect_keys": """
+            SELECT l_partkey FROM lineitem
+            INTERSECT
+            SELECT p_partkey FROM part WHERE p_size > 25""",
+        "except_keys": """
+            SELECT o_custkey FROM orders
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+        "event_paths": """
+            SELECT user_id,
+                   string_agg(event_type, '|' ORDER BY ts, event_id) AS path
+            FROM events GROUP BY user_id""",
+        "hash_split": """
+            SELECT doc_id, source,
+                   CASE WHEN b < 8000 THEN 'train'
+                        WHEN b < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, source,
+                         ((doc_id * 2654435761 + 1 * 2654435769) % 4294967296)
+                             % 10000 AS b
+                  FROM documents) t""",
+        "mix_weighted": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       (doc_id * 2654435761 + 1 * 2654435769) % 4294967296 AS h,
+                       CASE source WHEN 'src0' THEN 0.9
+                                   WHEN 'src1' THEN 0.5
+                                   WHEN 'src2' THEN 0.25
+                                   ELSE 0.1 END AS w
+                FROM documents) t
+            WHERE h < CAST(floor(w * 4294967296.0) AS BIGINT)""",
         # ORDER BY the ROUNDED revenue (matches the engine's round-then-topk);
         # l_orderkey tiebreak makes the limit set deterministic
         "tpch_q3": """

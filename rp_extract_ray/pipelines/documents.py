@@ -637,3 +637,30 @@ def q_knn_lsh(sf_dir: str, query_id: int = 7, k: int = 10):
 
     out["cos"] = round_half_away(out["cos"].to_numpy(), 4)
     return out
+
+
+def q_hash_split(sf_dir: str) -> Dataset:
+    """Deterministic 80/10/10 train/val/test assignment by doc_id hash
+    (stages/splits.hash_split): zero shuffle, layout-independent — the
+    oracle gates every row's assignment, not just split sizes."""
+    from rp_extract_ray.stages.splits import hash_split
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    return hash_split(
+        ds, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+
+
+def q_mix_weighted(sf_dir: str) -> Dataset:
+    """Deterministic corpus mixing (stages/splits.weighted_mix): per-source
+    Bernoulli downsampling to target weights — src0 kept at 90%, src1 at
+    50%, src2 at 25%, everything else at 10%. Row-level hash gate, exactly
+    replicated by the oracle's CASE + hash expression."""
+    from rp_extract_ray.stages.splits import weighted_mix
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    return weighted_mix(
+        ds, "doc_id", "source",
+        {"src0": 0.9, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    )

@@ -831,3 +831,17 @@ def q_latest_per_key(sf_dir: str) -> Dataset:
     return _round(
         out.select_columns(["event_id", "user_id", "ts", "value"]), {"value": 6}
     )
+
+
+def q_event_paths(sf_dir: str) -> Dataset:
+    """Per-user ordered event-type path (SQL string_agg ORDER BY ts,
+    event_id; stages/groupops.grouped_string_agg): the collect-list op
+    behind journey mining — one keyed exchange, per-partition vectorized
+    groupby-join."""
+    from rp_extract_ray.stages.groupops import grouped_string_agg
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    return grouped_string_agg(
+        ds, ENTITY, "event_type", order_cols=ORDER, sep="|",
+        out_name="path", num_partitions=NP,
+    )

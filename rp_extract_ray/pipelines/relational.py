@@ -895,3 +895,217 @@ def q_priority_returns(sf_dir: str) -> Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def q_tpch_q5(sf_dir: str, region: str = "ASIA") -> Dataset:
+    """TPC-H Q5 shape (6-table join + grouped sum): revenue of lineitems
+    whose supplier and ordering customer share a nation inside one region,
+    per nation. Shuffle-minimal plan: the three dimension chains
+    (region->nation, supplier, customer) are bounded and broadcast — the
+    supplier and customer maps carry ONE int column each — so the only
+    exchange in the whole query is the orderkey repartition join between
+    the two big tables; the nation-equality filter runs vectorized inside
+    that join's output, and the final reduction is a distinct-nations
+    exchange. Composite gate over J1/J2/J3/A-family primitives."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.join import repartition_join
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    asia = nation.merge(
+        reg[reg["r_name"] == region], left_on="n_regionkey", right_on="r_regionkey"
+    )
+    nation_names = dict(zip(asia["n_nationkey"], asia["n_name"]))
+    keys = set(int(k) for k in nation_names)
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(keys)]
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(keys)]
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1998, 1, 1), type=pa.timestamp("us"))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def owin(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        return b.filter(
+            pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        ).select(["o_orderkey", "o_custkey"])
+
+    orders = broadcast_join(
+        orders.map_batches(owin, batch_format="pyarrow"),
+        cust, on="o_custkey", small_on="c_custkey", value_cols=["c_nationkey"],
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    line = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "rev": r,
+            }
+        )
+
+    line = broadcast_join(
+        line.map_batches(rev, batch_format="pyarrow"),
+        supp, on="l_suppkey", small_on="s_suppkey", value_cols=["s_nationkey"],
+    ).select_columns(["l_orderkey", "rev", "s_nationkey"])
+
+    hint = _read(sf_dir, "orders", ["o_orderkey"])._meta_count()
+    j = repartition_join(
+        line, orders, on="l_orderkey", right_on="o_orderkey",
+        right_cols=["o_orderkey", "c_nationkey"],
+        size_hint=hint, broadcast_limit=2_000_000,
+    )
+
+    def same_nation(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("s_nationkey"), b.column("c_nationkey")))
+        return pa.table(
+            {"n_nationkey": f.column("s_nationkey"), "rev": f.column("rev")}
+        )
+
+    agg = grouped_reduce(
+        j.map_batches(same_nation, batch_format="pyarrow"),
+        "n_nationkey",
+        {"revenue": ("rev", "sum")},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        nk = b.column("n_nationkey").to_pandas()
+        return pa.table(
+            {
+                "n_name": pa.array(nk.map(nation_names), pa.string()),
+                "revenue": b.column("revenue"),
+            }
+        )
+
+    return _round_cols(
+        agg.map_batches(finish, batch_format="pyarrow"), {"revenue": 2}
+    )
+
+
+def q_tpch_q14(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q14 shape (join + conditional global ratio): share of revenue
+    from PROMO parts inside a 3-month ship window. The part->is_promo map
+    is ONE broadcast boolean column; per-block partial (promo_rev, rev)
+    pairs reduce to a single driver division — nothing but two floats per
+    block ever moves."""
+    import datetime as _dt
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    part["is_promo"] = part["p_type"].str.startswith("PROMO").astype("int8")
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1996, 4, 1), type=pa.timestamp("us"))
+    line = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def win(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate")
+        return b.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))).select(
+            ["l_partkey", "l_extendedprice", "l_discount"]
+        )
+
+    joined = broadcast_join(
+        line.map_batches(win, batch_format="pyarrow"),
+        part[["p_partkey", "is_promo"]],
+        on="l_partkey", small_on="p_partkey", value_cols=["is_promo"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        r = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        ).to_numpy(zero_copy_only=False)
+        promo = b.column("is_promo").to_numpy(zero_copy_only=False).astype(bool)
+        return pa.table(
+            {
+                "promo_rev": pa.array([float(r[promo].sum())]),
+                "rev": pa.array([float(r.sum())]),
+            }
+        )
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    total, promo = float(parts["rev"].sum()), float(parts["promo_rev"].sum())
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    val = float(round_half_away(100.0 * promo / total, 6)) if total else 0.0
+    return pd.DataFrame({"promo_revenue": [val]})
+
+
+def q_histogram(sf_dir: str, width: float = 50_000.0) -> Dataset:
+    """Fixed-width distribution profile of order totals (§2.6 A-family
+    generalization; stages/splits.value_histogram): per-bin count + sum,
+    bounded exchange (distinct bins per block)."""
+    from rp_extract_ray.stages.splits import value_histogram
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    out = value_histogram(ds, "o_totalprice", width, sum_col="s")
+    return _round_cols(out, {"s": 2})
+
+
+def q_intersect_keys(sf_dir: str) -> Dataset:
+    """§2.8 set op INTERSECT: distinct part keys that appear BOTH in
+    lineitem and in the large-size part subset (stages/setops.py — one
+    distinct-keys exchange, flags max-merged)."""
+    from rp_extract_ray.stages.setops import distinct_set_op
+
+    line = _read(sf_dir, "lineitem", ["l_partkey"])
+    big_parts = _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+        lambda b: b.filter(pc.greater(b.column("p_size"), 25)).select(
+            ["p_partkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    return distinct_set_op(
+        line, big_parts, on="l_partkey", right_on="p_partkey", op="intersect"
+    )
+
+
+def q_except_keys(sf_dir: str) -> Dataset:
+    """§2.8 set op EXCEPT: distinct customers that placed orders but have
+    no event activity... expressed on testdata as custkeys in orders EXCEPT
+    custkeys with an open (status 'O') order."""
+    from rp_extract_ray.stages.setops import distinct_set_op
+
+    all_cust = _read(sf_dir, "orders", ["o_custkey"])
+    open_cust = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).map_batches(
+        lambda b: b.filter(pc.equal(b.column("o_orderstatus"), "O")).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    return distinct_set_op(all_cust, open_cust, on="o_custkey", op="except")

@@ -630,3 +630,43 @@ def grouped_reduce_join(
         parts, fin, entity_col=key, order_cols=(),
         num_partitions=num_partitions, side=tagged, side_cols=tuple(side_cols),
     )
+
+
+def grouped_string_agg(
+    ds: Dataset,
+    key: str,
+    val: str,
+    *,
+    order_cols: Sequence[str] = (),
+    sep: str = "|",
+    out_name: str | None = None,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Per-group ordered string concatenation (SQL ``string_agg(val, sep
+    ORDER BY ...)``) — the collect-list/path-assembly op behind user-journey
+    mining and per-conversation prompt assembly; no Ray Data aggregate
+    exists for it and the reference's only concatenation is driver-side
+    feature hstack (rp_feature_io.py concatenate_features, SURVEY §2.3 M22).
+
+    Scale shape: ONE hash exchange keyed by ``key`` (partitioned_apply
+    sorts each partition by ``(key, *order_cols)``), then a per-partition
+    pandas groupby join. The join-per-group is irreducibly per-group work —
+    the output string must be materialized — but everything reaching it is
+    one exchange of just ``(key, order_cols, val)`` with columns pruned by
+    the caller. Groups are assumed worker-heap-bounded (same contract as
+    grouped_quantiles)."""
+    from rp_extract_ray.stages.partition import partitioned_apply
+
+    out_name = out_name or f"{val}_path"
+
+    def agg(pdf: pd.DataFrame, starts) -> pd.DataFrame:
+        g = pdf.groupby(key, sort=False, dropna=False)[val].agg(sep.join)
+        return g.reset_index().rename(columns={val: out_name})
+
+    return partitioned_apply(
+        ds,
+        agg,
+        entity_col=key,
+        order_cols=tuple(order_cols),
+        num_partitions=num_partitions or 32,
+    )

@@ -1,0 +1,198 @@
+"""Tests for stages/splits.py (hash split, weighted mix, histogram),
+stages/setops.py (distinct INTERSECT/EXCEPT/UNION), and
+groupops.grouped_string_agg — the round-5 session-3 additions."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from rp_extract_ray.stages.setops import distinct_set_op
+from rp_extract_ray.stages.splits import hash_split, value_histogram, weighted_mix
+
+
+def _ds(df: pd.DataFrame, blocks: int = 3):
+    return rd.from_pandas(df).repartition(blocks)
+
+
+FRACS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+class TestHashSplit:
+    def test_fractions_cover_and_sizes(self):
+        df = pd.DataFrame({"k": np.arange(10_000, dtype=np.int64)})
+        out = hash_split(_ds(df), "k", FRACS).to_pandas()
+        counts = out["split"].value_counts()
+        assert set(counts.index) == {"train", "val", "test"}
+        # Knuth hash is uniform: 80/10/10 within a loose tolerance
+        assert abs(counts["train"] / 10_000 - 0.8) < 0.03
+        assert abs(counts["val"] / 10_000 - 0.1) < 0.02
+
+    def test_partitioning_invariance(self):
+        df = pd.DataFrame({"k": np.arange(500, dtype=np.int64)})
+        a = hash_split(_ds(df, 1), "k", FRACS).to_pandas().sort_values("k")
+        b = hash_split(_ds(df, 7), "k", FRACS).to_pandas().sort_values("k")
+        assert list(a["split"]) == list(b["split"])
+
+    def test_same_key_same_split(self):
+        df = pd.DataFrame({"k": np.array([7, 7, 7, 9, 9], dtype=np.int64)})
+        out = hash_split(_ds(df), "k", FRACS).to_pandas()
+        assert out.groupby("k")["split"].nunique().max() == 1
+
+    def test_bad_fractions_raise(self):
+        ds = _ds(pd.DataFrame({"k": [1]}))
+        with pytest.raises(ValueError):
+            hash_split(ds, "k", [("a", 0.5), ("b", 0.3)])
+
+
+class TestWeightedMix:
+    def test_weight_bounds(self):
+        df = pd.DataFrame({"k": np.arange(1000, dtype=np.int64), "g": "x"})
+        ds = _ds(df)
+        # weight 1 keeps everything, weight 0 drops everything
+        assert weighted_mix(ds, "k", "g", {"x": 1.0}).count() == 1000
+        assert weighted_mix(ds, "k", "g", {"x": 0.0}).count() == 0
+
+    def test_default_rate_applies_to_unknown_groups(self):
+        df = pd.DataFrame(
+            {"k": np.arange(2000, dtype=np.int64), "g": ["a", "b"] * 1000}
+        )
+        out = weighted_mix(
+            _ds(df), "k", "g", {"a": 1.0}, default_rate=0.0
+        ).to_pandas()
+        assert set(out["g"]) == {"a"} and len(out) == 1000
+
+    def test_invalid_weight_raises(self):
+        ds = _ds(pd.DataFrame({"k": [1], "g": ["a"]}))
+        with pytest.raises(ValueError):
+            weighted_mix(ds, "k", "g", {"a": 1.5})
+        with pytest.raises(ValueError):
+            weighted_mix(ds, "k", "g", {}, default_rate=-0.1)
+
+    def test_deterministic_across_partitioning(self):
+        df = pd.DataFrame(
+            {"k": np.arange(1000, dtype=np.int64), "g": ["a", "b"] * 500}
+        )
+        w = {"a": 0.5, "b": 0.25}
+        a = weighted_mix(_ds(df, 1), "k", "g", w).to_pandas()
+        b = weighted_mix(_ds(df, 9), "k", "g", w).to_pandas()
+        assert sorted(a["k"]) == sorted(b["k"])
+
+
+class TestValueHistogram:
+    def test_matches_pandas(self):
+        rng = np.random.default_rng(3)
+        v = rng.uniform(0, 100, size=5000)
+        df = pd.DataFrame({"v": v})
+        out = (
+            value_histogram(_ds(df), "v", 10.0)
+            .to_pandas()
+            .sort_values("bin")
+            .reset_index(drop=True)
+        )
+        exp = (
+            df.assign(bin=np.floor(v / 10.0).astype(np.int64))
+            .groupby("bin")
+            .agg(n=("v", "size"), s=("v", "sum"))
+            .reset_index()
+        )
+        assert list(out["bin"]) == list(exp["bin"])
+        assert list(out["n"]) == list(exp["n"])
+        np.testing.assert_allclose(out["s"], exp["s"], rtol=1e-12)
+
+    def test_origin_and_no_sum(self):
+        df = pd.DataFrame({"v": [0.0, 5.0, 10.0, 15.0]})
+        out = (
+            value_histogram(_ds(df, 1), "v", 10.0, origin=5.0, sum_col=None)
+            .to_pandas()
+            .sort_values("bin")
+        )
+        # bins: floor((v-5)/10) -> -1, 0, 0, 1
+        assert list(out["bin"]) == [-1, 0, 1]
+        assert list(out["n"]) == [1, 2, 1]
+        assert "s" not in out.columns
+
+
+class TestSetOps:
+    def _sides(self):
+        a = _ds(pd.DataFrame({"k": np.array([1, 2, 2, 3, 4], dtype=np.int64)}))
+        b = _ds(
+            pd.DataFrame({"j": np.array([3, 4, 4, 5], dtype=np.int64)}), 2
+        )
+        return a, b
+
+    def test_intersect(self):
+        a, b = self._sides()
+        out = distinct_set_op(a, b, on="k", right_on="j", op="intersect")
+        assert sorted(out.to_pandas()["k"]) == [3, 4]
+
+    def test_except(self):
+        a, b = self._sides()
+        out = distinct_set_op(a, b, on="k", right_on="j", op="except")
+        assert sorted(out.to_pandas()["k"]) == [1, 2]
+
+    def test_union_distinct(self):
+        a, b = self._sides()
+        out = distinct_set_op(a, b, on="k", right_on="j", op="union")
+        assert sorted(out.to_pandas()["k"]) == [1, 2, 3, 4, 5]
+
+    def test_null_keys_compare_equal(self):
+        # SQL INTERSECT: a null key on both sides survives as one row
+        a = rd.from_arrow(pa.table({"k": pa.array([1, None], pa.int64())}))
+        b = rd.from_arrow(pa.table({"k": pa.array([None, 2], pa.int64())}))
+        out = distinct_set_op(a, b, on="k", op="intersect").to_pandas()
+        assert len(out) == 1 and pd.isna(out["k"].iloc[0])
+
+    def test_unknown_op_raises(self):
+        a, b = self._sides()
+        with pytest.raises(ValueError):
+            distinct_set_op(a, b, on="k", right_on="j", op="minus")
+
+
+class TestGroupedStringAgg:
+    def test_ordered_paths(self):
+        from rp_extract_ray.stages.groupops import grouped_string_agg
+
+        df = pd.DataFrame(
+            {
+                "u": [1, 1, 1, 2, 2],
+                "t": [3, 1, 2, 2, 1],
+                "e": ["c", "a", "b", "y", "x"],
+            }
+        )
+        out = (
+            grouped_string_agg(
+                _ds(df), "u", "e", order_cols=("t",), sep="|",
+                out_name="path", num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("u")
+        )
+        assert list(out["path"]) == ["a|b|c", "x|y"]
+
+    def test_partitioning_invariance(self):
+        from rp_extract_ray.stages.groupops import grouped_string_agg
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame(
+            {
+                "u": rng.integers(0, 20, 500),
+                "t": np.arange(500),
+                "e": rng.choice(list("abcd"), 500),
+            }
+        )
+        outs = []
+        for blocks in (1, 8):
+            o = (
+                grouped_string_agg(
+                    _ds(df, blocks), "u", "e", order_cols=("t",),
+                    out_name="p", num_partitions=6,
+                )
+                .to_pandas()
+                .sort_values("u")
+                .reset_index(drop=True)
+            )
+            outs.append(o)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
