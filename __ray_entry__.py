@@ -117,6 +117,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis / dedup / similarity (training-data extensions)
         "hash_split": D.q_hash_split,
         "mix_weighted": D.q_mix_weighted,
+        "replicate_weighted": D.q_replicate_weighted,
+        "domain_cap": D.q_domain_cap,
+        "weighted_avg": R.q_weighted_avg,
         "token_count": D.q_token_count,
         "redact": D.q_redact,
         "pack_sequences": D.q_pack_sequences,
@@ -1004,6 +1007,32 @@ def oracle_sql() -> dict[str, str]:
                          ((doc_id * 2654435761 + 1 * 2654435769) % 4294967296)
                              % 10000 AS b
                   FROM documents) t""",
+        "replicate_weighted": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       CAST(CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 2
+                            ELSE 1 END AS BIGINT)
+                       + CASE WHEN source = 'src0'
+                              AND (doc_id * 2654435761 + 1 * 2654435769)
+                                  % 4294967296
+                                  < CAST(floor(0.5 * 4294967296.0) AS BIGINT)
+                              THEN 1 ELSE 0 END AS reps
+                FROM documents) t, UNNEST(range(reps))""",
+        "domain_cap": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY (doc_id * 2654435761 + 1 * 2654435769)
+                                    % 4294967296, doc_id
+                       ) AS rn
+                FROM documents) t
+            WHERE rn <= 10""",
+        "weighted_avg": """
+            SELECT l_returnflag,
+                   round(sum(l_discount * l_extendedprice)
+                         / sum(l_extendedprice), 6) AS wavg_disc
+            FROM lineitem GROUP BY l_returnflag""",
         "mix_weighted": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

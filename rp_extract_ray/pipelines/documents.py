@@ -664,3 +664,43 @@ def q_mix_weighted(sf_dir: str) -> Dataset:
         {"src0": 0.9, "src1": 0.5, "src2": 0.25},
         default_rate=0.1,
     )
+
+
+def q_replicate_weighted(sf_dir: str) -> Dataset:
+    """Deterministic upsampling (stages/splits.replicate_weighted): src0 at
+    2.5x (every doc twice, a hash-chosen half a third time), src1 at 2x,
+    everything else 1x. Expected multiplicity == weight; oracle replicates
+    the repeat counts with UNNEST(range(reps))."""
+    from rp_extract_ray.stages.splits import replicate_weighted
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    return replicate_weighted(ds, "doc_id", "source", {"src0": 2.5, "src1": 2.0})
+
+
+def q_domain_cap(sf_dir: str, cap: int = 10) -> Dataset:
+    """Per-source document cap — the per-domain curation cap every crawl
+    pipeline applies (keep at most N docs per domain, chosen by a
+    deterministic hash order so the kept set is layout- and
+    run-independent). Compose: hash column + grouped_topk (map-side
+    per-group prune, one pruned exchange)."""
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.stages.groupops import grouped_topk
+    from rp_extract_ray.stages.splits import _hash32
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def add_h(b: pa.Table) -> pa.Table:
+        k = b.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_h", pa.array(_hash32(k, 1).astype(np.int64))
+        )
+
+    capped = grouped_topk(
+        ds.map_batches(add_h, batch_format="pyarrow"),
+        "source",
+        ["_h", "doc_id"],
+        descending=False,
+        k=cap,
+    )
+    return capped.drop_columns(["_h"])

@@ -1109,3 +1109,45 @@ def q_except_keys(sf_dir: str) -> Dataset:
         batch_format="pyarrow",
     )
     return distinct_set_op(all_cust, open_cust, on="o_custkey", op="except")
+
+
+def q_weighted_avg(sf_dir: str) -> Dataset:
+    """Grouped weighted mean (price-weighted average discount per return
+    flag): two associative sums per group through ONE distinct-keys
+    exchange, then a vectorized divide — the ratio-of-sums compose the
+    reference's stats kernel never needed but every billing/curation
+    pipeline does."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    line = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_discount", "l_extendedprice"]
+    )
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "num": pc.multiply(
+                    b.column("l_discount"), b.column("l_extendedprice")
+                ),
+                "den": b.column("l_extendedprice"),
+            }
+        )
+
+    agg = grouped_reduce(
+        line.map_batches(pre, batch_format="pyarrow"),
+        "l_returnflag",
+        {"num": ("num", "sum"), "den": ("den", "sum")},
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "wavg_disc": pc.divide(b.column("num"), b.column("den")),
+            }
+        )
+
+    return _round_cols(
+        agg.map_batches(fin, batch_format="pyarrow"), {"wavg_disc": 6}
+    )

@@ -172,3 +172,53 @@ def value_histogram(
         how,
         num_partitions=num_partitions,
     )
+
+
+def replicate_weighted(
+    ds: Dataset,
+    key_col: str,
+    group_col: str,
+    weights: "dict[str, float]",
+    *,
+    default_weight: float = 1.0,
+    seed: int = 1,
+) -> Dataset:
+    """Deterministic upsampling — the other half of corpus mixing
+    (``weighted_mix`` handles weights <= 1): every row is emitted
+    ``floor(w)`` times plus one more iff ``h(key) mod 2^32 <
+    frac(w) * 2^32``, so a source with weight 2.5 contributes each doc
+    twice and half the docs (hash-chosen, layout-independent) a third
+    time. Expected multiplicity is exactly ``w``; the assignment is
+    reproducible across runs, partitionings, and cluster sizes.
+
+    Scale: stateless per-batch ``np.repeat`` over row indices — zero
+    shuffle; the weight table is a bounded closure constant. Weight 0
+    drops the group (consistent with ``weighted_mix``'s 0-rate).
+    """
+    import pandas as pd
+
+    for g, w in list(weights.items()) + [("<default>", default_weight)]:
+        if w < 0:
+            raise ValueError(f"weight for {g!r} must be >= 0, got {w}")
+    base = {g: int(np.floor(w)) for g, w in weights.items()}
+    frac_thr = {
+        g: np.uint64(int((w - np.floor(w)) * 2**32)) for g, w in weights.items()
+    }
+    default_base = int(np.floor(default_weight))
+    default_frac = np.uint64(int((default_weight - np.floor(default_weight)) * 2**32))
+
+    def rep(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = _hash32(k, seed)
+        groups = b.column(group_col).to_pandas()
+        nbase = groups.map(base).fillna(default_base).to_numpy(dtype=np.int64)
+        thr = (
+            groups.map({g: int(v) for g, v in frac_thr.items()})
+            .fillna(int(default_frac))
+            .to_numpy(dtype=np.uint64)
+        )
+        reps = nbase + (h < thr)
+        idx = np.repeat(np.arange(len(b), dtype=np.int64), reps)
+        return b.take(pa.array(idx))
+
+    return ds.map_batches(rep, batch_format="pyarrow")

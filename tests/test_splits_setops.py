@@ -196,3 +196,47 @@ class TestGroupedStringAgg:
             )
             outs.append(o)
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestReplicateWeighted:
+    def test_integer_weights_exact(self):
+        from rp_extract_ray.stages.splits import replicate_weighted
+
+        df = pd.DataFrame(
+            {"k": np.arange(100, dtype=np.int64), "g": ["a", "b"] * 50}
+        )
+        out = replicate_weighted(
+            _ds(df), "k", "g", {"a": 3.0, "b": 1.0}
+        ).to_pandas()
+        counts = out.groupby("g")["k"].size()
+        assert counts["a"] == 150 and counts["b"] == 50
+        # every key of group a appears exactly 3 times
+        assert out[out["g"] == "a"].groupby("k").size().eq(3).all()
+
+    def test_fractional_expected_multiplicity(self):
+        from rp_extract_ray.stages.splits import replicate_weighted
+
+        df = pd.DataFrame({"k": np.arange(4000, dtype=np.int64), "g": "a"})
+        out = replicate_weighted(_ds(df), "k", "g", {"a": 2.5}).to_pandas()
+        per_key = out.groupby("k").size()
+        assert set(per_key.unique()) == {2, 3}
+        assert abs(len(out) / 4000 - 2.5) < 0.05
+
+    def test_zero_weight_drops_and_partition_invariance(self):
+        from rp_extract_ray.stages.splits import replicate_weighted
+
+        df = pd.DataFrame(
+            {"k": np.arange(500, dtype=np.int64), "g": ["a", "b"] * 250}
+        )
+        w = {"a": 0.0, "b": 1.5}
+        a = replicate_weighted(_ds(df, 1), "k", "g", w).to_pandas()
+        b = replicate_weighted(_ds(df, 9), "k", "g", w).to_pandas()
+        assert (a["g"] == "b").all()
+        assert sorted(a["k"]) == sorted(b["k"])
+
+    def test_negative_weight_raises(self):
+        from rp_extract_ray.stages.splits import replicate_weighted
+
+        ds = _ds(pd.DataFrame({"k": [1], "g": ["a"]}))
+        with pytest.raises(ValueError):
+            replicate_weighted(ds, "k", "g", {"a": -1.0})
