@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "replicate_weighted": D.q_replicate_weighted,
         "domain_cap": D.q_domain_cap,
         "weighted_avg": R.q_weighted_avg,
+        "profile_columns": R.q_profile_columns,
         "token_count": D.q_token_count,
         "redact": D.q_redact,
         "pack_sequences": D.q_pack_sequences,
@@ -1028,6 +1029,27 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents) t
             WHERE rn <= 10""",
+        "profile_columns": """
+            SELECT 'o_orderkey' AS column, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) - count(o_orderkey) AS BIGINT) AS nulls,
+                   round(CAST(min(o_orderkey) AS DOUBLE), 6) AS vmin,
+                   round(CAST(max(o_orderkey) AS DOUBLE), 6) AS vmax,
+                   round(CAST(sum(o_orderkey) AS DOUBLE), 2) AS vsum
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(o_custkey) AS BIGINT),
+                   round(CAST(min(o_custkey) AS DOUBLE), 6),
+                   round(CAST(max(o_custkey) AS DOUBLE), 6),
+                   round(CAST(sum(o_custkey) AS DOUBLE), 2)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(o_totalprice) AS BIGINT),
+                   round(min(o_totalprice), 6),
+                   round(max(o_totalprice), 6),
+                   round(sum(o_totalprice), 2)
+            FROM orders""",
         "weighted_avg": """
             SELECT l_returnflag,
                    round(sum(l_discount * l_extendedprice)

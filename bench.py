@@ -58,7 +58,7 @@ QUERY_NAMES = [
     # round-5 session-3 additions (62 -> 73 names)
     "tpch_q5", "tpch_q14", "histogram", "intersect_keys", "except_keys",
     "event_paths", "hash_split", "mix_weighted", "replicate_weighted",
-    "domain_cap", "weighted_avg",
+    "domain_cap", "weighted_avg", "profile_columns",
 ]
 
 

@@ -1151,3 +1151,18 @@ def q_weighted_avg(sf_dir: str) -> Dataset:
     return _round_cols(
         agg.map_batches(fin, batch_format="pyarrow"), {"wavg_disc": 6}
     )
+
+
+def q_profile_columns(sf_dir: str) -> "pd.DataFrame":
+    """Single-pass numeric column profile of orders
+    (stages/profile.profile_columns): per-column rows/nulls/min/max/sum,
+    bounded per-block partials, zero shuffle."""
+    from rp_extract_ray.functions.rounding import round_half_away
+    from rp_extract_ray.stages.profile import profile_columns
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = profile_columns(ds, ["o_orderkey", "o_custkey", "o_totalprice"])
+    out["vsum"] = round_half_away(out["vsum"].to_numpy(), 2)
+    out["vmin"] = round_half_away(out["vmin"].to_numpy(), 6)
+    out["vmax"] = round_half_away(out["vmax"].to_numpy(), 6)
+    return out

@@ -240,3 +240,26 @@ class TestReplicateWeighted:
         ds = _ds(pd.DataFrame({"k": [1], "g": ["a"]}))
         with pytest.raises(ValueError):
             replicate_weighted(ds, "k", "g", {"a": -1.0})
+
+
+class TestProfileColumns:
+    def test_counts_nulls_and_all_null_column(self):
+        from rp_extract_ray.stages.profile import profile_columns
+
+        df = pd.DataFrame(
+            {
+                "a": [1.0, None, 3.0, None],
+                "b": [None, None, None, None],
+                "c": [2, 4, 6, 8],
+            }
+        )
+        out = profile_columns(_ds(df, 2), ["a", "b", "c"])
+        assert list(out["column"]) == ["a", "b", "c"]
+        assert list(out["n"]) == [4, 4, 4]
+        assert list(out["nulls"]) == [2, 4, 0]
+        row_a = out[out["column"] == "a"].iloc[0]
+        assert row_a["vmin"] == 1.0 and row_a["vmax"] == 3.0 and row_a["vsum"] == 4.0
+        row_b = out[out["column"] == "b"].iloc[0]
+        assert pd.isna(row_b["vmin"]) and pd.isna(row_b["vsum"])
+        row_c = out[out["column"] == "c"].iloc[0]
+        assert row_c["vsum"] == 20.0
