@@ -38,7 +38,12 @@ def _hash32(keys: np.ndarray, seed: int) -> np.ndarray:
     """(key * 2654435761 + seed * 2654435769) mod 2^32 — the repo-wide
     deterministic sampling hash (stages/partition.py, pipelines/relational
     deterministic_sample); uint64 arithmetic, masked to 32 bits so the SQL
-    oracle's BIGINT expression computes the identical value."""
+    oracle's BIGINT expression computes the identical value.
+
+    Keys must be integer-valued (every split/mix caller casts to int64
+    first). String ids should be mapped to a stable integer surrogate
+    upstream — NOT hashed here with stable_hash, which would break the
+    SQL-replicability contract these operators are built on."""
     return (
         keys.astype(np.uint64) * _KNUTH + np.uint64(seed) * _SEED_MIX
     ) & _MASK32

@@ -263,3 +263,13 @@ class TestProfileColumns:
         assert pd.isna(row_b["vmin"]) and pd.isna(row_b["vsum"])
         row_c = out[out["column"] == "c"].iloc[0]
         assert row_c["vsum"] == 20.0
+
+
+class TestSetOpsStringKeys:
+    def test_intersect_except_on_strings(self):
+        a = _ds(pd.DataFrame({"k": ["x", "y", "y", "z"]}))
+        b = _ds(pd.DataFrame({"k": ["y", "w"]}), 2)
+        inter = distinct_set_op(a, b, on="k", op="intersect").to_pandas()
+        assert sorted(inter["k"]) == ["y"]
+        exc = distinct_set_op(a, b, on="k", op="except").to_pandas()
+        assert sorted(exc["k"]) == ["x", "z"]
