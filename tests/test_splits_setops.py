@@ -273,3 +273,81 @@ class TestSetOpsStringKeys:
         assert sorted(inter["k"]) == ["y"]
         exc = distinct_set_op(a, b, on="k", op="except").to_pandas()
         assert sorted(exc["k"]) == ["x", "z"]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class TestSplitProperties:
+    @settings(max_examples=20, deadline=None)
+    @given(
+        keys=st.lists(
+            st.integers(min_value=0, max_value=2**40), min_size=1, max_size=200
+        )
+    )
+    def test_split_is_total_and_deterministic(self, keys):
+        """Every key gets exactly one split, and pure recompute agrees with
+        the distributed assignment (the SQL-replicability contract)."""
+        import numpy as np
+
+        from rp_extract_ray.stages.splits import _hash32
+
+        df = pd.DataFrame({"k": np.asarray(keys, dtype=np.int64)})
+        out = hash_split(_ds(df, 2), "k", FRACS).to_pandas()
+        assert len(out) == len(df)
+        bucket = _hash32(out["k"].to_numpy(np.int64), 1) % np.uint64(10_000)
+        exp = np.where(bucket < 8000, "train", np.where(bucket < 9000, "val", "test"))
+        assert (out["split"].to_numpy() == exp).all()
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        keys=st.lists(
+            st.integers(min_value=0, max_value=2**40), min_size=1, max_size=100
+        ),
+        w=st.floats(min_value=0.0, max_value=4.0, allow_nan=False),
+    )
+    def test_replicate_multiplicity_matches_recompute(self, keys, w):
+        import numpy as np
+
+        from rp_extract_ray.stages.splits import _hash32, replicate_weighted
+
+        df = pd.DataFrame(
+            {"k": np.asarray(sorted(set(keys)), dtype=np.int64), "g": "a"}
+        )
+        out = replicate_weighted(_ds(df, 2), "k", "g", {"a": w}).to_pandas()
+        h = _hash32(df["k"].to_numpy(np.int64), 1)
+        exp = int(np.floor(w)) + (
+            h < np.uint64(int((w - np.floor(w)) * 2**32))
+        ).astype(np.int64)
+        if len(out) == 0:
+            # Ray to_pandas drops the schema when every output block is
+            # empty (a from_pandas+repartition harness quirk) — assert the
+            # recompute agrees that nothing should survive
+            assert exp.sum() == 0
+            return
+        got = out.groupby("k").size().reindex(df["k"], fill_value=0).to_numpy()
+        assert (got == exp).all()
+
+
+class TestSetOpProperties:
+    @settings(max_examples=20, deadline=None)
+    @given(
+        a=st.lists(st.integers(min_value=-50, max_value=50), max_size=80),
+        b=st.lists(st.integers(min_value=-50, max_value=50), max_size=80),
+    )
+    def test_matches_python_sets(self, a, b):
+        import numpy as np
+
+        da = _ds(pd.DataFrame({"k": pd.array(a, dtype="int64")}), 2)
+        db = _ds(pd.DataFrame({"k": pd.array(b, dtype="int64")}), 2)
+        sa, sb = set(a), set(b)
+        for op, exp in (
+            ("intersect", sa & sb),
+            ("except", sa - sb),
+            ("union", sa | sb),
+        ):
+            pdf = distinct_set_op(da, db, on="k", op=op).to_pandas()
+            # empty-result schema quirk: see TestSplitProperties note
+            got = sorted(pdf["k"]) if len(pdf) else []
+            assert got == sorted(exp), op
