@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_corr": R.q_group_corr,
         "unpivot": R.q_unpivot,
         "event_paths": E.q_event_paths,
+        "cooccurrence": E.q_cooccurrence,
+        "embedding_norms": D.q_embedding_norms,
         # text analysis / dedup / similarity (training-data extensions)
         "hash_split": D.q_hash_split,
         "mix_weighted": D.q_mix_weighted,
@@ -999,6 +1001,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    string_agg(event_type, '|' ORDER BY ts, event_id) AS path
             FROM events GROUP BY user_id""",
+        "cooccurrence": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS e1, b.event_type AS e2,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2""",
+        "embedding_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_sum(list_transform(
+                       embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                   ))), 6) AS l2
+            FROM embeddings""",
         "hash_split": """
             SELECT doc_id, source,
                    CASE WHEN b < 8000 THEN 'train'

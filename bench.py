@@ -55,10 +55,11 @@ QUERY_NAMES = [
     "char_entropy", "edit_distance_pairs", "tpch_q3", "tpch_q6",
     "order_count_dist", "large_orders", "priority_returns",
     "embedding_covariance", "pca_variance", "lm_score", "knn_lsh",
-    # round-5 session-3 additions (62 -> 74 names)
+    # round-5 session-3 additions (62 -> 76 names)
     "tpch_q5", "tpch_q14", "histogram", "intersect_keys", "except_keys",
     "event_paths", "hash_split", "mix_weighted", "replicate_weighted",
-    "domain_cap", "weighted_avg", "profile_columns",
+    "domain_cap", "weighted_avg", "profile_columns", "cooccurrence",
+    "embedding_norms",
 ]
 
 

@@ -704,3 +704,29 @@ def q_domain_cap(sf_dir: str, cap: int = 10) -> Dataset:
         k=cap,
     )
     return capped.drop_columns(["_h"])
+
+
+def q_embedding_norms(sf_dir: str) -> Dataset:
+    """Per-vector L2 norm over the embedding column — the standalone gate
+    for the zero-copy list<float> -> (n, d) matrix kernel every similarity
+    stage shares (stages/simsearch._as_matrix). Stateless vectorized map;
+    oracle computes the same norm with DuckDB list kernels."""
+    from rp_extract_ray.functions.rounding import round_half_away
+    from rp_extract_ray.sources.pqio import read_parquet_clean
+    from rp_extract_ray.stages.simsearch import _as_matrix
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def norms(b: pa.Table) -> pa.Table:
+        m = _as_matrix(b.column("embedding"))
+        v = np.linalg.norm(m, axis=1)
+        return pa.table(
+            {
+                "vec_id": b.column("vec_id"),
+                "l2": pa.array(round_half_away(v, 6)),
+            }
+        )
+
+    return ds.map_batches(norms, batch_format="pyarrow")

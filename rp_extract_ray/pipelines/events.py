@@ -845,3 +845,16 @@ def q_event_paths(sf_dir: str) -> Dataset:
         ds, ENTITY, "event_type", order_cols=ORDER, sep="|",
         out_name="path", num_partitions=NP,
     )
+
+
+def q_cooccurrence(sf_dir: str) -> Dataset:
+    """Event-type co-membership matrix: for each unordered pair of event
+    types, how many users exhibit both (stages/groupops.cooccurrence_pairs
+    — the market-basket complement of the ORDERED transition matrix).
+    Oracle: distinct-pair self-join."""
+    from rp_extract_ray.stages.groupops import cooccurrence_pairs
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    return cooccurrence_pairs(
+        ds, ENTITY, "event_type", out_names=("e1", "e2"), num_partitions=NP
+    )

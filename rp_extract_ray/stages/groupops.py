@@ -670,3 +670,73 @@ def grouped_string_agg(
         order_cols=tuple(order_cols),
         num_partitions=num_partitions or 32,
     )
+
+
+def cooccurrence_pairs(
+    ds: Dataset,
+    key: str,
+    item: str,
+    *,
+    out_names: "tuple[str, str]" = ("item1", "item2"),
+    count_name: str = "n",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Within-group item co-occurrence counts (market-basket shape): for
+    every unordered pair of DISTINCT items appearing under the same key,
+    count how many keys contain both. SQL shape: distinct (key, item)
+    self-joined on key with ``item1 < item2``. Reference analogue: none —
+    the nearest is the transition matrix (stages/lag.py), which counts
+    ORDERED adjacent pairs; this is the set-co-membership complement.
+
+    Scale: per-block arrow distinct shrinks stage 1 to distinct pairs per
+    block; ONE keyed exchange co-locates each key's items; the in-partition
+    self-merge is pandas' C hash join whose output is bounded by
+    sum(items_per_key^2) — safe while per-key item cardinality is small
+    (event vocabularies, tags, SKU baskets), which is the op's domain. The
+    final reduction is a second exchange bounded by the pair vocabulary.
+    """
+    import pyarrow as pa
+
+    from rp_extract_ray.stages.partition import partitioned_apply
+
+    i1, i2 = out_names
+
+    def local_distinct(b: pa.Table) -> pa.Table:
+        t = b.select([key, item]).group_by([key, item], use_threads=False)
+        return t.aggregate([]).rename_columns([key, item])
+
+    pairs_in = ds.map_batches(local_distinct, batch_format="pyarrow")
+
+    def explode(pdf: pd.DataFrame, starts) -> pd.DataFrame:
+        # global per-key distinct (blocks may repeat a pair), then the
+        # C-level self-merge; the i1 < i2 filter halves + dedups pairs
+        d = pdf[[key, item]].drop_duplicates()
+        m = d.merge(d, on=key, suffixes=("_a", "_b"))
+        m = m[m[f"{item}_a"] < m[f"{item}_b"]]
+        g = (
+            m.groupby([f"{item}_a", f"{item}_b"], sort=False)
+            .size()
+            .reset_index(name=count_name)
+        )
+        return g.rename(columns={f"{item}_a": i1, f"{item}_b": i2})
+
+    partial = partitioned_apply(
+        pairs_in,
+        explode,
+        entity_col=key,
+        order_cols=(),
+        num_partitions=num_partitions or 32,
+    )
+    out = grouped_reduce(
+        partial, [i1, i2], {count_name: (count_name, "sum")},
+        combine_first=False, num_partitions=num_partitions,
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.column_names.index(count_name),
+            count_name,
+            b.column(count_name).cast(pa.int64()),
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")

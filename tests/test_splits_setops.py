@@ -351,3 +351,52 @@ class TestSetOpProperties:
             # empty-result schema quirk: see TestSplitProperties note
             got = sorted(pdf["k"]) if len(pdf) else []
             assert got == sorted(exp), op
+
+
+class TestCooccurrence:
+    def test_matches_pandas_selfjoin(self):
+        from rp_extract_ray.stages.groupops import cooccurrence_pairs
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame(
+            {
+                "u": rng.integers(0, 40, 600),
+                "it": rng.choice(list("abcde"), 600),
+            }
+        )
+        got = (
+            cooccurrence_pairs(_ds(df, 4), "u", "it", out_names=("e1", "e2"))
+            .to_pandas()
+            .sort_values(["e1", "e2"])
+            .reset_index(drop=True)
+        )
+        d = df.drop_duplicates()
+        m = d.merge(d, on="u")
+        m = m[m["it_x"] < m["it_y"]]
+        exp = (
+            m.groupby(["it_x", "it_y"]).size().reset_index(name="n")
+            .rename(columns={"it_x": "e1", "it_y": "e2"})
+            .sort_values(["e1", "e2"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got.astype({"n": "int64"}), exp.astype({"n": "int64"}))
+
+    def test_partition_invariance(self):
+        from rp_extract_ray.stages.groupops import cooccurrence_pairs
+
+        df = pd.DataFrame(
+            {"u": [1, 1, 1, 2, 2, 3], "it": ["a", "b", "a", "b", "c", "a"]}
+        )
+        outs = []
+        for blocks in (1, 6):
+            o = (
+                cooccurrence_pairs(
+                    _ds(df, blocks), "u", "it", num_partitions=5
+                )
+                .to_pandas().sort_values(["item1", "item2"]).reset_index(drop=True)
+            )
+            outs.append(o)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        # user 1 = {a,b}, user 2 = {b,c}, user 3 = {a}
+        assert outs[0].set_index(["item1", "item2"])["n"].to_dict() == {
+            ("a", "b"): 1, ("b", "c"): 1
+        }
