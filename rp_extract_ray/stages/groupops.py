@@ -660,7 +660,11 @@ def grouped_string_agg(
     out_name = out_name or f"{val}_path"
 
     def agg(pdf: pd.DataFrame, starts) -> pd.DataFrame:
-        g = pdf.groupby(key, sort=False, dropna=False)[val].agg(sep.join)
+        # SQL string_agg skips NULL values but keeps the group (an all-null
+        # group aggregates to NULL); ''.join would TypeError on None instead
+        g = pdf.groupby(key, sort=False, dropna=False)[val].agg(
+            lambda s: sep.join(s.dropna()) if s.notna().any() else None
+        )
         return g.reset_index().rename(columns={val: out_name})
 
     return partitioned_apply(

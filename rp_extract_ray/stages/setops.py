@@ -40,10 +40,18 @@ def distinct_set_op(
     from rp_extract_ray.stages.groupops import grouped_reduce
 
     right_on = right_on or on
+    # the union below needs ONE key type; unify the right side to the
+    # left's (int32 keys meeting int64 keys is routine schema drift)
+    try:
+        left_type = left.schema().base_schema.field(on).type
+    except Exception:
+        left_type = None
 
     def tag(side_a: bool):
         def f(b: pa.Table) -> pa.Table:
             keys = b.column(on if side_a else right_on)
+            if not side_a and left_type is not None and keys.type != left_type:
+                keys = keys.cast(left_type)
             one = pa.array([1] * len(b), type=pa.int8())
             zero = pa.array([0] * len(b), type=pa.int8())
             return pa.table(

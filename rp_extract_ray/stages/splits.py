@@ -160,6 +160,9 @@ def value_histogram(
     """
     from rp_extract_ray.stages.groupops import grouped_reduce
 
+    if not width > 0:
+        raise ValueError(f"width must be > 0, got {width}")
+
     def binit(b: pa.Table) -> pa.Table:
         v = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
         bins = np.floor((v - origin) / width).astype(np.int64)

@@ -400,3 +400,38 @@ class TestCooccurrence:
         assert outs[0].set_index(["item1", "item2"])["n"].to_dict() == {
             ("a", "b"): 1, ("b", "c"): 1
         }
+
+
+class TestHardening:
+    def test_string_agg_skips_nulls_keeps_group(self):
+        from rp_extract_ray.stages.groupops import grouped_string_agg
+
+        df = pd.DataFrame(
+            {
+                "u": [1, 1, 1, 2, 2],
+                "t": [1, 2, 3, 1, 2],
+                "e": ["a", None, "c", None, None],
+            }
+        )
+        out = (
+            grouped_string_agg(
+                _ds(df, 2), "u", "e", order_cols=("t",), out_name="p",
+                num_partitions=3,
+            )
+            .to_pandas().sort_values("u").reset_index(drop=True)
+        )
+        assert out["p"].iloc[0] == "a|c"
+        assert pd.isna(out["p"].iloc[1])  # all-null group -> NULL, row kept
+
+    def test_setop_mixed_key_dtypes(self):
+        a = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64())}))
+        b = rd.from_arrow(pa.table({"k": pa.array([2, 4], pa.int32())}))
+        out = distinct_set_op(a, b, on="k", op="intersect").to_pandas()
+        assert sorted(out["k"]) == [2]
+
+    def test_histogram_bad_width_raises(self):
+        ds = _ds(pd.DataFrame({"v": [1.0]}))
+        with pytest.raises(ValueError):
+            value_histogram(ds, "v", 0.0)
+        with pytest.raises(ValueError):
+            value_histogram(ds, "v", -1.0)
