@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": R.q_tpch_q3,
         "tpch_q6": R.q_tpch_q6,
         "tpch_q5": R.q_tpch_q5,
+        "tpch_q10": R.q_tpch_q10,
         "tpch_q14": R.q_tpch_q14,
         "histogram": R.q_histogram,
         "intersect_keys": R.q_intersect_keys,
@@ -974,6 +975,20 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n_name""",
+        # round-then-topk ordering, same contract as tpch_q3's oracle
+        "tpch_q10": """
+            SELECT c_custkey, c_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   c_acctbal, n_name
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20""",
         "tpch_q14": """
             SELECT round(
                 100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'

@@ -1166,3 +1166,79 @@ def q_profile_columns(sf_dir: str) -> "pd.DataFrame":
     out["vmin"] = round_half_away(out["vmin"].to_numpy(), 6)
     out["vmax"] = round_half_away(out["vmax"].to_numpy(), 6)
     return out
+
+
+def q_tpch_q10(sf_dir: str, k: int = 20) -> "pd.DataFrame":
+    """TPC-H Q10 shape (returned-item revenue, 4-table join + grouped sum +
+    top-k): revenue of RETURNED lineitems per customer for orders in one
+    quarter, annotated with the customer's nation. Shuffle-minimal plan:
+    returned-lineitem revenue pre-aggregates per orderkey, the
+    window-filtered orders attach o_custkey through the size-hint join
+    (broadcast-collapsed under the budget, hash exchange above it), the
+    per-customer reduction is a distinct-custkeys exchange, customer/nation
+    attributes broadcast, and the top-k is per-block partials — no global
+    sort, no full-table shuffle besides the one orderkey exchange."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.join import repartition_join
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1996, 4, 1), type=pa.timestamp("us"))
+
+    def rev(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        r = pc.multiply(
+            f.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), f.column("l_discount")),
+        )
+        return pa.table({"l_orderkey": f.column("l_orderkey"), "rev": r})
+
+    line = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(rev, batch_format="pyarrow")
+    per_order = grouped_reduce(line, "l_orderkey", {"rev": ("rev", "sum")})
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), lo),
+                pc.less(b.column("o_orderdate"), hi),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    hint = _read(sf_dir, "orders", ["o_orderkey"])._meta_count()
+    j = repartition_join(
+        per_order, orders, on="l_orderkey", right_on="o_orderkey",
+        right_cols=["o_orderkey", "o_custkey"],
+        size_hint=hint, broadcast_limit=2_000_000,
+    )
+    per_cust = grouped_reduce(
+        j.select_columns(["o_custkey", "rev"]),
+        "o_custkey",
+        {"revenue": ("rev", "sum")},
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    annotated = broadcast_join(
+        _round_cols(per_cust, {"revenue": 2}),
+        dim[["c_custkey", "c_name", "c_acctbal", "n_name"]],
+        on="o_custkey", small_on="c_custkey",
+        value_cols=["c_name", "c_acctbal", "n_name"],
+    )
+    out = distributed_topk(annotated, ["revenue", "o_custkey"], [True, False], k)
+    out = out.rename(columns={"o_custkey": "c_custkey"})
+    return out[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]]
