@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6": R.q_tpch_q6,
         "tpch_q5": R.q_tpch_q5,
         "tpch_q10": R.q_tpch_q10,
+        "tpch_q18": R.q_tpch_q18,
         "tpch_q14": R.q_tpch_q14,
         "histogram": R.q_histogram,
         "intersect_keys": R.q_intersect_keys,
@@ -989,6 +990,18 @@ def oracle_sql() -> dict[str, str]:
               AND l_returnflag = 'R'
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        # HAVING-sum gate decorrelated; round-then-topk like tpch_q3/q10
+        "tpch_q18": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey HAVING sum(l_quantity) > 150.0)
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+            ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""",
         "tpch_q14": """
             SELECT round(
                 100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'

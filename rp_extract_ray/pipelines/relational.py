@@ -1242,3 +1242,53 @@ def q_tpch_q10(sf_dir: str, k: int = 20) -> "pd.DataFrame":
     out = distributed_topk(annotated, ["revenue", "o_custkey"], [True, False], k)
     out = out.rename(columns={"o_custkey": "c_custkey"})
     return out[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]]
+
+
+def q_tpch_q18(sf_dir: str, threshold: float = 150.0, k: int = 100) -> "pd.DataFrame":
+    """TPC-H Q18 shape (large-volume orders: HAVING-sum gate + join-back +
+    top-k). Plan: ONE distinct-orderkeys exchange computes per-order quantity
+    sums; the HAVING filter runs on the already-aggregated rows (so the
+    decorrelated `IN (GROUP BY .. HAVING)` subquery costs nothing extra —
+    the aggregate IS the key set); surviving orders attach their attributes
+    through the size-hint join, the customer name broadcasts, and the top-k
+    is per-block partials. Total shuffle volume: one orderkey exchange of
+    (key, sum) pairs."""
+    import pyarrow.parquet as pq
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.join import repartition_join
+
+    per_order = grouped_reduce(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
+        "l_orderkey",
+        {"sum_qty": ("l_quantity", "sum")},
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b.column("sum_qty"), pa.scalar(threshold))),
+        batch_format="pyarrow",
+    )
+
+    hint = _read(sf_dir, "orders", ["o_orderkey"])._meta_count()
+    j = repartition_join(
+        per_order,
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+        on="l_orderkey", right_on="o_orderkey",
+        right_cols=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        size_hint=hint, broadcast_limit=2_000_000,
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    annotated = broadcast_join(
+        _round_cols(j, {"sum_qty": 2}),
+        cust, on="o_custkey", small_on="c_custkey", value_cols=["c_name"],
+    )
+    out = distributed_topk(
+        annotated,
+        ["o_totalprice", "o_orderdate", "l_orderkey"],
+        [True, False, False],
+        k,
+    )
+    out = out.rename(columns={"l_orderkey": "o_orderkey", "o_custkey": "c_custkey"})
+    return out[
+        ["c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]
+    ]
