@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot": E.q_pivot,
         "group_standardize": E.q_group_standardize,
         "cumulative": E.q_cumulative,
+        "feature_matrix": E.q_feature_matrix,
         "rank_features": E.q_rank_features,
         "standardize": E.q_standardize,
         "merge_intervals": E.q_merge_intervals,
@@ -845,6 +846,30 @@ def oracle_sql() -> dict[str, str]:
                    round(percent_rank() OVER wv, 6) AS value_prank
             FROM events
             WINDOW wv AS (PARTITION BY user_id ORDER BY value)""",
+        # feature-store spine: chained ASOF joins; equal-ts dup collapse via
+        # per-column max on both sides (same contract as asof_backward)
+        "feature_matrix": f"""
+            WITH s AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type='purchase'),
+                 c AS (SELECT user_id, ts, max(value) AS f_click_value
+                       FROM events WHERE event_type='click'
+                       GROUP BY user_id, ts),
+                 cum0 AS (SELECT user_id, ts,
+                                 sum(value) OVER w AS csum,
+                                 count(value) OVER w AS ccount
+                          FROM events
+                          WINDOW w AS ({_W} ROWS UNBOUNDED PRECEDING)),
+                 cum AS (SELECT user_id, ts,
+                                max(csum) AS f_sum_todate,
+                                CAST(max(ccount) AS BIGINT) AS f_n_todate
+                         FROM cum0 GROUP BY user_id, ts)
+            SELECT s.event_id, s.user_id, s.ts,
+                   round(c.f_click_value, 6) AS f_click_value,
+                   round(m.f_sum_todate, 6) AS f_sum_todate,
+                   m.f_n_todate
+            FROM s
+            ASOF LEFT JOIN c ON s.user_id = c.user_id AND s.ts >= c.ts
+            ASOF LEFT JOIN cum m ON s.user_id = m.user_id AND s.ts >= m.ts""",
         "backfill": f"""
             SELECT event_id, user_id, ts,
                    last_value(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)

@@ -383,6 +383,100 @@ def q_ewma(sf_dir: str, alpha: float = 0.25, window: int = 8) -> Dataset:
     return _round(ds, {"value_ewma": 6})
 
 
+def q_feature_matrix(sf_dir: str) -> Dataset:
+    """Feature-store ``get_historical_features`` gate: one label spine
+    (purchase events) point-in-time joined against TWO feature views —
+    (a) the entity's latest click value, (b) running to-date aggregates
+    (count + sum of value over ALL events) — as chained backward as-of
+    joins. The to-date view is the precompute-then-asof pattern: running
+    aggregates materialize once per event row (one entity exchange), and
+    serving points read them as-of, never recomputing windows per spine
+    row. Zero leakage: backward direction, ties include the as-of row
+    itself (SQL ``ASOF JOIN .. >=`` semantics); equal-ts duplicates
+    collapse per column via ``dedup_right='max'`` on BOTH sides of the
+    oracle contract. Every stage partitions by the SAME entity key, so at
+    scale the three exchanges share one partitioning and the spine never
+    re-shuffles a payload column."""
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.stages.lag import add_cumulative_features
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def spine_f(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("event_type"), "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        )
+
+    def click_f(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("event_type"), "click"))
+        return pa.table(
+            {
+                "user_id": f.column("user_id"),
+                "ts": f.column("ts"),
+                "f_click_value": f.column("value"),
+            }
+        )
+
+    spine = ev.map_batches(spine_f, batch_format="pyarrow")
+    clicks = ev.map_batches(click_f, batch_format="pyarrow")
+
+    cum = add_cumulative_features(
+        _events(sf_dir, ["event_id", "ts", "user_id", "value"]),
+        ["value"], entity_col=ENTITY, order_cols=ORDER, num_partitions=NP,
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "f_sum_todate": b.column("value_csum"),
+                "f_n_todate": b.column("value_ccount"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    out = asof_join(
+        spine, clicks, entity_col=ENTITY, ts_col="ts",
+        right_value_cols=["f_click_value"], direction="backward",
+        dedup_right="max", num_partitions=NP,
+    )
+    left_schema = pa.schema(
+        [
+            pa.field("event_id", pa.int64()),
+            pa.field("user_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("f_click_value", pa.float64()),
+        ]
+    )
+    out = asof_join(
+        out, cum, entity_col=ENTITY, ts_col="ts",
+        right_value_cols=["f_sum_todate", "f_n_todate"], direction="backward",
+        dedup_right="max", num_partitions=NP, left_schema=left_schema,
+    )
+
+    # the spine's own event row is always in the to-date view at the same
+    # ts, so these never miss — pin the count back to int64 regardless of
+    # the merge kernel's null-capable upcast
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("f_n_todate")
+        if not pa.types.is_integer(n.type):
+            n = pc.cast(pc.round(n), pa.int64(), safe=False)
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "f_click_value": b.column("f_click_value"),
+                "f_sum_todate": b.column("f_sum_todate"),
+                "f_n_todate": n,
+            }
+        )
+
+    out = out.map_batches(finish, batch_format="pyarrow")
+    return _round(out, {"f_click_value": 6, "f_sum_todate": 6})
+
+
 def q_cumulative(sf_dir: str) -> Dataset:
     """Running sum/count/min/max of value per user (ROWS UNBOUNDED
     PRECEDING semantics, stages/lag.cumulative_within)."""

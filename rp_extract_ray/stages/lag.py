@@ -118,19 +118,23 @@ def cumulative_within(
 ) -> dict[str, np.ndarray]:
     """Running (unbounded-preceding) sum / count / min / max of ``col``
     within each entity run — SQL ``ROWS UNBOUNDED PRECEDING`` semantics,
-    null values skipped. Sum/count are cumsum-minus-run-base (pure numpy);
-    min/max use pandas' C groupby cummin/cummax keyed by the run start
-    index (unique per run)."""
+    null values skipped. Count is cumsum-minus-run-base (pure numpy, exact
+    in int64); the float sum uses pandas' C groupby cumsum keyed by the run
+    start index, NOT the partition-global cumsum-minus-base trick — the
+    global prefix mixes every earlier entity's magnitudes into the
+    subtraction, so one entity with ~1e9 values catastrophically cancels a
+    later entity's ~1e1 sums (caught by the feature_matrix
+    future-poisoning test). Min/max likewise use groupby cummin/cummax."""
     v = pdf[col].to_numpy(dtype=np.float64)
     notnull = ~np.isnan(v)
-    cs = np.cumsum(np.where(notnull, v, 0.0))
     cn = np.cumsum(notnull.astype(np.int64))
-    idx = np.arange(len(v))
-    base_s = cs[starts] - np.where(notnull[starts], v[starts], 0.0)
     base_n = cn[starts] - notnull[starts].astype(np.int64)
     g = pd.Series(v).groupby(starts)
+    csum = (
+        pd.Series(np.where(notnull, v, 0.0)).groupby(starts).cumsum().to_numpy()
+    )
     return {
-        f"{col}_csum": cs - base_s,
+        f"{col}_csum": csum,
         f"{col}_ccount": cn - base_n,
         f"{col}_cmin": g.cummin().to_numpy(),
         f"{col}_cmax": g.cummax().to_numpy(),

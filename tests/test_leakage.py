@@ -203,3 +203,61 @@ def test_salted_fused_future_poisoning(corpus):
         b = dirty.loc[past, c].to_numpy(dtype=np.float64)
         same = (a == b) | (np.isnan(a) & np.isnan(b))
         assert same.all(), (c, np.flatnonzero(~same)[:5])
+
+
+def test_feature_matrix_future_poisoning(tmp_path):
+    """The feature-store gate (pipelines/events.q_feature_matrix): spine
+    features at as-of points <= t0 are bit-identical when every event after
+    t0 is corrupted (value blown up, types scrambled)."""
+    import pandas as pd
+
+    from rp_extract_ray.pipelines.events import q_feature_matrix
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    ts = pd.Timestamp("2024-01-01").value // 1000 + np.sort(
+        rng.integers(0, 90 * 86_400_000_000, size=n)
+    )
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(ts, unit="us"),
+            "user_id": rng.integers(0, 60, size=n).astype(np.int64),
+            "event_type": rng.choice(
+                ["click", "purchase", "view", "error"], size=n
+            ),
+            "value": np.round(rng.uniform(0.01, 50.0, size=n), 4),
+            "props": "{}",
+        }
+    )
+    # force some equal-ts duplicates so the dedup_right='max' contract is hit
+    pdf.loc[100:140, "ts"] = pdf.loc[99, "ts"]
+
+    t0 = pdf["ts"].quantile(0.5)
+    dirty = pdf.copy()
+    fut = dirty["ts"] > t0
+    assert fut.any() and (~fut).any()
+    dirty.loc[fut, "value"] = 1e9
+    dirty.loc[fut, "event_type"] = rng.permutation(
+        dirty.loc[fut, "event_type"].to_numpy()
+    )
+
+    def run(frame, name):
+        d = tmp_path / name
+        d.mkdir()
+        frame.to_parquet(d / "events.parquet", index=False)
+        return (
+            q_feature_matrix(str(d))
+            .to_pandas()
+            .sort_values(["event_id"], ignore_index=True)
+        )
+
+    a, b = run(pdf, "clean"), run(dirty, "dirty")
+    past_a = a[a["ts"] <= t0].reset_index(drop=True)
+    past_b = b[b["ts"] <= t0].reset_index(drop=True)
+    assert len(past_a) == len(past_b) and len(past_a) > 100
+    for c in ("f_click_value", "f_sum_todate", "f_n_todate"):
+        x = past_a[c].to_numpy(dtype=np.float64)
+        y = past_b[c].to_numpy(dtype=np.float64)
+        same = (x == y) | (np.isnan(x) & np.isnan(y))
+        assert same.all(), (c, np.flatnonzero(~same)[:5])
