@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract": E.q_json_extract,
         "langid": D.q_langid,
         "fingerprint": D.q_fingerprint,
+        "dup_spans": D.q_dup_spans,
         "minhash_pairs": D.q_minhash_pairs,
         "ngram_jaccard_pairs": D.q_ngram_jaccard,
         "contamination": D.q_contamination,
@@ -1668,6 +1669,24 @@ def oracle_sql() -> dict[str, str]:
         # (pipelines/oracle_literals.py; the golden-vector doctest strategy,
         # /root/reference/rp_extract.py:424-445)
         "fingerprint": _lit.fingerprint_sql(),
+        # span-level dedup: 40-char window explode; a span is duplicated iff
+        # it occurs in >=2 distinct docs (min != max doc id)
+        "dup_spans": """
+            WITH w AS (
+              SELECT doc_id,
+                     substr(text, CAST(u.i AS BIGINT) * 40 + 1, 40) AS win
+              FROM (SELECT doc_id, text,
+                           range(CAST(floor(length(text) / 40) AS BIGINT))
+                             AS idxs
+                    FROM documents),
+                   UNNEST(idxs) AS u(i)),
+                 d AS (SELECT win FROM w
+                       GROUP BY win HAVING min(doc_id) <> max(doc_id))
+            SELECT w.doc_id AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(count(d.win) AS BIGINT) AS n_dup_windows
+            FROM w LEFT JOIN d USING (win)
+            GROUP BY w.doc_id""",
         "kmeans_clusters": _lit.kmeans_sql(),
         "pca_variance": _lit.pca_variance_sql(),
         # covar_pop over index-exploded vectors; round-6 on both sides

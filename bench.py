@@ -60,8 +60,8 @@ QUERY_NAMES = [
     "event_paths", "hash_split", "mix_weighted", "replicate_weighted",
     "domain_cap", "weighted_avg", "profile_columns", "cooccurrence",
     "embedding_norms",
-    # round-5 session-4 additions (76 -> 79 names)
-    "tpch_q10", "tpch_q18", "feature_matrix",
+    # round-5 session-4 additions (76 -> 80 names)
+    "tpch_q10", "tpch_q18", "feature_matrix", "dup_spans",
 ]
 
 

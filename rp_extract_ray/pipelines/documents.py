@@ -730,3 +730,14 @@ def q_embedding_norms(sf_dir: str) -> Dataset:
         )
 
     return ds.map_batches(norms, batch_format="pyarrow")
+
+
+def q_dup_spans(sf_dir: str) -> Dataset:
+    """Cross-document repeated-span counts (stages/dedup.dup_span_counts):
+    per windowed doc, total 40-char windows and how many are substrings
+    shared verbatim with at least one OTHER document — the span-level
+    training-data dedup signal. Oracle: UNNEST(range()) window explode +
+    min/max-doc HAVING + LEFT-JOIN count in SQL."""
+    from rp_extract_ray.stages.dedup import dup_span_counts
+
+    return dup_span_counts(_docs(sf_dir, ["doc_id", "text"]), width=40)

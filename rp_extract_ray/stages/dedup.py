@@ -1765,3 +1765,158 @@ def latest_per_key(
     return partitioned_apply(
         part, fin, entity_col=key_col, order_cols=ocols, **kw
     )
+
+
+def dup_span_counts(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 40,
+    num_partitions: int | None = None,
+    driver_budget: int = 5_000_000,
+) -> Dataset:
+    """Cross-document repeated-span detection (the span-level training-data
+    dedup primitive: find fixed-width substrings shared across documents, the
+    hash-bucketed approximation of suffix-array substring dedup).
+
+    Text is tiled into non-overlapping ``width``-CHARACTER windows (docs
+    shorter than one window drop out, matching the SQL oracle); a window is
+    a duplicate span iff the identical substring occurs in >= 2 DISTINCT
+    documents. Returns one row per windowed doc:
+    ``(id_col, n_windows, n_dup_windows)``.
+
+    Plan (shuffle-minimal):
+
+    1. explode: one vectorized pass per batch builds a flat UTF-32 codepoint
+       array and gathers all windows as a single (n_windows, width) uint32
+       matrix, emitted zero-copy as a ``fixed_size_binary(width*4)`` column —
+       byte equality of the blobs IS substring equality; no per-row Python.
+    2. dup-span set: per-block DISTINCT (win, doc) pairs (arrow hash
+       aggregate), then ONE win-keyed ``grouped_reduce`` of min/max doc id —
+       ``min != max`` ⟺ >= 2 distinct docs without a distinct-count
+       accumulator.
+    3. the dup-win set broadcasts (``ray.put`` once; asserted under
+       ``driver_budget`` — above it, swap stage 3 for the distributed
+       ``semi_anti_join`` Dataset path, same contract) and a second explode
+       pass counts matching windows per doc; per-doc totals come straight
+       from ``utf8_length // width`` with NO exchange (ids are unique).
+
+    Shuffle volume: one exchange of distinct (win, doc) pairs — bounded by
+    corpus chars / width rows — plus one tiny doc-keyed count exchange.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.join import broadcast_join
+
+    bw = width * 4
+    bin_t = pa.binary(bw)
+
+    def explode(b: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(b.column(text_col)).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+        n_wins = lens // width
+        tot = int(n_wins.sum())
+        if tot == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "win": pa.array([], bin_t)}
+            )
+        texts = b.column(text_col).to_pylist()
+        joined = "".join(t if t is not None else "" for t in texts)
+        flat = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
+        doc_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        doc_idx = np.repeat(np.arange(len(lens)), n_wins)
+        run_base = np.repeat(
+            np.concatenate([[0], np.cumsum(n_wins)[:-1]]), n_wins
+        )
+        within = np.arange(tot) - run_base
+        starts = doc_starts[doc_idx] + within * width
+        mat = np.ascontiguousarray(flat[starts[:, None] + np.arange(width)[None, :]])
+        win = pa.Array.from_buffers(
+            bin_t, tot, [None, pa.py_buffer(mat.tobytes())]
+        )
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)[doc_idx]
+        return pa.table({id_col: pa.array(ids), "win": win})
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        return explode(b).group_by(["win", id_col], use_threads=False).aggregate([])
+
+    kw = {} if num_partitions is None else {"num_partitions": num_partitions}
+    reduced = grouped_reduce(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow"),
+        "win",
+        {"dmin": (id_col, "min"), "dmax": (id_col, "max")},
+        **kw,
+    )
+    dup = reduced.map_batches(
+        lambda b: b.filter(
+            pc.not_equal(b.column("dmin"), b.column("dmax"))
+        ).select(["win"]),
+        batch_format="pyarrow",
+    )
+    dup_pdf = dup.to_pandas()
+    if len(dup_pdf) > driver_budget:
+        raise ValueError(
+            f"dup-span set ({len(dup_pdf)} wins) exceeds driver_budget="
+            f"{driver_budget}; use the distributed semi_anti_join path"
+        )
+    dup_set = pa.array(list(dup_pdf["win"]), type=bin_t)
+    set_ref = ray.put(dup_set)
+
+    def count_dups(b: pa.Table) -> pa.Table:
+        e = explode(b)
+        hit = e.filter(pc.is_in(e.column("win"), value_set=ray.get(set_ref)))
+        if hit.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "n_dup_windows": pa.array([], pa.int64())}
+            )
+        r = hit.group_by([id_col], use_threads=False).aggregate([([], "count_all")])
+        return pa.table(
+            {id_col: r.column(id_col), "n_dup_windows": r.column("count_all")}
+        )
+
+    ndup = grouped_reduce(
+        ds.map_batches(count_dups, batch_format="pyarrow"),
+        id_col,
+        {"n_dup_windows": ("n_dup_windows", "sum")},
+        **kw,
+    ).to_pandas()
+
+    def totals(b: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(b.column(text_col)).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+        n = lens // width
+        keep = n > 0
+        return pa.table(
+            {
+                id_col: b.column(id_col).filter(pa.array(keep)),
+                "n_windows": pa.array(n[keep]),
+            }
+        )
+
+    out = ds.map_batches(totals, batch_format="pyarrow")
+    out = broadcast_join(
+        out, ndup, on=id_col, value_cols=["n_dup_windows"], how="left"
+    )
+
+    def fill(b: pa.Table) -> pa.Table:
+        col = b.column("n_dup_windows")
+        if pa.types.is_null(col.type):
+            # a block where NO doc had a dup window arrives as an all-null
+            # untyped column (pandas merge-miss -> arrow null type)
+            nd = pa.array(np.zeros(b.num_rows, np.int64))
+        else:
+            vals = col.to_numpy(zero_copy_only=False).astype(np.float64)
+            nd = pa.array(np.nan_to_num(vals, nan=0.0).astype(np.int64))
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "n_windows": b.column("n_windows"),
+                "n_dup_windows": nd,
+            }
+        )
+
+    return out.map_batches(fill, batch_format="pyarrow")

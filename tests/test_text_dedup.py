@@ -762,3 +762,59 @@ def test_redact_pii():
     assert out.loc[2, "text"] == ""  # null -> scrubbed empty
     assert out.loc[3, "text"] == "clean text"
     assert out[["n_emails", "n_urls", "n_phones"]].to_numpy().sum() == 3
+
+
+def test_dup_span_counts_longhand():
+    """dup_span_counts == a pure-Python substring recompute, including
+    multibyte codepoints, null/empty/short docs, and within-doc repeats
+    (a window repeated only inside ONE doc is not a duplicate span)."""
+    from rp_extract_ray.stages.dedup import dup_span_counts
+
+    w = 5
+    base = "abcdefghij" * 3          # 30 chars -> 6 windows
+    uni = "日本語テキスト中文内容試験" * 3  # multibyte, 36 chars
+    docs = [
+        base,                         # 0: shares all windows with 1
+        base + "XYZ",                 # 1: trailing partial window ignored
+        uni,                          # 2: shares with 3
+        uni[:20],                     # 3: prefix of 2 (4 windows)
+        "tiny",                       # 4: shorter than width -> dropped
+        None,                         # 5: null -> dropped
+        "",                           # 6: empty -> dropped
+        "qqqqq" * 4,                  # 7: within-doc repeat only -> 0 dups
+        "zz" + base[: w * 2],         # 8: offset by 2 -> windows differ
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs})
+    out = (
+        dup_span_counts(
+            rd.from_pandas(df).repartition(3), width=w, num_partitions=4
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    # longhand recompute
+    wins = {}
+    per_doc = {}
+    for i, t in enumerate(docs):
+        if not t or len(t) < w:
+            continue
+        ws = [t[j * w : (j + 1) * w] for j in range(len(t) // w)]
+        per_doc[i] = ws
+        for x in set(ws):
+            wins.setdefault(x, set()).add(i)
+    dup = {x for x, s in wins.items() if len(s) > 1}
+    exp = pd.DataFrame(
+        {
+            "doc_id": np.array(sorted(per_doc), dtype=np.int64),
+            "n_windows": [len(per_doc[i]) for i in sorted(per_doc)],
+            "n_dup_windows": [
+                sum(x in dup for x in per_doc[i]) for i in sorted(per_doc)
+            ],
+        }
+    )
+    got = out[["doc_id", "n_windows", "n_dup_windows"]].astype(np.int64)
+    pd.testing.assert_frame_equal(got, exp.astype(np.int64))
+    assert got.loc[got.doc_id == 0, "n_dup_windows"].iloc[0] == 6
+    assert got.loc[got.doc_id == 7, "n_dup_windows"].iloc[0] == 0
+    assert 4 not in got.doc_id.values and 5 not in got.doc_id.values
