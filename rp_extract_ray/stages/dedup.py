@@ -1796,11 +1796,17 @@ def dup_span_counts(
        aggregate), then ONE win-keyed ``grouped_reduce`` of min/max doc id —
        ``min != max`` ⟺ >= 2 distinct docs without a distinct-count
        accumulator.
-    3. the dup-win set broadcasts (``ray.put`` once; asserted under
-       ``driver_budget`` — above it, swap stage 3 for the distributed
-       ``semi_anti_join`` Dataset path, same contract) and a second explode
-       pass counts matching windows per doc; per-doc totals come straight
-       from ``utf8_length // width`` with NO exchange (ids are unique).
+    3. the dup-win set materializes once (post-aggregation, bounded by the
+       distinct duplicate-span count, never the corpus). At or under
+       ``driver_budget`` wins it broadcasts (``ray.put`` once, ``is_in``
+       probe inside a second explode pass — zero extra shuffle); above the
+       budget it stays distributed: a win-keyed ``repartition_join`` semi
+       marks hits and a doc-keyed count reduces them (the 10^12-doc path,
+       forced in tests via ``driver_budget=0``). Per-doc totals come
+       straight from ``utf8_length // width`` with NO exchange (ids are
+       unique); the final per-doc assembly broadcasts the dup counts —
+       swap it for a doc-keyed ``repartition_join`` left_outer when the
+       hit-doc set itself outgrows a node.
 
     Shuffle volume: one exchange of distinct (win, doc) pairs — bounded by
     corpus chars / width rows — plus one tiny doc-keyed count exchange.
@@ -1855,35 +1861,49 @@ def dup_span_counts(
             pc.not_equal(b.column("dmin"), b.column("dmax"))
         ).select(["win"]),
         batch_format="pyarrow",
-    )
-    dup_pdf = dup.to_pandas()
-    if len(dup_pdf) > driver_budget:
-        raise ValueError(
-            f"dup-span set ({len(dup_pdf)} wins) exceeds driver_budget="
-            f"{driver_budget}; use the distributed semi_anti_join path"
-        )
-    dup_set = pa.array(list(dup_pdf["win"]), type=bin_t)
-    set_ref = ray.put(dup_set)
+    ).materialize()
 
-    def count_dups(b: pa.Table) -> pa.Table:
-        e = explode(b)
-        hit = e.filter(pc.is_in(e.column("win"), value_set=ray.get(set_ref)))
-        if hit.num_rows == 0:
-            return pa.table(
-                {id_col: pa.array([], pa.int64()),
-                 "n_dup_windows": pa.array([], pa.int64())}
+    n_dup_wins = dup.count()
+    if n_dup_wins <= driver_budget:
+        dup_pdf = dup.to_pandas()
+        dup_set = pa.array(list(dup_pdf["win"]), type=bin_t)
+        set_ref = ray.put(dup_set)
+
+        def count_dups(b: pa.Table) -> pa.Table:
+            e = explode(b)
+            hit = e.filter(
+                pc.is_in(e.column("win"), value_set=ray.get(set_ref))
             )
-        r = hit.group_by([id_col], use_threads=False).aggregate([([], "count_all")])
-        return pa.table(
-            {id_col: r.column(id_col), "n_dup_windows": r.column("count_all")}
-        )
+            if hit.num_rows == 0:
+                return pa.table(
+                    {id_col: pa.array([], pa.int64()),
+                     "n_dup_windows": pa.array([], pa.int64())}
+                )
+            r = hit.group_by([id_col], use_threads=False).aggregate(
+                [([], "count_all")]
+            )
+            return pa.table(
+                {id_col: r.column(id_col), "n_dup_windows": r.column("count_all")}
+            )
 
-    ndup = grouped_reduce(
-        ds.map_batches(count_dups, batch_format="pyarrow"),
-        id_col,
-        {"n_dup_windows": ("n_dup_windows", "sum")},
-        **kw,
-    ).to_pandas()
+        counted = ds.map_batches(count_dups, batch_format="pyarrow")
+    else:
+        from rp_extract_ray.stages.join import repartition_join
+
+        win_rows = ds.map_batches(explode, batch_format="pyarrow")
+        hit = repartition_join(win_rows, dup, on="win", how="semi", **kw)
+        counted = hit.map_batches(
+            lambda b: b.select([id_col]),
+            batch_format="pyarrow",
+        )
+        # grouped_reduce's count reduction does the per-block combine
+
+    how_red = (
+        {"n_dup_windows": ("n_dup_windows", "sum")}
+        if n_dup_wins <= driver_budget
+        else {"n_dup_windows": (id_col, "count")}
+    )
+    ndup = grouped_reduce(counted, id_col, how_red, **kw).to_pandas()
 
     def totals(b: pa.Table) -> pa.Table:
         lens = pc.utf8_length(b.column(text_col)).to_numpy(zero_copy_only=False)

@@ -818,3 +818,34 @@ def test_dup_span_counts_longhand():
     assert got.loc[got.doc_id == 0, "n_dup_windows"].iloc[0] == 6
     assert got.loc[got.doc_id == 7, "n_dup_windows"].iloc[0] == 0
     assert 4 not in got.doc_id.values and 5 not in got.doc_id.values
+
+
+def test_dup_span_counts_distributed_path_matches_broadcast():
+    """driver_budget=0 forces the repartition_join semi scale path; its
+    output must equal the broadcast path's on the same input."""
+    from rp_extract_ray.stages.dedup import dup_span_counts
+
+    rng = np.random.default_rng(5)
+    frags = ["".join(rng.choice(list("abcdef "), size=25)) for _ in range(30)]
+    texts = [
+        "".join(rng.choice(frags, size=rng.integers(2, 6)))
+        for _ in range(120)
+    ]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+
+    def run(budget):
+        return (
+            dup_span_counts(
+                rd.from_pandas(df).repartition(4),
+                width=10, num_partitions=4, driver_budget=budget,
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+            .astype(np.int64)
+        )
+
+    a, b = run(10_000_000), run(0)
+    assert a["n_dup_windows"].sum() > 0
+    pd.testing.assert_frame_equal(a, b)
