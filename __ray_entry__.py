@@ -84,7 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q10": R.q_tpch_q10,
         "tpch_q18": R.q_tpch_q18,
         "tpch_q14": R.q_tpch_q14,
+        "tpch_q12": R.q_tpch_q12,
         "histogram": R.q_histogram,
+        "union_keys": R.q_union_keys,
         "intersect_keys": R.q_intersect_keys,
         "except_keys": R.q_except_keys,
         "order_count_dist": R.q_order_count_dist,
@@ -1038,6 +1040,20 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'""",
+        "tpch_q12": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-01-01'
+            GROUP BY l_returnflag ORDER BY l_returnflag""",
+        "union_keys": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            UNION
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""",
         "histogram": """
             SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
                    CAST(count(*) AS BIGINT) AS n,

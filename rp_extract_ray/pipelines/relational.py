@@ -1292,3 +1292,86 @@ def q_tpch_q18(sf_dir: str, threshold: float = 150.0, k: int = 100) -> "pd.DataF
     return out[
         ["c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]
     ]
+
+
+def q_tpch_q12(sf_dir: str) -> Dataset:
+    """TPC-H Q12 shape (shipping-mode priority histogram, adapted to the
+    testdata's columns: group by l_returnflag): lineitems shipped in a
+    one-year window join their order's priority, counted as high
+    (1-URGENT / 2-HIGH) vs low per flag. The join rides the size-hint
+    path — orders broadcast-collapse under the budget (zero shuffle at
+    bench scale), hash-partitioned repartition_join above it — and the
+    final reduction is ONE exchange bounded by distinct flags."""
+    import datetime as _dt
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.join import repartition_join
+
+    lo = pa.scalar(_dt.datetime(1995, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    lines = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("l_shipdate"), lo),
+                pc.less(b.column("l_shipdate"), hi),
+            )
+        ).select(["l_orderkey", "l_returnflag"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    hint = _read(sf_dir, "orders", ["o_orderkey"])._meta_count()
+    joined = repartition_join(
+        lines, orders, on="l_orderkey", right_on="o_orderkey", how="inner",
+        right_cols=["o_orderpriority"], size_hint=hint,
+        broadcast_limit=2_000_000,
+    )
+
+    def indicators(b: pa.Table) -> pa.Table:
+        hi_mask = pc.is_in(
+            b.column("o_orderpriority"),
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        )
+        ones = pc.cast(hi_mask, pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "high_line_count": ones,
+                "low_line_count": pc.subtract(pa.scalar(1, pa.int64()), ones),
+            }
+        )
+
+    out = grouped_reduce(
+        joined.map_batches(indicators, batch_format="pyarrow"),
+        "l_returnflag",
+        {
+            "high_line_count": ("high_line_count", "sum"),
+            "low_line_count": ("low_line_count", "sum"),
+        },
+    )
+    return out.sort("l_returnflag")
+
+
+def q_union_keys(sf_dir: str) -> Dataset:
+    """§2.8 set op UNION (the third distinct_set_op mode, gate-completing
+    intersect/except): custkeys with an open (status 'O') order UNION
+    custkeys with an urgent-priority order — two genuinely overlapping
+    subsets merged in ONE flags-max distinct-keys exchange."""
+    from rp_extract_ray.stages.setops import distinct_set_op
+
+    open_cust = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).map_batches(
+        lambda b: b.filter(pc.equal(b.column("o_orderstatus"), "O")).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    urgent_cust = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("o_orderpriority"), "1-URGENT")
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    return distinct_set_op(open_cust, urgent_cust, on="o_custkey", op="union")
