@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": R.q_heavy_hitters,
         "range_partition": R.q_range_partition,
         "hll_distinct": R.q_hll_distinct,
+        "cms_counts": R.q_cms_counts,
         "group_hll": R.q_group_hll,
         "group_distinct": R.q_group_distinct,
         "group_mode": E.q_group_mode,
@@ -1723,6 +1724,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST({_lit.hll_custkeys_literal()} AS BIGINT) AS n_custkeys_hll,
                    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkeys_exact
             FROM orders""",
+        "cms_counts": _lit.cms_user_counts_sql(),
         "minhash_pairs": _JACCARD_SQL,
         "ngram_jaccard_pairs": _JACCARD_SQL,
         # decontamination: distinct-gram containment |C∩B|/|B| (grams as

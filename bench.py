@@ -62,8 +62,8 @@ QUERY_NAMES = [
     "embedding_norms",
     # round-5 session-4 additions (76 -> 80 names)
     "tpch_q10", "tpch_q18", "feature_matrix", "dup_spans",
-    # round-5 session-5 additions (80 -> 82 names)
-    "tpch_q12", "union_keys",
+    # round-5 session-5 additions (80 -> 83 names)
+    "tpch_q12", "union_keys", "cms_counts",
 ]
 
 

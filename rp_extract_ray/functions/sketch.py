@@ -203,3 +203,93 @@ def group_hll_distinct(
 
     out = partitioned_apply(parts, merge, entity_col=group_col, order_cols=())
     return out.to_pandas().sort_values(group_col, ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: mergeable approximate FREQUENCY counts (Cormode &
+# Muthukrishnan 2005). Complements HLL (cardinality) and the exact two-pass
+# heavy_hitters: a CMS answers point-frequency queries for ANY value after
+# one pass with constant shuffle volume — each block contributes one
+# (depth x width) counter grid, merged by elementwise SUM (vs HLL's max).
+# Estimates only over-count (min over depth rows bounds the collision
+# inflation at eps = e/width with prob 1 - e^-depth).
+#
+# Row hashes use the Kirsch-Mitzenmacher double-hashing derivation
+# h_i = h1 + i * h2 (h2 forced odd): one stable_hash pass per batch, no
+# per-row loops.
+
+
+def _cms_row_hashes(values) -> tuple[np.ndarray, np.ndarray]:
+    h1 = stable_hash(np.asarray(values))
+    h2 = h1 ^ (h1 >> np.uint64(33))
+    h2 = h2 * np.uint64(0xFF51AFD7ED558CCD)
+    h2 = (h2 ^ (h2 >> np.uint64(33))) | np.uint64(1)
+    return h1, h2
+
+
+def cms_accumulate(
+    values,
+    depth: int = 4,
+    width: int = 4096,
+    counters: np.ndarray | None = None,
+) -> np.ndarray:
+    """Fold an array of values into a (depth, width) int64 counter grid."""
+    if counters is None:
+        counters = np.zeros((depth, width), dtype=np.int64)
+    h1, h2 = _cms_row_hashes(values)
+    w = np.uint64(width)
+    for i in range(depth):
+        idx = ((h1 + np.uint64(i) * h2) % w).astype(np.int64)
+        np.add.at(counters[i], idx, 1)
+    return counters
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Counter grids merge by elementwise sum (the sketch's mergeability)."""
+    return a + b
+
+
+def cms_query(counters: np.ndarray, values) -> np.ndarray:
+    """Estimated frequency of each probe value: min over the depth rows."""
+    depth, width = counters.shape
+    h1, h2 = _cms_row_hashes(values)
+    w = np.uint64(width)
+    est = None
+    for i in range(depth):
+        idx = ((h1 + np.uint64(i) * h2) % w).astype(np.int64)
+        row = counters[i][idx]
+        est = row if est is None else np.minimum(est, row)
+    return est.astype(np.int64)
+
+
+def approx_counts(
+    ds: Dataset,
+    col: str,
+    probes,
+    *,
+    depth: int = 4,
+    width: int = 4096,
+) -> np.ndarray:
+    """Approximate frequency of each ``probes`` value in ``ds[col]`` via a
+    distributed count-min sketch — constant shuffle volume (one
+    depth*width*8-byte grid per block, summed on the driver; 4x4096 =
+    128 KiB). Exact counting of the same shape shuffles every distinct
+    key; the CMS is the scale path when the key space is unbounded and a
+    bounded over-count (never under) suffices — frequency gating, hot-key
+    pre-detection, stream admission control."""
+    import pyarrow as pa
+
+    def partial(b: pa.Table) -> pa.Table:
+        grid = cms_accumulate(
+            b.column(col).to_numpy(zero_copy_only=False),
+            depth=depth, width=width,
+        )
+        return pa.table({"grid": pa.array([grid.tobytes()], pa.binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged = np.zeros((depth, width), dtype=np.int64)
+    for buf in rows["grid"]:
+        merged = cms_merge(
+            merged, np.frombuffer(buf, dtype=np.int64).reshape(depth, width)
+        )
+    return cms_query(merged, probes)

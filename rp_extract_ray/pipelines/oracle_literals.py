@@ -471,3 +471,49 @@ def pca_variance_sql(sf_dir: str = ORACLE_SF_DIR, k: int = 8) -> str:
     return f"""
     SELECT CAST(rank AS BIGINT) AS rank, CAST(eigval AS DOUBLE) AS eigval
     FROM (VALUES {vals}) AS t(rank, eigval)"""
+
+
+def _cms_estimates_longhand(values, probes, depth: int = 4, width: int = 4096):
+    """Independent count-min recompute: per-value Python loop over a list-
+    of-lists counter grid. Shares only the hash SPEC with the engine —
+    base hash = ``pd.util.hash_array`` (definitionally the operator's
+    contract, as for HLL above), row hashes by the Kirsch-Mitzenmacher
+    derivation h_i = h1 + i * h2 with an xorshift-multiply h2 forced odd."""
+    grid = [[0] * width for _ in range(depth)]
+
+    def rows(hv: int):
+        h2 = hv ^ (hv >> 33)
+        h2 = (h2 * 0xFF51AFD7ED558CCD) & _U64
+        h2 = ((h2 ^ (h2 >> 33)) | 1) & _U64
+        return [((hv + i * h2) & _U64) % width for i in range(depth)]
+
+    for hv in pd.util.hash_array(np.asarray(values)):
+        for i, idx in enumerate(rows(int(hv))):
+            grid[i][idx] += 1
+    out = []
+    for hv in pd.util.hash_array(np.asarray(probes)):
+        out.append(min(grid[i][idx] for i, idx in enumerate(rows(int(hv)))))
+    return out
+
+
+@lru_cache(maxsize=2)
+def cms_user_counts_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Literal-table oracle for q_cms_counts: longhand CMS estimates for
+    user ids 0..31 joined with exact SQL counts."""
+    import pyarrow.parquet as pq
+
+    users = (
+        pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .column("user_id")
+        .to_numpy(zero_copy_only=False)
+    )
+    probes = np.arange(32, dtype=np.int64)
+    ests = _cms_estimates_longhand(users, probes)
+    vals = ", ".join(f"({int(u)}, {int(e)})" for u, e in zip(probes, ests))
+    return f"""
+        WITH cms(user_id, n_cms) AS (VALUES {vals}),
+             ex AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+        SELECT cms.user_id AS user_id,
+               CAST(cms.n_cms AS BIGINT) AS n_cms,
+               CAST(coalesce(ex.n, 0) AS BIGINT) AS n_exact
+        FROM cms LEFT JOIN ex USING (user_id)"""

@@ -1375,3 +1375,32 @@ def q_union_keys(sf_dir: str) -> Dataset:
         batch_format="pyarrow",
     )
     return distinct_set_op(open_cust, urgent_cust, on="o_custkey", op="union")
+
+
+def q_cms_counts(sf_dir: str) -> "pd.DataFrame":
+    """Approximate point-frequency counts via the count-min sketch
+    (constant shuffle volume: one 128 KiB counter grid per block, summed)
+    alongside the exact distributed counts, probed at user ids 0..31.
+    Oracle: the same estimates recomputed by an independent single-process
+    CMS embedded as a literal (deterministic — the sketch's value is fixed
+    by the hash spec), gating that the distributed counter-sum merge is
+    exact across any partitioning; exact counts come from plain SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from rp_extract_ray.functions.sketch import approx_counts
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    probes = np.arange(32, dtype=np.int64)
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = approx_counts(ds, "user_id", probes)
+    exact = grouped_reduce(
+        ds, "user_id", {"n_exact": ("user_id", "count")}
+    ).to_pandas().set_index("user_id")["n_exact"]
+    return pd.DataFrame(
+        {
+            "user_id": probes,
+            "n_cms": est,
+            "n_exact": exact.reindex(probes).fillna(0).astype(np.int64).to_numpy(),
+        }
+    )

@@ -722,3 +722,42 @@ def test_unpivot_matches_pandas_melt():
         .sort_values(["id", "variable"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_cms_counts_partition_invariant_and_overcount_bound():
+    """Count-min: the distributed counter-sum merge must be exact under any
+    partitioning (same estimates at 1 vs 13 blocks), estimates never
+    undercount, and with far fewer keys than width they are exact."""
+    from rp_extract_ray.functions.sketch import approx_counts
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 40, 5000).astype(np.int64)
+    df = pd.DataFrame({"k": keys})
+    probes = np.arange(40, dtype=np.int64)
+    exact = pd.Series(keys).value_counts().reindex(probes).fillna(0).to_numpy()
+
+    a = approx_counts(rd.from_pandas(df).repartition(1), "k", probes)
+    b = approx_counts(rd.from_pandas(df).repartition(13), "k", probes)
+    np.testing.assert_array_equal(a, b)
+    assert (a >= exact).all()
+    # 40 keys into 4x4096 cells: collisions are overwhelmingly unlikely
+    np.testing.assert_array_equal(a, exact)
+
+
+def test_cms_merge_equals_single_grid():
+    """cms_merge(sum) over split inputs == one accumulate over the whole."""
+    from rp_extract_ray.functions.sketch import (
+        cms_accumulate,
+        cms_merge,
+        cms_query,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 1000, 8000).astype(np.int64)
+    whole = cms_accumulate(vals)
+    parts = cms_merge(cms_accumulate(vals[:3000]), cms_accumulate(vals[3000:]))
+    np.testing.assert_array_equal(whole, parts)
+    probes = np.arange(50, dtype=np.int64)
+    np.testing.assert_array_equal(
+        cms_query(whole, probes), cms_query(parts, probes)
+    )
