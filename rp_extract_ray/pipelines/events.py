@@ -387,93 +387,71 @@ def q_feature_matrix(sf_dir: str) -> Dataset:
     """Feature-store ``get_historical_features`` gate: one label spine
     (purchase events) point-in-time joined against TWO feature views —
     (a) the entity's latest click value, (b) running to-date aggregates
-    (count + sum of value over ALL events) — as chained backward as-of
-    joins. The to-date view is the precompute-then-asof pattern: running
-    aggregates materialize once per event row (one entity exchange), and
-    serving points read them as-of, never recomputing windows per spine
-    row. Zero leakage: backward direction, ties include the as-of row
-    itself (SQL ``ASOF JOIN .. >=`` semantics); equal-ts duplicates
-    collapse per column via ``dedup_right='max'`` on BOTH sides of the
-    oracle contract. Every stage partitions by the SAME entity key, so at
-    scale the three exchanges share one partitioning and the spine never
-    re-shuffles a payload column."""
-    import pyarrow.compute as pc
+    (count + sum of value over ALL events) — in ONE entity exchange. All
+    three stages of the chained formulation (cumulative precompute, two
+    backward as-of joins) partition by the same entity key, so they FUSE:
+    ``partitioned_apply`` ships each user's whole sorted history once, and
+    the kernel derives the views and runs both in-partition merge_asofs
+    locally (measured 6.1 s -> one exchange at sf0.1; at cluster scale,
+    one all-to-all instead of three). Zero leakage: backward direction,
+    ties include the as-of row itself (SQL ``ASOF JOIN .. >=`` semantics);
+    equal-ts duplicates collapse per column via the same ``max`` rule as
+    the chained form on BOTH sides of the oracle contract."""
+    import numpy as np
 
-    from rp_extract_ray.stages.lag import add_cumulative_features
+    from rp_extract_ray.stages.asof import _merge_asof_frames
+    from rp_extract_ray.stages.partition import partitioned_apply
 
     ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
 
-    def spine_f(b: pa.Table) -> pa.Table:
-        return b.filter(pc.equal(b.column("event_type"), "purchase")).select(
-            ["event_id", "user_id", "ts"]
-        )
-
-    def click_f(b: pa.Table) -> pa.Table:
-        f = b.filter(pc.equal(b.column("event_type"), "click"))
-        return pa.table(
+    def fused(pdf: "pd.DataFrame", starts: np.ndarray) -> "pd.DataFrame":
+        # pdf arrives sorted by (user_id, ts, event_id) with whole users
+        # per partition. To-date view: per-run C groupby cumsum (the exact
+        # formulation of stages/lag.cumulative_within post the round-5
+        # cancellation fix — never partition-global cumsum minus run base).
+        g = pdf.groupby("user_id", sort=False)
+        cum = pd.DataFrame(
             {
-                "user_id": f.column("user_id"),
-                "ts": f.column("ts"),
-                "f_click_value": f.column("value"),
+                "user_id": pdf["user_id"],
+                "ts": pdf["ts"],
+                "f_sum_todate": g["value"].cumsum(),
+                "f_n_todate": (g.cumcount() + 1).astype(np.int64),
             }
         )
-
-    spine = ev.map_batches(spine_f, batch_format="pyarrow")
-    clicks = ev.map_batches(click_f, batch_format="pyarrow")
-
-    cum = add_cumulative_features(
-        _events(sf_dir, ["event_id", "ts", "user_id", "value"]),
-        ["value"], entity_col=ENTITY, order_cols=ORDER, num_partitions=NP,
-    ).map_batches(
-        lambda b: pa.table(
+        et = pdf["event_type"].to_numpy()
+        cm = et == "click"
+        clicks = pd.DataFrame(
             {
-                "user_id": b.column("user_id"),
-                "ts": b.column("ts"),
-                "f_sum_todate": b.column("value_csum"),
-                "f_n_todate": b.column("value_ccount"),
+                "user_id": pdf["user_id"].to_numpy()[cm],
+                "ts": pdf["ts"].to_numpy()[cm],
+                "f_click_value": pdf["value"].to_numpy()[cm],
             }
-        ),
-        batch_format="pyarrow",
-    )
-
-    out = asof_join(
-        spine, clicks, entity_col=ENTITY, ts_col="ts",
-        right_value_cols=["f_click_value"], direction="backward",
-        dedup_right="max", num_partitions=NP,
-    )
-    left_schema = pa.schema(
-        [
-            pa.field("event_id", pa.int64()),
-            pa.field("user_id", pa.int64()),
-            pa.field("ts", pa.timestamp("us")),
-            pa.field("f_click_value", pa.float64()),
+        )
+        spine = pdf.loc[
+            et == "purchase", ["event_id", "user_id", "ts"]
+        ].reset_index(drop=True)
+        out = _merge_asof_frames(
+            spine, clicks, entity_col="user_id", ts_col="ts",
+            direction="backward", tolerance_s=None,
+            value_cols=["f_click_value"], dedup_right="max",
+        )
+        out = _merge_asof_frames(
+            out, cum, entity_col="user_id", ts_col="ts",
+            direction="backward", tolerance_s=None,
+            value_cols=["f_sum_todate", "f_n_todate"], dedup_right="max",
+        )
+        # the spine's own event row is always in the to-date view at the
+        # same ts, so these never miss — pin the count back to int64
+        # regardless of the merge kernel's null-capable upcast
+        out["f_n_todate"] = out["f_n_todate"].round().astype(np.int64)
+        return out[
+            ["event_id", "user_id", "ts",
+             "f_click_value", "f_sum_todate", "f_n_todate"]
         ]
-    )
-    out = asof_join(
-        out, cum, entity_col=ENTITY, ts_col="ts",
-        right_value_cols=["f_sum_todate", "f_n_todate"], direction="backward",
-        dedup_right="max", num_partitions=NP, left_schema=left_schema,
-    )
 
-    # the spine's own event row is always in the to-date view at the same
-    # ts, so these never miss — pin the count back to int64 regardless of
-    # the merge kernel's null-capable upcast
-    def finish(b: pa.Table) -> pa.Table:
-        n = b.column("f_n_todate")
-        if not pa.types.is_integer(n.type):
-            n = pc.cast(pc.round(n), pa.int64(), safe=False)
-        return pa.table(
-            {
-                "event_id": b.column("event_id"),
-                "user_id": b.column("user_id"),
-                "ts": b.column("ts"),
-                "f_click_value": b.column("f_click_value"),
-                "f_sum_todate": b.column("f_sum_todate"),
-                "f_n_todate": n,
-            }
-        )
-
-    out = out.map_batches(finish, batch_format="pyarrow")
+    out = partitioned_apply(
+        ev, fused, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )
     return _round(out, {"f_click_value": 6, "f_sum_todate": 6})
 
 
