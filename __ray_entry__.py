@@ -85,6 +85,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18": R.q_tpch_q18,
         "tpch_q14": R.q_tpch_q14,
         "tpch_q12": R.q_tpch_q12,
+        "tpch_q15": R.q_tpch_q15,
+        "tpch_q17": R.q_tpch_q17,
+        "tpch_q7": R.q_tpch_q7,
+        "tpch_q21": R.q_tpch_q21,
+        "tpch_q22": R.q_tpch_q22,
         "histogram": R.q_histogram,
         "union_keys": R.q_union_keys,
         "intersect_keys": R.q_intersect_keys,
@@ -117,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_hll": R.q_group_hll,
         "group_distinct": R.q_group_distinct,
         "group_mode": E.q_group_mode,
+        "group_mad": E.q_group_mad,
         "group_corr": R.q_group_corr,
         "unpivot": R.q_unpivot,
         "event_paths": E.q_event_paths,
@@ -1051,6 +1057,73 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1995-01-01'
               AND l_shipdate <  TIMESTAMP '1996-01-01'
             GROUP BY l_returnflag ORDER BY l_returnflag""",
+        "tpch_q15": """
+            WITH revenue AS (
+                SELECT l_suppkey AS s_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                         AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT r.s_suppkey, s_name, total_revenue
+            FROM revenue r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+            ORDER BY r.s_suppkey""",
+        "tpch_q17": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#4'
+              AND l_quantity < (
+                  SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                  WHERE l2.l_partkey = p_partkey)""",
+        "tpch_q7": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 2) AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                       l_extendedprice * (1 - l_discount) AS volume
+                FROM supplier
+                JOIN lineitem ON s_suppkey = l_suppkey
+                JOIN orders   ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                  AND l_shipdate >= TIMESTAMP '1995-01-01'
+                  AND l_shipdate <  TIMESTAMP '1999-01-01') shipping
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year""",
+        "tpch_q21": """
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM supplier, lineitem l1, orders
+            WHERE s_suppkey = l1.l_suppkey
+              AND o_orderkey = l1.l_orderkey
+              AND o_orderstatus = 'F'
+              AND l1.l_returnflag = 'R'
+              AND EXISTS (
+                  SELECT * FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                  SELECT * FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 100""",
+        "tpch_q22": """
+            SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > (
+                  SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (
+                  SELECT * FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+            GROUP BY n_name ORDER BY n_name""",
         "union_keys": """
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
             UNION
@@ -1279,6 +1352,11 @@ def oracle_sql() -> dict[str, str]:
                        FROM c)
             SELECT user_id, event_type AS mode_event_type, n
             FROM r WHERE rn = 1""",
+        "group_mad": """
+            SELECT user_id, CAST(count(value) AS BIGINT) AS n,
+                   round(median(value), 6) AS med,
+                   round(mad(value), 6) AS mad
+            FROM events GROUP BY user_id""",
         # corr's closed form is convention-free (sample/population factors
         # cancel), so SQL corr() matches the engine's moment formula;
         # round(6) on both sides absorbs float-sum-order noise

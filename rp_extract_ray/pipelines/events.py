@@ -841,6 +841,19 @@ def q_winsorize(sf_dir: str) -> Dataset:
     return _round(joined.map_batches(clip, batch_format="pyarrow"), {"value_w": 6})
 
 
+def q_group_mad(sf_dir: str) -> Dataset:
+    """Per-user robust dispersion: median + median-absolute-deviation of
+    value (stages/groupops.grouped_mad — one keyed exchange, order
+    statistics computed vectorized per group). The outlier-tolerant twin
+    of the reference's std-dev stat (SURVEY.md §2.6 A1). Oracle: DuckDB
+    ``median``/``mad``."""
+    from rp_extract_ray.stages.groupops import grouped_mad
+
+    ds = _events(sf_dir, ["user_id", "value"])
+    out = grouped_mad(ds, "user_id", "value", round_to=6)
+    return out.select_columns(["user_id", "n", "med", "mad"])
+
+
 def q_group_mode(sf_dir: str) -> Dataset:
     """Dominant (most frequent) event type per user — exact per-group MODE
     with the deterministic highest-count / smallest-value tie-break

@@ -1353,6 +1353,383 @@ def q_tpch_q12(sf_dir: str) -> Dataset:
     return out.sort("l_returnflag")
 
 
+def _pdf_with_schema(ds, cols: "dict[str, str]") -> "pd.DataFrame":
+    """Bounded-result finish that survives EMPTY pipelines: a Ray Dataset
+    with zero output blocks loses its column names on ``to_pandas()``, so a
+    legitimately-empty query (selective filters at tiny scale) would fail
+    the driver's schema compare. ``cols`` maps name -> pandas dtype; rows
+    pass through untouched when present."""
+    import pandas as pd
+
+    df = ds.to_pandas() if not isinstance(ds, pd.DataFrame) else ds
+    if df.empty and not set(cols) <= set(df.columns):
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    return df[list(cols)]
+
+
+def q_tpch_q15(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q15 shape (top supplier by revenue: grouped sum -> global-max
+    scalar subquery -> argmax filter -> dimension attach). Plan: the
+    window-filtered revenue reduces through ONE distinct-suppkeys exchange
+    (bounded by the supplier dimension); the max is a scalar aggregate over
+    that bounded table; the `= max` filter re-reads the same materialized
+    aggregate (no recompute); supplier names broadcast. The scalar-subquery
+    decorrelation pattern — nothing bigger than the per-supplier aggregate
+    ever moves."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Max
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1996, 4, 1), type=pa.timestamp("us"))
+
+    def rev(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate")
+        f = b.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        r = pc.multiply(
+            f.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), f.column("l_discount")),
+        )
+        return pa.table({"l_suppkey": f.column("l_suppkey"), "rev": r})
+
+    line = _read(
+        sf_dir, "lineitem",
+        ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(rev, batch_format="pyarrow")
+    # bounded: one row per supplier — safe to materialize for the two reads
+    per_supp = _round_cols(
+        grouped_reduce(line, "l_suppkey", {"total_revenue": ("rev", "sum")}),
+        {"total_revenue": 2},
+    ).materialize()
+    best = float(per_supp.aggregate(Max("total_revenue"))["max(total_revenue)"])
+    top = per_supp.map_batches(
+        lambda b: b.filter(pc.equal(b.column("total_revenue"), best)),
+        batch_format="pyarrow",
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = broadcast_join(
+        top, supp, on="l_suppkey", small_on="s_suppkey", value_cols=["s_name"]
+    ).to_pandas()
+    out = out.rename(columns={"l_suppkey": "s_suppkey"}).sort_values(
+        "s_suppkey", ignore_index=True
+    )
+    return out[["s_suppkey", "s_name", "total_revenue"]]
+
+
+def q_tpch_q17(sf_dir: str, brand: str = "Brand#4") -> "pd.DataFrame":
+    """TPC-H Q17 shape (small-quantity-order revenue: correlated per-part
+    AVG decorrelated into a grouped reduce + broadcast-back). Plan: the
+    brand's partkeys broadcast as an `is_in` filter (two column-pruned
+    passes over lineitem, never a full-table shuffle); pass 1 reduces
+    (sum, count) per partkey through a bounded exchange (<= |brand parts|
+    rows); the 0.2*avg thresholds broadcast back and pass 2 filters +
+    sums to one float per block. Re-reading the pruned projection twice
+    beats pinning the filtered table in the object store at corpus scale."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rp_extract_ray.functions.rounding import round_half_away
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    keys = pa.array(part.loc[part["p_brand"] == brand, "p_partkey"].to_numpy())
+
+    def only_brand(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("l_partkey"), value_set=keys))
+
+    branded = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(only_brand, batch_format="pyarrow")
+
+    agg = grouped_reduce(
+        branded.map_batches(
+            lambda b: b.select(["l_partkey", "l_quantity"]),
+            batch_format="pyarrow",
+        ),
+        "l_partkey",
+        {"s": ("l_quantity", "sum"), "c": ("l_quantity", "count")},
+    ).to_pandas()  # bounded: one row per brand part
+    thr = pd.DataFrame(
+        {
+            "p_partkey": agg["l_partkey"],
+            "thresh": 0.2 * agg["s"].to_numpy() / agg["c"].to_numpy(),
+        }
+    )
+
+    j = broadcast_join(
+        branded, thr, on="l_partkey", small_on="p_partkey", value_cols=["thresh"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["l_quantity"].to_numpy() < b["thresh"].to_numpy()
+        return pd.DataFrame({"s": [float(b["l_extendedprice"].to_numpy()[m].sum())]})
+
+    parts = j.map_batches(partial, batch_format="pandas").to_pandas()
+    total = float(parts["s"].sum())
+    val = float(round_half_away(total / 7.0, 2))
+    return pd.DataFrame({"avg_yearly": [val]})
+
+
+def q_tpch_q7(
+    sf_dir: str, nation_a: str = "NATION_1", nation_b: str = "NATION_2"
+) -> "pd.DataFrame":
+    """TPC-H Q7 shape (bi-directional nation-pair shipping volume by year).
+    Plan: supplier->nation and customer->nation maps are one broadcast
+    column each, pre-filtered to the two nations (so the `is_in` on
+    suppkey prunes lineitem BEFORE anything moves); lineitem attaches
+    o_custkey through the size-hint orderkey join (broadcast-collapsed
+    under budget, hash exchange above); the inner broadcast on custkey
+    drops non-pair customers; the final reduction is ONE exchange bounded
+    by 2 nation-pairs x years. Only the orderkey attach touches a
+    big-big edge."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.join import repartition_join
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    pair = nation[nation["n_name"].isin([nation_a, nation_b])]
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas().merge(pair, left_on="s_nationkey", right_on="n_nationkey")
+    supp = supp.rename(columns={"n_name": "supp_nation"})[
+        ["s_suppkey", "supp_nation"]
+    ]
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas().merge(pair, left_on="c_nationkey", right_on="n_nationkey")
+    cust = cust.rename(columns={"n_name": "cust_nation"})[
+        ["c_custkey", "cust_nation"]
+    ]
+
+    lo = pa.scalar(_dt.datetime(1995, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1999, 1, 1), type=pa.timestamp("us"))
+    skeys = pa.array(supp["s_suppkey"].to_numpy())
+
+    def pre(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate")
+        f = b.filter(
+            pc.and_(
+                pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)),
+                pc.is_in(b.column("l_suppkey"), value_set=skeys),
+            )
+        )
+        vol = pc.multiply(
+            f.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), f.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_orderkey": f.column("l_orderkey"),
+                "l_suppkey": f.column("l_suppkey"),
+                "l_year": pc.year(f.column("l_shipdate")).cast(pa.int64()),
+                "volume": vol,
+            }
+        )
+
+    line = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(pre, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    hint = _read(sf_dir, "orders", ["o_orderkey"])._meta_count()
+    j = repartition_join(
+        line, orders, on="l_orderkey", right_on="o_orderkey",
+        right_cols=["o_orderkey", "o_custkey"],
+        size_hint=hint, broadcast_limit=2_000_000,
+    )
+    j = broadcast_join(j, supp, on="l_suppkey", value_cols=["supp_nation"],
+                       small_on="s_suppkey")
+    j = broadcast_join(j, cust, on="o_custkey", value_cols=["cust_nation"],
+                       small_on="c_custkey")
+    j = j.map_batches(
+        lambda b: b.filter(
+            pc.not_equal(b.column("supp_nation"), b.column("cust_nation"))
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_reduce(
+        j.select_columns(["supp_nation", "cust_nation", "l_year", "volume"]),
+        ["supp_nation", "cust_nation", "l_year"],
+        {"revenue": ("volume", "sum")},
+    )
+    out = _round_cols(out, {"revenue": 2}).sort(
+        ["supp_nation", "cust_nation", "l_year"]
+    )
+    return _pdf_with_schema(
+        out,
+        {"supp_nation": "object", "cust_nation": "object",
+         "l_year": "int64", "revenue": "float64"},
+    )
+
+
+def q_tpch_q21(sf_dir: str, k: int = 100) -> "pd.DataFrame":
+    """TPC-H Q21 shape, adapted to this schema (no commit/receipt dates):
+    suppliers SOLELY responsible for returns on multi-supplier finalized
+    orders — l1 rows with returnflag 'R' on status-'F' orders where
+    another supplier EXISTS on the order but NO other supplier has an 'R'
+    row. The correlated EXISTS / NOT EXISTS pair decorrelates into per-
+    order counting: stage 1 reduces lineitem to (orderkey, suppkey)
+    grains with their R-row counts (one exchange, distinct pairs per
+    block); stage 2 reduces pairs per orderkey into (#suppliers,
+    #R-suppliers, R-rows, the R-supplier key) — expressible because
+    max(suppkey WHERE has_r) is the unique key exactly when #R-suppliers
+    == 1; the F-order gate rides the size-hint semi join; supplier names
+    broadcast and the per-name count is a bounded final."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.join import repartition_join
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"])
+    forders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
+        lambda b: b.filter(pc.equal(b.column("o_orderstatus"), "F")).select(
+            ["o_orderkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    hint = _read(sf_dir, "orders", ["o_orderkey"])._meta_count()
+    line = repartition_join(
+        line, forders, on="l_orderkey", right_on="o_orderkey", how="semi",
+        size_hint=hint, broadcast_limit=2_000_000,
+    )
+
+    def pre(b: pa.Table) -> pa.Table:
+        isr = pc.cast(pc.equal(b.column("l_returnflag"), "R"), pa.int64())
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "r_rows": isr,
+            }
+        )
+
+    per_pair = grouped_reduce(
+        line.map_batches(pre, batch_format="pyarrow"),
+        ["l_orderkey", "l_suppkey"],
+        {"r_rows": ("r_rows", "sum")},
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        has_r = pc.greater(b.column("r_rows"), pa.scalar(0, pa.int64()))
+        r_key = pc.if_else(
+            has_r, b.column("l_suppkey"), pa.scalar(None, pa.int64())
+        )
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "r_rows": b.column("r_rows"),
+                "has_r": pc.cast(has_r, pa.int64()),
+                "r_key": r_key,
+            }
+        )
+
+    per_order = grouped_reduce(
+        per_pair.map_batches(tag, batch_format="pyarrow"),
+        "l_orderkey",
+        {
+            "n_supp": ("l_suppkey", "count"),
+            "n_r_supp": ("has_r", "sum"),
+            "r_rows": ("r_rows", "sum"),
+            "r_suppkey": ("r_key", "max"),
+        },
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater(b.column("n_supp"), pa.scalar(1, pa.int64())),
+                pc.equal(b.column("n_r_supp"), pa.scalar(1, pa.int64())),
+            )
+        ).select(["r_suppkey", "r_rows"]),
+        batch_format="pyarrow",
+    )
+
+    import pyarrow.parquet as pq
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    named = broadcast_join(
+        per_order, supp, on="r_suppkey", small_on="s_suppkey",
+        value_cols=["s_name"],
+    )
+    counts = grouped_reduce(named, "s_name", {"numwait": ("r_rows", "sum")})
+    return distributed_topk(counts, ["numwait", "s_name"], [True, False], k)
+
+
+def q_tpch_q22(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q22 shape, adapted to this schema (nation instead of phone
+    prefix, and 'no OPEN order' instead of 'no order' — every testdata
+    customer has some order, which would make the original predicate
+    degenerate): per-nation count + balance of ABOVE-AVERAGE-balance
+    customers with no open (status 'O') order. Plan: the global
+    positive-balance average is two floats per block; the no-open-orders
+    gate is an ANTI join whose right side is the status-filtered distinct
+    custkeys (size-hint broadcast-collapse under budget, hash exchange
+    above); nation names broadcast; the final reduction is one exchange
+    bounded by nations."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.join import repartition_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_nationkey"])
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.greater(b.column("c_acctbal"), 0.0))
+        s = pc.sum(f.column("c_acctbal")).as_py() or 0.0
+        return pa.table(
+            {"s": pa.array([float(s)]), "c": pa.array([len(f)], pa.int64())}
+        )
+
+    parts = cust.map_batches(bal_partial, batch_format="pyarrow").to_pandas()
+    avg_bal = float(parts["s"].sum()) / max(1, int(parts["c"].sum()))
+
+    rich = cust.map_batches(
+        lambda b: b.filter(pc.greater(b.column("c_acctbal"), avg_bal)),
+        batch_format="pyarrow",
+    )
+    open_orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).map_batches(
+        lambda b: b.filter(pc.equal(b.column("o_orderstatus"), "O")).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    hint = _read(sf_dir, "orders", ["o_custkey"])._meta_count()
+    idle = repartition_join(
+        rich, open_orders,
+        on="c_custkey", right_on="o_custkey", how="anti",
+        size_hint=hint, broadcast_limit=2_000_000,
+    )
+
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    named = broadcast_join(
+        idle, nation, on="c_nationkey", small_on="n_nationkey",
+        value_cols=["n_name"],
+    )
+    out = grouped_reduce(
+        named,
+        "n_name",
+        {"numcust": ("c_custkey", "count"), "totacctbal": ("c_acctbal", "sum")},
+    )
+    out = _round_cols(out, {"totacctbal": 2}).sort("n_name")
+    return _pdf_with_schema(
+        out, {"n_name": "object", "numcust": "int64", "totacctbal": "float64"}
+    )
+
+
 def q_union_keys(sf_dir: str) -> Dataset:
     """§2.8 set op UNION (the third distinct_set_op mode, gate-completing
     intersect/except): custkeys with an open (status 'O') order UNION

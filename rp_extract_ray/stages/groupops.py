@@ -187,6 +187,44 @@ def grouped_quantiles(
     return slim.groupby(gcols).map_groups(per_group, batch_format="pandas")
 
 
+def grouped_mad(
+    ds: Dataset,
+    group_cols: Sequence[str] | str,
+    value_col: str,
+    *,
+    round_to: int | None = None,
+) -> Dataset:
+    """Per-group median + median-absolute-deviation (robust dispersion —
+    the outlier-tolerant sibling of the reference's std-dev stat,
+    SURVEY.md §2.6 A1). Both statistics are order statistics, so a group's
+    values must be co-located: ONE hash exchange of ``(keys, value)`` via
+    ``groupby().map_groups`` (the ``grouped_quantiles`` shape), then a
+    vectorized two-step per group — ``med = median(v)`` and
+    ``mad = median(|v - med|)`` (interpolating median == DuckDB
+    ``median``/``mad`` on DOUBLE). NaNs dropped; empty group -> NaN.
+    Output: one row per group: ``(keys..., n, med, mad)``."""
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    slim = ds.select_columns([*gcols, value_col])
+
+    def per_group(group: pd.DataFrame) -> pd.DataFrame:
+        v = group[value_col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        row = {c: [group[c].iloc[0]] for c in gcols}
+        row["n"] = [np.int64(len(v))]
+        if len(v):
+            med = float(np.median(v))
+            mad = float(np.median(np.abs(v - med)))
+        else:
+            med = mad = np.nan
+        if round_to is not None:
+            med, mad = round(med, round_to), round(mad, round_to)
+        row["med"] = [med]
+        row["mad"] = [mad]
+        return pd.DataFrame(row)
+
+    return slim.groupby(gcols).map_groups(per_group, batch_format="pandas")
+
+
 def approx_quantiles(
     ds: Dataset,
     value_col: str,

@@ -761,3 +761,38 @@ def test_cms_merge_equals_single_grid():
     np.testing.assert_array_equal(
         cms_query(whole, probes), cms_query(parts, probes)
     )
+
+
+def test_grouped_mad_matches_numpy():
+    from rp_extract_ray.stages.groupops import grouped_mad
+
+    df = _df(n=2000, groups=9, seed=7)
+    # inject NaNs: they must be dropped, not poison the medians
+    df.loc[df.index % 37 == 0, "v"] = np.nan
+    got = (
+        grouped_mad(rd.from_pandas(df).repartition(11), "g", "v")
+        .to_pandas()
+        .sort_values("g", ignore_index=True)
+    )
+    for _, row in got.iterrows():
+        v = df.loc[df["g"] == row["g"], "v"].dropna().to_numpy()
+        assert row["n"] == len(v)
+        med = float(np.median(v))
+        assert row["med"] == med
+        assert row["mad"] == float(np.median(np.abs(v - med)))
+
+
+def test_pdf_with_schema_preserves_empty_columns():
+    from rp_extract_ray.pipelines.relational import _pdf_with_schema
+
+    # empty dataset with zero output blocks loses columns on to_pandas
+    ds = rd.from_pandas(pd.DataFrame({"a": [1], "b": [2.0]})).filter(
+        lambda r: False
+    )
+    out = _pdf_with_schema(ds, {"a": "int64", "b": "float64"})
+    assert list(out.columns) == ["a", "b"] and len(out) == 0
+    # non-empty passes through with column order enforced
+    out2 = _pdf_with_schema(
+        pd.DataFrame({"b": [2.0], "a": [1]}), {"a": "int64", "b": "float64"}
+    )
+    assert list(out2.columns) == ["a", "b"] and len(out2) == 1
