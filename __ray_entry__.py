@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15": R.q_tpch_q15,
         "tpch_q17": R.q_tpch_q17,
         "tpch_q7": R.q_tpch_q7,
+        "tpch_q8": R.q_tpch_q8,
+        "tpch_q19": R.q_tpch_q19,
         "tpch_q21": R.q_tpch_q21,
         "tpch_q22": R.q_tpch_q22,
         "histogram": R.q_histogram,
@@ -1096,6 +1098,34 @@ def oracle_sql() -> dict[str, str]:
                   AND l_shipdate <  TIMESTAMP '1999-01-01') shipping
             GROUP BY supp_nation, cust_nation, l_year
             ORDER BY supp_nation, cust_nation, l_year""",
+        "tpch_q8": """
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_1'
+                                  THEN volume ELSE 0 END) / sum(volume), 6)
+                     AS mkt_share
+            FROM (
+                SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                       l_extendedprice * (1 - l_discount) AS volume,
+                       n2.n_name AS supp_nation
+                FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region   ON n1.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                WHERE r_name = 'EUROPE') all_nations
+            GROUP BY o_year ORDER BY o_year""",
+        "tpch_q19": """
+            SELECT round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0),
+                         2) AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1  AND 10
+                   AND l_quantity BETWEEN 1.0  AND 20.0)
+               OR (p_brand = 'Brand#4'  AND p_size BETWEEN 5  AND 25
+                   AND l_quantity BETWEEN 5.0  AND 35.0)
+               OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 40
+                   AND l_quantity BETWEEN 10.0 AND 45.0)""",
         "tpch_q21": """
             SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
             FROM supplier, lineitem l1, orders

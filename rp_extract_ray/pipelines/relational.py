@@ -1575,6 +1575,160 @@ def q_tpch_q7(
     )
 
 
+def q_tpch_q8(
+    sf_dir: str, region: str = "EUROPE", nation: str = "NATION_1"
+) -> "pd.DataFrame":
+    """TPC-H Q8 shape (national market share: per-year conditional revenue
+    ratio inside one customer region; the part-type filter is dropped —
+    adaptation documented). Plan: the supplier->nation map and the
+    region-filtered customer key set are one broadcast column each;
+    lineitem attaches (o_custkey, o_orderdate) through the size-hint
+    orderkey join; the inner customer broadcast drops out-of-region
+    orders; per-year (nation_volume, total_volume) pairs reduce through
+    an exchange bounded by years; the share is a vectorized divide."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.join import repartition_join
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    region_keys = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    region_nations = nat.loc[nat["n_regionkey"].isin(region_keys), "n_nationkey"]
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(region_nations)][["c_custkey"]]
+    cust["in_region"] = np.int8(1)
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas().merge(nat[["n_nationkey", "n_name"]],
+                        left_on="s_nationkey", right_on="n_nationkey")
+    supp = supp.rename(columns={"n_name": "supp_nation"})[
+        ["s_suppkey", "supp_nation"]
+    ]
+
+    def vol(b: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "volume": r,
+            }
+        )
+
+    line = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(vol, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    hint = _read(sf_dir, "orders", ["o_orderkey"])._meta_count()
+    j = repartition_join(
+        line, orders, on="l_orderkey", right_on="o_orderkey",
+        right_cols=["o_orderkey", "o_custkey", "o_orderdate"],
+        size_hint=hint, broadcast_limit=2_000_000,
+    )
+    j = broadcast_join(j, cust, on="o_custkey", small_on="c_custkey",
+                       value_cols=["in_region"])
+    j = broadcast_join(j, supp, on="l_suppkey", small_on="s_suppkey",
+                       value_cols=["supp_nation"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        is_nat = pc.cast(
+            pc.equal(b.column("supp_nation"), nation), pa.float64()
+        )
+        return pa.table(
+            {
+                "o_year": pc.year(b.column("o_orderdate")).cast(pa.int64()),
+                "nat_vol": pc.multiply(b.column("volume"), is_nat),
+                "tot_vol": b.column("volume"),
+            }
+        )
+
+    agg = grouped_reduce(
+        j.map_batches(pre, batch_format="pyarrow"),
+        "o_year",
+        {"nat_vol": ("nat_vol", "sum"), "tot_vol": ("tot_vol", "sum")},
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_year": b.column("o_year"),
+                "mkt_share": pc.divide(b.column("nat_vol"), b.column("tot_vol")),
+            }
+        )
+
+    out = _round_cols(
+        agg.map_batches(fin, batch_format="pyarrow"), {"mkt_share": 6}
+    ).sort("o_year")
+    return _pdf_with_schema(out, {"o_year": "int64", "mkt_share": "float64"})
+
+
+def q_tpch_q19(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q19 shape (disjunctive predicate-class revenue; container/
+    shipmode predicates replaced by size windows — adaptation documented).
+    Plan: the (brand, size) attributes broadcast once as part-dimension
+    columns; each block evaluates the three (brand x size-window x
+    quantity-window) branches as one vectorized boolean fold and emits a
+    single float — zero shuffle, the predicate never materializes a
+    joined table."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).to_pandas()
+
+    branches = [
+        ("Brand#2", 1, 10, 1.0, 20.0),
+        ("Brand#4", 5, 25, 5.0, 35.0),
+        ("Brand#19", 10, 40, 10.0, 45.0),
+    ]
+
+    j = broadcast_join(
+        _read(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        ),
+        part, on="l_partkey", small_on="p_partkey",
+        value_cols=["p_brand", "p_size"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        brand = b["p_brand"].to_numpy()
+        size = b["p_size"].to_numpy()
+        qty = b["l_quantity"].to_numpy()
+        keep = np.zeros(len(b), dtype=bool)
+        for br, s_lo, s_hi, q_lo, q_hi in branches:
+            keep |= (
+                (brand == br)
+                & (size >= s_lo) & (size <= s_hi)
+                & (qty >= q_lo) & (qty <= q_hi)
+            )
+        rev = (
+            b["l_extendedprice"].to_numpy()[keep]
+            * (1.0 - b["l_discount"].to_numpy()[keep])
+        ).sum()
+        return pd.DataFrame({"s": [float(rev)]})
+
+    parts = j.map_batches(partial, batch_format="pandas").to_pandas()
+    val = float(round_half_away(float(parts["s"].sum()), 2))
+    return pd.DataFrame({"revenue": [val]})
+
+
 def q_tpch_q21(sf_dir: str, k: int = 100) -> "pd.DataFrame":
     """TPC-H Q21 shape, adapted to this schema (no commit/receipt dates):
     suppliers SOLELY responsible for returns on multi-supplier finalized
