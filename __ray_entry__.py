@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_distinct": R.q_group_distinct,
         "group_mode": E.q_group_mode,
         "group_mad": E.q_group_mad,
+        "window_edges": E.q_window_edges,
         "group_corr": R.q_group_corr,
         "unpivot": R.q_unpivot,
         "event_paths": E.q_event_paths,
@@ -1387,6 +1388,19 @@ def oracle_sql() -> dict[str, str]:
                    round(median(value), 6) AS med,
                    round(mad(value), 6) AS mad
             FROM events GROUP BY user_id""",
+        "window_edges": """
+            SELECT event_id, user_id, value,
+                   first_value(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                     AS value_first,
+                   last_value(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS value_last,
+                   round(cume_dist() OVER (
+                       PARTITION BY user_id ORDER BY value), 6)
+                     AS value_cumedist
+            FROM events""",
         # corr's closed form is convention-free (sample/population factors
         # cancel), so SQL corr() matches the engine's moment formula;
         # round(6) on both sides absorbs float-sum-order noise

@@ -841,6 +841,23 @@ def q_winsorize(sf_dir: str) -> Dataset:
     return _round(joined.map_batches(clip, batch_format="pyarrow"), {"value_w": 6})
 
 
+def q_window_edges(sf_dir: str) -> Dataset:
+    """first_value / last_value / cume_dist of value per user stream
+    (stages/lag.add_edge_features) — the remaining SQL window-function
+    family, one entity exchange, pure-indexing kernels."""
+    from rp_extract_ray.stages.lag import add_edge_features
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    ds = add_edge_features(
+        ds, ["value"], entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )
+    ds = ds.select_columns(
+        ["event_id", "user_id", "value", "value_first", "value_last",
+         "value_cumedist"]
+    )
+    return _round(ds, {"value_cumedist": 6})
+
+
 def q_group_mad(sf_dir: str) -> Dataset:
     """Per-user robust dispersion: median + median-absolute-deviation of
     value (stages/groupops.grouped_mad — one keyed exchange, order

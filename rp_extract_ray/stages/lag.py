@@ -222,6 +222,58 @@ def rank_within(
     return {f"{col}_rank": rank.astype(np.int64), f"{col}_prank": pr}
 
 
+def edge_values_within(
+    pdf: pd.DataFrame, starts: np.ndarray, col: str
+) -> dict[str, np.ndarray]:
+    """SQL ``first_value()`` / ``last_value()`` of ``col`` over the WHOLE
+    entity run in stream order (last_value with the full-frame
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING semantics).
+    Pure indexing — ``starts`` already holds each row's run-start index and
+    ``_run_ends`` its exclusive end; no group loop."""
+    v = pdf[col].to_numpy()
+    ends = _run_ends(starts)
+    return {f"{col}_first": v[starts], f"{col}_last": v[ends - 1]}
+
+
+def cume_dist_within(
+    pdf: pd.DataFrame, starts: np.ndarray, col: str
+) -> dict[str, np.ndarray]:
+    """SQL ``cume_dist()`` of ``col`` within the entity run: fraction of run
+    rows with value <= this row's (peer groups share the max rank)."""
+    g = pdf.groupby(starts, sort=False)[col]
+    r = g.rank(method="max").to_numpy(dtype=np.float64)
+    n = g.transform("size").to_numpy(dtype=np.float64)
+    return {f"{col}_cumedist": r / n}
+
+
+def add_edge_features(
+    ds: Dataset,
+    value_cols: Sequence[str],
+    *,
+    cume: bool = True,
+    entity_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    num_partitions: int = 64,
+) -> Dataset:
+    """first/last value (and optionally cume_dist) per entity run — the
+    remaining SQL window-function family (non-causal whole-run features,
+    like ``add_rank_features``; not salted: they read the full run)."""
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        for c in value_cols:
+            for name, arr in edge_values_within(pdf, starts, c).items():
+                pdf[name] = arr
+            if cume:
+                for name, arr in cume_dist_within(pdf, starts, c).items():
+                    pdf[name] = arr
+        return pdf
+
+    return partitioned_apply(
+        ds, fn, entity_col=entity_col, order_cols=order_cols,
+        num_partitions=num_partitions,
+    )
+
+
 def add_ewma_features(
     ds: Dataset,
     value_cols: Sequence[str],

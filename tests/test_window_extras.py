@@ -219,3 +219,16 @@ def test_cohort_retention_matches_pandas():
         )
         assert got["n_users"].astype(int).tolist() == want["n_users"].tolist()
         assert got["week_offset"].astype(int).tolist() == want["week_offset"].tolist()
+
+
+def test_edge_values_and_cume_dist_match_pandas():
+    from rp_extract_ray.stages.lag import cume_dist_within, edge_values_within
+
+    pdf, starts = _frame(n=400, ents=9, seed=11)
+    got = edge_values_within(pdf, starts, "v")
+    g = pdf.groupby("conv_id", sort=False)["v"]
+    np.testing.assert_allclose(got["v_first"], g.transform("first"))
+    np.testing.assert_allclose(got["v_last"], g.transform("last"))
+    cd = cume_dist_within(pdf, starts, "v")
+    want = g.rank(method="max").to_numpy() / g.transform("size").to_numpy()
+    np.testing.assert_allclose(cd["v_cumedist"], want)
