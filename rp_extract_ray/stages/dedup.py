@@ -1789,9 +1789,14 @@ def dup_span_counts(
     Plan (shuffle-minimal):
 
     1. explode: one vectorized pass per batch builds a flat UTF-32 codepoint
-       array and gathers all windows as a single (n_windows, width) uint32
-       matrix, emitted zero-copy as a ``fixed_size_binary(width*4)`` column —
-       byte equality of the blobs IS substring equality; no per-row Python.
+       array, gathers all windows as a single (n_windows, width) uint32
+       matrix, and folds each row to a 64-bit FNV-1a hash (``width``
+       vectorized ops per block, no per-row Python) — the exchange key is
+       8 bytes instead of the ``width*4``-byte blob (20x shuffle-volume cut
+       at width=40; the exact_dedup content-hash argument: a collision
+       falsely marks one window duplicated, at ~1e-11 for these
+       cardinalities — the SQL oracle compares true substrings, so a
+       collision would surface as a gate mismatch).
     2. dup-span set: per-block DISTINCT (win, doc) pairs (arrow hash
        aggregate), then ONE win-keyed ``grouped_reduce`` of min/max doc id —
        ``min != max`` ⟺ >= 2 distinct docs without a distinct-count
@@ -1817,9 +1822,6 @@ def dup_span_counts(
     from rp_extract_ray.stages.groupops import grouped_reduce
     from rp_extract_ray.stages.join import broadcast_join
 
-    bw = width * 4
-    bin_t = pa.binary(bw)
-
     def explode(b: pa.Table) -> pa.Table:
         lens = pc.utf8_length(b.column(text_col)).to_numpy(zero_copy_only=False)
         lens = np.nan_to_num(lens, nan=0).astype(np.int64)
@@ -1827,7 +1829,7 @@ def dup_span_counts(
         tot = int(n_wins.sum())
         if tot == 0:
             return pa.table(
-                {id_col: pa.array([], pa.int64()), "win": pa.array([], bin_t)}
+                {id_col: pa.array([], pa.int64()), "win": pa.array([], pa.int64())}
             )
         texts = b.column(text_col).to_pylist()
         joined = "".join(t if t is not None else "" for t in texts)
@@ -1839,12 +1841,16 @@ def dup_span_counts(
         )
         within = np.arange(tot) - run_base
         starts = doc_starts[doc_idx] + within * width
-        mat = np.ascontiguousarray(flat[starts[:, None] + np.arange(width)[None, :]])
-        win = pa.Array.from_buffers(
-            bin_t, tot, [None, pa.py_buffer(mat.tobytes())]
-        )
+        mat = flat[starts[:, None] + np.arange(width)[None, :]]
+        # FNV-1a fold across the width: 8-byte exchange key per window
+        h = np.full(tot, 14695981039346656037, dtype=np.uint64)
+        prime = np.uint64(1099511628211)
+        for j in range(width):
+            h = (h ^ mat[:, j].astype(np.uint64)) * prime
         ids = b.column(id_col).to_numpy(zero_copy_only=False)[doc_idx]
-        return pa.table({id_col: pa.array(ids), "win": win})
+        return pa.table(
+            {id_col: pa.array(ids), "win": pa.array(h.view(np.int64))}
+        )
 
     def distinct_pairs(b: pa.Table) -> pa.Table:
         return explode(b).group_by(["win", id_col], use_threads=False).aggregate([])
@@ -1866,7 +1872,7 @@ def dup_span_counts(
     n_dup_wins = dup.count()
     if n_dup_wins <= driver_budget:
         dup_pdf = dup.to_pandas()
-        dup_set = pa.array(list(dup_pdf["win"]), type=bin_t)
+        dup_set = pa.array(dup_pdf["win"].to_numpy(), type=pa.int64())
         set_ref = ray.put(dup_set)
 
         def count_dups(b: pa.Table) -> pa.Table:
