@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_mode": E.q_group_mode,
         "group_mad": E.q_group_mad,
         "window_edges": E.q_window_edges,
+        "corpus_diff": D.q_corpus_diff,
         "group_corr": R.q_group_corr,
         "unpivot": R.q_unpivot,
         "event_paths": E.q_event_paths,
@@ -1401,6 +1402,22 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY value), 6)
                      AS value_cumedist
             FROM events""",
+        "corpus_diff": """
+            WITH b AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text || '!'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id,
+                       'new doc ' || CAST(doc_id AS VARCHAR) AS text
+                FROM documents WHERE doc_id % 11 = 0)
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN a.text = b.text THEN 'same'
+                        ELSE 'changed' END AS status
+            FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id""",
         # corr's closed form is convention-free (sample/population factors
         # cancel), so SQL corr() matches the engine's moment formula;
         # round(6) on both sides absorbs float-sum-order noise

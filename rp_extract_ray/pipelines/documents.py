@@ -37,6 +37,42 @@ def _emb(sf_dir: str) -> Dataset:
     return read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
 
+def q_corpus_diff(sf_dir: str) -> Dataset:
+    """Snapshot diff between two corpus versions (stages/dedup.corpus_diff):
+    version B is derived deterministically from documents — every 7th doc
+    dropped, every 5th rewritten (text || '!'), every 11th re-added as a
+    new id — and the diff classifies each id as added/removed/changed/same
+    through ONE id-keyed full-outer exchange of (id, content_hash) pairs
+    (8 bytes per row, never the payload). Oracle: the same derivation as a
+    SQL CTE + FULL OUTER JOIN CASE."""
+    import pandas as pd
+
+    from rp_extract_ray.stages.dedup import corpus_diff
+    from rp_extract_ray.stages.partition import arrow_out
+
+    a = _docs(sf_dir, ["doc_id", "text"])
+
+    def derive_b(pdf: pd.DataFrame) -> pa.Table:
+        keep = pdf[pdf["doc_id"] % 7 != 0].copy()
+        m5 = keep["doc_id"] % 5 == 0
+        keep.loc[m5, "text"] = keep.loc[m5, "text"] + "!"
+        new = pdf[pdf["doc_id"] % 11 == 0]
+        newdf = pd.DataFrame(
+            {
+                "doc_id": new["doc_id"] + 10_000_000,
+                "text": "new doc " + new["doc_id"].astype(str),
+            }
+        )
+        return arrow_out(
+            pd.concat([keep[["doc_id", "text"]], newdf], ignore_index=True)
+        )
+
+    b = a.map_batches(
+        lambda t: derive_b(t.to_pandas()), batch_format="pyarrow"
+    )
+    return corpus_diff(a, b, num_partitions=16)
+
+
 def q_token_count(sf_dir: str) -> Dataset:
     ds = add_token_counts(_docs(sf_dir, ["doc_id", "text"]))
     return ds.select_columns(["doc_id", "n_tokens", "n_ws_tokens"])

@@ -1713,6 +1713,63 @@ def edit_distance_pairs(
     )
 
 
+def corpus_diff(
+    a: Dataset,
+    b: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Snapshot diff between two corpus versions: one row per id in either
+    side with status ``added`` (only in B) / ``removed`` (only in A) /
+    ``same`` / ``changed`` — the incremental-ingest audit op (which docs
+    does a re-crawl add, drop, or rewrite?).
+
+    Scale shape: each side reduces to ``(id, content_hash)`` BEFORE the
+    exchange (``stable_hash`` of the text — 8 bytes through the full-outer
+    ``repartition_join`` instead of the payload; a collision misreads one
+    rewritten doc as ``same``, at ~1e-19 per changed doc). One id-keyed
+    exchange total; the status classify is a stateless vectorized map.
+    """
+    from rp_extract_ray.stages.join import repartition_join
+    from rp_extract_ray.stages.partition import arrow_out, stable_hash
+
+    def hashed(name):
+        def f(t: pa.Table) -> pa.Table:
+            h = stable_hash(t.column(text_col).to_numpy(zero_copy_only=False))
+            return pa.table(
+                {id_col: t.column(id_col), name: pa.array(h.astype(np.int64))}
+            )
+
+        return f
+
+    ha = a.map_batches(hashed("hash_a"), batch_format="pyarrow")
+    hb = b.map_batches(hashed("hash_b"), batch_format="pyarrow")
+    kw = {} if num_partitions is None else {"num_partitions": num_partitions}
+    j = repartition_join(
+        ha, hb, on=id_col, how="full_outer",
+        right_cols=[id_col, "hash_b"], **kw,
+    )
+
+    def classify(pdf: "pd.DataFrame") -> pa.Table:
+        va, vb = pdf["hash_a"], pdf["hash_b"]
+        status = np.where(
+            va.isna(), "added",
+            np.where(vb.isna(), "removed",
+                     np.where(va.eq(vb), "same", "changed")),
+        )
+        return arrow_out(
+            pd.DataFrame(
+                {id_col: pdf[id_col].astype(np.int64), "status": status}
+            )
+        )
+
+    return j.map_batches(
+        lambda t: classify(t.to_pandas()), batch_format="pyarrow"
+    )
+
+
 def latest_per_key(
     ds: Dataset,
     key_col: str,

@@ -849,3 +849,37 @@ def test_dup_span_counts_distributed_path_matches_broadcast():
     a, b = run(10_000_000), run(0)
     assert a["n_dup_windows"].sum() > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_corpus_diff_matches_longhand():
+    from rp_extract_ray.stages.dedup import corpus_diff
+
+    a_docs = {i: f"text {i % 4}" for i in range(20)}          # repeated texts
+    b_docs = {i: a_docs[i] for i in range(20) if i % 6 != 0}  # drop some
+    for i in (3, 7, 11):
+        b_docs[i] = b_docs[i] + " rewritten"                  # change some
+    for i in (100, 101):
+        b_docs[i] = "brand new"                               # add some
+    a = pd.DataFrame({"doc_id": list(a_docs), "text": list(a_docs.values())})
+    b = pd.DataFrame({"doc_id": list(b_docs), "text": list(b_docs.values())})
+
+    want = {}
+    for i in set(a_docs) | set(b_docs):
+        if i not in b_docs:
+            want[i] = "removed"
+        elif i not in a_docs:
+            want[i] = "added"
+        else:
+            want[i] = "same" if a_docs[i] == b_docs[i] else "changed"
+
+    for parts in (1, 5):
+        got = (
+            corpus_diff(
+                rd.from_pandas(a).repartition(parts),
+                rd.from_pandas(b).repartition(parts),
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert dict(zip(got["doc_id"], got["status"])) == want
