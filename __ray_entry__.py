@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_mad": E.q_group_mad,
         "window_edges": E.q_window_edges,
         "corpus_diff": D.q_corpus_diff,
+        "regex_extract": D.q_regex_extract,
         "group_corr": R.q_group_corr,
         "unpivot": R.q_unpivot,
         "event_paths": E.q_event_paths,
@@ -1418,6 +1419,13 @@ def oracle_sql() -> dict[str, str]:
                         WHEN a.text = b.text THEN 'same'
                         ELSE 'changed' END AS status
             FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id""",
+        "regex_extract": """
+            SELECT doc_id,
+                   NULLIF(regexp_extract(
+                       text, '\\b(join|merge|sort) (\\w+)', 1), '') AS op,
+                   NULLIF(regexp_extract(
+                       text, '\\b(join|merge|sort) (\\w+)', 2), '') AS arg
+            FROM documents""",
         # corr's closed form is convention-free (sample/population factors
         # cancel), so SQL corr() matches the engine's moment formula;
         # round(6) on both sides absorbs float-sum-order noise

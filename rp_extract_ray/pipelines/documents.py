@@ -37,6 +37,21 @@ def _emb(sf_dir: str) -> Dataset:
     return read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
 
+def q_regex_extract(sf_dir: str) -> Dataset:
+    """First-match regex capture groups as columns
+    (stages/explode.extract_regex_groups): the op and its argument word
+    from each doc's first join/merge/sort phrase; null where absent.
+    Oracle: NULLIF-wrapped regexp_extract per group (both engines are
+    RE2, so first-match semantics agree exactly)."""
+    from rp_extract_ray.stages.explode import extract_regex_groups
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = extract_regex_groups(
+        ds, "text", r"\b(?P<op>join|merge|sort) (?P<arg>\w+)", ["op", "arg"]
+    )
+    return out.select_columns(["doc_id", "op", "arg"])
+
+
 def q_corpus_diff(sf_dir: str) -> Dataset:
     """Snapshot diff between two corpus versions (stages/dedup.corpus_diff):
     version B is derived deterministically from documents — every 7th doc

@@ -57,6 +57,29 @@ def explode_tokens(
     )
 
 
+def extract_regex_groups(
+    ds: Dataset,
+    text_col: str,
+    pattern: str,
+    out_cols: "list[str]",
+) -> Dataset:
+    """First-match capture-group extraction into typed columns (the
+    log/URL/field-parsing map of an ingest pipeline). ``pattern`` uses
+    named groups matching ``out_cols``; one vectorized RE2 pass per batch
+    (``pc.extract_regex`` — the same regex engine DuckDB uses, so
+    leftmost-match semantics agree exactly). Non-matching rows yield null
+    in every group column (pair the SQL oracle with
+    ``NULLIF(regexp_extract(...), '')`` — DuckDB returns '' for misses)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(pc.fill_null(b.column(text_col), ""), pattern)
+        for name in out_cols:
+            b = b.append_column(name, pc.struct_field(m, name))
+        return b
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def extract_json_int(
     ds: Dataset,
     json_col: str,

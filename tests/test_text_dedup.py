@@ -883,3 +883,25 @@ def test_corpus_diff_matches_longhand():
             .sort_values("doc_id", ignore_index=True)
         )
         assert dict(zip(got["doc_id"], got["status"])) == want
+
+
+def test_extract_regex_groups_null_on_miss():
+    from rp_extract_ray.stages.explode import extract_regex_groups
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["do a merge here", "nothing relevant", None,
+                     "sort keys then join tables"],
+        }
+    )
+    out = (
+        extract_regex_groups(
+            rd.from_pandas(df), "text",
+            r"\b(?P<op>join|merge|sort) (?P<arg>\w+)", ["op", "arg"],
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["op"].tolist() == ["merge", None, None, "sort"]
+    assert out["arg"].tolist() == ["here", None, None, "keys"]
