@@ -64,7 +64,7 @@ QUERY_NAMES = [
     "tpch_q10", "tpch_q18", "feature_matrix", "dup_spans",
     # round-5 session-5 additions (80 -> 83 names)
     "tpch_q12", "union_keys", "cms_counts",
-    # round-5 session-6 additions (83 -> 91 names)
+    # round-5 session-6 additions (83 -> 94 names)
     "tpch_q15", "tpch_q17", "tpch_q7", "tpch_q21", "tpch_q22", "group_mad",
     "tpch_q8", "tpch_q19", "window_edges", "corpus_diff", "regex_extract",
 ]

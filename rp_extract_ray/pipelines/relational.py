@@ -1378,6 +1378,7 @@ def q_tpch_q15(sf_dir: str) -> "pd.DataFrame":
     ever moves."""
     import datetime as _dt
 
+    import pandas as pd
     import pyarrow.parquet as pq
     from ray.data.aggregate import Max
 
@@ -1404,7 +1405,12 @@ def q_tpch_q15(sf_dir: str) -> "pd.DataFrame":
         grouped_reduce(line, "l_suppkey", {"total_revenue": ("rev", "sum")}),
         {"total_revenue": 2},
     ).materialize()
-    best = float(per_supp.aggregate(Max("total_revenue"))["max(total_revenue)"])
+    schema = {"s_suppkey": "int64", "s_name": "object",
+              "total_revenue": "float64"}
+    best = per_supp.aggregate(Max("total_revenue"))["max(total_revenue)"]
+    if best is None:  # empty ship window: no supplier has revenue
+        return _pdf_with_schema(pd.DataFrame(), schema)
+    best = float(best)
     top = per_supp.map_batches(
         lambda b: b.filter(pc.equal(b.column("total_revenue"), best)),
         batch_format="pyarrow",
@@ -1418,7 +1424,7 @@ def q_tpch_q15(sf_dir: str) -> "pd.DataFrame":
     out = out.rename(columns={"l_suppkey": "s_suppkey"}).sort_values(
         "s_suppkey", ignore_index=True
     )
-    return out[["s_suppkey", "s_name", "total_revenue"]]
+    return _pdf_with_schema(out, schema)
 
 
 def q_tpch_q17(sf_dir: str, brand: str = "Brand#4") -> "pd.DataFrame":
@@ -1456,6 +1462,9 @@ def q_tpch_q17(sf_dir: str, brand: str = "Brand#4") -> "pd.DataFrame":
         "l_partkey",
         {"s": ("l_quantity", "sum"), "c": ("l_quantity", "count")},
     ).to_pandas()  # bounded: one row per brand part
+    if agg.empty or "l_partkey" not in agg.columns:
+        # no lineitem for this brand: SQL sum over zero rows is NULL
+        return pd.DataFrame({"avg_yearly": [float("nan")]})
     thr = pd.DataFrame(
         {
             "p_partkey": agg["l_partkey"],
@@ -1469,9 +1478,16 @@ def q_tpch_q17(sf_dir: str, brand: str = "Brand#4") -> "pd.DataFrame":
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         m = b["l_quantity"].to_numpy() < b["thresh"].to_numpy()
-        return pd.DataFrame({"s": [float(b["l_extendedprice"].to_numpy()[m].sum())]})
+        return pd.DataFrame(
+            {
+                "s": [float(b["l_extendedprice"].to_numpy()[m].sum())],
+                "c": [int(m.sum())],
+            }
+        )
 
     parts = j.map_batches(partial, batch_format="pandas").to_pandas()
+    if int(parts["c"].sum()) == 0:  # qualifying set empty -> SQL NULL
+        return pd.DataFrame({"avg_yearly": [float("nan")]})
     total = float(parts["s"].sum())
     val = float(round_half_away(total / 7.0, 2))
     return pd.DataFrame({"avg_yearly": [val]})

@@ -1730,44 +1730,53 @@ def corpus_diff(
     exchange (``stable_hash`` of the text — 8 bytes through the full-outer
     ``repartition_join`` instead of the payload; a collision misreads one
     rewritten doc as ``same``, at ~1e-19 per changed doc). One id-keyed
-    exchange total; the status classify is a stateless vectorized map.
+    exchange total; the status classify compares the hashes IN ARROW (a
+    pandas round-trip would lose int64-with-null columns to float64 and
+    weaken the collision bound to 2^-53). A doc whose text is null in BOTH
+    versions classifies as ``changed`` — per-side null sentinels replicate
+    the SQL oracle's ``a.text = b.text`` (NULL = NULL is not true).
     """
     from rp_extract_ray.stages.join import repartition_join
-    from rp_extract_ray.stages.partition import arrow_out, stable_hash
+    from rp_extract_ray.stages.partition import stable_hash
 
-    def hashed(name):
+    def hashed(name, null_sentinel):
         def f(t: pa.Table) -> pa.Table:
-            h = stable_hash(t.column(text_col).to_numpy(zero_copy_only=False))
-            return pa.table(
-                {id_col: t.column(id_col), name: pa.array(h.astype(np.int64))}
-            )
+            arr = t.column(text_col).to_numpy(zero_copy_only=False)
+            h = stable_hash(arr).astype(np.int64)
+            h[pd.isna(arr)] = null_sentinel
+            return pa.table({id_col: t.column(id_col), name: pa.array(h)})
 
         return f
 
-    ha = a.map_batches(hashed("hash_a"), batch_format="pyarrow")
-    hb = b.map_batches(hashed("hash_b"), batch_format="pyarrow")
+    ha = a.map_batches(hashed("hash_a", -1), batch_format="pyarrow")
+    hb = b.map_batches(hashed("hash_b", -2), batch_format="pyarrow")
     kw = {} if num_partitions is None else {"num_partitions": num_partitions}
     j = repartition_join(
         ha, hb, on=id_col, how="full_outer",
         right_cols=[id_col, "hash_b"], **kw,
     )
 
-    def classify(pdf: "pd.DataFrame") -> pa.Table:
-        va, vb = pdf["hash_a"], pdf["hash_b"]
-        status = np.where(
-            va.isna(), "added",
-            np.where(vb.isna(), "removed",
-                     np.where(va.eq(vb), "same", "changed")),
+    def classify(t: pa.Table) -> pa.Table:
+        va = t.column("hash_a").combine_chunks()
+        vb = t.column("hash_b").combine_chunks()
+        same = pc.fill_null(pc.equal(va, vb), False)
+        status = pc.if_else(
+            pc.is_null(va),
+            pa.scalar("added"),
+            pc.if_else(
+                pc.is_null(vb),
+                pa.scalar("removed"),
+                pc.if_else(same, pa.scalar("same"), pa.scalar("changed")),
+            ),
         )
-        return arrow_out(
-            pd.DataFrame(
-                {id_col: pdf[id_col].astype(np.int64), "status": status}
-            )
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                "status": status,
+            }
         )
 
-    return j.map_batches(
-        lambda t: classify(t.to_pandas()), batch_format="pyarrow"
-    )
+    return j.map_batches(classify, batch_format="pyarrow")
 
 
 def latest_per_key(

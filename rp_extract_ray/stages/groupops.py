@@ -175,13 +175,20 @@ def grouped_quantiles(
     slim = ds.select_columns([*gcols, value_col])
 
     def per_group(group: pd.DataFrame) -> pd.DataFrame:
+        from rp_extract_ray.functions.rounding import round_half_away
+
         v = group[value_col].to_numpy(dtype=np.float64)
         v = v[~np.isnan(v)]
         row = {c: [group[c].iloc[0]] for c in gcols}
         row["n"] = [np.int64(len(v))]
         for q, name in zip(qs, names):
             val = float(np.quantile(v, q, method=np_method)) if len(v) else np.nan
-            row[name] = [round(val, round_to) if round_to is not None else val]
+            # half-away, matching DuckDB ROUND (Python round is half-even)
+            row[name] = [
+                float(round_half_away(val, round_to))
+                if round_to is not None
+                else val
+            ]
         return pd.DataFrame(row)
 
     return slim.groupby(gcols).map_groups(per_group, batch_format="pandas")
@@ -217,7 +224,11 @@ def grouped_mad(
         else:
             med = mad = np.nan
         if round_to is not None:
-            med, mad = round(med, round_to), round(mad, round_to)
+            # half-away, matching DuckDB ROUND (Python round is half-even)
+            from rp_extract_ray.functions.rounding import round_half_away
+
+            med = float(round_half_away(med, round_to))
+            mad = float(round_half_away(mad, round_to))
         row["med"] = [med]
         row["mad"] = [mad]
         return pd.DataFrame(row)

@@ -500,36 +500,44 @@ def repartition_join(
             out = ltbl.filter(pc.invert(m) if anti else m)
             return strip_meta(out)
         # union-unified schema: each side's missing columns arrive all-null
-        # in the other side's rows; split by the declared column sets
+        # in the other side's rows; split by the declared column sets.
+        # Integer columns convert to pandas NULLABLE ints BEFORE the merge:
+        # letting the outer merge upcast int64 -> float64 and casting back
+        # would silently round values above 2^53 (found via corpus_diff's
+        # 64-bit content hashes: a partition with only LEFT orphans kept
+        # hash_a exact while hash_b round-tripped through float64, so
+        # identical hashes compared unequal). Width-matched nullable dtypes
+        # also kill the old cross-partition drift (int32 with vs without
+        # orphans) at the source; the merge itself never sees a float.
+        def to_pdf(t: pa.Table):
+            return t.to_pandas(
+                types_mapper=lambda at: (
+                    getattr(
+                        pd,
+                        ("UInt" if pa.types.is_unsigned_integer(at) else "Int")
+                        + f"{at.bit_width}Dtype",
+                    )()
+                    if pa.types.is_integer(at)
+                    else None
+                )
+            )
+
         lcols = [c for c in group.column_names if c not in r_value_cols]
-        lpdf = ltbl.select(lcols).to_pandas()
+        lpdf = to_pdf(ltbl.select(lcols))
         rsel = [on, *[c for c in r_value_cols if c in group.column_names]]
         if how == "full_outer":
             # null-key right rows reach here only under full_outer: split
             # them off so the merge cannot pair NaN == NaN, then re-enter
             # the output as right orphans
             valid = pc.is_valid(rtbl.column(on))
-            rnull_pdf = rtbl.filter(pc.invert(valid)).select(rsel).to_pandas()
+            rnull_pdf = to_pdf(rtbl.filter(pc.invert(valid)).select(rsel))
             rtbl = rtbl.filter(valid)
         else:
             rnull_pdf = None
-        rpdf = rtbl.select(rsel).to_pandas()
+        rpdf = to_pdf(rtbl.select(rsel))
         merged = lpdf.merge(rpdf, on=on, how=how_pd)
         if rnull_pdf is not None and len(rnull_pdf):
-            import pandas as pd  # right orphans: left columns stay null
-
             merged = pd.concat([merged, rnull_pdf], ignore_index=True)
-        # outer-join nulls upcast int64 -> float64 only in partitions that
-        # HAVE orphans; normalize to pandas nullable Int64 so every
-        # partition emits the group schema's integer type (no cross-block
-        # dtype drift in the downstream unify)
-        gschema = group.schema
-        for c in merged.columns:
-            idx = gschema.get_field_index(c)
-            if idx >= 0 and merged[c].dtype.kind == "f":
-                gt = gschema.field(idx).type
-                if pa.types.is_integer(gt):
-                    merged[c] = merged[c].astype("Int64")
         return strip_meta(pa.Table.from_pandas(merged, preserve_index=False))
 
     unioned = lt.union(rt)

@@ -239,10 +239,14 @@ def cume_dist_within(
     pdf: pd.DataFrame, starts: np.ndarray, col: str
 ) -> dict[str, np.ndarray]:
     """SQL ``cume_dist()`` of ``col`` within the entity run: fraction of run
-    rows with value <= this row's (peer groups share the max rank)."""
+    rows with value <= this row's (peer groups share the max rank).
+    Null values follow ORDER BY's NULLS LAST — they are the final peer
+    group, so their cume_dist is 1.0 (pandas rank leaves them NaN; the
+    size transform already counts them in ``n``)."""
     g = pdf.groupby(starts, sort=False)[col]
     r = g.rank(method="max").to_numpy(dtype=np.float64)
     n = g.transform("size").to_numpy(dtype=np.float64)
+    r = np.where(np.isnan(r), n, r)
     return {f"{col}_cumedist": r / n}
 
 

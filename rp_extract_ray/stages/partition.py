@@ -332,13 +332,26 @@ def partitioned_apply(
         mark = np.asarray(
             tbl.column(SIDE_MARK).to_numpy(zero_copy_only=False), dtype=bool
         )
-        side_pdf = (
-            tbl.filter(pa.array(mark))
-            .select([entity_col, *side_cols])
-            .to_pandas()
-        )
         keep = [c for c in tbl.column_names if c != SIDE_MARK and c not in side_cols]
         data_pdf = tbl.filter(pa.array(~mark)).select(keep).to_pandas()
+        if not all(c in tbl.column_names for c in side_cols):
+            # a LEGITIMATELY EMPTY side input contributes zero blocks to the
+            # union, so its columns never enter the unified schema (found:
+            # tpch_q3 at sf0.001, where the date filter empties orders).
+            # Emit a typed-key empty side frame; value columns default
+            # float64 (only the merge key's dtype matters for the join).
+            side_pdf = pd.DataFrame(
+                {
+                    entity_col: pd.Series(dtype=data_pdf[entity_col].dtype),
+                    **{c: pd.Series(dtype="float64") for c in side_cols},
+                }
+            )
+        else:
+            side_pdf = (
+                tbl.filter(pa.array(mark))
+                .select([entity_col, *side_cols])
+                .to_pandas()
+            )
         return run_group(data_pdf, side_pdf)
 
     return unioned.groupby(PART_COL).map_groups(

@@ -905,3 +905,17 @@ def test_extract_regex_groups_null_on_miss():
     )
     assert out["op"].tolist() == ["merge", None, None, "sort"]
     assert out["arg"].tolist() == ["here", None, None, "keys"]
+
+
+def test_corpus_diff_null_text_matches_sql_semantics():
+    from rp_extract_ray.stages.dedup import corpus_diff
+
+    # SQL CASE a.text = b.text: NULL = NULL is not true -> 'changed'
+    a = pd.DataFrame({"doc_id": [1, 2, 3], "text": [None, "x", None]})
+    b = pd.DataFrame({"doc_id": [1, 2, 3], "text": [None, None, "x"]})
+    got = (
+        corpus_diff(rd.from_pandas(a), rd.from_pandas(b), num_partitions=2)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got["status"].tolist() == ["changed", "changed", "changed"]

@@ -232,3 +232,15 @@ def test_edge_values_and_cume_dist_match_pandas():
     cd = cume_dist_within(pdf, starts, "v")
     want = g.rank(method="max").to_numpy() / g.transform("size").to_numpy()
     np.testing.assert_allclose(cd["v_cumedist"], want)
+
+
+def test_cume_dist_nulls_last():
+    from rp_extract_ray.stages.lag import cume_dist_within
+
+    pdf = pd.DataFrame(
+        {"conv_id": [0, 0, 0, 0], "v": [2.0, np.nan, 1.0, np.nan]}
+    )
+    starts = np.zeros(4, dtype=np.int64)
+    got = cume_dist_within(pdf, starts, "v")["v_cumedist"]
+    # SQL ORDER BY v NULLS LAST: 1.0 -> 0.25, 2.0 -> 0.5, nulls -> 1.0
+    np.testing.assert_allclose(got, [0.5, 1.0, 0.25, 1.0])
