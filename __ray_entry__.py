@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_mode": E.q_group_mode,
         "group_mad": E.q_group_mad,
         "window_edges": E.q_window_edges,
+        "rolling_corr": E.q_rolling_corr,
         "corpus_diff": D.q_corpus_diff,
         "regex_extract": D.q_regex_extract,
         "group_corr": R.q_group_corr,
@@ -1402,6 +1403,13 @@ def oracle_sql() -> dict[str, str]:
                    round(cume_dist() OVER (
                        PARTITION BY user_id ORDER BY value), 6)
                      AS value_cumedist
+            FROM events""",
+        "rolling_corr": """
+            SELECT event_id, user_id,
+                   round(corr(value, epoch(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 15 PRECEDING AND CURRENT ROW), 6)
+                     AS value_trend_corr
             FROM events""",
         "corpus_diff": """
             WITH b AS (

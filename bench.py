@@ -67,6 +67,7 @@ QUERY_NAMES = [
     # round-5 session-6 additions (83 -> 94 names)
     "tpch_q15", "tpch_q17", "tpch_q7", "tpch_q21", "tpch_q22", "group_mad",
     "tpch_q8", "tpch_q19", "window_edges", "corpus_diff", "regex_extract",
+    "rolling_corr",
 ]
 
 

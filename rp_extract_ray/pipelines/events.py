@@ -858,6 +858,34 @@ def q_window_edges(sf_dir: str) -> Dataset:
     return _round(ds, {"value_cumedist": 6})
 
 
+def q_rolling_corr(sf_dir: str) -> Dataset:
+    """Trailing 16-row correlation of value vs elapsed time per user
+    (stages/lag.add_rolling_corr — the windowed two-column aggregate the
+    7-stat kernel family lacked; five shifted-view sums, causal). Oracle:
+    windowed corr(value, epoch(ts)) with a ROWS frame; NULL where the
+    frame has <2 rows or zero variance (DuckDB parity, tested)."""
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.stages.lag import add_rolling_corr
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def add_tsec(b: pa.Table) -> pa.Table:
+        sec = pc.divide(
+            pc.cast(b.column("ts"), pa.int64()).cast(pa.float64()),
+            pa.scalar(1e6),
+        )
+        return b.append_column("tsec", sec)
+
+    ds = ds.map_batches(add_tsec, batch_format="pyarrow")
+    out = add_rolling_corr(
+        ds, "value", "tsec", k=16, out_col="value_trend_corr",
+        entity_col=ENTITY, order_cols=ORDER, num_partitions=NP,
+    )
+    out = out.select_columns(["event_id", "user_id", "value_trend_corr"])
+    return _round(out, {"value_trend_corr": 6})
+
+
 def q_group_mad(sf_dir: str) -> Dataset:
     """Per-user robust dispersion: median + median-absolute-deviation of
     value (stages/groupops.grouped_mad — one keyed exchange, order

@@ -222,6 +222,83 @@ def rank_within(
     return {f"{col}_rank": rank.astype(np.int64), f"{col}_prank": pr}
 
 
+def rolling_corr_within(
+    x: np.ndarray, y: np.ndarray, starts: np.ndarray, k: int
+) -> np.ndarray:
+    """Trailing-window Pearson correlation of two columns within each
+    entity run (SQL ``corr(x, y) OVER (... ROWS k-1 PRECEDING)``): k
+    shifted full-array views accumulate the five windowed sums — no
+    per-entity loop; causal; salt-safe with ``overlap >= k - 1``. NULL
+    (NaN) where the window has < 2 rows or either side has zero variance,
+    matching DuckDB's windowed ``corr``. Assumes non-null inputs (the
+    shifted NaNs here mark run boundaries, not data nulls)."""
+    xf = x.astype(np.float64, copy=False)
+    yf = y.astype(np.float64, copy=False)
+    # rebase per run: corr is shift-invariant and raw magnitudes (epoch
+    # seconds ~1e9) would eat float64 precision in the squared sums
+    xf = xf - xf[starts]
+    yf = yf - yf[starts]
+    n_rows = len(xf)
+    n = np.zeros(n_rows)
+    sx = np.zeros(n_rows)
+    sy = np.zeros(n_rows)
+    for j in range(k):
+        xs = shifted(xf, j, starts)
+        n += ~np.isnan(xs)
+        sx += np.nan_to_num(xs)
+        sy += np.nan_to_num(shifted(yf, j, starts))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mx, my = sx / n, sy / n
+    # second pass on window-mean-centered deviations: the one-pass
+    # n*Σxy - ΣxΣy form cancels catastrophically for large-offset series
+    # (measured: epoch-seconds y failed the 6-decimal oracle gate)
+    cxy = np.zeros(n_rows)
+    cxx = np.zeros(n_rows)
+    cyy = np.zeros(n_rows)
+    for j in range(k):
+        xs = shifted(xf, j, starts)
+        ys = shifted(yf, j, starts)
+        dx = np.nan_to_num(xs - mx)
+        dy = np.nan_to_num(ys - my)
+        cxy += dx * dy
+        cxx += dx * dx
+        cyy += dy * dy
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = cxy / np.sqrt(cxx * cyy)
+    out[(n < 2) | (cxx <= 0) | (cyy <= 0)] = np.nan
+    return out
+
+
+def add_rolling_corr(
+    ds: Dataset,
+    x_col: str,
+    y_col: str,
+    *,
+    k: int = 16,
+    out_col: str | None = None,
+    entity_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    num_partitions: int = 64,
+    salt: SaltSpec | None = None,
+) -> Dataset:
+    """Rolling correlation column ``<x>_<y>_corr`` (see
+    :func:`rolling_corr_within`)."""
+    if salt is not None and salt.overlap < k - 1:
+        raise ValueError(f"salt.overlap={salt.overlap} < window horizon {k - 1}")
+    out_col = out_col or f"{x_col}_{y_col}_corr"
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        pdf[out_col] = rolling_corr_within(
+            pdf[x_col].to_numpy(), pdf[y_col].to_numpy(), starts, k
+        )
+        return pdf
+
+    return partitioned_apply(
+        ds, fn, entity_col=entity_col, order_cols=order_cols,
+        num_partitions=num_partitions, salt=salt,
+    )
+
+
 def edge_values_within(
     pdf: pd.DataFrame, starts: np.ndarray, col: str
 ) -> dict[str, np.ndarray]:

@@ -244,3 +244,30 @@ def test_cume_dist_nulls_last():
     got = cume_dist_within(pdf, starts, "v")["v_cumedist"]
     # SQL ORDER BY v NULLS LAST: 1.0 -> 0.25, 2.0 -> 0.5, nulls -> 1.0
     np.testing.assert_allclose(got, [0.5, 1.0, 0.25, 1.0])
+
+
+def test_rolling_corr_matches_pandas():
+    from rp_extract_ray.stages.lag import rolling_corr_within
+
+    pdf, starts = _frame(n=300, ents=5, seed=13)
+    rng = np.random.default_rng(4)
+    # large-offset second column: the regression case (epoch-like scale)
+    pdf["y"] = 8.8e8 + np.cumsum(rng.uniform(1, 60, len(pdf)))
+    k = 7
+    got = rolling_corr_within(
+        pdf["v"].to_numpy(), pdf["y"].to_numpy(), starts, k
+    )
+    want = (
+        pdf.groupby("conv_id", sort=False)
+        .apply(
+            lambda g: g["v"].rolling(k, min_periods=2).corr(g["y"]),
+            include_groups=False,
+        )
+        .to_numpy()
+    )
+    # pandas emits +-inf/NaN for zero-variance windows; ours uses NaN.
+    # atol 1e-6: pandas' streaming variance loses ~1e-8 on the large-offset
+    # column (its 2-point corr reads 0.99999999, ours exactly 1.0 after the
+    # per-run rebase; DuckDB's windowed corr agrees with ours at 6 dp)
+    want[~np.isfinite(want)] = np.nan
+    np.testing.assert_allclose(got, want, atol=1e-6, equal_nan=True)
