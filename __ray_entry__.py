@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_corr": E.q_rolling_corr,
         "corpus_diff": D.q_corpus_diff,
         "regex_extract": D.q_regex_extract,
+        "hopping_window": E.q_hopping_window,
+        "dense_grid": E.q_dense_grid,
+        "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
         "unpivot": R.q_unpivot,
         "event_paths": E.q_event_paths,
@@ -1411,6 +1414,36 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 15 PRECEDING AND CURRENT ROW), 6)
                      AS value_trend_corr
             FROM events""",
+        # hopping windows: every event replicated into its 4 containing
+        # 15-min-hop / 1-h windows (epoch-aligned via epoch_us, matching the
+        # engine's int64 floor — no time_bucket origin dependence)
+        "hopping_window": """
+            WITH x AS (SELECT user_id, value,
+                              make_timestamp(
+                                  (epoch_us(ts) // 900000000) * 900000000
+                                  - CAST(u.j AS BIGINT) * 900000000) AS wstart
+                       FROM events, UNNEST([0, 1, 2, 3]) AS u(j))
+            SELECT user_id, wstart, round(sum(value), 6) AS wsum,
+                   CAST(count(*) AS BIGINT) AS wn
+            FROM x GROUP BY user_id, wstart""",
+        # dense grid zero-fill: full user x type cross with absent combos = 0
+        "dense_grid": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+                 t AS (SELECT unnest(['click', 'error', 'purchase',
+                                      'signup', 'view']) AS event_type),
+                 c AS (SELECT user_id, event_type, count(*) AS n
+                       FROM events GROUP BY user_id, event_type)
+            SELECT u.user_id, t.event_type,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM u CROSS JOIN t
+            LEFT JOIN c ON c.user_id = u.user_id
+                       AND c.event_type = t.event_type""",
+        "rollup_orders": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   round(sum(o_totalprice), 2) AS total,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
         "corpus_diff": """
             WITH b AS (
                 SELECT doc_id,

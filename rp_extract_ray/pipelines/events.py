@@ -988,3 +988,54 @@ def q_cooccurrence(sf_dir: str) -> Dataset:
     return cooccurrence_pairs(
         ds, ENTITY, "event_type", out_names=("e1", "e2"), num_partitions=NP
     )
+
+
+def q_hopping_window(sf_dir: str) -> Dataset:
+    """Hopping-window aggregate (stages/timegrid.hopping_window_aggregate):
+    1-hour windows advancing every 15 minutes, sum + count of value per
+    (user, window) — the streaming HOP shape; each event fans out to 4
+    windows inside the block, map-side combines, and ONE keyed exchange
+    carries distinct (user, window) partials. Oracle: UNNEST([0..3]) window
+    replication + GROUP BY."""
+    from rp_extract_ray.stages.timegrid import hopping_window_aggregate
+
+    ds = _events(sf_dir, ["ts", "user_id", "value"])
+    out = hopping_window_aggregate(
+        ds, entity_col=ENTITY, ts_col="ts", value_col="value",
+        window_s=3600.0, hop_s=900.0, num_partitions=NP,
+    )
+    out = out.select_columns(["user_id", "wstart", "wsum", "wn"])
+    return _round(out, {"wsum": 6})
+
+
+def q_dense_grid(sf_dir: str) -> Dataset:
+    """Dense cross-grid zero-fill: per-(user, event_type) counts over the
+    FULL user x type grid, absent combinations explicit as 0 — the reshape
+    pair (stages/pivot.pivot_counts -> unpivot) composed so the grid
+    densifies inside the one pivot exchange (wide rows are born dense) and
+    the melt back to long is a pure per-block kernel with zero extra
+    shuffle. Oracle: CROSS JOIN of distinct users x the type list LEFT
+    JOINed to GROUP BY counts, COALESCE 0."""
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.stages.pivot import pivot_counts, unpivot
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    wide = pivot_counts(ds, "user_id", "event_type", values=types)
+    long = unpivot(
+        wide, ["user_id"], [f"n_{t}" for t in types],
+        var_name="event_type", value_name="n",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        et = pc.utf8_replace_slice(b.column("event_type"), 0, 2, "")
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "event_type": et,
+                "n": b.column("n").cast(pa.int64()),
+            }
+        )
+
+    return long.map_batches(finish, batch_format="pyarrow")

@@ -544,6 +544,23 @@ def q_cube_orders(sf_dir: str) -> Dataset:
     return _round_cols(out, {"total": 2})
 
 
+def q_rollup_orders(sf_dir: str) -> Dataset:
+    """ROLLUP report: the hierarchical-prefix half of the grouping-sets
+    surface (stages/rollup.rollup_aggregate) — (status, priority), (status,),
+    () totals in the same ONE-exchange plan as CUBE, but with the 3 prefix
+    sets only. Oracle: GROUP BY ROLLUP with COALESCE'd sentinel labels."""
+    from rp_extract_ray.stages.rollup import rollup_aggregate
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    out = rollup_aggregate(
+        ds,
+        ["o_orderstatus", "o_orderpriority"],
+        sum_cols={"total": "o_totalprice"},
+        count_alias="n_orders",
+    )
+    return _round_cols(out, {"total": 2})
+
+
 def q_heavy_hitters(sf_dir: str):
     """Exact hot-key detection on lineitem supplier keys: values covering
     >= 1.07% of all rows, exact counts (functions/sketch.heavy_hitters —

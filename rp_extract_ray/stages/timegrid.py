@@ -280,3 +280,76 @@ def time_grid_interpolate(
         order_cols=order_cols,
         num_partitions=num_partitions or DEFAULT_NUM_PARTITIONS,
     )
+
+
+def hopping_window_aggregate(
+    ds: Dataset,
+    *,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_s: float = 3600.0,
+    hop_s: float = 900.0,
+    wstart_col: str = "wstart",
+    sum_col: str = "wsum",
+    count_col: str = "wn",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Hopping (sliding, overlapping) time-window aggregate: sum + count of
+    ``value_col`` per (entity, window), where windows are ``window_s`` long
+    and advance by ``hop_s`` (epoch-aligned). Each event belongs to exactly
+    ``window_s / hop_s`` windows — the streaming-SQL HOP / sliding-window
+    shape (tumbling is the ``hop_s == window_s`` special case, already
+    covered by :func:`time_grid_aggregate`).
+
+    Scale design: the window-membership explode is a pure per-block Arrow/
+    numpy kernel (``np.repeat`` of the row ids/values x a tiled offset
+    vector — the row fan-out is the fixed small ratio ``window_s/hop_s``,
+    the only memory knob), immediately map-side combined to one partial row
+    per (entity, window, block) by ``grouped_reduce``'s arrow hash
+    aggregate, so the ONE keyed exchange carries distinct keys per block,
+    never the exploded rows. Window starts travel as int64 epoch-us through
+    the exchange (8 B, hashable) and are cast to timestamp at the end.
+    Emits only non-empty windows (SQL GROUP BY semantics); dense zero-fill
+    is a grid cross (stages/pivot.py) downstream if needed.
+    """
+    hop_us = np.int64(round(hop_s * 1e6))
+    win_us = np.int64(round(window_s * 1e6))
+    n_win = int(win_us // hop_us)
+    if n_win * hop_us != win_us:
+        raise ValueError(
+            f"hop_s must divide window_s (got {hop_s} / {window_s})"
+        )
+    offsets = (np.arange(n_win, dtype=np.int64) * hop_us)[::-1].copy()
+
+    def explode(b: pa.Table) -> pa.Table:
+        t = b.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (t // hop_us) * hop_us  # latest window containing the event
+        n = len(b)
+        ws = np.repeat(base, n_win) - np.tile(offsets, n)
+        ent = np.repeat(
+            b.column(entity_col).to_numpy(zero_copy_only=False), n_win
+        )
+        val = np.repeat(
+            b.column(value_col).to_numpy(zero_copy_only=False), n_win
+        )
+        return pa.table({entity_col: ent, "_ws_us": ws, value_col: val})
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    exploded = ds.select_columns(
+        [entity_col, ts_col, value_col]
+    ).map_batches(explode, batch_format="pyarrow")
+    out = grouped_reduce(
+        exploded,
+        [entity_col, "_ws_us"],
+        {sum_col: (value_col, "sum"), count_col: (value_col, "count")},
+        num_partitions=num_partitions,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        ws = b.column("_ws_us").cast(pa.timestamp("us"))
+        b = b.drop_columns(["_ws_us"])
+        return b.append_column(wstart_col, ws)
+
+    return out.map_batches(finish, batch_format="pyarrow")

