@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": D.q_corpus_diff,
         "regex_extract": D.q_regex_extract,
         "hopping_window": E.q_hopping_window,
+        "skyline": E.q_skyline,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1414,6 +1415,20 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 15 PRECEDING AND CURRENT ROW), 6)
                      AS value_trend_corr
             FROM events""",
+        # skyline: survive iff value == its ts-group max AND beats the
+        # exclusive running max over strictly-earlier ts groups — the same
+        # dominance truth as NOT EXISTS (s.ts <= r.ts AND s.value >= r.value
+        # AND one strict) but O(n log n), usable at sf0.1
+        "skyline": """
+            WITH g AS (SELECT ts, max(value) AS gmax FROM events GROUP BY ts),
+                 p AS (SELECT ts, gmax,
+                              max(gmax) OVER (ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS pmax
+                       FROM g)
+            SELECT e.event_id, e.user_id, e.ts, e.value
+            FROM events e JOIN p ON e.ts = p.ts
+            WHERE e.value = p.gmax AND (p.pmax IS NULL OR e.value > p.pmax)""",
         # hopping windows: every event replicated into its 4 containing
         # 15-min-hop / 1-h windows (epoch-aligned via epoch_us, matching the
         # engine's int64 floor — no time_bucket origin dependence)

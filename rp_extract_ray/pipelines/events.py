@@ -1039,3 +1039,17 @@ def q_dense_grid(sf_dir: str) -> Dataset:
         )
 
     return long.map_batches(finish, batch_format="pyarrow")
+
+
+def q_skyline(sf_dir: str) -> Dataset:
+    """Global Pareto frontier of events: earliest-and-highest-value — rows
+    no other event beats on BOTH ts (earlier-or-equal) and value
+    (higher-or-equal, one strict). stages/skyline.skyline_2d: per-block
+    prune + one tiny single-block merge (skyline-of-skylines algebra).
+    Oracle: an independent window formulation (per-ts group max + exclusive
+    running max), not the NOT EXISTS quadratic form."""
+    from rp_extract_ray.stages.skyline import skyline_2d
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    out = skyline_2d(ds, x_col="ts", y_col="value")
+    return out.select_columns(["event_id", "user_id", "ts", "value"])

@@ -66,3 +66,34 @@ def test_hopping_window_rejects_non_dividing_hop():
     except ValueError:
         return
     raise AssertionError("expected ValueError for non-dividing hop")
+
+
+def test_skyline_matches_bruteforce_dominance():
+    from rp_extract_ray.stages.skyline import skyline_2d
+
+    rng = np.random.default_rng(3)
+    n = 300
+    # small discrete domains force ties in x, y, and exact (x, y) duplicates
+    x = rng.integers(0, 40, n).astype(np.int64)
+    y = rng.integers(0, 25, n).astype(np.float64)
+    y[rng.choice(n, 10, replace=False)] = np.nan  # dropped by contract
+    rid = np.arange(n, dtype=np.int64)
+
+    def dominated(i):
+        return bool(
+            np.any(
+                (x <= x[i]) & (y >= y[i]) & ((x < x[i]) | (y > y[i]))
+                & ~np.isnan(y)
+            )
+        )
+
+    expect = {
+        int(i) for i in rid
+        if not np.isnan(y[i]) and not dominated(i)
+    }
+
+    tbl = pa.table({"rid": rid, "x": x, "y": y})
+    for nblocks in (1, 5):
+        ds = rd.from_arrow(tbl).repartition(nblocks)
+        out = skyline_2d(ds, x_col="x", y_col="y").to_pandas()
+        assert set(out["rid"].astype(int)) == expect
