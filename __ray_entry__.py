@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_extract": D.q_regex_extract,
         "hopping_window": E.q_hopping_window,
         "skyline": E.q_skyline,
+        "interval_overlap": E.q_interval_overlap,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1415,6 +1416,21 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 15 PRECEDING AND CURRENT ROW), 6)
                      AS value_trend_corr
             FROM events""",
+        # two-sided interval overlap: closed bounds, overlap length in sec
+        "interval_overlap": """
+            WITH a AS (SELECT user_id, event_id AS a_id, ts AS a_start,
+                              ts + INTERVAL 30 MINUTE AS a_end
+                       FROM events WHERE event_type = 'error'),
+                 b AS (SELECT user_id, event_id AS b_id, ts AS b_start,
+                              ts + to_seconds(CAST(floor(value) * 60 AS BIGINT))
+                                AS b_end
+                       FROM events WHERE event_type = 'view')
+            SELECT a.user_id, a_id, b_id,
+                   round((epoch_us(least(a_end, b_end))
+                          - epoch_us(greatest(a_start, b_start))) / 1e6, 6)
+                     AS overlap_s
+            FROM a JOIN b ON a.user_id = b.user_id
+                         AND a_start <= b_end AND b_start <= a_end""",
         # skyline: survive iff value == its ts-group max AND beats the
         # exclusive running max over strictly-earlier ts groups — the same
         # dominance truth as NOT EXISTS (s.ts <= r.ts AND s.value >= r.value

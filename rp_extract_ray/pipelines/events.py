@@ -1053,3 +1053,68 @@ def q_skyline(sf_dir: str) -> Dataset:
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
     out = skyline_2d(ds, x_col="ts", y_col="value")
     return out.select_columns(["event_id", "user_id", "ts", "value"])
+
+
+def q_interval_overlap(sf_dir: str) -> Dataset:
+    """Interval x interval overlap join (stages/rangejoin.
+    interval_overlap_join): 30-minute incident windows opened by 'error'
+    events paired with same-user activity spans ('view' events lasting
+    floor(value) minutes) that overlap them, plus the overlap length in
+    seconds. One co-partitioned exchange. Oracle: plain SQL join on the
+    two-sided overlap predicate."""
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.stages.rangejoin import interval_overlap_join
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def mk_a(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "error"))
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "a_id": b.column("event_id"),
+                "a_start": b.column("ts"),
+                "a_end": pc.add(
+                    b.column("ts"), pa.scalar(1_800_000_000, pa.duration("us"))
+                ),
+            }
+        )
+
+    def mk_b(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "view"))
+        dur = pc.cast(
+            pc.multiply(pc.floor(b.column("value")), 60_000_000.0), pa.int64()
+        )
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "b_id": b.column("event_id"),
+                "b_start": b.column("ts"),
+                "b_end": pc.add(b.column("ts"), pc.cast(dur, pa.duration("us"))),
+            }
+        )
+
+    a = ev.map_batches(mk_a, batch_format="pyarrow")
+    bb = ev.map_batches(mk_b, batch_format="pyarrow")
+    out = interval_overlap_join(
+        a, bb, entity_col=ENTITY, num_partitions=NP,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        a0 = t.column("a_start").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        a1 = t.column("a_end").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b0 = t.column("b_start").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b1 = t.column("b_end").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ov = (np.minimum(a1, b1) - np.maximum(a0, b0)) / 1e6
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "a_id": t.column("a_id"),
+                "b_id": t.column("b_id"),
+                "overlap_s": pa.array(ov),
+            }
+        )
+
+    out = out.map_batches(finish, batch_format="pyarrow")
+    return _round(out, {"overlap_s": 6})

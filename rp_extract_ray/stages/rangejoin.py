@@ -303,3 +303,87 @@ def range_join(
 
     unioned = lt.union(rt)
     return unioned.groupby(PART_COL).map_groups(probe_group, batch_format="pyarrow")
+
+
+def interval_overlap_join(
+    a: Dataset,
+    b: Dataset,
+    *,
+    entity_col: str = "conv_id",
+    a_start: str = "a_start",
+    a_end: str = "a_end",
+    b_start: str = "b_start",
+    b_end: str = "b_end",
+    closed: str = "both",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Interval × interval overlap join (inner): pair every interval of
+    ``a`` with every interval of ``b`` of the SAME entity whose spans
+    overlap — ``a_start <= b_end AND b_start <= a_end`` (``closed='both'``;
+    ``'neither'`` makes both comparisons strict, so touching endpoints do
+    not match). The two-sided generalization of :func:`range_join` (point
+    in interval): incident windows × activity spans, campaign × session
+    overlap reports.
+
+    Same scale shape as every temporal join here: both sides co-partition
+    by ``stable_hash(entity) % P`` and union with a side tag, ONE
+    ``groupby(PART_COL).map_groups`` exchange, vectorized pandas hash-merge
+    on entity + boolean overlap mask per partition. Per-entity output is
+    |a intervals| × |overlapping b intervals|; memory is bounded by the
+    per-entity pre-filter cross size (interval tables are per-entity small
+    in the motivating workloads — same documented assumption as
+    ``range_join``). Non-entity column names must be disjoint between the
+    sides (rename upstream, the ``repartition_join`` contract).
+    """
+    if closed not in ("both", "neither"):
+        raise ValueError(f"closed must be 'both' or 'neither', got {closed!r}")
+    a_schema = _arrow_schema(a)
+    b_schema = _arrow_schema(b)
+    a_cols = [c for c in a_schema.names if c != entity_col]
+    b_cols = [c for c in b_schema.names if c != entity_col]
+    clash = set(a_cols) & set(b_cols)
+    if clash:
+        raise ValueError(f"column names collide across sides: {sorted(clash)}")
+    out_schema = pa.schema(
+        [a_schema.field(entity_col)]
+        + [a_schema.field(c) for c in a_cols]
+        + [b_schema.field(c) for c in b_cols]
+    )
+
+    def tag(side_val: int):
+        def f(t: pa.Table) -> pa.Table:
+            t = _add_part(t, entity_col, num_partitions, None)
+            return t.append_column(
+                SIDE_COL, pa.array(np.full(len(t), side_val, dtype=np.int8))
+            )
+
+        return f
+
+    at = a.map_batches(tag(1), batch_format="pyarrow")
+    bt = b.map_batches(tag(0), batch_format="pyarrow")
+
+    def probe(group: pa.Table) -> pa.Table:
+        side = group.column(SIDE_COL).to_numpy()
+        amask = pa.array(side == 1)
+        ap = group.filter(amask).select([entity_col, *a_cols]).to_pandas()
+        bp = group.filter(pa.array(side == 0)).select(
+            [entity_col, *b_cols]
+        ).to_pandas()
+        if len(ap) == 0 or len(bp) == 0:
+            return out_schema.empty_table()
+        m = ap.merge(bp, on=entity_col, how="inner")
+        lo = m[a_start].to_numpy()
+        hi = m[a_end].to_numpy()
+        blo = m[b_start].to_numpy()
+        bhi = m[b_end].to_numpy()
+        if closed == "both":
+            keep = (lo <= bhi) & (blo <= hi)
+        else:
+            keep = (lo < bhi) & (blo < hi)
+        out = m[keep]
+        t = pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+        return t.replace_schema_metadata(None)
+
+    return at.union(bt).groupby(PART_COL).map_groups(
+        probe, batch_format="pyarrow"
+    )

@@ -97,3 +97,50 @@ def test_skyline_matches_bruteforce_dominance():
         ds = rd.from_arrow(tbl).repartition(nblocks)
         out = skyline_2d(ds, x_col="x", y_col="y").to_pandas()
         assert set(out["rid"].astype(int)) == expect
+
+
+def test_interval_overlap_join_matches_bruteforce():
+    from rp_extract_ray.stages.rangejoin import interval_overlap_join
+
+    rng = np.random.default_rng(5)
+    na, nb = 120, 150
+    ea = rng.integers(0, 8, na)
+    s_a = rng.integers(0, 1000, na)
+    e_a = s_a + rng.integers(0, 60, na)
+    eb = rng.integers(0, 8, nb)
+    s_b = rng.integers(0, 1000, nb)
+    e_b = s_b + rng.integers(0, 60, nb)
+    a = pa.table({"conv_id": ea, "a_id": np.arange(na, dtype=np.int64),
+                  "a_start": s_a, "a_end": e_a})
+    b = pa.table({"conv_id": eb, "b_id": np.arange(nb, dtype=np.int64),
+                  "b_start": s_b, "b_end": e_b})
+
+    for closed, op in (("both", lambda x, y: x <= y), ("neither", lambda x, y: x < y)):
+        expect = {
+            (int(i), int(j))
+            for i in range(na)
+            for j in range(nb)
+            if ea[i] == eb[j] and op(s_a[i], e_b[j]) and op(s_b[j], e_a[i])
+        }
+        for nblocks in (1, 4):
+            out = interval_overlap_join(
+                rd.from_arrow(a).repartition(nblocks),
+                rd.from_arrow(b).repartition(nblocks),
+                entity_col="conv_id", closed=closed, num_partitions=5,
+            ).to_pandas()
+            got = {
+                (int(i), int(j)) for i, j in zip(out["a_id"], out["b_id"])
+            }
+            assert got == expect, (closed, nblocks)
+
+
+def test_interval_overlap_join_rejects_colliding_columns():
+    from rp_extract_ray.stages.rangejoin import interval_overlap_join
+
+    t = pa.table({"conv_id": [1], "a_start": [0], "a_end": [1]})
+    try:
+        interval_overlap_join(rd.from_arrow(t), rd.from_arrow(t),
+                              entity_col="conv_id")
+    except ValueError:
+        return
+    raise AssertionError("expected ValueError on colliding columns")
