@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": E.q_hopping_window,
         "skyline": E.q_skyline,
         "interval_overlap": E.q_interval_overlap,
+        "bm25": D.q_bm25,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1416,6 +1417,36 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 15 PRECEDING AND CURRENT ROW), 6)
                      AS value_trend_corr
             FROM events""",
+        # Okapi BM25 (Lucene idf), k1=1.2, b=0.75; avgdl over ALL docs
+        # (token-less docs count in the denominator); docs containing no
+        # query term emit nothing
+        "bm25": r"""
+            WITH ex AS (SELECT doc_id,
+                               unnest(regexp_extract_all(lower(text),
+                                                         '[0-9a-z_]+')) AS token
+                        FROM documents),
+                 tc AS (SELECT doc_id, token, count(*) AS cnt
+                        FROM ex GROUP BY doc_id, token),
+                 nd AS (SELECT doc_id, count(*) AS n_doc
+                        FROM ex GROUP BY doc_id),
+                 st AS (SELECT (SELECT count(*) FROM ex)
+                               / (SELECT CAST(count(*) AS DOUBLE)
+                                  FROM documents) AS avgdl,
+                               (SELECT CAST(count(*) AS DOUBLE)
+                                FROM documents) AS n),
+                 q AS (SELECT unnest(['data', 'join', 'sort', 'vector'])
+                         AS token),
+                 df AS (SELECT tc.token, CAST(count(*) AS DOUBLE) AS df_n
+                        FROM tc JOIN q ON tc.token = q.token
+                        GROUP BY tc.token)
+            SELECT tc.doc_id,
+                   round(sum(ln(1 + (st.n - df.df_n + 0.5) / (df.df_n + 0.5))
+                             * cnt * 2.2
+                             / (cnt + 1.2 * (0.25 + 0.75 * nd.n_doc
+                                                    / st.avgdl))), 6) AS bm25
+            FROM tc JOIN df ON tc.token = df.token
+                    JOIN nd ON tc.doc_id = nd.doc_id, st
+            GROUP BY tc.doc_id""",
         # two-sided interval overlap: closed bounds, overlap length in sec
         "interval_overlap": """
             WITH a AS (SELECT user_id, event_id AS a_id, ts AS a_start,

@@ -792,3 +792,15 @@ def q_dup_spans(sf_dir: str) -> Dataset:
     from rp_extract_ray.stages.dedup import dup_span_counts
 
     return dup_span_counts(_docs(sf_dir, ["doc_id", "text"]), width=40)
+
+
+def q_bm25(sf_dir: str) -> Dataset:
+    """BM25 relevance of every document against a fixed 4-term query
+    (stages/tfidf.bm25_scores; Okapi BM25, Lucene idf, k1=1.2 b=0.75).
+    Corpus stats (N, avgdl, per-term df) are the only coordination points,
+    all bounded; scoring is per-block + one doc-keyed exchange. Oracle:
+    the same formula spelled in SQL over the unnest tokenization."""
+    from rp_extract_ray.stages.tfidf import bm25_scores
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return bm25_scores(ds, ["data", "join", "sort", "vector"])

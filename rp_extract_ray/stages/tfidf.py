@@ -178,3 +178,86 @@ def tfidf_top_terms(
     return grouped_topk(
         scored, id_col, ["tfidf", "token"], descending=[True, False], k=k
     )
+
+
+def bm25_scores(
+    docs: Dataset,
+    query_terms: "list[str] | tuple[str, ...]",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+    score_col: str = "bm25",
+) -> Dataset:
+    """BM25 relevance of every document against a fixed query-term set —
+    the retrieval-ranking twin of :func:`tfidf_top_terms` (Okapi BM25 with
+    the Lucene non-negative idf, ``ln(1 + (N - df + .5)/(df + .5))``).
+
+    Scale design: corpus statistics are the only coordination points and
+    all are bounded — N is a parquet-metadata count, avgdl is ONE map-side
+    summed float (total tokens / N, token-less docs counted in the
+    denominator), per-term df is a tiny |query| -row reduce collected once
+    and closed over (broadcast with the task closure; the query set is the
+    bounded side by construction). Scoring is then a pure per-block kernel
+    over the (doc, term) rows filtered to query terms, map-side combined
+    into ONE doc-keyed exchange. Documents containing no query term emit
+    nothing (SQL join semantics) — LEFT-fill zeros downstream if a dense
+    score column is needed.
+    """
+    qset = sorted(set(query_terms))
+    n_docs = float(docs.count())  # metadata count on a plain parquet read
+    # two consumers (total-token sum + query-term prune): materialize the
+    # pruned 4-column (doc, token) rows once, the tfidf_top_terms rule
+    tc = doc_token_counts(docs, text_col=text_col, id_col=id_col).materialize()
+
+    def prune(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column("token"), value_set=pa.array(qset))
+        return t.filter(mask)
+
+    # (doc, query-term) rows only — two consumers (df reduce + scoring),
+    # and the prune typically drops >99% of the term table
+    qtc = tc.map_batches(prune, batch_format="pyarrow").materialize()
+
+    total_tokens = tc.map_batches(
+        lambda t: pa.table(
+            {"s": pa.array([pc.sum(t.column("cnt")).as_py() or 0], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).sum("s")
+    avgdl = float(total_tokens) / n_docs
+
+    df_tab = document_frequency(qtc).to_pandas()  # <= |query| rows
+    idf = {
+        t: float(np.log1p((n_docs - d + 0.5) / (d + 0.5)))
+        for t, d in zip(df_tab["token"], df_tab["df_n"])
+    }
+
+    def score(t: pa.Table) -> pa.Table:
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t.column("n_doc").to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.array(
+            [idf.get(x, 0.0) for x in t.column("token").to_pylist()],
+            dtype=np.float64,
+        )
+        s = w * cnt * (k1 + 1.0) / (cnt + k1 * (1.0 - b + b * dl / avgdl))
+        return pa.table({id_col: t.column(id_col), "_s": pa.array(s)})
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    out = grouped_reduce(
+        qtc.map_batches(score, batch_format="pyarrow"),
+        id_col,
+        {score_col: ("_s", "sum")},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = round_half_away(
+            t.column(score_col).to_numpy(zero_copy_only=False), round_to
+        )
+        return t.set_column(
+            t.column_names.index(score_col), score_col, pa.array(v)
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -144,3 +144,46 @@ def test_interval_overlap_join_rejects_colliding_columns():
     except ValueError:
         return
     raise AssertionError("expected ValueError on colliding columns")
+
+
+def test_bm25_matches_pure_python():
+    import math
+    import re
+
+    from rp_extract_ray.stages.tfidf import bm25_scores
+
+    docs = [
+        (0, "data join sort data data"),
+        (1, "vector sort sort table"),
+        (2, "nothing relevant here"),
+        (3, ""),  # token-less: counts toward N and avgdl denominator
+        (4, "join join join data vector sort extra words pad pad"),
+    ]
+    q = ["data", "join", "sort", "vector"]
+    tok = [re.findall(r"[0-9a-z_]+", t.lower()) for _, t in docs]
+    n = float(len(docs))
+    avgdl = sum(len(t) for t in tok) / n
+    df = {term: sum(term in t for t in tok) for term in q}
+    k1, b = 1.2, 0.75
+    expect = {}
+    for (did, _), t in zip(docs, tok):
+        s = 0.0
+        hit = False
+        for term in q:
+            c = t.count(term)
+            if c == 0:
+                continue
+            hit = True
+            idf = math.log(1 + (n - df[term] + 0.5) / (df[term] + 0.5))
+            s += idf * c * (k1 + 1) / (c + k1 * (1 - b + b * len(t) / avgdl))
+        if hit:
+            expect[did] = round(s, 6)
+
+    tbl = pa.table(
+        {"doc_id": [d for d, _ in docs], "text": [t for _, t in docs]}
+    )
+    out = bm25_scores(rd.from_arrow(tbl).repartition(3), q).to_pandas()
+    got = dict(zip(out["doc_id"].astype(int), out["bm25"]))
+    assert set(got) == set(expect)
+    for d in expect:
+        np.testing.assert_allclose(got[d], expect[d], atol=2e-6)
