@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": E.q_skyline,
         "interval_overlap": E.q_interval_overlap,
         "bm25": D.q_bm25,
+        "target_encode": E.q_target_encode,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1416,6 +1417,16 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN 15 PRECEDING AND CURRENT ROW), 6)
                      AS value_trend_corr
+            FROM events""",
+        # past-only target encoding: strictly-exclusive ROWS frame under
+        # global (ts, event_id) order; cents fixed-point matches the
+        # engine's exact int64 accumulation, then ONE divide pair
+        "target_encode": """
+            SELECT event_id, event_type, value,
+                   round(avg(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       / 100, 6) AS te
             FROM events""",
         # Okapi BM25 (Lucene idf), k1=1.2, b=0.75; avgdl over ALL docs
         # (token-less docs count in the denominator); docs containing no

@@ -1118,3 +1118,23 @@ def q_interval_overlap(sf_dir: str) -> Dataset:
 
     out = out.map_batches(finish, batch_format="pyarrow")
     return _round(out, {"overlap_s": 6})
+
+
+def q_target_encode(sf_dir: str) -> Dataset:
+    """Leakage-free target encoding (stages/encode.target_encode_past):
+    each event's event_type encoded as the mean value over STRICTLY earlier
+    events of that type under global (ts, event_id) order — NULL at a
+    type's first occurrence. Time-range partitions + per-(slice, type)
+    int64 fixed-point offsets make the distributed prefix exact at any
+    layout. Oracle: avg(cents) OVER (PARTITION BY type ORDER BY ts,
+    event_id ROWS .. 1 PRECEDING) / 100."""
+    from rp_extract_ray.stages.encode import target_encode_past
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+    out = target_encode_past(
+        ds, category_col="event_type", target_col="value",
+        ts_col="ts", order_cols=("event_id",), scale=100,
+        num_partitions=NP,
+    )
+    out = out.select_columns(["event_id", "event_type", "value", "te"])
+    return _round(out, {"te": 6})

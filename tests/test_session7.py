@@ -187,3 +187,102 @@ def test_bm25_matches_pure_python():
     assert set(got) == set(expect)
     for d in expect:
         np.testing.assert_allclose(got[d], expect[d], atol=2e-6)
+
+
+def _te_naive(ts, eid, cat, val):
+    order = np.lexsort((eid, ts))
+    te = np.full(len(ts), np.nan)
+    seen = {}
+    for i in order:
+        s, n = seen.get(cat[i], (0, 0))
+        if n > 0:
+            te[i] = (s / n) / 100.0
+        seen[cat[i]] = (s + round(val[i] * 100), n + 1)
+    return te
+
+
+def _te_events(n, rng):
+    ts = rng.integers(0, 5000, n).astype(np.int64)
+    eid = np.arange(n, dtype=np.int64)
+    cat = rng.choice(["a", "b", "c"], n)
+    val = (rng.integers(0, 2000, n) / 100.0)
+    return ts, eid, cat, val
+
+
+def test_target_encode_matches_naive_and_partition_invariant():
+    from rp_extract_ray.stages.encode import target_encode_past
+
+    rng = np.random.default_rng(17)
+    ts, eid, cat, val = _te_events(400, rng)
+    expect = _te_naive(ts, eid, cat, val)
+    tbl = pa.table(
+        {"ts": ts, "event_id": eid, "event_type": cat, "value": val}
+    )
+
+    results = []
+    for np_parts, nblocks in ((2, 1), (16, 7)):
+        out = target_encode_past(
+            rd.from_arrow(tbl).repartition(nblocks),
+            category_col="event_type", target_col="value",
+            ts_col="ts", order_cols=("event_id",),
+            num_partitions=np_parts, sample_rate=0.5,
+        ).to_pandas().sort_values("event_id", ignore_index=True)
+        np.testing.assert_allclose(
+            out["te"].to_numpy(), expect, equal_nan=True, atol=1e-12
+        )
+        results.append(out["te"].to_numpy())
+    # fixed-point accumulation: BIT-identical across layouts, not just close
+    np.testing.assert_array_equal(
+        np.nan_to_num(results[0], nan=-1.0), np.nan_to_num(results[1], nan=-1.0)
+    )
+
+
+def test_target_encode_zero_temporal_leakage():
+    """Poisoning every future target must not move any past encoding."""
+    from rp_extract_ray.stages.encode import target_encode_past
+
+    rng = np.random.default_rng(23)
+    ts, eid, cat, val = _te_events(300, rng)
+    cut = np.median(ts)
+    poisoned = val.copy()
+    poisoned[ts > cut] = 9999.99
+
+    outs = []
+    for v in (val, poisoned):
+        tbl = pa.table(
+            {"ts": ts, "event_id": eid, "event_type": cat, "value": v}
+        )
+        out = target_encode_past(
+            rd.from_arrow(tbl).repartition(4),
+            category_col="event_type", target_col="value",
+            ts_col="ts", order_cols=("event_id",),
+            num_partitions=8, sample_rate=0.5,
+        ).to_pandas().sort_values("event_id", ignore_index=True)
+        outs.append(out)
+    past = ts <= cut  # every encoding at ts <= cut reads only rows < ts
+    a = outs[0][past[outs[0]["event_id"].to_numpy()]]["te"].to_numpy()
+    b = outs[1][past[outs[1]["event_id"].to_numpy()]]["te"].to_numpy()
+    np.testing.assert_array_equal(
+        np.nan_to_num(a, nan=-1.0), np.nan_to_num(b, nan=-1.0)
+    )
+
+
+def test_target_encode_rejects_non_fixed_point():
+    from rp_extract_ray.stages.encode import target_encode_past
+
+    tbl = pa.table(
+        {"ts": [1, 2], "event_id": [0, 1], "event_type": ["a", "a"],
+         "value": [0.123456, 1.0]}
+    )
+    try:
+        # the stage executes eagerly (materialize + bounded driver merge),
+        # so the resolution check fires during construction already
+        target_encode_past(
+            rd.from_arrow(tbl), category_col="event_type",
+            target_col="value", ts_col="ts", order_cols=("event_id",),
+            num_partitions=2, sample_rate=1.0,
+        ).to_pandas()
+    except Exception as e:
+        assert "fixed-point" in str(e)
+        return
+    raise AssertionError("expected fixed-point resolution error")
