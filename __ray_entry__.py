@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_overlap": E.q_interval_overlap,
         "bm25": D.q_bm25,
         "target_encode": E.q_target_encode,
+        "quantile_normalize": E.q_quantile_normalize,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1418,6 +1419,17 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 15 PRECEDING AND CURRENT ROW), 6)
                      AS value_trend_corr
             FROM events""",
+        # quantile normalization: row_number ranks under deterministic
+        # (value, id) tie-break; reference = cross-group mean at each rank
+        "quantile_normalize": """
+            WITH r AS (SELECT event_id, event_type, value,
+                              row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rk
+                       FROM events),
+                 m AS (SELECT rk, round(avg(value), 6) AS qnorm
+                       FROM r GROUP BY rk)
+            SELECT r.event_id, r.event_type, r.value, m.qnorm
+            FROM r JOIN m USING (rk)""",
         # past-only target encoding: strictly-exclusive ROWS frame under
         # global (ts, event_id) order; cents fixed-point matches the
         # engine's exact int64 accumulation, then ONE divide pair

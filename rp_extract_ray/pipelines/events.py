@@ -1138,3 +1138,18 @@ def q_target_encode(sf_dir: str) -> Dataset:
     )
     out = out.select_columns(["event_id", "event_type", "value", "te"])
     return _round(out, {"te": 6})
+
+
+def q_quantile_normalize(sf_dir: str) -> Dataset:
+    """Quantile normalization of value across event_type groups
+    (stages/standardize.quantile_normalize): each event's value replaced by
+    the cross-type mean at its within-type rank — rank / reference / rejoin,
+    three bounded exchanges. Oracle: row_number + per-rank AVG + join."""
+    from rp_extract_ray.stages.standardize import quantile_normalize
+
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+    out = quantile_normalize(
+        ds, group_col="event_type", value_col="value", id_col="event_id",
+        num_partitions=NP,
+    )
+    return out.select_columns(["event_id", "event_type", "value", "qnorm"])

@@ -250,3 +250,77 @@ def minmax_scale_grouped(
     else:
         joined = hash_join(ds, stats, on=group_col)
     return joined.map_batches(apply, batch_format="pyarrow")
+
+
+def quantile_normalize(
+    ds: Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    out_col: str = "qnorm",
+    round_to: int = 6,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Quantile normalization: force every group's value distribution onto
+    the common reference distribution (mean across groups of the k-th
+    smallest values) — the classic batch-effect correction / distribution
+    alignment op (microarray-era QN, here for per-source score calibration).
+    Ranks are row_number under the deterministic ``(value, id_col)`` order,
+    so ties break stably and the result is layout-invariant; groups of
+    unequal size average whichever groups reach that rank (the unequal-n QN
+    convention, exactly replicable in SQL).
+
+    Scale shape, three bounded stages: (1) ranks via ONE group-keyed
+    ``partitioned_apply`` (rank = position within the sorted run — no extra
+    sort beyond the exchange's); (2) the reference via ONE rank-keyed
+    ``grouped_reduce`` of (sum, count) partials — at most one row per rank
+    per block crosses; (3) values rejoin the reference on the int64 rank
+    through the task-shuffle ``repartition_join``. The reference table has
+    max-group-size rows — NOT broadcast by default (unbounded at corpus
+    scale); pass-through of the distributed join keeps every side
+    partitioned.
+    """
+    import pandas as pd
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.join import repartition_join
+    from rp_extract_ray.stages.partition import partitioned_apply
+
+    def rank_fn(pdf: "pd.DataFrame", starts: np.ndarray) -> "pd.DataFrame":
+        rk = np.arange(len(pdf), dtype=np.int64) - starts + 1
+        pdf = pdf.copy()
+        pdf["_rk"] = rk
+        return pdf
+
+    # two consumers (reference build + join probe): materialize the ranked
+    # rows once — the exchange output, already pruned to caller's columns
+    ranked = partitioned_apply(
+        ds, rank_fn, entity_col=group_col,
+        order_cols=(value_col, id_col), num_partitions=num_partitions,
+    ).materialize()
+
+    ref = grouped_reduce(
+        ranked.select_columns(["_rk", value_col]),
+        "_rk",
+        {"_s": (value_col, "sum"), "_n": (value_col, "count")},
+    )
+
+    def ratio(t: pa.Table) -> pa.Table:
+        s = t.column("_s").to_numpy(zero_copy_only=False)
+        n = t.column("_n").to_numpy(zero_copy_only=False)
+        from rp_extract_ray.functions.rounding import round_half_away
+
+        return pa.table(
+            {
+                "_rk": t.column("_rk"),
+                out_col: pa.array(round_half_away(s / n, round_to)),
+            }
+        )
+
+    ref = ref.map_batches(ratio, batch_format="pyarrow")
+    out = repartition_join(
+        ranked, ref, on="_rk", how="inner",
+        num_partitions=num_partitions, right_cols=["_rk", out_col],
+    )
+    return out.drop_columns(["_rk"])

@@ -286,3 +286,37 @@ def test_target_encode_rejects_non_fixed_point():
         assert "fixed-point" in str(e)
         return
     raise AssertionError("expected fixed-point resolution error")
+
+
+def test_quantile_normalize_matches_pandas_recompute():
+    from rp_extract_ray.stages.standardize import quantile_normalize
+
+    rng = np.random.default_rng(29)
+    n = 500
+    grp = rng.choice(["x", "y", "z"], n, p=[0.5, 0.3, 0.2])  # unequal sizes
+    val = rng.integers(0, 50, n).astype(np.float64)  # plenty of ties
+    rid = np.arange(n, dtype=np.int64)
+    pdf = pd.DataFrame({"g": grp, "v": val, "rid": rid})
+    pdf["rk"] = (
+        pdf.sort_values(["v", "rid"])
+        .groupby("g", sort=False)
+        .cumcount()
+        .sort_index()
+        + 1
+    )
+    # cumcount follows the SORTED order — recompute properly:
+    s = pdf.sort_values(["g", "v", "rid"], ignore_index=True)
+    s["rk"] = s.groupby("g", sort=False).cumcount() + 1
+    ref = s.groupby("rk")["v"].mean().round(6)
+    s["expect"] = s["rk"].map(ref)
+    expect = dict(zip(s["rid"], s["expect"]))
+
+    tbl = pa.table({"g": grp, "v": val, "rid": rid})
+    out = quantile_normalize(
+        rd.from_arrow(tbl).repartition(5), group_col="g", value_col="v",
+        id_col="rid", num_partitions=4,
+    ).to_pandas()
+    got = dict(zip(out["rid"].astype(int), out["qnorm"]))
+    assert set(got) == set(expect)
+    for k in expect:
+        np.testing.assert_allclose(got[k], expect[k], atol=1e-9)
