@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25": D.q_bm25,
         "target_encode": E.q_target_encode,
         "quantile_normalize": E.q_quantile_normalize,
+        "connected_components": E.q_connected_components,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1419,6 +1420,25 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 15 PRECEDING AND CURRENT ROW), 6)
                      AS value_trend_corr
             FROM events""",
+        # connected components of the minute-bucket co-purchase graph:
+        # recursive transitive closure (UNION-dedup fixpoint), cluster =
+        # min reachable node; self-rows make isolated nodes their own label
+        "connected_components": """
+            WITH RECURSIVE
+                 p AS (SELECT DISTINCT user_id, date_trunc('minute', ts) AS h
+                       FROM events WHERE event_type = 'purchase'),
+                 e AS (SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+                       FROM p a JOIN p b ON a.h = b.h
+                                        AND a.user_id < b.user_id),
+                 ee AS (SELECT ua AS a, ub AS b FROM e
+                        UNION ALL SELECT ub, ua FROM e),
+                 nodes AS (SELECT DISTINCT user_id AS n FROM p),
+                 reach(n, m) AS (
+                     SELECT n, n FROM nodes
+                     UNION
+                     SELECT r.n, ee.b FROM reach r JOIN ee ON ee.a = r.m)
+            SELECT n AS user_id, CAST(min(m) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY n""",
         # quantile normalization: row_number ranks under deterministic
         # (value, id) tie-break; reference = cross-group mean at each rank
         "quantile_normalize": """

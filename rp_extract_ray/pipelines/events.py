@@ -1153,3 +1153,60 @@ def q_quantile_normalize(sf_dir: str) -> Dataset:
         num_partitions=NP,
     )
     return out.select_columns(["event_id", "event_type", "value", "qnorm"])
+
+
+def q_connected_components(sf_dir: str) -> Dataset:
+    """Connected components as a first-class gated operator: the co-purchase
+    graph (users sharing a minute-bucket 'purchase') clustered by
+    min-label propagation (stages/dedup.dedup_clusters, distributed mode —
+    the same engine near_dup_clusters runs, here gated directly on an
+    explicit edge list). Edges via cooccurrence_pairs; isolated nodes keep
+    their own id. Oracle: recursive-CTE transitive closure + min reachable
+    node — an independent fixpoint formulation."""
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.stages.dedup import dedup_clusters
+    from rp_extract_ray.stages.groupops import cooccurrence_pairs, grouped_reduce
+
+    ev = _events(sf_dir, ["ts", "user_id", "event_type"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "purchase"))
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = (t // 60_000_000) * 60_000_000
+        return pa.table(
+            {"bucket": pa.array(bucket), "user_id": b.column("user_id")}
+        )
+
+    p = ev.map_batches(mk, batch_format="pyarrow").materialize()
+    # two consumers: the pair explode and the node roster
+    pairs = cooccurrence_pairs(
+        p, "bucket", "user_id", out_names=("id_a", "id_b"), num_partitions=NP
+    )
+    labels = dedup_clusters(pairs, mode="distributed")
+
+    # isolated nodes never enter the pair table: union self-labels and take
+    # the per-id min — nodes in a component keep the propagated label
+    # (always <= self), isolated ones label themselves; a zero-edge corpus
+    # (sf0.001) degenerates to the self-labels alone, no join needed
+    def self_lab(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").cast(pa.int64())
+        return pa.table({"id": uid, "cluster_id": uid})
+
+    selves = p.select_columns(["user_id"]).map_batches(
+        self_lab, batch_format="pyarrow"
+    )
+    out = grouped_reduce(
+        labels.union(selves), "id",
+        {"cluster_id": ("cluster_id", "min")}, num_partitions=NP,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("id").cast(pa.int64()),
+                "cluster_id": b.column("cluster_id").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -320,3 +320,28 @@ def test_quantile_normalize_matches_pandas_recompute():
     assert set(got) == set(expect)
     for k in expect:
         np.testing.assert_allclose(got[k], expect[k], atol=1e-9)
+
+
+def test_connected_components_gate_shape_known_graph():
+    """The q_connected_components composition (pairs -> propagate -> union
+    self-labels -> min) on a hand-built graph: one 4-chain, one triangle,
+    two isolated nodes."""
+    from rp_extract_ray.stages.dedup import dedup_clusters
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    edges = pa.table(
+        {"id_a": np.array([1, 2, 3, 10, 10], dtype=np.int64),
+         "id_b": np.array([2, 3, 4, 11, 12], dtype=np.int64)}
+    )
+    all_nodes = np.array([1, 2, 3, 4, 10, 11, 12, 50, 60], dtype=np.int64)
+    labels = dedup_clusters(rd.from_arrow(edges), mode="distributed")
+    selves = rd.from_arrow(
+        pa.table({"id": all_nodes, "cluster_id": all_nodes})
+    )
+    out = grouped_reduce(
+        labels.union(selves), "id", {"cluster_id": ("cluster_id", "min")},
+        num_partitions=4,
+    ).to_pandas()
+    got = dict(zip(out["id"].astype(int), out["cluster_id"].astype(int)))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                   50: 50, 60: 60}
