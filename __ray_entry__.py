@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encode": E.q_target_encode,
         "quantile_normalize": E.q_quantile_normalize,
         "connected_components": E.q_connected_components,
+        "hopping_distinct": E.q_hopping_distinct,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1531,6 +1532,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, wstart, round(sum(value), 6) AS wsum,
                    CAST(count(*) AS BIGINT) AS wn
             FROM x GROUP BY user_id, wstart""",
+        "hopping_distinct": """
+            WITH x AS (SELECT user_id,
+                              make_timestamp(
+                                  (epoch_us(ts) // 900000000) * 900000000
+                                  - CAST(u.j AS BIGINT) * 900000000) AS wstart
+                       FROM events, UNNEST([0, 1, 2, 3]) AS u(j))
+            SELECT wstart, CAST(count(DISTINCT user_id) AS BIGINT)
+                     AS n_distinct
+            FROM x GROUP BY wstart""",
         # dense grid zero-fill: full user x type cross with absent combos = 0
         "dense_grid": """
             WITH u AS (SELECT DISTINCT user_id FROM events),

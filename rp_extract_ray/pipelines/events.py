@@ -1210,3 +1210,17 @@ def q_connected_components(sf_dir: str) -> Dataset:
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_hopping_distinct(sf_dir: str) -> Dataset:
+    """Distinct active users per hopping window (1 h / 15 min hop) —
+    stages/timegrid.hopping_window_distinct, the exact two-exchange
+    streaming COUNT(DISTINCT). Oracle: UNNEST window replication +
+    COUNT(DISTINCT user_id)."""
+    from rp_extract_ray.stages.timegrid import hopping_window_distinct
+
+    ds = _events(sf_dir, ["ts", "user_id"])
+    return hopping_window_distinct(
+        ds, ts_col="ts", key_col="user_id",
+        window_s=3600.0, hop_s=900.0, num_partitions=NP,
+    )

@@ -353,3 +353,70 @@ def hopping_window_aggregate(
         return b.append_column(wstart_col, ws)
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def hopping_window_distinct(
+    ds: Dataset,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "conv_id",
+    window_s: float = 3600.0,
+    hop_s: float = 900.0,
+    wstart_col: str = "wstart",
+    count_col: str = "n_distinct",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Distinct ``key_col`` values per hopping window (global windows, no
+    entity key) — the streaming COUNT(DISTINCT) over sliding windows shape
+    (active-users-per-hour-every-15-min). Exact two-exchange count-distinct:
+    the window explode (same fixed ``window_s/hop_s`` fan-out kernel as
+    :func:`hopping_window_aggregate`) feeds a (window, key) distinct
+    exchange — map-side combined to distinct pairs per block — then a tiny
+    per-window count reduce. No sketch: the distinct exchange carries 16
+    B/pair; swap in ``functions/sketch.hll`` upstream when approximate
+    counts suffice."""
+    hop_us = np.int64(round(hop_s * 1e6))
+    win_us = np.int64(round(window_s * 1e6))
+    n_win = int(win_us // hop_us)
+    if n_win * hop_us != win_us:
+        raise ValueError(
+            f"hop_s must divide window_s (got {hop_s} / {window_s})"
+        )
+    offsets = (np.arange(n_win, dtype=np.int64) * hop_us)[::-1].copy()
+
+    def explode(b: pa.Table) -> pa.Table:
+        t = b.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (t // hop_us) * hop_us
+        n = len(b)
+        ws = np.repeat(base, n_win) - np.tile(offsets, n)
+        key = np.repeat(
+            b.column(key_col).to_numpy(zero_copy_only=False), n_win
+        )
+        return pa.table({"_ws_us": ws, key_col: key})
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    exploded = ds.select_columns([ts_col, key_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    distinct = grouped_reduce(
+        exploded, ["_ws_us", key_col], {"_n": (key_col, "count")},
+        num_partitions=num_partitions,
+    )
+    out = grouped_reduce(
+        distinct.select_columns(["_ws_us", key_col]),
+        "_ws_us",
+        {count_col: (key_col, "count")},
+        num_partitions=num_partitions,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        ws = b.column("_ws_us").cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                wstart_col: ws,
+                count_col: b.column(count_col).cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -345,3 +345,29 @@ def test_connected_components_gate_shape_known_graph():
     got = dict(zip(out["id"].astype(int), out["cluster_id"].astype(int)))
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
                    50: 50, 60: 60}
+
+
+def test_hopping_distinct_matches_naive():
+    from rp_extract_ray.stages.timegrid import hopping_window_distinct
+
+    rng = np.random.default_rng(31)
+    n = 400
+    ts_us = rng.integers(0, 6 * 3600 * 1_000_000, n).astype(np.int64)
+    key = rng.integers(0, 12, n).astype(np.int64)
+    expect = {}
+    for t, k in zip(ts_us, key):
+        base = (t // 900_000_000) * 900_000_000
+        for j in range(4):
+            expect.setdefault(base - j * 900_000_000, set()).add(int(k))
+    tbl = pa.table(
+        {"ts": pa.array(ts_us).cast(pa.timestamp("us")), "user_id": key}
+    )
+    out = hopping_window_distinct(
+        rd.from_arrow(tbl).repartition(5), ts_col="ts", key_col="user_id",
+        window_s=3600.0, hop_s=900.0, num_partitions=4,
+    ).to_pandas()
+    got = {
+        int(w.value) // 1000: int(c)
+        for w, c in zip(out["wstart"], out["n_distinct"])
+    }
+    assert got == {w: len(s) for w, s in expect.items()}
