@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_normalize": E.q_quantile_normalize,
         "connected_components": E.q_connected_components,
         "hopping_distinct": E.q_hopping_distinct,
+        "debounce": E.q_debounce,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1532,6 +1533,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, wstart, round(sum(value), 6) AS wsum,
                    CAST(count(*) AS BIGINT) AS wn
             FROM x GROUP BY user_id, wstart""",
+        # debounce: suppress same-(user, type) events within 30 min of the
+        # previous one (lag-gap variant, strictly-greater keep predicate)
+        "debounce": """
+            WITH l AS (SELECT event_id, user_id, event_type, ts,
+                              lag(ts) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS prev_ts
+                       FROM events)
+            SELECT event_id, user_id, event_type, ts FROM l
+            WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE""",
         "hopping_distinct": """
             WITH x AS (SELECT user_id,
                               make_timestamp(

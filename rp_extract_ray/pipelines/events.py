@@ -1224,3 +1224,25 @@ def q_hopping_distinct(sf_dir: str) -> Dataset:
         ds, ts_col="ts", key_col="user_id",
         window_s=3600.0, hop_s=900.0, num_partitions=NP,
     )
+
+
+def q_debounce(sf_dir: str) -> Dataset:
+    """Streaming debounce / dedup-within-window: keep an event only when
+    the SAME (user, type) has no prior event within 30 minutes — the
+    alert-throttle / repeated-signal-suppression shape (lag-gap variant:
+    the window is measured from the previous event, kept or not, so it
+    stays a pure one-exchange lag kernel instead of a sequential throttle).
+    One user-keyed exchange; the per-partition kernel is a composite-key
+    groupby shift. Oracle: lag() OVER (user, type) + gap predicate."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        prev = pdf.groupby(["user_id", "event_type"], sort=False)["ts"].shift()
+        gap = (pdf["ts"] - prev).dt.total_seconds()
+        keep = prev.isna().to_numpy() | (gap.to_numpy() > 1800.0)
+        return pdf[keep]
+
+    out = partitioned_apply(
+        ds, fn, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )
+    return out.select_columns(["event_id", "user_id", "event_type", "ts"])

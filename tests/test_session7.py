@@ -371,3 +371,43 @@ def test_hopping_distinct_matches_naive():
         for w, c in zip(out["wstart"], out["n_distinct"])
     }
     assert got == {w: len(s) for w, s in expect.items()}
+
+
+def test_debounce_matches_naive():
+    from rp_extract_ray.pipelines.events import q_debounce  # noqa: F401
+
+    # kernel-level check of the lag-gap debounce shape used by q_debounce
+    from rp_extract_ray.stages.partition import partitioned_apply
+
+    rng = np.random.default_rng(41)
+    n = 300
+    ts_s = np.sort(rng.integers(0, 50_000, n)).astype("datetime64[s]")
+    pdf_in = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts_s.astype("datetime64[us]"),
+            "user_id": rng.integers(0, 5, n).astype(np.int64),
+            "event_type": rng.choice(["a", "b"], n),
+        }
+    )
+    W = 600.0
+    expect = set()
+    last = {}
+    for r in pdf_in.sort_values(["ts", "event_id"]).itertuples():
+        k = (r.user_id, r.event_type)
+        prev = last.get(k)
+        if prev is None or (r.ts - prev).total_seconds() > W:
+            expect.add(int(r.event_id))
+        last[k] = r.ts  # lag-gap variant: window from the PREVIOUS event
+
+    def fn(pdf, starts):
+        prev = pdf.groupby(["user_id", "event_type"], sort=False)["ts"].shift()
+        gap = (pdf["ts"] - prev).dt.total_seconds()
+        keep = prev.isna().to_numpy() | (gap.to_numpy() > W)
+        return pdf[keep]
+
+    out = partitioned_apply(
+        rd.from_pandas(pdf_in).repartition(4), fn, entity_col="user_id",
+        order_cols=("ts", "event_id"), num_partitions=3,
+    ).to_pandas()
+    assert set(out["event_id"].astype(int)) == expect
