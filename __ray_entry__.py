@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": E.q_connected_components,
         "hopping_distinct": E.q_hopping_distinct,
         "debounce": E.q_debounce,
+        "throttle": E.q_throttle,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1533,6 +1534,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, wstart, round(sum(value), 6) AS wsum,
                    CAST(count(*) AS BIGINT) AS wn
             FROM x GROUP BY user_id, wstart""",
+        # sequential throttle: the stateful fold — window measured from the
+        # last KEPT event; per-row recursive CTE walks each (user, type)
+        # series carrying the last-kept timestamp
+        "throttle": """
+            WITH RECURSIVE
+              nb AS (SELECT event_id, user_id, event_type, ts,
+                            row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+                     FROM events),
+              r AS (
+                SELECT event_id, user_id, event_type, ts, rn,
+                       ts AS last_kept, true AS kept
+                FROM nb WHERE rn = 1
+                UNION ALL
+                SELECT n.event_id, n.user_id, n.event_type, n.ts, n.rn,
+                       CASE WHEN n.ts > r.last_kept + INTERVAL 30 MINUTE
+                            THEN n.ts ELSE r.last_kept END,
+                       n.ts > r.last_kept + INTERVAL 30 MINUTE
+                FROM r JOIN nb n ON n.user_id = r.user_id
+                                AND n.event_type = r.event_type
+                                AND n.rn = r.rn + 1)
+            SELECT event_id, user_id, event_type, ts FROM r WHERE kept""",
         # debounce: suppress same-(user, type) events within 30 min of the
         # previous one (lag-gap variant, strictly-greater keep predicate)
         "debounce": """

@@ -1246,3 +1246,35 @@ def q_debounce(sf_dir: str) -> Dataset:
         ds, fn, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
     )
     return out.select_columns(["event_id", "user_id", "event_type", "ts"])
+
+
+def q_throttle(sf_dir: str) -> Dataset:
+    """Sequential rate-limit throttle: keep an event only when it is more
+    than 30 minutes after the last KEPT event of the same (user, type) —
+    the true stateful fold (vs q_debounce's lag-gap variant; the two differ
+    by 8 rows at sf0.1). stages/lag.throttle_keep_mask: searchsorted jumps
+    from kept row to kept row, so cost is bounded by time-span/W per
+    series, not event density. ONE user-keyed exchange ordered
+    (event_type, ts, event_id). Oracle: per-row recursive CTE carrying the
+    last-kept timestamp."""
+    from rp_extract_ray.stages.lag import throttle_keep_mask
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return pdf
+        ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = pdf["event_type"].to_numpy()
+        new_run = np.zeros(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (starts[1:] != starts[:-1]) | (et[1:] != et[:-1])
+        keep = throttle_keep_mask(ts, new_run, 1_800_000_000)
+        return pdf[keep]
+
+    out = partitioned_apply(
+        ds, fn, entity_col=ENTITY,
+        order_cols=("event_type", "ts", "event_id"), num_partitions=NP,
+    )
+    return out.select_columns(["event_id", "user_id", "event_type", "ts"])

@@ -642,3 +642,34 @@ def longest_streak(
         ds, fn, entity_col=entity_col, order_cols=order_cols,
         num_partitions=num_partitions,
     )
+
+
+def throttle_keep_mask(
+    ts_us: np.ndarray, new_run: np.ndarray, gap_us: int
+) -> np.ndarray:
+    """Sequential throttle: within each run (``new_run`` marks run starts;
+    ``ts_us`` ascending within runs), keep a row iff its ts is strictly
+    more than ``gap_us`` after the last KEPT row — the true stateful fold
+    (rate-limit / alert-throttle), unlike the lag-gap debounce whose window
+    is measured from the previous event kept-or-not.
+
+    The fold is inherently sequential per run, but the loop advances by
+    ``searchsorted`` jumps from kept row to kept row — iteration count =
+    number of KEPT rows, which is bounded by ``run_time_span / gap_us``
+    per run regardless of event density. That is the scale contract: cost
+    follows output size (throttled events), not input rows.
+    """
+    n = len(ts_us)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    bounds = np.flatnonzero(new_run)
+    ends = np.concatenate([bounds[1:], [n]])
+    for s, e in zip(bounds, ends):
+        run = ts_us[s:e]
+        i = s
+        while i < e:
+            keep[i] = True
+            # first index strictly past the kept row's window
+            i = s + int(np.searchsorted(run, ts_us[i] + gap_us, side="right"))
+    return keep

@@ -411,3 +411,46 @@ def test_debounce_matches_naive():
         order_cols=("ts", "event_id"), num_partitions=3,
     ).to_pandas()
     assert set(out["event_id"].astype(int)) == expect
+
+
+def test_throttle_keep_mask_matches_sequential_fold():
+    from rp_extract_ray.stages.lag import throttle_keep_mask
+
+    rng = np.random.default_rng(43)
+    # dense bursts force the kept/not-kept distinction vs plain debounce
+    runs = []
+    new_run = []
+    for _ in range(20):
+        k = int(rng.integers(1, 40))
+        ts = np.sort(rng.integers(0, 3000, k))
+        runs.append(ts)
+        new_run.extend([True] + [False] * (k - 1))
+    ts_us = np.concatenate(runs).astype(np.int64)
+    new_run = np.array(new_run)
+    W = 500
+
+    got = throttle_keep_mask(ts_us, new_run, W)
+
+    expect = np.zeros(len(ts_us), dtype=bool)
+    i = 0
+    for run in runs:
+        last = None
+        for j, t in enumerate(run):
+            if last is None or t > last + W:
+                expect[i + j] = True
+                last = t
+        i += len(run)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_throttle_differs_from_debounce_on_bursts():
+    from rp_extract_ray.stages.lag import throttle_keep_mask
+
+    # steady sub-window cadence: debounce (gap from previous event) drops
+    # everything after the first; throttle keeps one per window
+    ts = np.arange(0, 100, 3, dtype=np.int64)  # step 3 < W
+    new_run = np.zeros(len(ts), dtype=bool)
+    new_run[0] = True
+    keep = throttle_keep_mask(ts, new_run, 10)
+    assert keep.sum() > 1  # throttle re-emits once the window passes
+    np.testing.assert_array_equal(np.flatnonzero(keep)[:3], [0, 4, 8])
