@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_distinct": E.q_hopping_distinct,
         "debounce": E.q_debounce,
         "throttle": E.q_throttle,
+        "band_join": E.q_band_join,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1534,6 +1535,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, wstart, round(sum(value), 6) AS wsum,
                    CAST(count(*) AS BIGINT) AS wn
             FROM x GROUP BY user_id, wstart""",
+        # numeric band join: same-user click x purchase value-tolerance
+        # pairs, |delta| <= 0.05 (closed)
+        "band_join": """
+            WITH a AS (SELECT user_id, event_id AS a_id, value AS a_value
+                       FROM events WHERE event_type = 'click'),
+                 b AS (SELECT user_id, event_id AS b_id, value AS b_value
+                       FROM events WHERE event_type = 'purchase')
+            SELECT a.user_id, a_id, b_id,
+                   round(a_value, 6) AS a_value, round(b_value, 6) AS b_value
+            FROM a JOIN b ON a.user_id = b.user_id
+                         AND abs(a_value - b_value) <= 0.05""",
         # sequential throttle: the stateful fold — window measured from the
         # last KEPT event; per-row recursive CTE walks each (user, type)
         # series carrying the last-kept timestamp

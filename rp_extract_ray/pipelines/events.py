@@ -1278,3 +1278,39 @@ def q_throttle(sf_dir: str) -> Dataset:
         order_cols=("event_type", "ts", "event_id"), num_partitions=NP,
     )
     return out.select_columns(["event_id", "user_id", "event_type", "ts"])
+
+
+def q_band_join(sf_dir: str) -> Dataset:
+    """Numeric band join (stages/rangejoin.band_join): same-user click x
+    purchase pairs whose values differ by <= 0.05 — bucket-replication
+    similarity join (b-side 3x fan-out, pairs co-locate exactly once, ONE
+    keyed exchange). Oracle: JOIN ON user AND abs(delta) <= band."""
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.stages.rangejoin import band_join
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def side(et: str, id_name: str, v_name: str):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("event_type"), et))
+            return pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    id_name: t.column("event_id"),
+                    v_name: t.column("value"),
+                }
+            )
+
+        return f
+
+    a = ev.map_batches(side("click", "a_id", "a_value"), batch_format="pyarrow")
+    b = ev.map_batches(side("purchase", "b_id", "b_value"), batch_format="pyarrow")
+    out = band_join(
+        a, b, a_key="a_value", b_key="b_value", band=0.05,
+        entity_col="user_id", num_partitions=NP,
+    )
+    return _round(
+        out.select_columns(["user_id", "a_id", "b_id", "a_value", "b_value"]),
+        {"a_value": 6, "b_value": 6},
+    )

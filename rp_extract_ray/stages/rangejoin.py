@@ -387,3 +387,108 @@ def interval_overlap_join(
     return at.union(bt).groupby(PART_COL).map_groups(
         probe, batch_format="pyarrow"
     )
+
+
+def band_join(
+    a: Dataset,
+    b: Dataset,
+    *,
+    a_key: str,
+    b_key: str,
+    band: float,
+    entity_col: str | None = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Numeric band (1-D similarity) join: pair every ``a`` row with the
+    ``b`` rows whose key is within ``|a_key - b_key| <= band`` — optionally
+    only within the same ``entity_col`` (the classic tolerance join on a
+    measurement column; the VALUE-axis sibling of the time-axis
+    :func:`range_join`).
+
+    Scale design — bucket replication, never a cross join: keys bucket at
+    width ``band`` (``floor(key/band)``); ``a`` rows land in their own
+    bucket, ``b`` rows replicate into bucket-1/bucket/bucket+1, so every
+    qualifying pair co-locates EXACTLY once (in a's bucket — floor buckets
+    of keys within ``band`` differ by at most 1) and no dedup pass is
+    needed. ONE keyed exchange on (entity, bucket); the in-partition
+    kernel is a pandas hash-merge on the exact (entity, bucket) pair plus
+    the |delta| <= band verify mask. The 3x replication of ``b`` is the
+    only fan-out — fixed, not data-dependent. Non-key column names must be
+    disjoint between the sides.
+    """
+    import numpy as np
+
+    from rp_extract_ray.stages.partition import stable_hash
+
+    a_schema = _arrow_schema(a)
+    b_schema = _arrow_schema(b)
+    shared = {entity_col} if entity_col else set()
+    a_cols = [c for c in a_schema.names if c not in shared]
+    b_cols = [c for c in b_schema.names if c not in shared]
+    clash = set(a_cols) & set(b_cols)
+    if clash:
+        raise ValueError(f"column names collide across sides: {sorted(clash)}")
+    fields = []
+    if entity_col:
+        fields.append(a_schema.field(entity_col))
+    fields += [a_schema.field(c) for c in a_cols]
+    fields += [b_schema.field(c) for c in b_cols]
+    out_schema = pa.schema(fields)
+    merge_keys = ([entity_col] if entity_col else []) + ["_bucket"]
+
+    def buckets_of(t: pa.Table, col: str) -> np.ndarray:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.floor(v / band).astype(np.int64)
+
+    def part_key(t: pa.Table, bucket: np.ndarray) -> np.ndarray:
+        h = bucket.astype(np.uint64) * np.uint64(1099511628211)
+        if entity_col:
+            h ^= stable_hash(
+                t.column(entity_col).to_numpy(zero_copy_only=False)
+            )
+        return h.astype(np.int64)
+
+    def tag_a(t: pa.Table) -> pa.Table:
+        bk = buckets_of(t, a_key)
+        t = t.append_column("_bucket", pa.array(bk))
+        t = t.append_column("_bkey", pa.array(part_key(t, bk)))
+        t = _add_part(t, "_bkey", num_partitions, None)
+        return t.drop_columns(["_bkey"]).append_column(
+            SIDE_COL, pa.array(np.ones(len(t), dtype=np.int8))
+        )
+
+    def tag_b(t: pa.Table) -> pa.Table:
+        bk = buckets_of(t, b_key)
+        n = len(t)
+        idx = np.repeat(np.arange(n, dtype=np.int64), 3)
+        rep = t.take(pa.array(idx))
+        bk3 = np.repeat(bk, 3) + np.tile(
+            np.array([-1, 0, 1], dtype=np.int64), n
+        )
+        rep = rep.append_column("_bucket", pa.array(bk3))
+        rep = rep.append_column("_bkey", pa.array(part_key(rep, bk3)))
+        rep = _add_part(rep, "_bkey", num_partitions, None)
+        return rep.drop_columns(["_bkey"]).append_column(
+            SIDE_COL, pa.array(np.zeros(len(rep), dtype=np.int8))
+        )
+
+    at = a.map_batches(tag_a, batch_format="pyarrow")
+    bt = b.map_batches(tag_b, batch_format="pyarrow")
+
+    def probe(group: pa.Table) -> pa.Table:
+        side = group.column(SIDE_COL).to_numpy()
+        sel_a = ([entity_col] if entity_col else []) + ["_bucket", *a_cols]
+        sel_b = ([entity_col] if entity_col else []) + ["_bucket", *b_cols]
+        ap = group.filter(pa.array(side == 1)).select(sel_a).to_pandas()
+        bp = group.filter(pa.array(side == 0)).select(sel_b).to_pandas()
+        if len(ap) == 0 or len(bp) == 0:
+            return out_schema.empty_table()
+        m = ap.merge(bp, on=merge_keys, how="inner")
+        d = np.abs(m[a_key].to_numpy() - m[b_key].to_numpy())
+        out = m[d <= band].drop(columns=["_bucket"])
+        t = pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+        return t.replace_schema_metadata(None)
+
+    return at.union(bt).groupby(PART_COL).map_groups(
+        probe, batch_format="pyarrow"
+    )

@@ -454,3 +454,51 @@ def test_throttle_differs_from_debounce_on_bursts():
     keep = throttle_keep_mask(ts, new_run, 10)
     assert keep.sum() > 1  # throttle re-emits once the window passes
     np.testing.assert_array_equal(np.flatnonzero(keep)[:3], [0, 4, 8])
+
+
+def test_band_join_matches_bruteforce():
+    from rp_extract_ray.stages.rangejoin import band_join
+
+    rng = np.random.default_rng(47)
+    na, nb = 150, 180
+    ea = rng.integers(0, 6, na)
+    # integer-grid keys (incl. negatives) force exact-boundary |d| == band
+    # matches and bucket-edge candidates
+    ka = (rng.integers(-40, 40, na) / 4.0)
+    eb = rng.integers(0, 6, nb)
+    kb = (rng.integers(-40, 40, nb) / 4.0)
+    band = 0.5
+    expect = {
+        (int(i), int(j))
+        for i in range(na)
+        for j in range(nb)
+        if ea[i] == eb[j] and abs(ka[i] - kb[j]) <= band
+    }
+    a = pa.table({"conv_id": ea, "a_id": np.arange(na, dtype=np.int64),
+                  "a_key": ka})
+    b = pa.table({"conv_id": eb, "b_id": np.arange(nb, dtype=np.int64),
+                  "b_key": kb})
+    for nblocks in (1, 4):
+        out = band_join(
+            rd.from_arrow(a).repartition(nblocks),
+            rd.from_arrow(b).repartition(nblocks),
+            a_key="a_key", b_key="b_key", band=band,
+            entity_col="conv_id", num_partitions=5,
+        ).to_pandas()
+        got = {(int(i), int(j)) for i, j in zip(out["a_id"], out["b_id"])}
+        assert got == expect, nblocks
+
+
+def test_band_join_global_no_entity():
+    from rp_extract_ray.stages.rangejoin import band_join
+
+    a = pa.table({"a_id": np.arange(4, dtype=np.int64),
+                  "a_key": np.array([0.0, 1.0, 5.0, -2.0])})
+    b = pa.table({"b_id": np.arange(3, dtype=np.int64),
+                  "b_key": np.array([0.9, 5.05, -3.0])})
+    out = band_join(
+        rd.from_arrow(a), rd.from_arrow(b),
+        a_key="a_key", b_key="b_key", band=1.0, num_partitions=3,
+    ).to_pandas()
+    got = {(int(i), int(j)) for i, j in zip(out["a_id"], out["b_id"])}
+    assert got == {(0, 0), (1, 0), (2, 1), (3, 2)}
