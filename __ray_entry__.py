@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "debounce": E.q_debounce,
         "throttle": E.q_throttle,
         "band_join": E.q_band_join,
+        "concurrency": E.q_concurrency,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1535,6 +1536,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, wstart, round(sum(value), 6) AS wsum,
                    CAST(count(*) AS BIGINT) AS wn
             FROM x GROUP BY user_id, wstart""",
+        # interval concurrency: closed-bound containment count per click
+        "concurrency": """
+            WITH iv AS (SELECT user_id, ts AS s,
+                               ts + to_seconds(CAST(floor(value) * 60
+                                                    AS BIGINT)) AS e
+                        FROM events WHERE event_type = 'view'),
+                 p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, p.ts,
+                   CAST(count(iv.s) AS BIGINT) AS n_open
+            FROM p LEFT JOIN iv ON p.user_id = iv.user_id
+                               AND p.ts >= iv.s AND p.ts <= iv.e
+            GROUP BY p.event_id, p.user_id, p.ts""",
         # numeric band join: same-user click x purchase value-tolerance
         # pairs, |delta| <= 0.05 (closed)
         "band_join": """

@@ -1314,3 +1314,41 @@ def q_band_join(sf_dir: str) -> Dataset:
         out.select_columns(["user_id", "a_id", "b_id", "a_value", "b_value"]),
         {"a_value": 6, "b_value": 6},
     )
+
+
+def q_concurrency(sf_dir: str) -> Dataset:
+    """Open-interval concurrency at each event (stages/intervals.
+    interval_concurrency): for every click, how many of the user's view
+    activity spans (floor(value) minutes) are open at that instant —
+    sweep-line cumsum, never materializing point x interval matches.
+    Oracle: LEFT JOIN containment count (the quadratic formulation the
+    sweep replaces)."""
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.stages.intervals import interval_concurrency
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def mk_p(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "click"))
+        return t.select(["event_id", "user_id", "ts"])
+
+    def mk_iv(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "view"))
+        dur = pc.cast(
+            pc.multiply(pc.floor(t.column("value")), 60_000_000.0), pa.int64()
+        )
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "start_ts": t.column("ts"),
+                "end_ts": pc.add(t.column("ts"), pc.cast(dur, pa.duration("us"))),
+            }
+        )
+
+    points = ev.map_batches(mk_p, batch_format="pyarrow")
+    iv = ev.map_batches(mk_iv, batch_format="pyarrow")
+    out = interval_concurrency(
+        points, iv, entity_col=ENTITY, ts_col="ts", num_partitions=NP
+    )
+    return out.select_columns(["event_id", "user_id", "ts", "n_open"])

@@ -90,3 +90,107 @@ def merge_intervals(
         order_cols=(start_col, end_col),
         num_partitions=num_partitions,
     )
+
+
+def interval_concurrency(
+    points: Dataset,
+    intervals: Dataset,
+    *,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    out_col: str = "n_open",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Sweep-line stabbing count: for every point row, how many same-entity
+    intervals ``[start, end]`` (closed) contain its timestamp — concurrency
+    / server-load / open-sessions-at-event. The scale-superior alternative
+    to counting via an interval join (whose intermediate is
+    |points| x |matching intervals|): the sweep never materializes matches.
+
+    ONE co-partitioned exchange (side-tagged union, the range_join shape);
+    per partition a single lexsort over the merged boundary stream —
+    interval starts (+1), point queries (0), interval ends (-1), with
+    same-timestamp priority start < query < end so closed bounds hold on
+    both edges — then a cumulative sum read off at the query positions.
+    O((n+2m) log) per partition, output exactly the point rows + count.
+    """
+    import pyarrow as pa
+
+    from rp_extract_ray.stages.asof import SIDE_COL, _arrow_schema
+    from rp_extract_ray.stages.partition import PART_COL, _add_part
+
+    p_schema = _arrow_schema(points)
+    out_schema = pa.schema(
+        [p_schema.field(n) for n in p_schema.names]
+        + [pa.field(out_col, pa.int64())]
+    )
+    p_cols = list(p_schema.names)
+
+    def tag_p(t: pa.Table) -> pa.Table:
+        t = _add_part(t, entity_col, num_partitions, None)
+        return t.append_column(SIDE_COL, pa.array(np.ones(len(t), np.int8)))
+
+    def tag_iv(t: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                entity_col: t.column(entity_col),
+                start_col: t.column(start_col),
+                end_col: t.column(end_col),
+            }
+        )
+        t = _add_part(t, entity_col, num_partitions, None)
+        return t.append_column(SIDE_COL, pa.array(np.zeros(len(t), np.int8)))
+
+    pt = points.map_batches(tag_p, batch_format="pyarrow")
+    it = intervals.map_batches(tag_iv, batch_format="pyarrow")
+
+    def sweep(group: pa.Table) -> pa.Table:
+        side = group.column(SIDE_COL).to_numpy()
+        pmask = side == 1
+        pp = group.filter(pa.array(pmask)).select(
+            [c for c in p_cols if c in group.column_names]
+        )
+        if len(pp) == 0:
+            return out_schema.empty_table()
+        iv = group.filter(pa.array(~pmask))
+        ent_p = pp.column(entity_col).to_numpy(zero_copy_only=False)
+        t_p = pp.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(iv):
+            ent_i = iv.column(entity_col).to_numpy(zero_copy_only=False)
+            t_s = iv.column(start_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            t_e = iv.column(end_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            ent_i = ent_p[:0]
+            t_s = t_e = t_p[:0]
+        m, n = len(ent_i), len(ent_p)
+        ent_all = np.concatenate([ent_i, ent_p, ent_i])
+        t_all = np.concatenate([t_s, t_p, t_e])
+        # same-ts priority: start(0) < query(1) < end(2) => closed bounds
+        kind = np.concatenate(
+            [np.zeros(m, np.int8), np.ones(n, np.int8), np.full(m, 2, np.int8)]
+        )
+        delta = np.concatenate(
+            [np.ones(m, np.int64), np.zeros(n, np.int64),
+             np.full(m, -1, np.int64)]
+        )
+        order = np.lexsort((kind, t_all, ent_all))
+        # entity boundaries reset the running count (cumsum of deltas is 0
+        # at each entity's end anyway: every +1 has its -1 in-partition)
+        open_cnt = np.cumsum(delta[order])
+        qpos = np.flatnonzero(kind[order] == 1)
+        counts = np.empty(n, dtype=np.int64)
+        # order[qpos] - m are the ORIGINAL point-row indices of the queries
+        # in sweep order; scatter the open counts straight back
+        counts[order[qpos] - m] = open_cnt[qpos]
+        out = pp.append_column(out_col, pa.array(counts))
+        return out.replace_schema_metadata(None)
+
+    return pt.union(it).groupby(PART_COL).map_groups(
+        sweep, batch_format="pyarrow"
+    )

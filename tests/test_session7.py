@@ -502,3 +502,32 @@ def test_band_join_global_no_entity():
     ).to_pandas()
     got = {(int(i), int(j)) for i, j in zip(out["a_id"], out["b_id"])}
     assert got == {(0, 0), (1, 0), (2, 1), (3, 2)}
+
+
+def test_interval_concurrency_matches_bruteforce():
+    from rp_extract_ray.stages.intervals import interval_concurrency
+
+    rng = np.random.default_rng(53)
+    n, m = 200, 120
+    ep = rng.integers(0, 6, n)
+    tp = rng.integers(0, 500, n)
+    ei = rng.integers(0, 6, m)
+    s = rng.integers(0, 500, m)
+    e = s + rng.integers(0, 50, m)
+    expect = np.array(
+        [
+            int(np.sum((ei == ep[i]) & (s <= tp[i]) & (tp[i] <= e)))
+            for i in range(n)
+        ],
+        dtype=np.int64,
+    )
+    points = pa.table({"conv_id": ep, "pid": np.arange(n, dtype=np.int64),
+                       "ts": tp})
+    iv = pa.table({"conv_id": ei, "start_ts": s, "end_ts": e})
+    for nblocks in (1, 4):
+        out = interval_concurrency(
+            rd.from_arrow(points).repartition(nblocks),
+            rd.from_arrow(iv).repartition(nblocks),
+            entity_col="conv_id", ts_col="ts", num_partitions=5,
+        ).to_pandas().sort_values("pid", ignore_index=True)
+        np.testing.assert_array_equal(out["n_open"].to_numpy(), expect)
