@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "throttle": E.q_throttle,
         "band_join": E.q_band_join,
         "concurrency": E.q_concurrency,
+        "weighted_median": E.q_weighted_median,
+        "time_weighted_avg": E.q_time_weighted_avg,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1536,6 +1538,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, wstart, round(sum(value), 6) AS wsum,
                    CAST(count(*) AS BIGINT) AS wn
             FROM x GROUP BY user_id, wstart""",
+        # lower weighted median: smallest v with 2*cum_weight >= total
+        # (integer weights -> exact comparison, no float boundary)
+        "weighted_median": """
+            WITH w AS (SELECT user_id, value,
+                              CAST(json_extract(props, '$.k') AS BIGINT) + 1
+                                AS wt
+                       FROM events),
+                 o AS (SELECT user_id, value, wt,
+                              sum(wt) OVER (PARTITION BY user_id
+                                  ORDER BY value ROWS UNBOUNDED PRECEDING)
+                                AS cw,
+                              sum(wt) OVER (PARTITION BY user_id) AS tw
+                       FROM w)
+            SELECT user_id, round(min(value), 6) AS wmedian
+            FROM o WHERE 2 * cw >= tw GROUP BY user_id""",
+        # time-weighted average: value held to the next event; last event
+        # carries no duration; single-event users emit nothing
+        "time_weighted_avg": """
+            WITH l AS (SELECT user_id, value, ts,
+                              lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nts
+                       FROM events)
+            SELECT user_id,
+                   round(sum(value * epoch(nts - ts))
+                         / sum(epoch(nts - ts)), 6) AS twa
+            FROM l WHERE nts IS NOT NULL GROUP BY user_id""",
         # interval concurrency: closed-bound containment count per click
         "concurrency": """
             WITH iv AS (SELECT user_id, ts AS s,

@@ -1352,3 +1352,76 @@ def q_concurrency(sf_dir: str) -> Dataset:
         points, iv, entity_col=ENTITY, ts_col="ts", num_partitions=NP
     )
     return out.select_columns(["event_id", "user_id", "ts", "n_open"])
+
+
+def q_weighted_median(sf_dir: str) -> Dataset:
+    """Per-user weighted median of value (weight = props.k + 1): lower
+    weighted median — smallest v whose inclusive cumulative weight reaches
+    half the total. One entity exchange sorted by (user, value); integer
+    weights make the half-total comparison exact (2*cw >= tw, no float
+    boundary). Oracle: cumulative-weight window + min-over-qualifying."""
+    from rp_extract_ray.stages.explode import extract_json_int
+
+    ds = _events(sf_dir, ["user_id", "value", "props"])
+    ds = extract_json_int(ds, "props", "k")
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        w = (pdf["k"].to_numpy(dtype=np.float64) + 1).astype(np.int64)
+        run_id = starts  # constant per run -> usable as a group key
+        cw_incl = pd.Series(w).groupby(run_id).cumsum().to_numpy()
+        tw = pd.Series(w).groupby(run_id).transform("sum").to_numpy()
+        qual = 2 * cw_incl >= tw
+        q = pdf[qual]
+        out = (
+            pd.DataFrame(
+                {"user_id": q["user_id"].to_numpy(),
+                 "wmedian": q["value"].to_numpy()}
+            )
+            .groupby("user_id", sort=False)
+            .first()
+            .reset_index()
+        )
+        return out
+
+    out = partitioned_apply(
+        ds, fn, entity_col=ENTITY, order_cols=("value",), num_partitions=NP
+    )
+    return _round(out, {"wmedian": 6})
+
+
+def q_time_weighted_avg(sf_dir: str) -> Dataset:
+    """Per-user time-weighted average of value (value held constant until
+    the next event; the last event carries no duration — single-event
+    users emit nothing). One entity exchange; per-run shifted-view
+    durations, two sums. Oracle: lead() duration + ratio of sums."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        n = len(pdf)
+        ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        nxt = np.empty(n, dtype=np.int64)
+        nxt[:-1] = ts[1:]
+        nxt[-1] = ts[-1]
+        # a run's LAST row has no successor inside its run
+        last = np.zeros(n, dtype=bool)
+        last[:-1] = starts[1:] != starts[:-1]
+        last[-1] = True
+        dur = (nxt - ts) / 1e6
+        dur[last] = 0.0
+        work = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "_vd": v * dur,
+                "_d": dur,
+            }
+        )
+        g = work.groupby("user_id", sort=False).sum().reset_index()
+        g = g[g["_d"] > 0]
+        g["twa"] = g["_vd"] / g["_d"]
+        return g[["user_id", "twa"]]
+
+    out = partitioned_apply(
+        ds, fn, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )
+    return _round(out, {"twa": 6})

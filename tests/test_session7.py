@@ -531,3 +531,48 @@ def test_interval_concurrency_matches_bruteforce():
             entity_col="conv_id", ts_col="ts", num_partitions=5,
         ).to_pandas().sort_values("pid", ignore_index=True)
         np.testing.assert_array_equal(out["n_open"].to_numpy(), expect)
+
+
+def test_weighted_median_kernel_vs_naive():
+    """The lower-weighted-median rule via the same kernel logic q uses."""
+    rng = np.random.default_rng(59)
+    for _ in range(20):
+        k = int(rng.integers(1, 30))
+        v = np.sort(rng.integers(0, 15, k).astype(np.float64))
+        w = rng.integers(1, 9, k).astype(np.int64)
+        cw = np.cumsum(w)
+        got = v[np.flatnonzero(2 * cw >= cw[-1])[0]]
+        # naive: smallest value whose inclusive cumulative weight >= half
+        tot = w.sum()
+        acc = 0
+        for vi, wi in zip(v, w):
+            acc += wi
+            if 2 * acc >= tot:
+                assert got == vi
+                break
+
+
+def test_time_weighted_avg_gate_matches_pandas():
+    import ray
+
+    from rp_extract_ray.pipelines.events import q_time_weighted_avg
+
+    out = q_time_weighted_avg("/root/testdata/sf0.001").to_pandas()
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        "'/root/testdata/sf0.001/events.parquet'"
+    )
+    exp = con.sql(
+        """WITH l AS (SELECT user_id, value, ts,
+                             lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS nts FROM events)
+           SELECT user_id, sum(value * epoch(nts - ts))
+                           / sum(epoch(nts - ts)) AS twa
+           FROM l WHERE nts IS NOT NULL GROUP BY user_id"""
+    ).df()
+    m = out.merge(exp, on="user_id", suffixes=("", "_exp"))
+    assert len(m) == len(out) == len(exp)
+    np.testing.assert_allclose(m["twa"], m["twa_exp"], atol=1e-6)
