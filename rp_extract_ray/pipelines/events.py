@@ -1366,11 +1366,18 @@ def q_weighted_median(sf_dir: str) -> Dataset:
     ds = extract_json_int(ds, "props", "k")
 
     def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
-        w = (pdf["k"].to_numpy(dtype=np.float64) + 1).astype(np.int64)
+        # absent/non-integer k -> null weight; SQL's window sum skips NULLs,
+        # which is exactly weight 0 here (NaN.astype(int64) would otherwise
+        # produce INT64_MIN garbage and poison the whole user's half-total)
+        w = np.nan_to_num(
+            pdf["k"].to_numpy(dtype=np.float64) + 1, nan=0.0
+        ).astype(np.int64)
         run_id = starts  # constant per run -> usable as a group key
         cw_incl = pd.Series(w).groupby(run_id).cumsum().to_numpy()
         tw = pd.Series(w).groupby(run_id).transform("sum").to_numpy()
-        qual = 2 * cw_incl >= tw
+        # tw == 0 means EVERY weight was null: SQL's NULL total fails the
+        # comparison for all rows and the user drops — mirror that
+        qual = (2 * cw_incl >= tw) & (tw > 0)
         q = pdf[qual]
         out = (
             pd.DataFrame(
@@ -1414,11 +1421,17 @@ def q_time_weighted_avg(sf_dir: str) -> Dataset:
                 "user_id": pdf["user_id"].to_numpy(),
                 "_vd": v * dur,
                 "_d": dur,
+                # count of lead-bearing rows: the oracle's WHERE nts IS NOT
+                # NULL keeps a multi-event user whose events all share one
+                # ts (sum 0/0 -> NaN in DuckDB); only single-event users
+                # drop entirely
+                "_n": (~last).astype(np.int64),
             }
         )
         g = work.groupby("user_id", sort=False).sum().reset_index()
-        g = g[g["_d"] > 0]
-        g["twa"] = g["_vd"] / g["_d"]
+        g = g[g["_n"] > 0]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            g["twa"] = g["_vd"].to_numpy() / g["_d"].to_numpy()
         return g[["user_id", "twa"]]
 
     out = partitioned_apply(

@@ -83,23 +83,29 @@ def target_encode_past(
     )
     parted = add_range_part(keyed, _OTS, bounds)
 
-    def cents_of(t: pa.Table) -> np.ndarray:
-        v = t.column(target_col).to_numpy(zero_copy_only=False).astype(
-            np.float64
-        )
-        c = np.round(v * scale)
-        if not np.allclose(c / scale, v, rtol=0, atol=1e-9):
+    def _check_fixed_point(v: np.ndarray) -> None:
+        # nulls arrive as NaN and are SKIPPED (SQL avg semantics) — they
+        # are not a resolution violation; check only real values
+        real = v[~np.isnan(v)]
+        c = np.round(real * scale)
+        if not np.allclose(c / scale, real, rtol=0, atol=1e-9):
             raise ValueError(
                 f"{target_col} is not fixed-point at 1/{scale} resolution"
             )
-        return c.astype(np.int64)
 
     def slim(t: pa.Table) -> pa.Table:
+        v = t.column(target_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        _check_fixed_point(v)
+        nn = ~np.isnan(v)
+        # null-target rows contribute neither sum nor count — drop them
+        # from the totals pass entirely (the SQL window's avg() skip)
         return pa.table(
             {
-                RANGE_PART_COL: t.column(RANGE_PART_COL),
-                category_col: t.column(category_col),
-                "_cents": pa.array(cents_of(t)),
+                RANGE_PART_COL: t.column(RANGE_PART_COL).filter(pa.array(nn)),
+                category_col: t.column(category_col).filter(pa.array(nn)),
+                "_cents": pa.array(np.round(v[nn] * scale).astype(np.int64)),
             }
         )
 
@@ -136,13 +142,21 @@ def target_encode_past(
         pdf = group.to_pandas().sort_values(
             sort_cols, kind="mergesort", ignore_index=True
         )
-        cents = np.round(
-            pdf[target_col].to_numpy(dtype=np.float64) * scale
-        ).astype(np.int64)
-        work = pd.DataFrame({"c": cents, "cat": pdf[category_col].to_numpy()})
+        v = pdf[target_col].to_numpy(dtype=np.float64)
+        nn = ~np.isnan(v)
+        cents = np.where(nn, np.round(v * scale), 0.0).astype(np.int64)
+        # null-target rows add nothing to the running (sum, count) but
+        # still RECEIVE an encoding from the prior evidence (SQL window)
+        work = pd.DataFrame(
+            {
+                "c": cents,
+                "nn": nn.astype(np.int64),
+                "cat": pdf[category_col].to_numpy(),
+            }
+        )
         g = work.groupby("cat", sort=False)
         excl_sum = g["c"].cumsum().to_numpy() - cents
-        excl_cnt = g.cumcount().to_numpy()
+        excl_cnt = g["nn"].cumsum().to_numpy() - nn.astype(np.int64)
         osum, ocnt = ray.get(off_ref)
         cats = pdf[category_col].to_numpy()
         # offsets looked up per UNIQUE category (bounded), broadcast by

@@ -133,13 +133,22 @@ def interval_concurrency(
         return t.append_column(SIDE_COL, pa.array(np.ones(len(t), np.int8)))
 
     def tag_iv(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # SQL comparison semantics: a null bound can never satisfy
+        # s <= t <= e, so null-bounded intervals count for nothing — drop
+        # them HERE (a NaN bound would otherwise sort to the stream's end
+        # and corrupt the running count: open-forever / negative counts)
+        keep = pc.and_(
+            pc.is_valid(t.column(start_col)), pc.is_valid(t.column(end_col))
+        )
         t = pa.table(
             {
                 entity_col: t.column(entity_col),
                 start_col: t.column(start_col),
                 end_col: t.column(end_col),
             }
-        )
+        ).filter(keep)
         t = _add_part(t, entity_col, num_partitions, None)
         return t.append_column(SIDE_COL, pa.array(np.zeros(len(t), np.int8)))
 
@@ -188,6 +197,13 @@ def interval_concurrency(
         # order[qpos] - m are the ORIGINAL point-row indices of the queries
         # in sweep order; scatter the open counts straight back
         counts[order[qpos] - m] = open_cnt[qpos]
+        # a null point ts can satisfy neither bound (SQL semantics) but the
+        # point row still emits — it arrived as NaN, sorted to the stream's
+        # tail, and read a meaningless count there; pin it to 0
+        null_ts = np.isnan(t_p) if t_p.dtype.kind == "f" else np.zeros(
+            n, dtype=bool
+        )
+        counts[null_ts] = 0
         out = pp.append_column(out_col, pa.array(counts))
         return out.replace_schema_metadata(None)
 

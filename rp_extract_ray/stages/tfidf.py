@@ -237,10 +237,11 @@ def bm25_scores(
     def score(t: pa.Table) -> pa.Table:
         cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
         dl = t.column("n_doc").to_numpy(zero_copy_only=False).astype(np.float64)
-        w = np.array(
-            [idf.get(x, 0.0) for x in t.column("token").to_pylist()],
-            dtype=np.float64,
-        )
+        # idf looked up per UNIQUE token (<= |query|), broadcast by inverse
+        # index — no per-row Python work in the scoring pass
+        toks = t.column("token").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(toks, return_inverse=True)
+        w = np.array([idf.get(x, 0.0) for x in uniq], dtype=np.float64)[inv]
         s = w * cnt * (k1 + 1.0) / (cnt + k1 * (1.0 - b + b * dl / avgdl))
         return pa.table({id_col: t.column(id_col), "_s": pa.array(s)})
 

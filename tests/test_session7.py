@@ -297,14 +297,6 @@ def test_quantile_normalize_matches_pandas_recompute():
     val = rng.integers(0, 50, n).astype(np.float64)  # plenty of ties
     rid = np.arange(n, dtype=np.int64)
     pdf = pd.DataFrame({"g": grp, "v": val, "rid": rid})
-    pdf["rk"] = (
-        pdf.sort_values(["v", "rid"])
-        .groupby("g", sort=False)
-        .cumcount()
-        .sort_index()
-        + 1
-    )
-    # cumcount follows the SORTED order — recompute properly:
     s = pdf.sort_values(["g", "v", "rid"], ignore_index=True)
     s["rk"] = s.groupby("g", sort=False).cumcount() + 1
     ref = s.groupby("rk")["v"].mean().round(6)
@@ -576,3 +568,54 @@ def test_time_weighted_avg_gate_matches_pandas():
     m = out.merge(exp, on="user_id", suffixes=("", "_exp"))
     assert len(m) == len(out) == len(exp)
     np.testing.assert_allclose(m["twa"], m["twa_exp"], atol=1e-6)
+
+
+def test_interval_concurrency_null_bounds_and_null_ts():
+    """Review fix: null interval bounds count for nothing; a null point ts
+    emits with count 0 (SQL comparison semantics) — neither may corrupt
+    the sweep's running count."""
+    from rp_extract_ray.stages.intervals import interval_concurrency
+
+    points = pa.table(
+        {
+            "conv_id": pa.array([1, 1, 1], pa.int64()),
+            "pid": pa.array([0, 1, 2], pa.int64()),
+            "ts": pa.array([5, 20, None], pa.int64()),
+        }
+    )
+    iv = pa.table(
+        {
+            "conv_id": pa.array([1, 1, 1], pa.int64()),
+            "start_ts": pa.array([10, None, 15], pa.int64()),
+            "end_ts": pa.array([None, 20, 25], pa.int64()),
+        }
+    )
+    out = interval_concurrency(
+        rd.from_arrow(points), rd.from_arrow(iv),
+        entity_col="conv_id", ts_col="ts", num_partitions=2,
+    ).to_pandas().sort_values("pid", ignore_index=True)
+    # only [15, 25] is a real interval: ts=5 -> 0, ts=20 -> 1, null ts -> 0
+    assert out["n_open"].tolist() == [0, 1, 0]
+
+
+def test_target_encode_skips_null_targets():
+    from rp_extract_ray.stages.encode import target_encode_past
+
+    tbl = pa.table(
+        {
+            "ts": pa.array([1, 2, 3, 4], pa.int64()),
+            "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "event_type": ["a", "a", "a", "a"],
+            "value": pa.array([1.0, None, 3.0, None], pa.float64()),
+        }
+    )
+    out = target_encode_past(
+        rd.from_arrow(tbl), category_col="event_type", target_col="value",
+        ts_col="ts", order_cols=("event_id",), num_partitions=2,
+        sample_rate=1.0,
+    ).to_pandas().sort_values("event_id", ignore_index=True)
+    te = out["te"].to_numpy()
+    # row0: no prior -> NaN; row1 (null target): prior avg 1.0;
+    # row2: still avg of {1.0}; row3: avg of {1.0, 3.0} = 2.0
+    assert np.isnan(te[0])
+    np.testing.assert_allclose(te[1:], [1.0, 1.0, 2.0])
