@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concurrency": E.q_concurrency,
         "weighted_median": E.q_weighted_median,
         "time_weighted_avg": E.q_time_weighted_avg,
+        "cdc_merge": D.q_cdc_merge,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1538,6 +1539,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, wstart, round(sum(value), 6) AS wsum,
                    CAST(count(*) AS BIGINT) AS wn
             FROM x GROUP BY user_id, wstart""",
+        # CDC merge: ordered changelog applied to the base snapshot —
+        # newest version per id wins, delete tombstones (v2) drop the id
+        "cdc_merge": """
+            WITH log AS (
+                SELECT doc_id, text, 0 AS v, false AS del FROM documents
+                UNION ALL
+                SELECT doc_id, text || '!', 1, false FROM documents
+                WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id, NULL, 2, true FROM documents
+                WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT doc_id + 10000000,
+                       'new doc ' || CAST(doc_id AS VARCHAR), 1, false
+                FROM documents WHERE doc_id % 11 = 0),
+                 r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                           ORDER BY v DESC) AS rn FROM log)
+            SELECT doc_id, text FROM r WHERE rn = 1 AND NOT del""",
         # lower weighted median: smallest v with 2*cum_weight >= total
         # (integer weights -> exact comparison, no float boundary)
         "weighted_median": """

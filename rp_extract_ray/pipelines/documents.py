@@ -804,3 +804,101 @@ def q_bm25(sf_dir: str) -> Dataset:
 
     ds = _docs(sf_dir, ["doc_id", "text"])
     return bm25_scores(ds, ["data", "join", "sort", "vector"])
+
+
+def q_cdc_merge(sf_dir: str) -> "Dataset":
+    """CDC merge / MERGE INTO: apply an ordered changelog (upserts +
+    deletes) to a base snapshot and emit the final table — the
+    incremental-ingest primitive (Delta/Iceberg MERGE shape), composed
+    from the engine's own parts with ONE id-keyed exchange: base rows ride
+    as version 0, changelog rows as their op version,
+    stages/dedup.latest_per_key picks each id's newest row, and a final
+    block filter drops delete tombstones. Changelog derived
+    deterministically from the corpus (the corpus_diff convention):
+    every 5th doc updated (text || '!') at v1, every 7th deleted at v2
+    (deletes win over updates on ids divisible by both), every 11th
+    re-added under a new id. Oracle: window row_number DESC over the
+    unioned changelog + tombstone filter."""
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.stages.dedup import latest_per_key
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def base(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text": t.column("text"),
+                "_v": pa.array(np.zeros(n, dtype=np.int64)),
+                "_del": pa.array(np.zeros(n, dtype=bool)),
+            }
+        )
+
+    def changes(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        parts = []
+        upd = t.filter(pa.array(did % 5 == 0))
+        if len(upd):
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": upd.column("doc_id"),
+                        "text": pc.binary_join_element_wise(
+                            upd.column("text"), pa.scalar("!"), ""
+                        ),
+                        "_v": pa.array(np.ones(len(upd), dtype=np.int64)),
+                        "_del": pa.array(np.zeros(len(upd), dtype=bool)),
+                    }
+                )
+            )
+        dels = t.filter(pa.array(did % 7 == 0))
+        if len(dels):
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": dels.column("doc_id"),
+                        "text": pa.array([None] * len(dels), pa.string()),
+                        "_v": pa.array(np.full(len(dels), 2, dtype=np.int64)),
+                        "_del": pa.array(np.ones(len(dels), dtype=bool)),
+                    }
+                )
+            )
+        ins = t.filter(pa.array(did % 11 == 0))
+        if len(ins):
+            new_id = ins.column("doc_id").to_numpy(
+                zero_copy_only=False
+            ) + 10_000_000
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(new_id),
+                        "text": pa.array(
+                            ["new doc " + str(int(i)) for i in new_id - 10_000_000]
+                        ),
+                        "_v": pa.array(np.ones(len(ins), dtype=np.int64)),
+                        "_del": pa.array(np.zeros(len(ins), dtype=bool)),
+                    }
+                )
+            )
+        if not parts:
+            return pa.schema(
+                [
+                    pa.field("doc_id", pa.int64()),
+                    pa.field("text", pa.string()),
+                    pa.field("_v", pa.int64()),
+                    pa.field("_del", pa.bool_()),
+                ]
+            ).empty_table()
+        return pa.concat_tables(parts)
+
+    b = ds.map_batches(base, batch_format="pyarrow")
+    c = ds.map_batches(changes, batch_format="pyarrow")
+    merged = latest_per_key(b.union(c), "doc_id", ["_v"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t.column("_del")))
+        return t.select(["doc_id", "text"])
+
+    return merged.map_batches(finish, batch_format="pyarrow")
