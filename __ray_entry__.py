@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median": E.q_weighted_median,
         "time_weighted_avg": E.q_time_weighted_avg,
         "cdc_merge": D.q_cdc_merge,
+        "chi_square": E.q_chi_square,
+        "mutual_information": E.q_mutual_information,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1539,6 +1541,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, wstart, round(sum(value), 6) AS wsum,
                    CAST(count(*) AS BIGINT) AS wn
             FROM x GROUP BY user_id, wstart""",
+        # chi-square independence: expected = row_total*col_total/total
+        "chi_square": """
+            WITH o AS (SELECT event_type, user_id % 4 AS segment,
+                              CAST(count(*) AS DOUBLE) AS n
+                       FROM events GROUP BY event_type, user_id % 4),
+                 t AS (SELECT o.*,
+                              sum(n) OVER (PARTITION BY event_type) AS rt,
+                              sum(n) OVER (PARTITION BY segment) AS ct,
+                              sum(n) OVER () AS tot
+                       FROM o)
+            SELECT round(sum((n - rt * ct / tot) * (n - rt * ct / tot)
+                             / (rt * ct / tot)), 6) AS chi2,
+                   CAST((count(DISTINCT event_type) - 1)
+                        * (count(DISTINCT segment) - 1) AS BIGINT) AS dof
+            FROM t""",
+        # mutual information in nats over the same contingency table
+        "mutual_information": """
+            WITH o AS (SELECT event_type, user_id % 4 AS segment,
+                              CAST(count(*) AS DOUBLE) AS n
+                       FROM events GROUP BY event_type, user_id % 4),
+                 t AS (SELECT n / (sum(n) OVER ()) AS p,
+                              (sum(n) OVER (PARTITION BY event_type))
+                                / (sum(n) OVER ()) AS px,
+                              (sum(n) OVER (PARTITION BY segment))
+                                / (sum(n) OVER ()) AS py
+                       FROM o)
+            SELECT round(sum(p * ln(p / (px * py))), 6) AS mi FROM t""",
         # CDC merge: ordered changelog applied to the base snapshot —
         # newest version per id wins, delete tombstones (v2) drop the id
         "cdc_merge": """

@@ -1438,3 +1438,63 @@ def q_time_weighted_avg(sf_dir: str) -> Dataset:
         ds, fn, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
     )
     return _round(out, {"twa": 6})
+
+
+def _contingency(sf_dir: str):
+    """Bounded contingency counts for (event_type x user_id%4 segment):
+    one distinct-keys grouped_reduce exchange; |types| x 4 cells."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def seg(b: pa.Table) -> pa.Table:
+        s = b.column("user_id").to_numpy(zero_copy_only=False) % 4
+        return pa.table(
+            {"event_type": b.column("event_type"), "segment": pa.array(s)}
+        )
+
+    cells = grouped_reduce(
+        ds.map_batches(seg, batch_format="pyarrow"),
+        ["event_type", "segment"],
+        {"n": ("segment", "count")},
+    )
+    return cells.to_pandas()  # bounded: |types| x |segments| rows
+
+
+def q_chi_square(sf_dir: str) -> "pd.DataFrame":
+    """Chi-square independence test of event_type vs user segment
+    (user_id % 4): the categorical-association data-quality gate. All
+    heavy work is the ONE bounded contingency exchange; the statistic is
+    driver arithmetic over |types| x |segments| cells. Oracle: the same
+    expected-count formula in SQL over GROUP BY counts."""
+    obs = _contingency(sf_dir)
+    tot = float(obs["n"].sum())
+    rt = obs.groupby("event_type")["n"].transform("sum").to_numpy()
+    ct = obs.groupby("segment")["n"].transform("sum").to_numpy()
+    exp = rt * ct / tot
+    chi2 = float((((obs["n"].to_numpy() - exp) ** 2) / exp).sum())
+    n_r = obs["event_type"].nunique()
+    n_c = obs["segment"].nunique()
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    return pd.DataFrame(
+        {
+            "chi2": [round_half_away(np.array([chi2]), 6)[0]],
+            "dof": np.array([(n_r - 1) * (n_c - 1)], dtype=np.int64),
+        }
+    )
+
+
+def q_mutual_information(sf_dir: str) -> "pd.DataFrame":
+    """Mutual information (nats) between event_type and user segment —
+    the dependency-strength complement of q_chi_square, same ONE bounded
+    contingency exchange. Oracle: sum p*ln(p/(px*py)) in SQL."""
+    obs = _contingency(sf_dir)
+    tot = float(obs["n"].sum())
+    p = obs["n"].to_numpy(dtype=np.float64) / tot
+    px = obs.groupby("event_type")["n"].transform("sum").to_numpy() / tot
+    py = obs.groupby("segment")["n"].transform("sum").to_numpy() / tot
+    mi = float((p * np.log(p / (px * py))).sum())
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    return pd.DataFrame({"mi": [round_half_away(np.array([mi]), 6)[0]]})

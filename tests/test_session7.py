@@ -619,3 +619,54 @@ def test_target_encode_skips_null_targets():
     # row2: still avg of {1.0}; row3: avg of {1.0, 3.0} = 2.0
     assert np.isnan(te[0])
     np.testing.assert_allclose(te[1:], [1.0, 1.0, 2.0])
+
+
+# ------------------------------------------------------- hypothesis gates
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(0, 200), min_size=1, max_size=60),
+    st.integers(1, 50),
+)
+def test_throttle_property_vs_fold(ts_list, gap):
+    from rp_extract_ray.stages.lag import throttle_keep_mask
+
+    ts = np.sort(np.array(ts_list, dtype=np.int64))
+    new_run = np.zeros(len(ts), dtype=bool)
+    new_run[0] = True
+    got = throttle_keep_mask(ts, new_run, gap)
+    last = None
+    for i, t in enumerate(ts):
+        keep = last is None or t > last + gap
+        assert got[i] == keep, (i, ts, gap)
+        if keep:
+            last = t
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1, max_size=80,
+    )
+)
+def test_skyline_kernel_property(points):
+    from rp_extract_ray.stages.skyline import _skyline_frame
+
+    pdf = pd.DataFrame(points, columns=["x", "y"])
+    pdf["rid"] = np.arange(len(pdf))
+    out = _skyline_frame(pdf, "x", "y")
+    x = pdf["x"].to_numpy()
+    y = pdf["y"].to_numpy()
+    expect = {
+        int(r)
+        for i, r in enumerate(pdf["rid"])
+        if not np.any(
+            (x <= x[i]) & (y >= y[i]) & ((x < x[i]) | (y > y[i]))
+        )
+    }
+    assert set(out["rid"].astype(int)) == expect
