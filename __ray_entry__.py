@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_merge": D.q_cdc_merge,
         "chi_square": E.q_chi_square,
         "mutual_information": E.q_mutual_information,
+        "group_spearman": E.q_group_spearman,
+        "rolling_distinct": E.q_rolling_distinct,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1541,6 +1543,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, wstart, round(sum(value), 6) AS wsum,
                    CAST(count(*) AS BIGINT) AS wn
             FROM x GROUP BY user_id, wstart""",
+        # trailing-window distinct count via the list window aggregate
+        "rolling_distinct": """
+            SELECT event_id, user_id, ts,
+                   CAST(len(list_distinct(
+                       list(CAST(floor(value) AS BIGINT)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)))
+                     AS BIGINT) AS n_distinct_w
+            FROM events""",
+        # Spearman = Pearson over fractional (average-tie) ranks:
+        # avg rank == rank() + (tie_count - 1)/2
+        "group_spearman": """
+            WITH r AS (SELECT user_id,
+                              rank() OVER (PARTITION BY user_id
+                                  ORDER BY value)
+                                + (count(*) OVER (PARTITION BY user_id,
+                                                  value) - 1) / 2.0 AS rv,
+                              rank() OVER (PARTITION BY user_id ORDER BY ts)
+                                + (count(*) OVER (PARTITION BY user_id, ts)
+                                   - 1) / 2.0 AS rt
+                       FROM events)
+            SELECT user_id, round(corr(rv, rt), 6) AS spearman
+            FROM r GROUP BY user_id""",
         # chi-square independence: expected = row_total*col_total/total
         "chi_square": """
             WITH o AS (SELECT event_type, user_id % 4 AS segment,

@@ -1498,3 +1498,68 @@ def q_mutual_information(sf_dir: str) -> "pd.DataFrame":
     from rp_extract_ray.functions.rounding import round_half_away
 
     return pd.DataFrame({"mi": [round_half_away(np.array([mi]), 6)[0]]})
+
+
+def q_group_spearman(sf_dir: str) -> Dataset:
+    """Per-user Spearman rank correlation between value and time — the
+    robust (monotonic) trend complement of the Pearson gates. Average
+    ranks for ties (the standard fractional convention, replicated in SQL
+    as rank() + (ties-1)/2), then Pearson over the rank vectors from
+    per-user moment sums — one entity exchange, all-C kernels
+    (pandas .rank + groupby sums). Zero-variance users emit NULL/NaN
+    (DuckDB corr parity)."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        run = starts
+        ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        work = pd.DataFrame(
+            {"run": run, "v": pdf["value"].to_numpy(), "t": ts}
+        )
+        g = work.groupby("run", sort=False)
+        rv = g["v"].rank(method="average").to_numpy()
+        rt = g["t"].rank(method="average").to_numpy()
+        mom = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "n": np.ones(len(pdf), dtype=np.int64),
+                "sv": rv, "st": rt,
+                "svv": rv * rv, "stt": rt * rt, "svt": rv * rt,
+            }
+        ).groupby("user_id", sort=False).sum().reset_index()
+        n = mom["n"].to_numpy(dtype=np.float64)
+        cov = mom["svt"] - mom["sv"] * mom["st"] / n
+        vv = mom["svv"] - mom["sv"] ** 2 / n
+        tt = mom["stt"] - mom["st"] ** 2 / n
+        denom = np.sqrt(vv * tt)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.where(denom > 0, cov / denom, np.nan)
+        return pd.DataFrame({"user_id": mom["user_id"], "spearman": r})
+
+    out = partitioned_apply(
+        ds, fn, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )
+    return _round(out, {"spearman": 6})
+
+
+def q_rolling_distinct(sf_dir: str) -> Dataset:
+    """Trailing 8-row distinct count of the coarse value code
+    (floor(value)) per user (stages/lag.rolling_distinct_within): the
+    windowed-cardinality feature, k(k-1)/2 shifted-view comparisons, one
+    entity exchange. Oracle: len(list_distinct(list() OVER ROWS 7
+    PRECEDING))."""
+    from rp_extract_ray.stages.lag import rolling_distinct_within
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        codes = np.floor(
+            pdf["value"].to_numpy(dtype=np.float64)
+        ).astype(np.int64)
+        pdf["n_distinct_w"] = rolling_distinct_within(codes, starts, 8)
+        return pdf
+
+    out = partitioned_apply(
+        ds, fn, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )
+    return out.select_columns(["event_id", "user_id", "ts", "n_distinct_w"])

@@ -673,3 +673,44 @@ def throttle_keep_mask(
             # first index strictly past the kept row's window
             i = s + int(np.searchsorted(run, ts_us[i] + gap_us, side="right"))
     return keep
+
+
+def rolling_distinct_within(
+    codes: np.ndarray, starts: np.ndarray, k: int
+) -> np.ndarray:
+    """Distinct count of ``codes`` over the trailing ``k``-row window
+    within each run (``starts`` = per-row run-start indices, the
+    partitioned_apply contract) — the per-entity windowed-cardinality
+    feature (distinct actions/tools/pages in the last k turns).
+
+    Vectorized as k(k-1)/2 shifted-view equality comparisons: window
+    position i-d counts iff it is the LAST occurrence of its value inside
+    the window (no nearer position d' < d holds the same code) and lies
+    inside the row's run (d <= i - starts[i]). O(k^2) full-column numpy
+    ops, no Python row loop — the right trade for the small window sizes
+    this feature uses (k <= ~32); larger windows want a per-run sort-based
+    kernel instead.
+    """
+    n = len(codes)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    depth = np.arange(n, dtype=np.int64) - starts
+
+    def shifted(d: int) -> np.ndarray:
+        if d == 0:
+            return codes
+        s = np.empty(n, dtype=codes.dtype)
+        s[:d] = 0
+        s[d:] = codes[:-d]
+        return s
+
+    views = [shifted(d) for d in range(min(k, n))]
+    kk = len(views)
+    for d in range(kk):
+        valid = depth >= d
+        dup = np.zeros(n, dtype=bool)
+        for d2 in range(d):
+            dup |= views[d] == views[d2]
+        out += (valid & ~dup).astype(np.int64)
+    return out

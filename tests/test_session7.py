@@ -670,3 +670,49 @@ def test_skyline_kernel_property(points):
         )
     }
     assert set(out["rid"].astype(int)) == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(0, 5), min_size=1, max_size=60),
+    st.integers(1, 10),
+)
+def test_rolling_distinct_property(codes_list, k):
+    from rp_extract_ray.stages.lag import rolling_distinct_within
+
+    codes = np.array(codes_list, dtype=np.int64)
+    n = len(codes)
+    # two runs: split roughly in half
+    half = max(1, n // 2)
+    starts = np.concatenate(
+        [np.zeros(half, dtype=np.int64), np.full(n - half, half, np.int64)]
+    )
+    got = rolling_distinct_within(codes, starts, k)
+    for i in range(n):
+        lo = max(starts[i], i - k + 1)
+        assert got[i] == len(set(codes[lo : i + 1].tolist())), (i, codes, k)
+
+
+def test_group_spearman_matches_scipy_free_recompute():
+    import ray
+
+    from rp_extract_ray.pipelines.events import q_group_spearman
+
+    out = q_group_spearman("/root/testdata/sf0.001").to_pandas()
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        "'/root/testdata/sf0.001/events.parquet'"
+    )
+    exp = con.sql("SELECT * FROM '/root/testdata/sf0.001/events.parquet'").df()
+    res = {}
+    for uid, g in exp.groupby("user_id"):
+        rv = g["value"].rank(method="average")
+        rt = g["ts"].rank(method="average")
+        res[int(uid)] = float(np.corrcoef(rv, rt)[0, 1])
+    got = dict(zip(out["user_id"].astype(int), out["spearman"]))
+    assert set(got) == set(res)
+    for u in res:
+        np.testing.assert_allclose(got[u], res[u], atol=2e-6)
