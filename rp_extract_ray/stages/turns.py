@@ -46,3 +46,66 @@ def add_turn_stats(ds: Dataset, text_col: str = "text") -> Dataset:
     return ds.map_batches(
         add_turn_stats_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
     )
+
+
+def role_alternation_report(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_cols=("ts", "turn_idx"),
+    role_col: str = "role",
+    num_partitions: int = 32,
+) -> Dataset:
+    """Per-conversation transcript-hygiene report: turn counts per role,
+    and the count of ROLE-ALTERNATION VIOLATIONS (consecutive turns with
+    the same role under stable turn order) — the standard validity gate a
+    training pipeline runs before packing multi-turn conversations. One
+    conv-keyed exchange; the kernel is a shifted-view equality over runs
+    plus one per-conversation groupby (all C kernels).
+
+    Output: one row per conversation — n_turns, n_user, n_assistant,
+    n_tool_role, n_violations, first/last role.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from rp_extract_ray.stages.partition import partitioned_apply
+
+    def fn(pdf: "pd.DataFrame", starts: np.ndarray) -> "pd.DataFrame":
+        n = len(pdf)
+        role = pdf[role_col].to_numpy()
+        same = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            interior = starts[1:] == starts[:-1]  # same conversation run
+            same[1:] = (role[1:] == role[:-1]) & interior
+        # first/last turn per run under the exchange's sort
+        is_first = np.zeros(n, dtype=bool)
+        is_first[starts] = True
+        run_end = np.zeros(n, dtype=bool)
+        run_end[:-1] = starts[1:] != starts[:-1]
+        run_end[-1] = True
+        work = pd.DataFrame(
+            {
+                conv_col: pdf[conv_col].to_numpy(),
+                "n_turns": np.ones(n, dtype=np.int64),
+                "n_user": (role == "user").astype(np.int64),
+                "n_assistant": (role == "assistant").astype(np.int64),
+                "n_tool_role": (role == "tool").astype(np.int64),
+                "n_violations": same,
+            }
+        )
+        g = work.groupby(conv_col, sort=False).sum().reset_index()
+        firsts = pd.DataFrame(
+            {conv_col: pdf[conv_col].to_numpy()[is_first],
+             "first_role": role[is_first]}
+        )
+        lasts = pd.DataFrame(
+            {conv_col: pdf[conv_col].to_numpy()[run_end],
+             "last_role": role[run_end]}
+        )
+        return g.merge(firsts, on=conv_col).merge(lasts, on=conv_col)
+
+    return partitioned_apply(
+        ds, fn, entity_col=conv_col, order_cols=order_cols,
+        num_partitions=num_partitions,
+    )

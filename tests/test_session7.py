@@ -716,3 +716,49 @@ def test_group_spearman_matches_scipy_free_recompute():
     assert set(got) == set(res)
     for u in res:
         np.testing.assert_allclose(got[u], res[u], atol=2e-6)
+
+
+def test_role_alternation_report_vs_duckdb():
+    """Transcript-hygiene gate on the north-rule schema (conv_id, turn_idx,
+    role, text, tool, ts): per-conv role mix + alternation violations,
+    checked against a DuckDB window recompute over the synth corpus."""
+    import duckdb
+
+    from rp_extract_ray.stages.turns import role_alternation_report
+    from rp_extract_ray.synth import write_corpus
+
+    p = write_corpus("/tmp/s7_roles", n_convs=60, seed=9, mean_turns=25)
+    out = role_alternation_report(
+        rd.read_parquet(p["transcripts"]), num_partitions=8
+    ).to_pandas().sort_values("conv_id", ignore_index=True)
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW t AS SELECT * FROM '{p['transcripts']}'"
+    )
+    exp = con.sql(
+        """WITH o AS (SELECT conv_id, role,
+                             lag(role) OVER (PARTITION BY conv_id
+                                 ORDER BY ts, turn_idx) AS prev,
+                             row_number() OVER (PARTITION BY conv_id
+                                 ORDER BY ts, turn_idx) AS rn,
+                             count(*) OVER (PARTITION BY conv_id) AS nt
+                      FROM t)
+           SELECT conv_id,
+                  CAST(count(*) AS BIGINT) AS n_turns,
+                  CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_user,
+                  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_assistant,
+                  CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_tool_role,
+                  CAST(sum(CASE WHEN role = prev THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_violations,
+                  min(CASE WHEN rn = 1 THEN role END) AS first_role,
+                  min(CASE WHEN rn = nt THEN role END) AS last_role
+           FROM o GROUP BY conv_id ORDER BY conv_id"""
+    ).df()
+    assert len(out) == len(exp)
+    for c in ["n_turns", "n_user", "n_assistant", "n_tool_role",
+              "n_violations", "first_role", "last_role"]:
+        assert (out[c].to_numpy() == exp[c].to_numpy()).all(), c
