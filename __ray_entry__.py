@@ -1566,11 +1566,19 @@ def oracle_sql() -> dict[str, str]:
                        FROM events)
             SELECT user_id, round(corr(rv, rt), 6) AS spearman
             FROM r GROUP BY user_id""",
-        # chi-square independence: expected = row_total*col_total/total
+        # chi-square independence: expected = row_total*col_total/total,
+        # DENSIFIED over the full type x segment grid — a structurally-
+        # empty cell still contributes (0-E)^2/E = E
         "chi_square": """
-            WITH o AS (SELECT event_type, user_id % 4 AS segment,
+            WITH c AS (SELECT event_type, user_id % 4 AS segment,
                               CAST(count(*) AS DOUBLE) AS n
                        FROM events GROUP BY event_type, user_id % 4),
+                 o AS (SELECT ty.event_type, sg.segment,
+                              COALESCE(c.n, 0.0) AS n
+                       FROM (SELECT DISTINCT event_type FROM c) ty
+                       CROSS JOIN (SELECT DISTINCT segment FROM c) sg
+                       LEFT JOIN c ON c.event_type = ty.event_type
+                                  AND c.segment = sg.segment),
                  t AS (SELECT o.*,
                               sum(n) OVER (PARTITION BY event_type) AS rt,
                               sum(n) OVER (PARTITION BY segment) AS ct,

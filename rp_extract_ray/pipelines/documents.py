@@ -893,9 +893,15 @@ def q_cdc_merge(sf_dir: str) -> "Dataset":
             ).empty_table()
         return pa.concat_tables(parts)
 
-    b = ds.map_batches(base, batch_format="pyarrow")
-    c = ds.map_batches(changes, batch_format="pyarrow")
-    merged = latest_per_key(b.union(c), "doc_id", ["_v"])
+    def changelog(t: pa.Table) -> pa.Table:
+        # ONE read: emit base rows + this block's changelog together —
+        # branching the lazy read into two map pipelines and unioning
+        # would execute the parquet scan twice
+        return pa.concat_tables([base(t), changes(t)])
+
+    merged = latest_per_key(
+        ds.map_batches(changelog, batch_format="pyarrow"), "doc_id", ["_v"]
+    )
 
     def finish(t: pa.Table) -> pa.Table:
         t = t.filter(pc.invert(t.column("_del")))

@@ -1468,13 +1468,25 @@ def q_chi_square(sf_dir: str) -> "pd.DataFrame":
     driver arithmetic over |types| x |segments| cells. Oracle: the same
     expected-count formula in SQL over GROUP BY counts."""
     obs = _contingency(sf_dir)
+    # densify: a structurally-empty cell still contributes (0-E)^2/E = E —
+    # dropping it understates the statistic on sparse contingency tables
+    types = sorted(obs["event_type"].unique())
+    segs = sorted(obs["segment"].unique())
+    full = pd.MultiIndex.from_product(
+        [types, segs], names=["event_type", "segment"]
+    )
+    obs = (
+        obs.set_index(["event_type", "segment"])
+        .reindex(full, fill_value=0)
+        .reset_index()
+    )
     tot = float(obs["n"].sum())
     rt = obs.groupby("event_type")["n"].transform("sum").to_numpy()
     ct = obs.groupby("segment")["n"].transform("sum").to_numpy()
     exp = rt * ct / tot
     chi2 = float((((obs["n"].to_numpy() - exp) ** 2) / exp).sum())
-    n_r = obs["event_type"].nunique()
-    n_c = obs["segment"].nunique()
+    n_r = len(types)
+    n_c = len(segs)
     from rp_extract_ray.functions.rounding import round_half_away
 
     return pd.DataFrame(
@@ -1553,10 +1565,13 @@ def q_rolling_distinct(sf_dir: str) -> Dataset:
     ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
 
     def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
-        codes = np.floor(
-            pdf["value"].to_numpy(dtype=np.float64)
-        ).astype(np.int64)
-        pdf["n_distinct_w"] = rolling_distinct_within(codes, starts, 8)
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        nn = ~np.isnan(v)  # null codes never count nor suppress (oracle
+        # parity: list_distinct drops NULLs)
+        codes = np.where(nn, np.floor(v), 0.0).astype(np.int64)
+        pdf["n_distinct_w"] = rolling_distinct_within(
+            codes, starts, 8, valid=nn
+        )
         return pdf
 
     out = partitioned_apply(

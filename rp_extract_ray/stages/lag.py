@@ -676,7 +676,10 @@ def throttle_keep_mask(
 
 
 def rolling_distinct_within(
-    codes: np.ndarray, starts: np.ndarray, k: int
+    codes: np.ndarray,
+    starts: np.ndarray,
+    k: int,
+    valid: np.ndarray | None = None,
 ) -> np.ndarray:
     """Distinct count of ``codes`` over the trailing ``k``-row window
     within each run (``starts`` = per-row run-start indices, the
@@ -690,27 +693,35 @@ def rolling_distinct_within(
     ops, no Python row loop — the right trade for the small window sizes
     this feature uses (k <= ~32); larger windows want a per-run sort-based
     kernel instead.
+
+    ``valid`` (optional bool mask): positions marked False are NULL codes —
+    they never count toward the distinct total and never suppress another
+    position (SQL ``list_distinct`` drops NULLs; a NaN-cast int64 sentinel
+    would otherwise count as a phantom code).
     """
     n = len(codes)
     out = np.zeros(n, dtype=np.int64)
     if n == 0:
         return out
+    if valid is None:
+        valid = np.ones(n, dtype=bool)
     depth = np.arange(n, dtype=np.int64) - starts
 
-    def shifted(d: int) -> np.ndarray:
+    def shifted(arr: np.ndarray, d: int, fill) -> np.ndarray:
         if d == 0:
-            return codes
-        s = np.empty(n, dtype=codes.dtype)
-        s[:d] = 0
-        s[d:] = codes[:-d]
+            return arr
+        s = np.empty(n, dtype=arr.dtype)
+        s[:d] = fill
+        s[d:] = arr[:-d]
         return s
 
-    views = [shifted(d) for d in range(min(k, n))]
-    kk = len(views)
+    kk = min(k, n)
+    views = [shifted(codes, d, 0) for d in range(kk)]
+    vviews = [shifted(valid, d, False) for d in range(kk)]
     for d in range(kk):
-        valid = depth >= d
+        in_run = depth >= d
         dup = np.zeros(n, dtype=bool)
         for d2 in range(d):
-            dup |= views[d] == views[d2]
-        out += (valid & ~dup).astype(np.int64)
+            dup |= (views[d] == views[d2]) & vviews[d2]
+        out += (in_run & vviews[d] & ~dup).astype(np.int64)
     return out

@@ -73,12 +73,18 @@ def role_alternation_report(
 
     def fn(pdf: "pd.DataFrame", starts: np.ndarray) -> "pd.DataFrame":
         n = len(pdf)
+        cols = [conv_col, "n_turns", "n_user", "n_assistant",
+                "n_tool_role", "n_violations", "first_role", "last_role"]
+        if n == 0:  # empty-frame contract, same as the other kernels here
+            return pd.DataFrame({c: [] for c in cols})
         role = pdf[role_col].to_numpy()
         same = np.zeros(n, dtype=np.int64)
         if n > 1:
             interior = starts[1:] == starts[:-1]  # same conversation run
             same[1:] = (role[1:] == role[:-1]) & interior
-        # first/last turn per run under the exchange's sort
+        # first/last turn per run under the exchange's sort; groups come
+        # out of groupby(sort=False) in run order, so boundary slices
+        # align with the aggregate rows directly — no merge needed
         is_first = np.zeros(n, dtype=bool)
         is_first[starts] = True
         run_end = np.zeros(n, dtype=bool)
@@ -95,15 +101,9 @@ def role_alternation_report(
             }
         )
         g = work.groupby(conv_col, sort=False).sum().reset_index()
-        firsts = pd.DataFrame(
-            {conv_col: pdf[conv_col].to_numpy()[is_first],
-             "first_role": role[is_first]}
-        )
-        lasts = pd.DataFrame(
-            {conv_col: pdf[conv_col].to_numpy()[run_end],
-             "last_role": role[run_end]}
-        )
-        return g.merge(firsts, on=conv_col).merge(lasts, on=conv_col)
+        g["first_role"] = role[is_first]
+        g["last_role"] = role[run_end]
+        return g[cols]
 
     return partitioned_apply(
         ds, fn, entity_col=conv_col, order_cols=order_cols,

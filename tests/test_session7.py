@@ -694,19 +694,14 @@ def test_rolling_distinct_property(codes_list, k):
 
 
 def test_group_spearman_matches_scipy_free_recompute():
-    import ray
-
     from rp_extract_ray.pipelines.events import q_group_spearman
 
     out = q_group_spearman("/root/testdata/sf0.001").to_pandas()
     import duckdb
 
-    con = duckdb.connect()
-    con.sql(
-        "CREATE VIEW events AS SELECT * FROM "
-        "'/root/testdata/sf0.001/events.parquet'"
-    )
-    exp = con.sql("SELECT * FROM '/root/testdata/sf0.001/events.parquet'").df()
+    exp = duckdb.sql(
+        "SELECT * FROM '/root/testdata/sf0.001/events.parquet'"
+    ).df()
     res = {}
     for uid, g in exp.groupby("user_id"):
         rv = g["value"].rank(method="average")
@@ -762,3 +757,15 @@ def test_role_alternation_report_vs_duckdb():
     for c in ["n_turns", "n_user", "n_assistant", "n_tool_role",
               "n_violations", "first_role", "last_role"]:
         assert (out[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_rolling_distinct_null_codes_do_not_count_or_suppress():
+    from rp_extract_ray.stages.lag import rolling_distinct_within
+
+    codes = np.array([1, 1, 2, 1, 3], dtype=np.int64)
+    valid = np.array([True, False, True, True, True])
+    starts = np.zeros(5, dtype=np.int64)
+    got = rolling_distinct_within(codes, starts, 3, valid=valid)
+    # row1 is null: window{1,N}->1; row3 window{N,2,1}->2 (null ignored);
+    # row4 window{2,1,3}->3
+    np.testing.assert_array_equal(got, [1, 1, 2, 2, 3])
