@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_information": E.q_mutual_information,
         "group_spearman": E.q_group_spearman,
         "rolling_distinct": E.q_rolling_distinct,
+        "cusum": E.q_cusum,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1543,6 +1544,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, wstart, round(sum(value), 6) AS wsum,
                    CAST(count(*) AS BIGINT) AS wn
             FROM x GROUP BY user_id, wstart""",
+        # CUSUM drift fold in exact integer cents — the literal sequential
+        # recursion; the engine computes the same fold via the closed form
+        # cum - min(0, running_min(cum)), bit-identical on integer input
+        "cusum": """
+            WITH RECURSIVE
+              nb AS (SELECT event_id, user_id, ts,
+                            CAST(round(value * 100) AS BIGINT) - 1200 AS y,
+                            row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+                     FROM events),
+              r AS (
+                SELECT event_id, user_id, ts, rn,
+                       greatest(0, y) AS s
+                FROM nb WHERE rn = 1
+                UNION ALL
+                SELECT n.event_id, n.user_id, n.ts, n.rn,
+                       greatest(0, r.s + n.y)
+                FROM r JOIN nb n ON n.user_id = r.user_id
+                                AND n.rn = r.rn + 1)
+            SELECT event_id, user_id, ts,
+                   round(s / 100.0, 6) AS cusum,
+                   CAST(CASE WHEN s > 1500 THEN 1 ELSE 0 END AS BIGINT)
+                     AS alarm
+            FROM r""",
         # trailing-window distinct count via the list window aggregate
         "rolling_distinct": """
             SELECT event_id, user_id, ts,

@@ -68,12 +68,13 @@ QUERY_NAMES = [
     "tpch_q15", "tpch_q17", "tpch_q7", "tpch_q21", "tpch_q22", "group_mad",
     "tpch_q8", "tpch_q19", "window_edges", "corpus_diff", "regex_extract",
     "rolling_corr",
-    # round-5 session-7 additions (94 -> 116 names)
+    # round-5 session-7 additions (94 -> 117 names)
     "hopping_window", "dense_grid", "rollup_orders", "skyline",
     "interval_overlap", "bm25", "target_encode", "quantile_normalize",
     "connected_components", "hopping_distinct", "debounce", "throttle",
     "band_join", "concurrency", "weighted_median", "time_weighted_avg",
     "cdc_merge", "chi_square", "mutual_information", "group_spearman",
+    "cusum",
     "rolling_distinct",
 ]
 

@@ -1578,3 +1578,43 @@ def q_rolling_distinct(sf_dir: str) -> Dataset:
         ds, fn, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
     )
     return out.select_columns(["event_id", "user_id", "ts", "n_distinct_w"])
+
+
+def q_cusum(sf_dir: str) -> Dataset:
+    """Per-user CUSUM drift detector over value (changepoint/anomaly
+    class): S_i = max(0, S_{i-1} + value_i - k), flag where S_i > h —
+    inherently a sequential fold, but computed VECTORIZED via the closed
+    form S_i = cum_i - min(0, running_min(cum)) (verified identity), so
+    the kernel is one cumsum + one running-min per run. Exactness: the
+    fold runs in integer cents (value*100 - 1200), so engine and oracle
+    are bit-identical (the target_encode fixed-point rule). Oracle: the
+    literal sequential recursion (per-row recursive CTE) — a genuinely
+    independent formulation of the same fold."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    K_CENTS = 1200  # drift k = 12.00 (above the corpus mean, so S resets)
+    H_CENTS = 1500  # alarm threshold h = 15.00
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            pdf["cusum"] = np.array([], dtype=np.float64)
+            pdf["alarm"] = np.array([], dtype=np.int64)
+            return pdf
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        y = np.round(v * 100).astype(np.int64) - K_CENTS
+        run = starts
+        g = pd.DataFrame({"y": y, "r": run}).groupby("r", sort=False)
+        cum = g["y"].cumsum().to_numpy()
+        runmin = g["y"].cumsum().groupby(run).cummin().to_numpy()
+        s = cum - np.minimum(runmin, 0)
+        pdf["cusum"] = s / 100.0
+        pdf["alarm"] = (s > H_CENTS).astype(np.int64)
+        return pdf
+
+    out = partitioned_apply(
+        ds, fn, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )
+    return _round(
+        out.select_columns(["event_id", "user_id", "ts", "cusum", "alarm"]),
+        {"cusum": 6},
+    )

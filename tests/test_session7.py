@@ -769,3 +769,17 @@ def test_rolling_distinct_null_codes_do_not_count_or_suppress():
     # row1 is null: window{1,N}->1; row3 window{N,2,1}->2 (null ignored);
     # row4 window{2,1,3}->3
     np.testing.assert_array_equal(got, [1, 1, 2, 2, 3])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(-50, 50), min_size=1, max_size=80))
+def test_cusum_closed_form_equals_sequential_fold(ys):
+    """S_i = max(0, S_{i-1} + y_i)  ==  cum_i - min(0, running_min(cum))."""
+    y = np.array(ys, dtype=np.int64)
+    cum = np.cumsum(y)
+    runmin = np.minimum.accumulate(cum)
+    closed = cum - np.minimum(runmin, 0)
+    s = 0
+    for i, yi in enumerate(y):
+        s = max(0, s + yi)
+        assert closed[i] == s, (i, ys)
