@@ -3,6 +3,13 @@ and its oracle_sql() side-by-side on a testdata dir, compare row-count,
 column names, and an order-insensitive value hash.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+When running against a NON-default sf_dir, also export
+GRAFT_ORACLE_SF_DIR=<sf_dir>: the literal-table oracles
+(pipelines/oracle_literals.py — simhash/fingerprint/HLL/CMS/rhythm/kmeans)
+recompute their expected values from that directory and default to
+sf0.01 (the driver's gate scale); without the override they compare
+sf0.01 literals against sf_dir results and fail spuriously.
 """
 
 from __future__ import annotations
