@@ -723,9 +723,12 @@ def oracle_sql() -> dict[str, str]:
                          ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx)
                               * 86400.0 END, 6) AS slope
             FROM s""",
+        # totals in exact integer cents on BOTH sides (fixed-point rule):
+        # identical division operands -> identical doubles at any scale
         "value_share": """
             SELECT event_id, user_id,
-                   round(value / sum(value) OVER (PARTITION BY user_id), 6)
+                   round(value / (sum(CAST(round(value * 100) AS BIGINT))
+                                  OVER (PARTITION BY user_id) / 100.0), 6)
                      AS share
             FROM events""",
         "transitions": """

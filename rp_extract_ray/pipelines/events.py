@@ -685,16 +685,29 @@ def q_value_share(sf_dir: str) -> Dataset:
 
     # two consumers (totals aggregate + the share join): read once
     ds = _events(sf_dir, ["event_id", "user_id", "value"]).materialize()
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        # per-user totals accumulate in EXACT int64 cents, so the
+        # distributed sum is bit-identical to the window oracle at any
+        # scale — the session-7 fixed-point rule; at sf0.1 the float-sum
+        # form hit 6-dp rounding boundaries on a handful of rows
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        c = np.round(v * 100).astype(np.int64)
+        return pa.table({"user_id": b.column("user_id"), "_c": pa.array(c)})
+
     totals = grouped_reduce(
-        ds.select_columns(["user_id", "value"]), "user_id",
-        {"total": ("value", "sum")},
+        ds.map_batches(to_cents, batch_format="pyarrow"), "user_id",
+        {"total_c": ("_c", "sum")},
     )
-    joined = broadcast_join(ds, totals, on="user_id", value_cols=["total"])
+    joined = broadcast_join(ds, totals, on="user_id", value_cols=["total_c"])
 
     def fin(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        share = pc.divide(b.column("value"), b.column("total"))
+        total = pc.divide(
+            pc.cast(b.column("total_c"), pa.float64()), pa.scalar(100.0)
+        )
+        share = pc.divide(b.column("value"), total)
         return pa.table(
             {
                 "event_id": b.column("event_id"),
