@@ -149,6 +149,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_spearman": E.q_group_spearman,
         "rolling_distinct": E.q_rolling_distinct,
         "cusum": E.q_cusum,
+        "ohlc_bars": E.q_ohlc_bars,
+        "group_entropy": E.q_group_entropy,
+        "welch_t": E.q_welch_t,
+        "role_report": E.q_role_report,
+        "rolling_zscore": E.q_rolling_zscore,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1594,6 +1599,106 @@ def oracle_sql() -> dict[str, str]:
                        FROM events)
             SELECT user_id, round(corr(rv, rt), 6) AS spearman
             FROM r GROUP BY user_id""",
+        # 15-min OHLC bars: open/close via first_value/last_value under the
+        # stable (ts, event_id) order; high/low/sum/count null-skipping
+        "ohlc_bars": """
+            WITH b AS (SELECT user_id,
+                              make_timestamp(
+                                  (epoch_us(ts) // 900000000) * 900000000)
+                                AS wstart,
+                              ts, event_id, value
+                       FROM events),
+                 w AS (SELECT user_id, wstart, value,
+                              first_value(value) OVER (
+                                  PARTITION BY user_id, wstart
+                                  ORDER BY ts, event_id) AS o,
+                              first_value(value) OVER (
+                                  PARTITION BY user_id, wstart
+                                  ORDER BY ts DESC, event_id DESC) AS c
+                       FROM b)
+            SELECT user_id, wstart,
+                   min(o) AS open, max(value) AS high, min(value) AS low,
+                   min(c) AS close, round(sum(value), 6) AS vsum,
+                   CAST(count(value) AS BIGINT) AS n
+            FROM w GROUP BY user_id, wstart""",
+        # Shannon entropy (nats) per user over event-type counts — the
+        # same integer-count float expression the engine evaluates
+        "group_entropy": """
+            WITH c AS (SELECT user_id, event_type,
+                              CAST(count(*) AS DOUBLE) AS cn
+                       FROM events GROUP BY user_id, event_type)
+            SELECT user_id, CAST(sum(cn) AS BIGINT) AS n,
+                   round(ln(sum(cn))
+                         - sum(cn * ln(cn)) / sum(cn), 6) AS entropy
+            FROM c GROUP BY user_id""",
+        # Welch two-sample t: each event type vs the REST of the corpus,
+        # closed form from (n, sum, sumsq) and their complements
+        "welch_t": """
+            WITH s AS (SELECT event_type,
+                              CAST(count(value) AS DOUBLE) AS n,
+                              sum(value) AS s, sum(value * value) AS ss
+                       FROM events GROUP BY event_type),
+                 tot AS (SELECT sum(n) AS tn, sum(s) AS tss,
+                                sum(ss) AS tsq FROM s)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   round(s / n, 6) AS mean,
+                   round((s / n - (tss - s) / (tn - n))
+                         / sqrt(((ss - s * s / n) / (n - 1)) / n
+                                + (((tsq - ss)
+                                    - (tss - s) * (tss - s) / (tn - n))
+                                   / (tn - n - 1)) / (tn - n)), 6)
+                     AS t_welch
+            FROM s, tot""",
+        # transcript-hygiene report on the north-rule schema: role mix,
+        # alternation violations, first/last role under (ts, turn_idx)
+        "role_report": """
+            WITH t AS (SELECT user_id AS conv_id, event_id AS turn_idx, ts,
+                              CASE WHEN event_type IN ('click', 'view')
+                                     THEN 'user'
+                                   WHEN event_type IN ('purchase', 'signup')
+                                     THEN 'assistant'
+                                   ELSE 'tool' END AS role
+                       FROM events),
+                 o AS (SELECT conv_id, role,
+                              lag(role) OVER w AS prev,
+                              row_number() OVER w AS rn,
+                              count(*) OVER (PARTITION BY conv_id) AS nt
+                       FROM t
+                       WINDOW w AS (PARTITION BY conv_id
+                                    ORDER BY ts, turn_idx))
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_user,
+                   CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_assistant,
+                   CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tool_role,
+                   CAST(sum(CASE WHEN role = prev THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations,
+                   min(CASE WHEN rn = 1 THEN role END) AS first_role,
+                   min(CASE WHEN rn = nt THEN role END) AS last_role
+            FROM o GROUP BY conv_id""",
+        # trailing-window z-score anomaly flags: mean/stddev over the 8
+        # PRECEDING rows (current excluded), NULL z when <2 values or
+        # zero variance; flag |z| > 2
+        "rolling_zscore": """
+            WITH w AS (SELECT event_id, user_id, ts, value,
+                              avg(value) OVER win AS m,
+                              stddev_samp(value) OVER win AS sd,
+                              count(value) OVER win AS wm
+                       FROM events
+                       WINDOW win AS (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN 8 PRECEDING
+                                               AND 1 PRECEDING))
+            SELECT event_id, user_id, ts,
+                   CASE WHEN wm >= 2 AND sd > 0
+                        THEN round((value - m) / sd, 6) END AS zscore,
+                   CAST(CASE WHEN wm >= 2 AND sd > 0
+                                  AND abs((value - m) / sd) > 2.0
+                             THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+            FROM w""",
         # chi-square independence: expected = row_total*col_total/total,
         # DENSIFIED over the full type x segment grid — a structurally-
         # empty cell still contributes (0-E)^2/E = E

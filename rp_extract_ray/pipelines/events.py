@@ -1631,3 +1631,175 @@ def q_cusum(sf_dir: str) -> Dataset:
         out.select_columns(["event_id", "user_id", "ts", "cusum", "alarm"]),
         {"cusum": 6},
     )
+
+
+def q_ohlc_bars(sf_dir: str) -> Dataset:
+    """15-minute OHLC bars per user (stages/timegrid.ohlc_bars): open/
+    high/low/close/sum/count of value per (user, bucket) — first/last are
+    order-dependent aggregates the tumbling aggregate cannot express; the
+    exchange ships one partial bar per (user, bucket, block). Oracle:
+    first_value / last_value window functions over the bucketed frame."""
+    from rp_extract_ray.stages.timegrid import ohlc_bars
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    out = ohlc_bars(
+        ds, entity_col=ENTITY, ts_col="ts", order_col="event_id",
+        value_col="value", bucket_s=900.0, num_partitions=NP,
+    )
+    out = out.select_columns(
+        ["user_id", "wstart", "open", "high", "low", "close", "vsum", "n"]
+    )
+    return _round(out, {"vsum": 6})
+
+
+def q_group_entropy(sf_dir: str) -> Dataset:
+    """Per-user Shannon entropy (nats) of the event-type distribution
+    (stages/groupops.grouped_entropy) — the behavioral-diversity feature;
+    distinct (user, type) count partials through ONE keyed exchange.
+    Oracle: ln(N) - sum(n*ln(n))/N over GROUP BY counts (the identical
+    float expression, so 6-dp rounding matches)."""
+    from rp_extract_ray.stages.groupops import grouped_entropy
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    return grouped_entropy(
+        ds, ENTITY, "event_type", out_col="entropy", round_to=6,
+        num_partitions=NP,
+    )
+
+
+def q_welch_t(sf_dir: str) -> pd.DataFrame:
+    """Per-segment Welch two-sample t statistic: each event type's value
+    distribution vs the REST of the corpus — the A/B-test significance
+    shape. One map pass of (type, n, sum, sumsq) partials (a few rows per
+    block), bounded driver combine over |types| rows, closed-form t from
+    the pooled complements. Oracle: the same algebra spelled out in SQL
+    over GROUP BY aggregates."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"event_type": [], "_n": [], "_s": [], "_ss": []}
+            )
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        w = pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].to_numpy(),
+                "_n": (~np.isnan(v)).astype(np.int64),
+                "_s": np.where(np.isnan(v), 0.0, v),
+                "_ss": np.where(np.isnan(v), 0.0, v * v),
+            }
+        )
+        return w.groupby("event_type", sort=False).sum().reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("event_type", sort=False).sum().reset_index()
+    n1 = g["_n"].to_numpy(dtype=np.float64)
+    s1 = g["_s"].to_numpy()
+    ss1 = g["_ss"].to_numpy()
+    N, S, SS = n1.sum(), s1.sum(), ss1.sum()
+    n2, s2, ss2 = N - n1, S - s1, SS - ss1
+    m1, m2 = s1 / n1, s2 / n2
+    v1 = (ss1 - s1 * s1 / n1) / (n1 - 1)
+    v2 = (ss2 - s2 * s2 / n2) / (n2 - 1)
+    t = (m1 - m2) / np.sqrt(v1 / n1 + v2 / n2)
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    return pd.DataFrame(
+        {
+            "event_type": g["event_type"],
+            "n": g["_n"].astype(np.int64),
+            "mean": round_half_away(m1, 6),
+            "t_welch": round_half_away(t, 6),
+        }
+    )
+
+
+def q_role_report(sf_dir: str) -> Dataset:
+    """Transcript-hygiene report on the north-rule schema
+    (stages/turns.role_alternation_report): per-conversation role mix +
+    role-alternation violations + first/last role under stable
+    (ts, turn_idx) order. Events map to transcript turns exactly as the
+    flagship does (conv_id=user_id, turn_idx=event_id) with the role drawn
+    from the event type (click/view -> user, purchase/signup -> assistant,
+    error -> tool). Oracle: lag/row_number window recompute."""
+    from rp_extract_ray.stages.turns import role_alternation_report
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def to_turns(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        et = b.column("event_type")
+        role = pc.case_when(
+            pc.make_struct(
+                pc.is_in(et, value_set=pa.array(["click", "view"])),
+                pc.is_in(et, value_set=pa.array(["purchase", "signup"])),
+            ),
+            "user", "assistant", "tool",
+        )
+        return pa.table(
+            {
+                "conv_id": b.column("user_id"),
+                "turn_idx": b.column("event_id"),
+                "ts": b.column("ts"),
+                "role": role,
+            }
+        )
+
+    turns = ds.map_batches(to_turns, batch_format="pyarrow")
+    return role_alternation_report(
+        turns, conv_col="conv_id", order_cols=("ts", "turn_idx"),
+        role_col="role", num_partitions=NP,
+    )
+
+
+def q_rolling_zscore(sf_dir: str) -> Dataset:
+    """Trailing-window anomaly flags: z-score of each value against the
+    PRECEDING 8 rows (current row excluded — the leakage-free online
+    form), flag |z| > 2. Pure cumsum kernel over entity runs (prefix sums
+    of v and v^2, window = clip(run_start, i-8)..i-1), one entity
+    exchange. z is NULL when the trailing window holds < 2 values or has
+    zero variance (SQL stddev semantics); the flag is 0 there. Oracle:
+    AVG / STDDEV_SAMP OVER (ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)."""
+    K = 8
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            pdf["zscore"] = np.array([], dtype=np.float64)
+            pdf["anomaly"] = np.array([], dtype=np.int64)
+            return pdf
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        i = np.arange(n)
+        # K masked shifted views of the trailing window (run-interior rows
+        # only); the variance is computed WINDOW-MEAN-CENTERED (two-pass)
+        # — a one-pass sum-of-squares fold fails the 6-dp gate on
+        # near-zero-variance windows where |z| is large (the rolling_corr
+        # lesson), and centering also makes an all-equal window exactly 0
+        V = np.full((K, n), np.nan)
+        for j in range(1, K + 1):
+            V[j - 1, j:] = v[:-j]
+            V[j - 1, i - j < starts] = np.nan
+        m = np.sum(~np.isnan(V), axis=0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.nansum(V, axis=0) / m
+            d = V - mean[None, :]
+            var = np.nansum(d * d, axis=0) / (m - 1)
+            z = (v - mean) / np.sqrt(var)
+        bad = (m < 2) | ~np.isfinite(z)
+        z = np.where(bad, np.nan, z)
+        pdf["zscore"] = z
+        pdf["anomaly"] = np.where(~bad & (np.abs(z) > 2.0), 1, 0).astype(
+            np.int64
+        )
+        return pdf
+
+    out = partitioned_apply(
+        ds, fn, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )
+    return _round(
+        out.select_columns(["event_id", "user_id", "ts", "zscore", "anomaly"]),
+        {"zscore": 6},
+    )

@@ -793,3 +793,83 @@ def cooccurrence_pairs(
         )
 
     return out.map_batches(fin, batch_format="pyarrow")
+
+
+def grouped_entropy(
+    ds: Dataset,
+    group_col: str,
+    item_col: str,
+    *,
+    out_col: str = "entropy",
+    round_to: int | None = None,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Shannon entropy (nats) of the categorical ``item_col`` distribution
+    per ``group_col`` — the behavioral-diversity feature (a transcript
+    pipeline scores each conversation's role/tool mix with exactly this).
+    Computed as ``H = ln(N) - sum(n_i * ln(n_i)) / N`` over per-item counts
+    (algebraically equal to ``-sum(p_i ln p_i)`` but built from integer
+    counts only, so engine and SQL oracle evaluate the identical float
+    expression). NULL items count as their own category (SQL GROUP BY
+    semantics).
+
+    Scale design: per-block pandas value-counts collapse each block to
+    distinct (group, item, n) partials; ONE keyed exchange on the group
+    (``partitioned_apply``) merges counts and folds to one row per group.
+    """
+    import pandas as pd
+
+    from rp_extract_ray.stages.partition import (
+        DEFAULT_NUM_PARTITIONS,
+        partitioned_apply,
+    )
+
+    def partial(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) == 0:
+            return pd.DataFrame({group_col: [], item_col: [], "_n": []})
+        out = (
+            pdf.groupby([group_col, item_col], sort=False, dropna=False)
+            .size()
+            .rename("_n")
+            .reset_index()
+        )
+        out["_n"] = out["_n"].astype(np.int64)
+        return out
+
+    def merge(pdf: "pd.DataFrame", starts) -> "pd.DataFrame":
+        if len(pdf) == 0:
+            return pd.DataFrame({group_col: [], "n": [], out_col: []})
+        c = (
+            pdf.groupby([group_col, item_col], sort=False, dropna=False)["_n"]
+            .sum()
+            .reset_index()
+        )
+        n = c["_n"].to_numpy(dtype=np.float64)
+        work = pd.DataFrame(
+            {
+                group_col: c[group_col].to_numpy(),
+                "n": c["_n"].to_numpy(),
+                "_nlogn": n * np.log(n),
+            }
+        )
+        g = work.groupby(group_col, sort=False).sum().reset_index()
+        tot = g["n"].to_numpy(dtype=np.float64)
+        h = np.log(tot) - g["_nlogn"].to_numpy() / tot
+        if round_to is not None:
+            from rp_extract_ray.functions.rounding import round_half_away
+
+            h = round_half_away(h, round_to)
+        return pd.DataFrame(
+            {group_col: g[group_col], "n": g["n"].astype(np.int64),
+             out_col: h}
+        )
+
+    from rp_extract_ray.stages.partition import arrow_out
+
+    parts = ds.select_columns([group_col, item_col]).map_batches(
+        lambda b: arrow_out(partial(b.to_pandas())), batch_format="pyarrow"
+    )
+    return partitioned_apply(
+        parts, merge, entity_col=group_col, order_cols=(item_col,),
+        num_partitions=num_partitions or DEFAULT_NUM_PARTITIONS,
+    )

@@ -420,3 +420,118 @@ def hopping_window_distinct(
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def ohlc_bars(
+    ds: Dataset,
+    *,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+    value_col: str = "value",
+    bucket_s: float = 900.0,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Open/high/low/close time bars per (entity, fixed bucket) — the
+    resample-to-bars shape (first/last are ORDER-dependent aggregates the
+    plain tumbling aggregate cannot express). Open/close carry SQL
+    ``first_value``/``last_value`` semantics under the stable order
+    ``(ts, order_col)``: the value of the boundary ROW, even if NULL;
+    high/low/vsum/n are null-skipping (SQL aggregate semantics; an
+    all-null bar gets NULL vsum).
+
+    Scale design: per-block pandas partial collapses each block to one row
+    per (entity, bucket) carrying the block-local open/close tagged with
+    their int64 (epoch_us, order) coordinates plus min/max/sum/count
+    partials, so the ONE keyed exchange (``partitioned_apply`` on the
+    entity) ships distinct bars per block, never rows. The merge re-picks
+    the lexicographically earliest open / latest close across block
+    partials with two boundary-mask passes (no per-group Python), exact
+    because (ts, order) is unique per row.
+    """
+    import pandas as pd
+
+    from rp_extract_ray.stages.partition import (
+        DEFAULT_NUM_PARTITIONS,
+        partitioned_apply,
+    )
+
+    bus = np.int64(round(bucket_s * 1e6))
+    PCOLS = [entity_col, "_b", "_o_us", "_o_id", "open", "_c_us", "_c_id",
+             "close", "high", "low", "vsum", "n"]
+
+    def partial(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) == 0:
+            return pd.DataFrame({c: [] for c in PCOLS})
+        t = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        oid = pdf[order_col].to_numpy(dtype=np.int64)
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        w = pd.DataFrame(
+            {
+                entity_col: pdf[entity_col].to_numpy(),
+                "_b": (t // bus) * bus,
+                "_t": t,
+                "_oid": oid,
+                "v": v,
+            }
+        ).sort_values([entity_col, "_b", "_t", "_oid"], kind="mergesort",
+                      ignore_index=True)
+        keys = [entity_col, "_b"]
+        first = ~w.duplicated(keys, keep="first").to_numpy()
+        last = ~w.duplicated(keys, keep="last").to_numpy()
+        g = w.groupby(keys, sort=False)["v"]
+        agg = g.agg(high="max", low="min", vsum="sum", n="count").reset_index()
+        # groupby(sort=False) yields groups in first-occurrence order ==
+        # sorted order here, so boundary slices align with agg rows
+        agg["_o_us"] = w["_t"].to_numpy()[first]
+        agg["_o_id"] = w["_oid"].to_numpy()[first]
+        agg["open"] = w["v"].to_numpy()[first]
+        agg["_c_us"] = w["_t"].to_numpy()[last]
+        agg["_c_id"] = w["_oid"].to_numpy()[last]
+        agg["close"] = w["v"].to_numpy()[last]
+        agg["n"] = agg["n"].astype(np.int64)
+        return agg[PCOLS]
+
+    def merge(pdf: "pd.DataFrame", starts) -> "pd.DataFrame":
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {c: [] for c in [entity_col, "_b", "open", "high", "low",
+                                 "close", "vsum", "n"]}
+            )
+        keys = [entity_col, "_b"]
+        # arrives sorted by (entity, _b, _o_us, _o_id): first mask == open
+        first = ~pdf.duplicated(keys, keep="first").to_numpy()
+        g = pdf.groupby(keys, sort=False)
+        agg = g.agg(
+            high=("high", "max"), low=("low", "min"),
+            vsum=("vsum", "sum"), n=("n", "sum"),
+        ).reset_index()
+        agg["open"] = pdf["open"].to_numpy()[first]
+        # close: re-sort by the close coordinate, pick each group's last
+        c = pdf.sort_values([*keys, "_c_us", "_c_id"], kind="mergesort")
+        clast = ~c.duplicated(keys, keep="last").to_numpy()
+        agg["close"] = c["close"].to_numpy()[clast]
+        agg["n"] = agg["n"].astype(np.int64)
+        agg.loc[agg["n"] == 0, "vsum"] = np.nan
+        return agg[[entity_col, "_b", "open", "high", "low", "close",
+                    "vsum", "n"]]
+
+    from rp_extract_ray.stages.partition import arrow_out
+
+    parts = ds.select_columns(
+        [entity_col, ts_col, order_col, value_col]
+    ).map_batches(
+        lambda b: arrow_out(partial(b.to_pandas())), batch_format="pyarrow"
+    )
+    out = partitioned_apply(
+        parts, merge, entity_col=entity_col,
+        order_cols=("_b", "_o_us", "_o_id"),
+        num_partitions=num_partitions or DEFAULT_NUM_PARTITIONS,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        ws = b.column("_b").cast(pa.timestamp("us"))
+        b = b.drop_columns(["_b"])
+        return b.append_column("wstart", ws)
+
+    return out.map_batches(finish, batch_format="pyarrow")

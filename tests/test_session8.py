@@ -1,0 +1,165 @@
+"""Round-5 session-8 kernels: OHLC bars, grouped categorical entropy,
+trailing-window z-score anomalies — naive single-process recomputes,
+partition invariance, and the leakage property for the online z-score."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+
+def _events_frame(n=400, n_ent=7, seed=3, with_nulls=True):
+    rng = np.random.default_rng(seed)
+    ts = rng.integers(0, 6 * 3600, n).astype("datetime64[s]").astype(
+        "datetime64[us]"
+    )
+    v = np.round(rng.uniform(0, 100, n), 2)
+    if with_nulls:
+        v[rng.random(n) < 0.05] = np.nan
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts,
+            "user_id": rng.integers(0, n_ent, n).astype(np.int64),
+            "value": v,
+        }
+    )
+
+
+def test_ohlc_bars_matches_naive_and_partition_invariant():
+    from rp_extract_ray.stages.timegrid import ohlc_bars
+
+    pdf = _events_frame()
+    bus = 900 * 1_000_000
+
+    def run(np_):
+        return (
+            ohlc_bars(
+                rd.from_pandas(pdf).repartition(5),
+                entity_col="user_id", ts_col="ts", order_col="event_id",
+                value_col="value", bucket_s=900.0, num_partitions=np_,
+            )
+            .to_pandas()
+            .sort_values(["user_id", "wstart"], ignore_index=True)
+        )
+
+    got = run(4)
+    assert got.equals(run(1)), "partition invariance"
+
+    w = pdf.copy()
+    w["b"] = (
+        w["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // bus
+    ) * bus
+    w = w.sort_values(["user_id", "b", "ts", "event_id"], ignore_index=True)
+    for (u, b), g in w.groupby(["user_id", "b"]):
+        row = got[
+            (got.user_id == u)
+            & (got.wstart.to_numpy().astype(np.int64) == b)
+        ].iloc[0]
+        # open/close: boundary ROW values (may be NaN); high/low/n skip NaN
+        assert (row["open"] == g["value"].iloc[0]) or (
+            np.isnan(row["open"]) and np.isnan(g["value"].iloc[0])
+        )
+        assert (row["close"] == g["value"].iloc[-1]) or (
+            np.isnan(row["close"]) and np.isnan(g["value"].iloc[-1])
+        )
+        assert row["n"] == g["value"].notna().sum()
+        if row["n"]:
+            assert row["high"] == g["value"].max()
+            assert row["low"] == g["value"].min()
+            np.testing.assert_allclose(
+                row["vsum"], g["value"].sum(), rtol=1e-12
+            )
+        else:
+            assert np.isnan(row["vsum"])
+
+
+def test_grouped_entropy_matches_naive():
+    from rp_extract_ray.stages.groupops import grouped_entropy
+
+    rng = np.random.default_rng(11)
+    n = 600
+    pdf = pd.DataFrame(
+        {
+            "g": rng.integers(0, 9, n).astype(np.int64),
+            "item": rng.choice(list("abcde"), n),
+        }
+    )
+    got = (
+        grouped_entropy(
+            rd.from_pandas(pdf).repartition(6), "g", "item",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("g")
+    )
+    for g, grp in pdf.groupby("g"):
+        c = grp["item"].value_counts().to_numpy(dtype=np.float64)
+        p = c / c.sum()
+        np.testing.assert_allclose(
+            got.loc[g, "entropy"], -(p * np.log(p)).sum(), atol=1e-9
+        )
+        assert got.loc[g, "n"] == len(grp)
+    # single-category group -> exactly 0.0
+    one = pd.DataFrame({"g": [1, 1, 1], "item": ["x", "x", "x"]})
+    out = grouped_entropy(rd.from_pandas(one), "g", "item").to_pandas()
+    assert out["entropy"].iloc[0] == 0.0
+
+
+def _zscore_naive(g, k=8):
+    v = g["value"].to_numpy(dtype=np.float64)
+    out = np.full(len(v), np.nan)
+    for i in range(len(v)):
+        w = v[max(0, i - k): i]
+        w = w[~np.isnan(w)]
+        if len(w) >= 2 and np.std(w, ddof=1) > 0:
+            out[i] = (v[i] - w.mean()) / np.std(w, ddof=1)
+    return out
+
+
+def test_rolling_zscore_matches_naive_and_is_leakage_free(tmp_path):
+    from rp_extract_ray.pipelines.events import q_rolling_zscore
+
+    pdf = _events_frame(n=300, n_ent=4, seed=5)
+    p = str(tmp_path / "events.parquet")
+    pdf.assign(event_type="x", props="").to_parquet(p)
+    got = (
+        q_rolling_zscore(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    exp = pdf.sort_values(["user_id", "ts", "event_id"])
+    naive = {}
+    for _, g in exp.groupby("user_id"):
+        z = _zscore_naive(g)
+        naive.update(dict(zip(g["event_id"], z)))
+    for eid, zg in zip(got["event_id"], got["zscore"]):
+        zn = naive[eid]
+        if np.isnan(zn):
+            assert np.isnan(zg)
+        else:
+            np.testing.assert_allclose(zg, zn, atol=2e-6)
+
+    # leakage: poisoning every FUTURE row of one entity must not change
+    # any earlier row's z (the window is strictly trailing)
+    cut = exp[exp.user_id == 2]["ts"].iloc[len(exp[exp.user_id == 2]) // 2]
+    poison = pdf.copy()
+    mask = (poison.user_id == 2) & (poison.ts > cut)
+    assert mask.sum() > 3
+    poison.loc[mask, "value"] = 1e9
+    p2 = str(tmp_path / "p2")
+    import os
+
+    os.makedirs(p2, exist_ok=True)
+    poison.assign(event_type="x", props="").to_parquet(p2 + "/events.parquet")
+    got2 = (
+        q_rolling_zscore(p2)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    keep = got.event_id.isin(
+        pdf[(pdf.user_id == 2) & (pdf.ts <= cut)].event_id
+    )
+    a = got[keep].set_index("event_id")["zscore"]
+    b = got2[got2.event_id.isin(a.index)].set_index("event_id")["zscore"]
+    pd.testing.assert_series_equal(a, b.loc[a.index])
