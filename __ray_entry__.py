@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "welch_t": E.q_welch_t,
         "role_report": E.q_role_report,
         "rolling_zscore": E.q_rolling_zscore,
+        "pagerank": E.q_pagerank,
+        "triangle_count": E.q_triangle_count,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1679,6 +1681,70 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn = 1 THEN role END) AS first_role,
                    min(CASE WHEN rn = nt THEN role END) AS last_role
             FROM o GROUP BY conv_id""",
+        # PageRank, 5 unrolled power iterations (d=0.85) over the
+        # symmetrized distinct co-visitation edges; every node has
+        # in-edges (symmetric), so the join-aggregate form is exact
+        "pagerank": """
+            WITH b AS (SELECT DISTINCT event_type,
+                              epoch_us(ts) // CAST(300000000 AS BIGINT)
+                                AS bk,
+                              user_id
+                       FROM events),
+                 e0 AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
+                        FROM b a JOIN b c USING (event_type, bk)
+                        WHERE a.user_id < c.user_id),
+                 e AS (SELECT u AS src, v AS dst FROM e0
+                       UNION ALL SELECT v, u FROM e0),
+                 deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
+                         FROM e GROUP BY src),
+                 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+                 r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r
+                        FROM deg),
+                 r1 AS (SELECT e.dst AS node,
+                               0.15 / (SELECT n FROM nn)
+                               + 0.85 * sum(p.r / deg.d) AS r
+                        FROM e JOIN r0 p ON p.node = e.src
+                               JOIN deg ON deg.src = e.src
+                        GROUP BY e.dst),
+                 r2 AS (SELECT e.dst AS node,
+                               0.15 / (SELECT n FROM nn)
+                               + 0.85 * sum(p.r / deg.d) AS r
+                        FROM e JOIN r1 p ON p.node = e.src
+                               JOIN deg ON deg.src = e.src
+                        GROUP BY e.dst),
+                 r3 AS (SELECT e.dst AS node,
+                               0.15 / (SELECT n FROM nn)
+                               + 0.85 * sum(p.r / deg.d) AS r
+                        FROM e JOIN r2 p ON p.node = e.src
+                               JOIN deg ON deg.src = e.src
+                        GROUP BY e.dst),
+                 r4 AS (SELECT e.dst AS node,
+                               0.15 / (SELECT n FROM nn)
+                               + 0.85 * sum(p.r / deg.d) AS r
+                        FROM e JOIN r3 p ON p.node = e.src
+                               JOIN deg ON deg.src = e.src
+                        GROUP BY e.dst),
+                 r5 AS (SELECT e.dst AS node,
+                               0.15 / (SELECT n FROM nn)
+                               + 0.85 * sum(p.r / deg.d) AS r
+                        FROM e JOIN r4 p ON p.node = e.src
+                               JOIN deg ON deg.src = e.src
+                        GROUP BY e.dst)
+            SELECT node AS user_id, round(r, 6) AS pr FROM r5""",
+        # triangle count: oriented (u < v) distinct co-visitation edges,
+        # 3-way self-join (each triangle matches exactly once)
+        "triangle_count": """
+            WITH b AS (SELECT DISTINCT event_type,
+                              epoch_us(ts) // CAST(300000000 AS BIGINT)
+                                AS bk,
+                              user_id
+                       FROM events),
+                 e0 AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
+                        FROM b a JOIN b c USING (event_type, bk)
+                        WHERE a.user_id < c.user_id)
+            SELECT CAST(count(*) AS BIGINT) AS triangles
+            FROM e0 ab JOIN e0 bc ON bc.u = ab.v
+                       JOIN e0 ac ON ac.u = ab.u AND ac.v = bc.v""",
         # trailing-window z-score anomaly flags: mean/stddev over the 8
         # PRECEDING rows (current excluded), NULL z when <2 values or
         # zero variance; flag |z| > 2

@@ -1803,3 +1803,56 @@ def q_rolling_zscore(sf_dir: str) -> Dataset:
         out.select_columns(["event_id", "user_id", "ts", "zscore", "anomaly"]),
         {"zscore": 6},
     )
+
+
+def _covisit_edges(sf_dir: str) -> Dataset:
+    """Shared co-visitation graph for the graph gates: distinct user pairs
+    active in the same (event_type, 300 s bucket) cell
+    (stages/graph.covisit_edges). 300 s keeps hot cells small (the
+    bucket-width skew rule) while leaving a connected graph at every
+    testdata scale."""
+    from rp_extract_ray.stages.graph import covisit_edges
+
+    ds = _events(sf_dir, ["ts", "user_id", "event_type"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "_bk": (t // np.int64(300_000_000)),
+                "user_id": b.column("user_id"),
+            }
+        )
+
+    keyed = ds.map_batches(bucket, batch_format="pyarrow")
+    return covisit_edges(
+        keyed, ["event_type", "_bk"], "user_id", out_names=("u", "v"),
+        num_partitions=NP,
+    )
+
+
+def q_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank (5 power iterations, d=0.85) over the co-visitation user
+    graph (stages/graph.pagerank) — the influence-score feature. Bounded
+    node table -> broadcast rank-vector path (the kmeans centroid-loop
+    contract); the >2M-node exchange path is pytest-gated equal. Oracle:
+    the same five iterations unrolled as join-aggregate CTEs."""
+    from rp_extract_ray.stages.graph import pagerank
+
+    pr = pagerank(
+        _covisit_edges(sf_dir), iterations=5, damping=0.85, round_to=6,
+        num_partitions=NP,
+    )
+    return pd.DataFrame({"user_id": pr["node"], "pr": pr["rank"]})
+
+
+def q_triangle_count(sf_dir: str) -> pd.DataFrame:
+    """Triangle count of the co-visitation graph
+    (stages/graph.triangle_count): wedge-generation keyed on the middle
+    vertex + packed-key semi-join close — the clustering-coefficient
+    numerator. Oracle: oriented 3-way self-join."""
+    from rp_extract_ray.stages.graph import triangle_count
+
+    n = triangle_count(_covisit_edges(sf_dir), num_partitions=NP)
+    return pd.DataFrame({"triangles": np.array([n], dtype=np.int64)})

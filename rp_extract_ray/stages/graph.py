@@ -1,0 +1,308 @@
+"""Distributed graph operators over edge-list Datasets.
+
+The training-data pipeline's graph shapes: a co-visitation edge builder
+(entities sharing a context key), PageRank by power iteration, and triangle
+counting — all expressed as keyed exchanges over the repo's task-shuffle
+primitives (``partitioned_apply`` / ``grouped_reduce`` /
+``repartition_join``), never an adjacency matrix.
+
+Reference analogue: none (the audio reference has no graph ops); these are
+the similarity-graph companions of stages/dedup.py's connected components,
+which already power near-dup clustering. SURVEY.md §2 extension class.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+def covisit_edges(
+    ds: Dataset,
+    group_cols,
+    item_col: str,
+    *,
+    out_names: "tuple[str, str]" = ("u", "v"),
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Distinct undirected co-visitation edges: one edge (u < v) per pair
+    of items that ever share a group (e.g. users active in the same
+    (event_type, time-bucket) cell). A thin orientation of
+    :func:`rp_extract_ray.stages.groupops.cooccurrence_pairs` — the pair
+    COUNT is dropped, the distinct pair list is the graph.
+
+    Skew note: the in-partition pair fan-out is bounded by
+    ``sum(items_per_group^2)`` — pick the group granularity (bucket width)
+    so hot groups stay small, exactly like the LSH band-bucket rule in
+    stages/dedup.py.
+    """
+    from rp_extract_ray.stages.groupops import cooccurrence_pairs
+
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if len(gcols) == 1:
+        keyed, key = ds, gcols[0]
+    else:
+        # fold the composite group to one int64 surrogate (collision-safe
+        # for grouping: a collision only merges two contexts, which can
+        # only ADD edges — avoided by the repo's stable 64-bit mix)
+        from rp_extract_ray.stages.partition import stable_hash
+
+        def mix(b: pa.Table) -> pa.Table:
+            h = None
+            for c in gcols:
+                hc = stable_hash(b.column(c).to_numpy(zero_copy_only=False))
+                h = hc if h is None else (h * np.uint64(0x9E3779B97F4A7C15)) ^ hc
+            return pa.table(
+                {"_gk": h.view(np.int64), item_col: b.column(item_col)}
+            )
+
+        keyed, key = ds.map_batches(mix, batch_format="pyarrow"), "_gk"
+
+    pairs = cooccurrence_pairs(
+        keyed, key, item_col, out_names=out_names,
+        num_partitions=num_partitions,
+    )
+    return pairs.select_columns(list(out_names))
+
+
+def pagerank(
+    edges: Dataset,
+    *,
+    u_col: str = "u",
+    v_col: str = "v",
+    iterations: int = 5,
+    damping: float = 0.85,
+    round_to: int | None = None,
+    num_partitions: int | None = None,
+    broadcast_nodes_limit: int = 2_000_000,
+) -> pd.DataFrame | Dataset:
+    """PageRank over an UNDIRECTED distinct edge list (each edge walks both
+    ways), fixed ``iterations`` of the power method:
+
+        r' = (1 - d) / N  +  d * sum_{(s -> t)} r_s / deg_s
+
+    Dangling nodes cannot arise (symmetrization gives every node an
+    out-edge), so the update is exactly the SQL-expressible join-aggregate
+    form — the oracle unrolls the same iterations.
+
+    Scale paths (the repo's size-hint collapse convention):
+    * node table under ``broadcast_nodes_limit``: ranks live in a
+      ``ray.put`` (node -> rank) vector; each iteration is one
+      ``map_batches`` pass over the (never re-shuffled) symmetric edges
+      producing per-block partial dst-sums + one ``grouped_reduce``
+      exchange bounded by distinct nodes per block, with the new bounded
+      rank vector pulled back to the driver (same contract as kmeans'
+      centroid loop).
+    * above the limit: ranks stay a Dataset; each iteration is
+      ``repartition_join`` (edges x ranks on src) -> ``grouped_reduce``
+      dst-sum -> left join back onto the degree table — three keyed
+      exchanges per iteration, nothing driver-side. Both paths are
+      value-identical (pytest-gated).
+
+    Returns the bounded path's pandas frame or the distributed Dataset:
+    ``(node, rank)``.
+    """
+    import ray
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.partition import arrow_out
+
+    def sym(b: pa.Table) -> pa.Table:
+        uu = b.column(u_col).to_numpy(zero_copy_only=False)
+        vv = b.column(v_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": np.concatenate([uu, vv]),
+                "dst": np.concatenate([vv, uu]),
+            }
+        )
+
+    sedges = edges.map_batches(sym, batch_format="pyarrow")
+    deg = grouped_reduce(
+        sedges, "src", {"deg": ("dst", "count")},
+        num_partitions=num_partitions,
+    )
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return pd.DataFrame({"node": [], "rank": []})
+    base = (1.0 - damping) / n_nodes
+
+    if n_nodes <= broadcast_nodes_limit:
+        # ---- bounded-node path: broadcast rank vector, edges never move
+        deg_pdf = deg.to_pandas().sort_values("src", ignore_index=True)
+        nodes = deg_pdf["src"].to_numpy()
+        degv = deg_pdf["deg"].to_numpy(dtype=np.float64)
+        rank = np.full(n_nodes, 1.0 / n_nodes)
+        sedges = sedges.materialize()
+        for _ in range(iterations):
+            share_ref = ray.put(rank / degv)
+            nodes_ref = ray.put(nodes)
+
+            def contrib(b: pa.Table, _share=share_ref, _nodes=nodes_ref):
+                share = ray.get(_share)  # local object-store get per task
+                nds = ray.get(_nodes)
+                s = b.column("src").to_numpy(zero_copy_only=False)
+                t = b.column("dst").to_numpy(zero_copy_only=False)
+                w = share[np.searchsorted(nds, s)]
+                out = (
+                    pd.DataFrame({"node": t, "_s": w})
+                    .groupby("node", sort=True)
+                    .sum()
+                    .reset_index()
+                )
+                return arrow_out(out)
+
+            sums = grouped_reduce(
+                sedges.map_batches(contrib, batch_format="pyarrow"),
+                "node", {"_s": ("_s", "sum")},
+                num_partitions=num_partitions,
+            ).to_pandas().sort_values("node", ignore_index=True)
+            # every node has in-edges (symmetric graph) -> full vector
+            rank = base + damping * sums["_s"].to_numpy()
+        if round_to is not None:
+            from rp_extract_ray.functions.rounding import round_half_away
+
+            rank = round_half_away(rank, round_to)
+        return pd.DataFrame({"node": nodes, "rank": rank})
+
+    # ---- large-node path: ranks stay distributed
+    from rp_extract_ray.stages.join import repartition_join
+
+    state = deg.map_batches(
+        lambda b: b.append_column(
+            "rank", pa.array(np.full(len(b), 1.0 / n_nodes))
+        ),
+        batch_format="pyarrow",
+    )
+    for _ in range(iterations):
+        joined = repartition_join(
+            sedges, state, on="src", num_partitions=num_partitions,
+        )
+
+        def weigh(b: pa.Table) -> pa.Table:
+            w = (
+                b.column("rank").to_numpy(zero_copy_only=False)
+                / b.column("deg").to_numpy(zero_copy_only=False)
+            )
+            return pa.table({"node": b.column("dst"), "_s": pa.array(w)})
+
+        sums = grouped_reduce(
+            joined.map_batches(weigh, batch_format="pyarrow"),
+            "node", {"_s": ("_s", "sum")},
+            num_partitions=num_partitions,
+        )
+        state = repartition_join(
+            deg, sums, on="src", right_on="node",
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b.column("src"),
+                    "deg": b.column("deg"),
+                    "rank": pa.array(
+                        base
+                        + damping
+                        * b.column("_s").to_numpy(zero_copy_only=False)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def fin(b: pa.Table) -> pa.Table:
+        r = b.column("rank").to_numpy(zero_copy_only=False)
+        if round_to is not None:
+            from rp_extract_ray.functions.rounding import round_half_away
+
+            r = round_half_away(r, round_to)
+        return pa.table({"node": b.column("src"), "rank": pa.array(r)})
+
+    return state.map_batches(fin, batch_format="pyarrow")
+
+
+def triangle_count(
+    edges: Dataset,
+    *,
+    u_col: str = "u",
+    v_col: str = "v",
+    num_partitions: int | None = None,
+) -> int:
+    """Count triangles in an undirected graph given as DISTINCT oriented
+    edges (u < v). Wedge-and-close, both steps keyed exchanges:
+
+    1. each edge ships to its potential wedge CENTER — (a,b) keyed by b
+       (low end of a wedge) and (b,c) keyed by b (high start) — so one
+       ``partitioned_apply`` co-locates every center's lower and upper
+       adjacency; the in-partition cross merge emits candidate closing
+       pairs (a, c) with a < b < c by construction. Each triangle has
+       exactly ONE valid center (its middle vertex), so multiplicity is
+       already correct.
+    2. candidates semi-join the edge list on the packed (a, c) key
+       (``repartition_join`` how='semi' — duplicates preserved: each
+       surviving wedge row IS one triangle), then a zero-shuffle partial
+       count.
+
+    The wedge fan-out is bounded by ``sum_b deg_lt(b) * deg_gt(b)`` —
+    the bucket-width guidance of :func:`covisit_edges` is the skew control.
+    Node ids must fit int32 (packed 64-bit closing key; raises otherwise —
+    a general deployment would widen the key to a string pair).
+    """
+    from rp_extract_ray.stages.join import repartition_join
+    from rp_extract_ray.stages.partition import partitioned_apply
+
+    def tag(b: pa.Table) -> pa.Table:
+        uu = b.column(u_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vv = b.column(v_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(uu) and (
+            uu.min() < 0 or vv.max() >= 2**31
+        ):
+            raise ValueError("triangle_count requires node ids in [0, 2^31)")
+        # role 0: edge (a, b) keyed by center b; role 1: (b, c) keyed by b
+        return pa.table(
+            {
+                "_ctr": np.concatenate([vv, uu]),
+                "_other": np.concatenate([uu, vv]),
+                "_role": np.concatenate(
+                    [np.zeros(len(uu), np.int8), np.ones(len(uu), np.int8)]
+                ),
+            }
+        )
+
+    tagged = edges.map_batches(tag, batch_format="pyarrow")
+
+    def wedges(pdf: pd.DataFrame, starts) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"_k": pd.Series([], dtype=np.int64)})
+        lo = pdf[pdf["_role"] == 0][["_ctr", "_other"]].rename(
+            columns={"_other": "_a"}
+        )
+        hi = pdf[pdf["_role"] == 1][["_ctr", "_other"]].rename(
+            columns={"_other": "_c"}
+        )
+        w = lo.merge(hi, on="_ctr")
+        k = (w["_a"].to_numpy() << np.int64(32)) | w["_c"].to_numpy()
+        return pd.DataFrame({"_k": k})
+
+    cand = partitioned_apply(
+        tagged, wedges, entity_col="_ctr", order_cols=("_role", "_other"),
+        num_partitions=num_partitions or 32,
+    )
+
+    def ekey(b: pa.Table) -> pa.Table:
+        uu = b.column(u_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vv = b.column(v_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"_k": (uu << np.int64(32)) | vv})
+
+    closed = repartition_join(
+        cand, edges.map_batches(ekey, batch_format="pyarrow"),
+        on="_k", how="semi", num_partitions=num_partitions,
+    )
+
+    def cnt(b: pa.Table) -> pa.Table:
+        return pa.table({"n": np.array([len(b)], dtype=np.int64)})
+
+    parts = closed.map_batches(cnt, batch_format="pyarrow").to_pandas()
+    return int(parts["n"].sum()) if len(parts) else 0

@@ -163,3 +163,76 @@ def test_rolling_zscore_matches_naive_and_is_leakage_free(tmp_path):
     a = got[keep].set_index("event_id")["zscore"]
     b = got2[got2.event_id.isin(a.index)].set_index("event_id")["zscore"]
     pd.testing.assert_series_equal(a, b.loc[a.index])
+
+
+def _rand_graph(n_nodes=40, n_edges=120, seed=13):
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, n_nodes, n_edges)
+    v = rng.integers(0, n_nodes, n_edges)
+    m = u != v
+    lo, hi = np.minimum(u[m], v[m]), np.maximum(u[m], v[m])
+    e = pd.DataFrame({"u": lo, "v": hi}).drop_duplicates(ignore_index=True)
+    return e.astype(np.int64)
+
+
+def test_pagerank_broadcast_equals_distributed_path():
+    from rp_extract_ray.stages.graph import pagerank
+
+    e = _rand_graph()
+    ds = rd.from_pandas(e).repartition(4)
+    b = pagerank(ds, iterations=4, num_partitions=8)
+    d = pagerank(
+        ds, iterations=4, num_partitions=8, broadcast_nodes_limit=0
+    )
+    dpdf = d.to_pandas().sort_values("node", ignore_index=True)
+    b = b.sort_values("node", ignore_index=True)
+    assert (b["node"].to_numpy() == dpdf["node"].to_numpy()).all()
+    np.testing.assert_allclose(
+        b["rank"].to_numpy(), dpdf["rank"].to_numpy(), rtol=1e-12
+    )
+    # ranks are a probability distribution
+    np.testing.assert_allclose(b["rank"].sum(), 1.0, atol=1e-9)
+
+
+def test_pagerank_matches_naive_power_iteration():
+    from rp_extract_ray.stages.graph import pagerank
+
+    e = _rand_graph(seed=29)
+    got = (
+        pagerank(rd.from_pandas(e).repartition(3), iterations=5)
+        .set_index("node")["rank"]
+    )
+    # naive dense recompute
+    nodes = np.unique(np.concatenate([e.u, e.v]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    N = len(nodes)
+    A = np.zeros((N, N))
+    for u, v in zip(e.u, e.v):
+        A[idx[v], idx[u]] = 1.0
+        A[idx[u], idx[v]] = 1.0
+    deg = A.sum(axis=0)
+    r = np.full(N, 1.0 / N)
+    for _ in range(5):
+        r = 0.15 / N + 0.85 * (A @ (r / deg))
+    for n in nodes:
+        np.testing.assert_allclose(got.loc[n], r[idx[n]], atol=1e-9)
+
+
+def test_triangle_count_matches_brute_force():
+    from rp_extract_ray.stages.graph import triangle_count
+
+    e = _rand_graph(n_nodes=25, n_edges=150, seed=7)
+    got = triangle_count(rd.from_pandas(e).repartition(4), num_partitions=6)
+    es = set(zip(e.u, e.v))
+    brute = sum(
+        1
+        for (a, b) in es
+        for c in range(25)
+        if c > b and (b, c) in es and (a, c) in es
+    )
+    assert got == brute and brute > 0
+
+    # empty graph degenerates cleanly
+    empty = pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                          "v": pd.Series([], dtype=np.int64)})
+    assert triangle_count(rd.from_pandas(empty), num_partitions=2) == 0
