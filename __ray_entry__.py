@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_zscore": E.q_rolling_zscore,
         "pagerank": E.q_pagerank,
         "triangle_count": E.q_triangle_count,
+        "interval_gaps": E.q_interval_gaps,
+        "pct_change": E.q_pct_change,
+        "keyword_totals": D.q_keyword_totals,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1681,6 +1684,51 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn = 1 THEN role END) AS first_role,
                    min(CASE WHEN rn = nt THEN role END) AS last_role
             FROM o GROUP BY conv_id""",
+        # idle gaps between merged view-span islands: the merge CTE
+        # (identical to merge_intervals) + lead() per user
+        "interval_gaps": """
+            WITH iv AS (SELECT user_id, ts AS start_ts,
+                               ts + to_seconds(CAST(floor(value) * 60
+                                                    AS BIGINT)) AS end_ts
+                        FROM events WHERE event_type = 'view'),
+                 o AS (SELECT *, max(end_ts) OVER (
+                           PARTITION BY user_id ORDER BY start_ts, end_ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS prev_max FROM iv),
+                 g AS (SELECT *, CASE WHEN prev_max IS NULL
+                                        OR start_ts > prev_max
+                                      THEN 1 ELSE 0 END AS brk FROM o),
+                 h AS (SELECT *, sum(brk) OVER (
+                           PARTITION BY user_id ORDER BY start_ts, end_ts
+                           ROWS UNBOUNDED PRECEDING) AS island FROM g),
+                 m AS (SELECT user_id, min(start_ts) AS s,
+                              max(end_ts) AS e
+                       FROM h GROUP BY user_id, island),
+                 g2 AS (SELECT user_id, e AS gap_start,
+                               lead(s) OVER (PARTITION BY user_id
+                                             ORDER BY s) AS gap_end
+                        FROM m)
+            SELECT user_id, gap_start, gap_end,
+                   round(epoch(gap_end - gap_start), 6) AS gap_s
+            FROM g2 WHERE gap_end IS NOT NULL""",
+        # per-user relative delta vs previous event; NULL at run starts
+        "pct_change": """
+            SELECT event_id, user_id, ts,
+                   round((value - lag(value) OVER w)
+                         / lag(value) OVER w, 6) AS pct_change
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        # fixed keyword list: substring occurrence totals + containing-doc
+        # counts via the length-difference trick
+        "keyword_totals": """
+            WITH kw(k) AS (VALUES ('spark'), ('join'), ('window'),
+                                  ('hash'), ('scan')),
+                 c AS (SELECT k, (length(text) - length(replace(text, k, '')))
+                              / length(k) AS cnt
+                       FROM documents, kw WHERE text IS NOT NULL)
+            SELECT k AS keyword, CAST(sum(cnt) AS BIGINT) AS total,
+                   CAST(count(*) FILTER (WHERE cnt > 0) AS BIGINT) AS n_docs
+            FROM c GROUP BY k""",
         # PageRank, 5 unrolled power iterations (d=0.85) over the
         # symmetrized distinct co-visitation edges; every node has
         # in-edges (symmetric), so the join-aggregate form is exact

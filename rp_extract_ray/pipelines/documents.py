@@ -908,3 +908,17 @@ def q_cdc_merge(sf_dir: str) -> "Dataset":
         return t.select(["doc_id", "text"])
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def q_keyword_totals(sf_dir: str):
+    """Fixed-vocabulary keyword probe over the corpus
+    (stages/textstage.keyword_totals): occurrences (substring semantics)
+    + containing-doc count per keyword, zero shuffle (K-row partials per
+    block, bounded driver sum). Oracle: length-difference substring
+    count per (doc, keyword)."""
+    from rp_extract_ray.stages.textstage import keyword_totals
+
+    return keyword_totals(
+        _docs(sf_dir, ["text"]), "text",
+        ["spark", "join", "window", "hash", "scan"],
+    )

@@ -1856,3 +1856,99 @@ def q_triangle_count(sf_dir: str) -> pd.DataFrame:
 
     n = triangle_count(_covisit_edges(sf_dir), num_partitions=NP)
     return pd.DataFrame({"triangles": np.array([n], dtype=np.int64)})
+
+
+def q_interval_gaps(sf_dir: str) -> Dataset:
+    """Idle gaps between merged activity islands: the complement of
+    merge_intervals — after coalescing each user's view-spans into maximal
+    islands (stages/intervals.merge_intervals), emit (gap_start, gap_end,
+    gap_s) between consecutive islands. The island table is orders of
+    magnitude smaller than the events, so the second entity exchange is
+    nearly free. Oracle: the merge CTE + lead() over islands."""
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.stages.intervals import merge_intervals
+
+    ds = _events(sf_dir, ["ts", "user_id", "event_type", "value"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "view"))
+        dur_us = pc.cast(
+            pc.multiply(pc.floor(b.column("value")), 60_000_000.0), pa.int64()
+        )
+        end = pc.add(b.column("ts"), pc.cast(dur_us, pa.duration("us")))
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "start_ts": b.column("ts"),
+                "end_ts": end,
+            }
+        )
+
+    merged = merge_intervals(
+        ds.map_batches(mk, batch_format="pyarrow"),
+        entity_col="user_id", start_col="start_ts", end_col="end_ts",
+        num_partitions=NP,
+    )
+
+    def gaps(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        n = len(pdf)
+        cols = ["user_id", "gap_start", "gap_end", "gap_s"]
+        if n == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        same_run = np.zeros(n, dtype=bool)
+        if n > 1:
+            same_run[:-1] = starts[1:] == starts[:-1]  # next row same user
+        s = pdf["start_ts"].to_numpy().astype("datetime64[us]")
+        e = pdf["end_ts"].to_numpy().astype("datetime64[us]")
+        idx = np.flatnonzero(same_run)
+        gs = e[idx]
+        ge = s[idx + 1]
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy()[idx],
+                "gap_start": gs,
+                "gap_end": ge,
+                "gap_s": (ge - gs).astype(np.int64) / 1e6,
+            }
+        )
+
+    out = partitioned_apply(
+        merged, gaps, entity_col=ENTITY, order_cols=("start_ts", "end_ts"),
+        num_partitions=NP,
+    )
+    return _round(out, {"gap_s": 6})
+
+
+def q_pct_change(sf_dir: str) -> Dataset:
+    """Per-user percent change of value vs the previous event — the
+    classic relative-delta feature on top of the lag kernel
+    (stages/lag.add_lag_features). NULL at run starts (no lag), SQL
+    division semantics otherwise (value is never 0 in this corpus, but
+    the kernel guards anyway). Oracle: (value - lag)/lag window SQL."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    ds = add_lag_features(
+        ds, ["value"], lags=(1,), entity_col=ENTITY, ts_col="ts",
+        order_cols=ORDER, num_partitions=NP,
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        l1 = b.column("value_lag1").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            p = (v - l1) / l1
+        p = np.where(np.isfinite(p), p, np.nan)
+        out = pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "pct_change": pa.array(p),
+            }
+        )
+        return out
+
+    out = ds.map_batches(fin, batch_format="pyarrow")
+    return _round(out, {"pct_change": 6})

@@ -824,3 +824,57 @@ def lm_trigram_score(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def keyword_totals(
+    ds: Dataset,
+    text_col: str,
+    keywords: "Sequence[str]",
+) -> pd.DataFrame:
+    """Corpus totals for a fixed keyword list: occurrence count (substring
+    semantics) and number of containing documents per keyword — the
+    vocabulary-probe / contamination-screen shape (the bounded complement
+    of top_terms' open-vocabulary miner). One zero-shuffle map pass:
+    ``pyarrow.compute.count_substring`` per keyword per block (K vectorized
+    kernels, no tokenization), K-row partials, bounded driver sum.
+    NULL texts are skipped (SQL WHERE text IS NOT NULL parity)."""
+    import pyarrow.compute as pc
+
+    kws = list(keywords)
+
+    def partial(b: pa.Table) -> pa.Table:
+        txt = b.column(text_col)
+        if pa.types.is_null(txt.type):  # all-null block arrives untyped
+            txt = txt.cast(pa.string())
+        ok = pc.is_valid(txt)
+        tot, nd = [], []
+        for k in kws:
+            c = pc.count_substring(txt, pattern=k)
+            c = pc.if_else(ok, c, pa.scalar(None, c.type))
+            tot.append(pc.sum(c).as_py() or 0)
+            nd.append(
+                pc.sum(
+                    pc.cast(pc.greater(c, 0), pa.int64())
+                ).as_py()
+                or 0
+            )
+        return pa.table(
+            {
+                "keyword": pa.array(kws),
+                "total": pa.array(tot, pa.int64()),
+                "n_docs": pa.array(nd, pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.groupby("keyword", sort=False).sum().reset_index()
+    # preserve caller order
+    out["_o"] = out["keyword"].map({k: i for i, k in enumerate(kws)})
+    out = out.sort_values("_o", ignore_index=True).drop(columns="_o")
+    out["total"] = out["total"].astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out

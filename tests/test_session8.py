@@ -236,3 +236,48 @@ def test_triangle_count_matches_brute_force():
     empty = pd.DataFrame({"u": pd.Series([], dtype=np.int64),
                           "v": pd.Series([], dtype=np.int64)})
     assert triangle_count(rd.from_pandas(empty), num_partitions=2) == 0
+
+
+def test_keyword_totals_counts_and_null_text():
+    from rp_extract_ray.stages.textstage import keyword_totals
+
+    pdf = pd.DataFrame(
+        {"text": ["spark spark join", None, "joinjoin", "no hits here"]}
+    )
+    out = keyword_totals(
+        rd.from_pandas(pdf).repartition(3), "text", ["spark", "join", "zzz"]
+    )
+    got = dict(zip(out.keyword, zip(out.total, out.n_docs)))
+    assert got["spark"] == (2, 1)
+    assert got["join"] == (3, 2)  # substring semantics: joinjoin counts 2
+    assert got["zzz"] == (0, 0)
+    assert list(out.keyword) == ["spark", "join", "zzz"]  # caller order
+
+
+def test_interval_gaps_are_strictly_positive_and_disjoint(tmp_path):
+    from rp_extract_ray.pipelines.events import q_interval_gaps
+
+    rng = np.random.default_rng(21)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": rng.integers(0, 48 * 3600, n)
+            .astype("datetime64[s]")
+            .astype("datetime64[us]"),
+            "user_id": rng.integers(0, 6, n).astype(np.int64),
+            "event_type": rng.choice(["view", "click"], n),
+            "value": np.round(rng.uniform(1, 120, n), 2),
+            "props": "",
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    out = q_interval_gaps(str(tmp_path)).to_pandas()
+    assert len(out) > 0
+    assert (out["gap_s"] > 0).all()
+    # gaps of one user never overlap each other
+    for _, g in out.groupby("user_id"):
+        g = g.sort_values("gap_start")
+        assert (
+            g["gap_end"].to_numpy()[:-1] <= g["gap_start"].to_numpy()[1:]
+        ).all()
