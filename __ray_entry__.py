@@ -159,6 +159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_gaps": E.q_interval_gaps,
         "pct_change": E.q_pct_change,
         "keyword_totals": D.q_keyword_totals,
+        "path_counts": E.q_path_counts,
+        "mann_whitney": E.q_mann_whitney,
+        "autocorr": E.q_autocorr,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1684,6 +1687,43 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn = 1 THEN role END) AS first_role,
                    min(CASE WHEN rn = nt THEN role END) AS last_role
             FROM o GROUP BY conv_id""",
+        # first-5-event-type path per user, counted, top 20 under the
+        # deterministic (n DESC, path) tie order both sides use
+        "path_counts": """
+            WITH o AS (SELECT user_id, event_type, ts, event_id,
+                              row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+                       FROM events),
+                 p AS (SELECT user_id,
+                              string_agg(event_type, '>'
+                                         ORDER BY rn) AS path
+                       FROM o WHERE rn <= 5 GROUP BY user_id),
+                 c AS (SELECT path, CAST(count(*) AS BIGINT) AS n
+                       FROM p GROUP BY path)
+            SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20""",
+        # Mann-Whitney rank-sum / U per event type vs the whole corpus,
+        # tied ranks as averages: rank() + (tie_count - 1)/2
+        "mann_whitney": """
+            WITH r AS (SELECT event_type,
+                              rank() OVER (ORDER BY value)
+                                + (count(*) OVER (PARTITION BY value)
+                                   - 1) / 2.0 AS ar
+                       FROM events WHERE value IS NOT NULL),
+                 s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                              sum(ar) AS rs
+                       FROM r GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   round(rs, 6) AS rank_sum,
+                   round(rs - n * (n + 1) / 2.0, 6) AS u
+            FROM s""",
+        # per-user lag-1 autocorrelation; corr drops pairs with a NULL
+        "autocorr": """
+            WITH l AS (SELECT user_id, value,
+                              lag(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS pv
+                       FROM events)
+            SELECT user_id, round(corr(value, pv), 6) AS ac1
+            FROM l GROUP BY user_id""",
         # idle gaps between merged view-span islands: the merge CTE
         # (identical to merge_intervals) + lead() per user
         "interval_gaps": """

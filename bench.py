@@ -76,6 +76,10 @@ QUERY_NAMES = [
     "cdc_merge", "chi_square", "mutual_information", "group_spearman",
     "cusum",
     "rolling_distinct",
+    # round-5 session-8 additions (117 -> 127 names)
+    "ohlc_bars", "group_entropy", "welch_t", "role_report",
+    "rolling_zscore", "pagerank", "triangle_count", "interval_gaps",
+    "pct_change", "keyword_totals",
 ]
 
 

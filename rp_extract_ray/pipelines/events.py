@@ -1952,3 +1952,144 @@ def q_pct_change(sf_dir: str) -> Dataset:
 
     out = ds.map_batches(fin, batch_format="pyarrow")
     return _round(out, {"pct_change": 6})
+
+
+def q_path_counts(sf_dir: str) -> pd.DataFrame:
+    """Frequent-prefix sequence mining: each user's first-5-event-type
+    path (under stable (ts, event_id) order), counted across users, top
+    20 by (count desc, path) — the funnel-discovery complement of the
+    ORDERED transition matrix. One entity exchange builds paths
+    (vectorized rebased-index prefix mask + per-run join), ONE bounded
+    keyed exchange counts them (path vocabulary <= |types|^5), driver
+    top-k on the bounded count table. Oracle: row_number <= 5 +
+    string_agg + LIMIT under the same tie order."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.partition import arrow_out
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def paths(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame({"path": [], "_n": []})
+        i = np.arange(n)
+        keep = (i - starts) < 5
+        w = pd.DataFrame(
+            {
+                "_run": starts[keep],
+                "event_type": pdf["event_type"].to_numpy()[keep],
+            }
+        )
+        p = w.groupby("_run", sort=False)["event_type"].agg(">".join)
+        out = p.value_counts().rename("_n").reset_index()
+        out.columns = ["path", "_n"]
+        out["_n"] = out["_n"].astype(np.int64)
+        return out
+
+    parts = partitioned_apply(
+        ds, paths, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )
+    counts = grouped_reduce(
+        parts, "path", {"n": ("_n", "sum")}, num_partitions=NP
+    ).to_pandas()  # bounded by the path vocabulary (<= |types|^5)
+    counts["n"] = counts["n"].astype(np.int64)
+    counts = counts.sort_values(
+        ["n", "path"], ascending=[False, True], ignore_index=True
+    )
+    return counts.head(20)
+
+
+def q_mann_whitney(sf_dir: str) -> pd.DataFrame:
+    """Mann-Whitney rank statistics per event type vs the whole corpus,
+    WITHOUT a global sort: tied average ranks depend only on the VALUE
+    DISTRIBUTION, so one keyed exchange of distinct (value, type) counts
+    (bounded by the value vocabulary — 2-decimal values here) feeds a
+    driver-side cumulative pass that assigns avg-rank(v) = below(v) +
+    (count(v)+1)/2 and folds rank-sum and U per type. The scale path is
+    the same histogram trick the approx-quantile sketch uses. Oracle:
+    rank() + (tie_count-1)/2 window SQL."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def drop_null(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.is_valid(b.column("value")))
+
+    counts = grouped_reduce(
+        ds.map_batches(drop_null, batch_format="pyarrow"),
+        ["value", "event_type"],
+        {"c": ("value", "count")},
+        num_partitions=NP,
+    ).to_pandas()
+    counts = counts.sort_values("value", ignore_index=True)
+    per_v = counts.groupby("value", sort=True)["c"].sum()
+    below = np.concatenate([[0], np.cumsum(per_v.to_numpy())[:-1]])
+    avg_rank = pd.Series(
+        below + (per_v.to_numpy() + 1) / 2.0, index=per_v.index
+    )
+    counts["_ar"] = counts["value"].map(avg_rank).to_numpy()
+    counts["_w"] = counts["_ar"] * counts["c"].to_numpy()
+    g = (
+        counts.groupby("event_type", sort=False)
+        .agg(n=("c", "sum"), rank_sum=("_w", "sum"))
+        .reset_index()
+    )
+    n = g["n"].to_numpy(dtype=np.float64)
+    rs = g["rank_sum"].to_numpy(dtype=np.float64)
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    return pd.DataFrame(
+        {
+            "event_type": g["event_type"],
+            "n": g["n"].astype(np.int64),
+            "rank_sum": round_half_away(rs, 6),
+            "u": round_half_away(rs - n * (n + 1) / 2.0, 6),
+        }
+    )
+
+
+def q_autocorr(sf_dir: str) -> Dataset:
+    """Per-user lag-1 autocorrelation of value — the serial-dependence
+    descriptor (the temporal sibling of group_spearman's monotone-trend
+    gate). One entity exchange; the kernel pairs each row with its
+    run-interior predecessor and folds Pearson moments per run (rows with
+    a NULL on either side of the pair drop, SQL corr semantics). Oracle:
+    corr(value, lag(value)) per user."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame({"user_id": [], "ac1": []})
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        prev = np.full(n, np.nan)
+        prev[1:] = v[:-1]
+        interior = np.zeros(n, dtype=bool)
+        if n > 1:
+            interior[1:] = starts[1:] == starts[:-1]
+        ok = interior & ~np.isnan(v) & ~np.isnan(prev)
+        w = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy()[ok],
+                "n": np.ones(ok.sum(), dtype=np.int64),
+                "sx": v[ok], "sy": prev[ok],
+                "sxx": v[ok] * v[ok], "syy": prev[ok] * prev[ok],
+                "sxy": v[ok] * prev[ok],
+            }
+        )
+        m = w.groupby("user_id", sort=False).sum().reset_index()
+        cn = m["n"].to_numpy(dtype=np.float64)
+        cov = m["sxy"] - m["sx"] * m["sy"] / cn
+        vx = m["sxx"] - m["sx"] ** 2 / cn
+        vy = m["syy"] - m["sy"] ** 2 / cn
+        denom = np.sqrt(vx * vy)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.where(denom > 0, cov / denom, np.nan)
+        return pd.DataFrame({"user_id": m["user_id"], "ac1": r})
+
+    out = partitioned_apply(
+        ds, fn, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )
+    return _round(out, {"ac1": 6})

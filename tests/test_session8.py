@@ -281,3 +281,97 @@ def test_interval_gaps_are_strictly_positive_and_disjoint(tmp_path):
         assert (
             g["gap_end"].to_numpy()[:-1] <= g["gap_start"].to_numpy()[1:]
         ).all()
+
+
+def test_mann_whitney_histogram_ranks_match_naive(tmp_path):
+    from rp_extract_ray.pipelines.events import q_mann_whitney
+
+    rng = np.random.default_rng(17)
+    n = 800
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": np.zeros(n, dtype="datetime64[us]"),
+            "user_id": np.zeros(n, dtype=np.int64),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            # heavy ties on purpose: 1-decimal values
+            "value": np.round(rng.uniform(0, 20, n), 1),
+            "props": "",
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    out = q_mann_whitney(str(tmp_path)).set_index("event_type")
+    # naive tied average ranks over the full vector
+    v = pdf["value"].to_numpy()
+    order = np.argsort(v, kind="mergesort")
+    ranks = np.empty(n)
+    sv = v[order]
+    i = 0
+    r = np.arange(1, n + 1, dtype=np.float64)
+    while i < n:
+        j = i
+        while j < n and sv[j] == sv[i]:
+            j += 1
+        r[i:j] = (i + 1 + j) / 2.0
+        i = j
+    ranks[order] = r
+    for t in ["a", "b", "c"]:
+        m = pdf["event_type"].to_numpy() == t
+        np.testing.assert_allclose(
+            out.loc[t, "rank_sum"], ranks[m].sum(), atol=2e-6
+        )
+        np.testing.assert_allclose(
+            out.loc[t, "u"],
+            ranks[m].sum() - m.sum() * (m.sum() + 1) / 2.0,
+            atol=2e-6,
+        )
+
+
+def test_path_counts_partition_invariant(tmp_path):
+    from rp_extract_ray.pipelines.events import q_path_counts
+    import rp_extract_ray.pipelines.events as EV
+
+    rng = np.random.default_rng(23)
+    n = 600
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": rng.integers(0, 10**6, n)
+            .astype("datetime64[s]")
+            .astype("datetime64[us]"),
+            "user_id": rng.integers(0, 40, n).astype(np.int64),
+            "event_type": rng.choice(["x", "y", "z"], n),
+            "value": 1.0,
+            "props": "",
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    a = q_path_counts(str(tmp_path)).reset_index(drop=True)
+    old = EV.NP
+    try:
+        EV.NP = 3
+        b = q_path_counts(str(tmp_path)).reset_index(drop=True)
+    finally:
+        EV.NP = old
+    assert a.equals(b)
+    # counts sum to the number of users
+    assert a["n"].sum() <= pdf["user_id"].nunique()
+
+
+def test_autocorr_matches_numpy(tmp_path):
+    from rp_extract_ray.pipelines.events import q_autocorr
+
+    pdf = _events_frame(n=400, n_ent=5, seed=31)
+    pdf.assign(event_type="x", props="").to_parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = q_autocorr(str(tmp_path)).to_pandas().set_index("user_id")
+    for uid, g in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        v = g["value"].to_numpy()
+        x, y = v[1:], v[:-1]
+        ok = ~np.isnan(x) & ~np.isnan(y)
+        x, y = x[ok], y[ok]
+        if len(x) >= 2 and x.std() > 0 and y.std() > 0:
+            np.testing.assert_allclose(
+                got.loc[uid, "ac1"], np.corrcoef(x, y)[0, 1], atol=2e-6
+            )
