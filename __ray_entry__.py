@@ -162,6 +162,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_counts": E.q_path_counts,
         "mann_whitney": E.q_mann_whitney,
         "autocorr": E.q_autocorr,
+        "clustering_coeff": E.q_clustering_coeff,
+        "response_latency": E.q_response_latency,
+        "group_geomean": E.q_group_geomean,
+        "ks_statistic": E.q_ks_statistic,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1687,6 +1691,97 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn = 1 THEN role END) AS first_role,
                    min(CASE WHEN rn = nt THEN role END) AS last_role
             FROM o GROUP BY conv_id""",
+        # local clustering coefficient: triangles per member node (each
+        # 3-way-join triangle UNNESTed to a, b, c) over deg-choose-2
+        "clustering_coeff": """
+            WITH b AS (SELECT DISTINCT event_type,
+                              epoch_us(ts) // CAST(300000000 AS BIGINT)
+                                AS bk,
+                              user_id
+                       FROM events),
+                 e0 AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
+                        FROM b a JOIN b c USING (event_type, bk)
+                        WHERE a.user_id < c.user_id),
+                 e AS (SELECT u AS src, v AS dst FROM e0
+                       UNION ALL SELECT v, u FROM e0),
+                 deg AS (SELECT src AS node, count(*) AS d
+                         FROM e GROUP BY src),
+                 t AS (SELECT ab.u AS a, ab.v AS m, bc.v AS c
+                       FROM e0 ab JOIN e0 bc ON bc.u = ab.v
+                                  JOIN e0 ac ON ac.u = ab.u
+                                            AND ac.v = bc.v),
+                 tn AS (SELECT node, count(*) AS tri
+                        FROM (SELECT a AS node FROM t
+                              UNION ALL SELECT m FROM t
+                              UNION ALL SELECT c FROM t)
+                        GROUP BY node)
+            SELECT deg.node AS user_id, CAST(deg.d AS BIGINT) AS deg,
+                   CAST(coalesce(tn.tri, 0) AS BIGINT) AS triangles,
+                   round(CASE WHEN deg.d >= 2
+                              THEN 2.0 * coalesce(tn.tri, 0)
+                                   / (deg.d * (deg.d - 1.0))
+                              ELSE 0.0 END, 6) AS lcc
+            FROM deg LEFT JOIN tn ON tn.node = deg.node""",
+        # assistant response latency vs the most recent strictly-preceding
+        # user turn (row-frame carry-forward), per-conversation aggregates
+        "response_latency": """
+            WITH t AS (SELECT user_id AS conv_id, event_id AS turn_idx, ts,
+                              CASE WHEN event_type IN ('click', 'view')
+                                     THEN 'user'
+                                   WHEN event_type IN ('purchase', 'signup')
+                                     THEN 'assistant'
+                                   ELSE 'tool' END AS role
+                       FROM events),
+                 o AS (SELECT conv_id, role, ts,
+                              max(CASE WHEN role = 'user' THEN ts END)
+                                OVER (PARTITION BY conv_id
+                                      ORDER BY ts, turn_idx
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING) AS lu
+                       FROM t),
+                 a AS (SELECT conv_id, epoch_us(ts) - epoch_us(lu) AS lat
+                       FROM o WHERE role = 'assistant' AND lu IS NOT NULL)
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_responses,
+                   round(CAST(sum(lat) AS DOUBLE) / count(*) / 1000000.0,
+                         6) AS mean_latency_s,
+                   round(CAST(max(lat) AS DOUBLE) / 1000000.0, 6)
+                     AS max_latency_s
+            FROM a GROUP BY conv_id""",
+        # geometric mean per type: exp of the log-domain average
+        "group_geomean": """
+            SELECT event_type,
+                   CAST(count(value) AS BIGINT) AS n,
+                   round(exp(avg(ln(value))), 6) AS geomean
+            FROM events WHERE value IS NOT NULL AND value > 0
+            GROUP BY event_type""",
+        # two-sample KS per type vs rest: densified (value x type) grid,
+        # RANGE cumulative windows, identical ratio expression
+        "ks_statistic": """
+            WITH c AS (SELECT value, event_type,
+                              CAST(count(*) AS DOUBLE) AS cnt
+                       FROM events WHERE value IS NOT NULL
+                       GROUP BY value, event_type),
+                 grid AS (SELECT v.value, ty.event_type,
+                                 coalesce(c.cnt, 0) AS cnt
+                          FROM (SELECT DISTINCT value FROM c) v
+                          CROSS JOIN (SELECT DISTINCT event_type FROM c) ty
+                          LEFT JOIN c ON c.value = v.value
+                                     AND c.event_type = ty.event_type),
+                 cum AS (SELECT value, event_type,
+                                sum(cnt) OVER (PARTITION BY event_type
+                                               ORDER BY value) AS cg,
+                                sum(cnt) OVER (ORDER BY value
+                                    RANGE BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS call
+                         FROM grid),
+                 tot AS (SELECT event_type, sum(cnt) AS ng
+                         FROM grid GROUP BY event_type),
+                 tt AS (SELECT sum(cnt) AS na FROM grid)
+            SELECT cum.event_type,
+                   round(max(abs(cg / ng - (call - cg) / (na - ng))), 6)
+                     AS ks
+            FROM cum JOIN tot USING (event_type), tt
+            GROUP BY cum.event_type""",
         # first-5-event-type path per user, counted, top 20 under the
         # deterministic (n DESC, path) tie order both sides use
         "path_counts": """

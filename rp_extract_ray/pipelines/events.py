@@ -2093,3 +2093,169 @@ def q_autocorr(sf_dir: str) -> Dataset:
         ds, fn, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
     )
     return _round(out, {"ac1": 6})
+
+
+def q_clustering_coeff(sf_dir: str) -> Dataset:
+    """Local clustering coefficient per user on the co-visitation graph
+    (stages/graph.clustering_coefficient): 2*tri/(deg*(deg-1)), degree-1
+    nodes 0.0 — the community-density feature over the same edges the
+    pagerank/triangle gates use. Oracle: 3-way-join triangles UNNESTed to
+    member nodes + degree table."""
+    from rp_extract_ray.stages.graph import clustering_coefficient
+
+    out = clustering_coefficient(
+        _covisit_edges(sf_dir), round_to=6, num_partitions=NP
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b.column("node"),
+                "deg": b.column("deg"),
+                "triangles": b.column("triangles"),
+                "lcc": b.column("lcc"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_response_latency(sf_dir: str) -> Dataset:
+    """Per-conversation assistant response latency on the north-rule
+    transcript mapping (same role mapping as role_report): for every
+    assistant turn, seconds since the most recent STRICTLY PRECEDING user
+    turn (row-based, carried forward within the conversation), aggregated
+    per conversation to (n_responses, mean, max). The carry-forward is a
+    per-run cummax-then-shift — one entity exchange, no join. Oracle:
+    MAX(CASE role='user' ...) OVER (ROWS ... 1 PRECEDING)."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        cols = ["conv_id", "n_responses", "mean_latency_s", "max_latency_s"]
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        et = pdf["event_type"].to_numpy()
+        role_user = (et == "click") | (et == "view")
+        role_asst = (et == "purchase") | (et == "signup")
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        u = np.where(role_user, t, np.iinfo(np.int64).min)
+        run = starts
+        s = pd.Series(u)
+        cm = s.groupby(run, sort=False).cummax()
+        last_user = cm.groupby(run, sort=False).shift(1).to_numpy()
+        ok = role_asst & ~np.isnan(last_user) & (
+            np.nan_to_num(last_user, nan=np.iinfo(np.int64).min)
+            > np.iinfo(np.int64).min
+        )
+        # exact integer-microsecond fold (the target_encode fixed-point
+        # rule): float-per-element sums sit on 6-dp rounding boundaries
+        lat_us = t[ok] - last_user[ok].astype(np.int64)
+        w = pd.DataFrame(
+            {
+                "conv_id": pdf["user_id"].to_numpy()[ok],
+                "n_responses": np.ones(int(ok.sum()), dtype=np.int64),
+                "_s": lat_us,
+                "_mx": lat_us,
+            }
+        )
+        g = w.groupby("conv_id", sort=False).agg(
+            n_responses=("n_responses", "sum"),
+            _s=("_s", "sum"), _mx=("_mx", "max"),
+        ).reset_index()
+        from rp_extract_ray.functions.rounding import round_half_away
+
+        g["mean_latency_s"] = round_half_away(
+            g["_s"].to_numpy(dtype=np.float64)
+            / g["n_responses"].to_numpy() / 1e6, 6
+        )
+        g["max_latency_s"] = round_half_away(
+            g["_mx"].to_numpy(dtype=np.float64) / 1e6, 6
+        )
+        return g[cols]
+
+    return partitioned_apply(
+        ds, fn, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )
+
+
+def q_group_geomean(sf_dir: str) -> pd.DataFrame:
+    """Geometric mean of value per event type: exp(mean(ln v)) — the
+    multiplicative-scale average (log-domain moments make it a plain
+    associative sum, so it is one bounded (type, n, sum_ln) partial
+    reduce, zero shuffle). Oracle: exp(avg(ln(value)))."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"event_type": [], "_n": [], "_sl": []})
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v) & (v > 0)
+        w = pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].to_numpy(),
+                "_n": ok.astype(np.int64),
+                "_sl": np.where(ok, np.log(np.where(ok, v, 1.0)), 0.0),
+            }
+        )
+        return w.groupby("event_type", sort=False).sum().reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("event_type", sort=False).sum().reset_index()
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    return pd.DataFrame(
+        {
+            "event_type": g["event_type"],
+            "n": g["_n"].astype(np.int64),
+            "geomean": round_half_away(
+                np.exp(g["_sl"].to_numpy() / g["_n"].to_numpy()), 6
+            ),
+        }
+    )
+
+
+def q_ks_statistic(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per event type vs the REST
+    of the corpus — like mann_whitney, a rank statistic recovered WITHOUT
+    a global sort from the distinct (value, type) count exchange: the
+    driver's cumulative pass over the bounded value vocabulary evaluates
+    KS = max_v |F_t(v) - F_rest(v)| with pure-integer cumulative counts
+    (both sides evaluate the identical ratio expression). Oracle:
+    densified grid + RANGE cumulative windows."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def drop_null(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.is_valid(b.column("value")))
+
+    counts = grouped_reduce(
+        ds.map_batches(drop_null, batch_format="pyarrow"),
+        ["value", "event_type"],
+        {"c": ("value", "count")},
+        num_partitions=NP,
+    ).to_pandas()
+    piv = (
+        counts.pivot_table(
+            index="value", columns="event_type", values="c",
+            aggfunc="sum", fill_value=0,
+        )
+        .sort_index()
+    )
+    cum = piv.cumsum(axis=0).to_numpy(dtype=np.float64)
+    ng = piv.sum(axis=0).to_numpy(dtype=np.float64)
+    na = ng.sum()
+    call = cum.sum(axis=1, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        d = np.abs(cum / ng[None, :] - (call - cum) / (na - ng)[None, :])
+    ks = d.max(axis=0)
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    return pd.DataFrame(
+        {
+            "event_type": piv.columns.to_numpy(),
+            "ks": round_half_away(ks, 6),
+        }
+    )

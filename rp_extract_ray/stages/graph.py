@@ -306,3 +306,149 @@ def triangle_count(
 
     parts = closed.map_batches(cnt, batch_format="pyarrow").to_pandas()
     return int(parts["n"].sum()) if len(parts) else 0
+
+
+def per_node_triangles(
+    edges: Dataset,
+    *,
+    u_col: str = "u",
+    v_col: str = "v",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Per-node triangle participation counts: the :func:`triangle_count`
+    wedge-and-close pipeline, but each surviving wedge keeps its center so
+    the closed triangle (a, b, c) explodes into its three member nodes and
+    ONE keyed count exchange yields ``(node, tri)``. Nodes in no triangle
+    are absent (left-join + fill downstream)."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.join import repartition_join
+    from rp_extract_ray.stages.partition import partitioned_apply
+
+    def tag(b: pa.Table) -> pa.Table:
+        uu = b.column(u_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vv = b.column(v_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(uu) and (uu.min() < 0 or vv.max() >= 2**31):
+            raise ValueError(
+                "per_node_triangles requires node ids in [0, 2^31)"
+            )
+        return pa.table(
+            {
+                "_ctr": np.concatenate([vv, uu]),
+                "_other": np.concatenate([uu, vv]),
+                "_role": np.concatenate(
+                    [np.zeros(len(uu), np.int8), np.ones(len(uu), np.int8)]
+                ),
+            }
+        )
+
+    def wedges(pdf: pd.DataFrame, starts) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "_k": pd.Series([], dtype=np.int64),
+                    "_b": pd.Series([], dtype=np.int64),
+                }
+            )
+        lo = pdf[pdf["_role"] == 0][["_ctr", "_other"]].rename(
+            columns={"_other": "_a"}
+        )
+        hi = pdf[pdf["_role"] == 1][["_ctr", "_other"]].rename(
+            columns={"_other": "_c"}
+        )
+        w = lo.merge(hi, on="_ctr")
+        k = (w["_a"].to_numpy() << np.int64(32)) | w["_c"].to_numpy()
+        return pd.DataFrame({"_k": k, "_b": w["_ctr"].to_numpy()})
+
+    cand = partitioned_apply(
+        edges.map_batches(tag, batch_format="pyarrow"), wedges,
+        entity_col="_ctr", order_cols=("_role", "_other"),
+        num_partitions=num_partitions or 32,
+    )
+
+    def ekey(b: pa.Table) -> pa.Table:
+        uu = b.column(u_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vv = b.column(v_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"_k": (uu << np.int64(32)) | vv})
+
+    closed = repartition_join(
+        cand, edges.map_batches(ekey, batch_format="pyarrow"),
+        on="_k", how="semi", num_partitions=num_partitions,
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        k = b.column("_k").to_numpy(zero_copy_only=False)
+        bb = b.column("_b").to_numpy(zero_copy_only=False)
+        a = k >> np.int64(32)
+        c = k & np.int64(0xFFFFFFFF)
+        return pa.table({"node": np.concatenate([a, bb, c])})
+
+    return grouped_reduce(
+        closed.map_batches(explode, batch_format="pyarrow"),
+        "node", {"tri": ("node", "count")},
+        num_partitions=num_partitions,
+    )
+
+
+def clustering_coefficient(
+    edges: Dataset,
+    *,
+    u_col: str = "u",
+    v_col: str = "v",
+    round_to: int | None = None,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Local clustering coefficient per node: ``2 * tri / (deg * (deg-1))``
+    (0.0 for degree-1 nodes — no possible wedge). Degree from one count
+    exchange over the symmetrized edges, triangles from
+    :func:`per_node_triangles`, stitched with one left-outer
+    ``repartition_join`` (absent -> 0 triangles). Output:
+    ``(node, deg, triangles, lcc)``."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.join import repartition_join
+
+    def sym(b: pa.Table) -> pa.Table:
+        uu = b.column(u_col).to_numpy(zero_copy_only=False)
+        vv = b.column(v_col).to_numpy(zero_copy_only=False)
+        return pa.table({"src": np.concatenate([uu, vv]),
+                         "dst": np.concatenate([vv, uu])})
+
+    deg = grouped_reduce(
+        edges.map_batches(sym, batch_format="pyarrow"),
+        "src", {"deg": ("dst", "count")}, num_partitions=num_partitions,
+    )
+    tri = per_node_triangles(
+        edges, u_col=u_col, v_col=v_col, num_partitions=num_partitions
+    )
+    joined = repartition_join(
+        deg, tri, on="src", right_on="node", how="left_outer",
+        num_partitions=num_partitions,
+        # explicit: a triangle-free graph yields a ZERO-BLOCK tri side
+        # whose schema() is None (the empty-Dataset contract)
+        right_cols=["node", "tri"],
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        d = b.column("deg").to_numpy(zero_copy_only=False).astype(np.float64)
+        if "tri" not in b.column_names:  # triangle-free graph: no right side
+            t = np.full(len(b), np.nan)
+        else:
+            t = b.column("tri").to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+        t = np.where(np.isnan(t), 0.0, t)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            lcc = np.where(d >= 2, 2.0 * t / (d * (d - 1.0)), 0.0)
+        if round_to is not None:
+            from rp_extract_ray.functions.rounding import round_half_away
+
+            lcc = round_half_away(lcc, round_to)
+        return pa.table(
+            {
+                "node": b.column("src"),
+                "deg": pa.array(d.astype(np.int64)),
+                "triangles": pa.array(t.astype(np.int64)),
+                "lcc": pa.array(lcc),
+            }
+        )
+
+    return joined.map_batches(fin, batch_format="pyarrow")

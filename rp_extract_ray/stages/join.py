@@ -538,6 +538,15 @@ def repartition_join(
         merged = lpdf.merge(rpdf, on=on, how=how_pd)
         if rnull_pdf is not None and len(rnull_pdf):
             merged = pd.concat([merged, rnull_pdf], ignore_index=True)
+        # a ZERO-BLOCK right side never enters the union, so its columns
+        # are absent from the unified schema entirely — emit the declared
+        # right columns as nulls so outer joins keep their schema contract
+        # (found via clustering_coefficient on a triangle-free graph)
+        for c in r_value_cols:
+            if c not in merged.columns:
+                merged[c] = pd.Series(
+                    pd.NA, index=merged.index, dtype="object"
+                )
         return strip_meta(pa.Table.from_pandas(merged, preserve_index=False))
 
     unioned = lt.union(rt)

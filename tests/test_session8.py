@@ -375,3 +375,81 @@ def test_autocorr_matches_numpy(tmp_path):
             np.testing.assert_allclose(
                 got.loc[uid, "ac1"], np.corrcoef(x, y)[0, 1], atol=2e-6
             )
+
+
+def test_clustering_coefficient_matches_brute_force():
+    from rp_extract_ray.stages.graph import clustering_coefficient
+
+    e = _rand_graph(n_nodes=20, n_edges=90, seed=41)
+    out = (
+        clustering_coefficient(rd.from_pandas(e).repartition(3),
+                               num_partitions=5)
+        .to_pandas()
+        .set_index("node")
+    )
+    es = set(zip(e.u, e.v))
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for v, nb in adj.items():
+        tri = sum(
+            1
+            for a in nb
+            for b in nb
+            if a < b and (min(a, b), max(a, b)) in es
+        )
+        d = len(nb)
+        lcc = 2.0 * tri / (d * (d - 1)) if d >= 2 else 0.0
+        assert out.loc[v, "deg"] == d
+        assert out.loc[v, "triangles"] == tri
+        np.testing.assert_allclose(out.loc[v, "lcc"], lcc, atol=1e-12)
+
+
+def test_repartition_join_left_outer_zero_block_right_keeps_schema():
+    """Regression: a ZERO-BLOCK right side never enters the union, so its
+    declared columns were silently dropped from the outer-join output
+    (clustering_coefficient on a triangle-free graph crashed on the
+    missing column)."""
+    from rp_extract_ray.stages.join import repartition_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3], "x": [1.0, 2.0, 3.0]}))
+    empty = rd.from_pandas(
+        pd.DataFrame(
+            {"k": pd.Series([], dtype=np.int64),
+             "y": pd.Series([], dtype=np.float64)}
+        )
+    ).filter(lambda r: False)
+    out = repartition_join(
+        left, empty, on="k", how="left_outer",
+        right_cols=["k", "y"], num_partitions=4,
+    ).to_pandas()
+    assert len(out) == 3
+    assert "y" in out.columns and out["y"].isna().all()
+
+
+def test_ks_statistic_matches_naive(tmp_path):
+    from rp_extract_ray.pipelines.events import q_ks_statistic
+
+    rng = np.random.default_rng(47)
+    n = 900
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": np.zeros(n, dtype="datetime64[us]"),
+            "user_id": np.zeros(n, dtype=np.int64),
+            "event_type": rng.choice(["a", "b"], n),
+            "value": np.round(rng.uniform(0, 10, n), 1),  # heavy ties
+            "props": "",
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    out = q_ks_statistic(str(tmp_path)).set_index("event_type")
+    vals = np.unique(pdf["value"])
+    for t in ["a", "b"]:
+        g = pdf[pdf.event_type == t]["value"].to_numpy()
+        r = pdf[pdf.event_type != t]["value"].to_numpy()
+        ks = max(
+            abs((g <= v).mean() - (r <= v).mean()) for v in vals
+        )
+        np.testing.assert_allclose(out.loc[t, "ks"], ks, atol=2e-6)
