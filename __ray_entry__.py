@@ -166,6 +166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "response_latency": E.q_response_latency,
         "group_geomean": E.q_group_geomean,
         "ks_statistic": E.q_ks_statistic,
+        "scd2_intervals": E.q_scd2_intervals,
+        "type_jaccard": E.q_type_jaccard,
+        "conversion_time": E.q_conversion_time,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1691,6 +1694,45 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn = 1 THEN role END) AS first_role,
                    min(CASE WHEN rn = nt THEN role END) AS last_role
             FROM o GROUP BY conv_id""",
+        # SCD2 validity intervals: lead(ts) per user, latest row open
+        "scd2_intervals": """
+            SELECT event_id, user_id, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to,
+                   value
+            FROM events""",
+        # Jaccard overlap between event types over their distinct user
+        # sets, from co-membership counts + per-type distinct users
+        "type_jaccard": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+                 co AS (SELECT a.event_type AS t1, b.event_type AS t2,
+                               CAST(count(*) AS BIGINT) AS n_both
+                        FROM d a JOIN d b ON a.user_id = b.user_id
+                                         AND a.event_type < b.event_type
+                        GROUP BY a.event_type, b.event_type),
+                 pt AS (SELECT event_type,
+                               CAST(count(*) AS DOUBLE) AS nu
+                        FROM d GROUP BY event_type)
+            SELECT co.t1, co.t2, co.n_both,
+                   round(co.n_both / (pa.nu + pb.nu - co.n_both), 6)
+                     AS jaccard
+            FROM co JOIN pt pa ON pa.event_type = co.t1
+                    JOIN pt pb ON pb.event_type = co.t2""",
+        # signup -> first strictly-later purchase per user; NULL when the
+        # user signed up but never converted
+        "conversion_time": """
+            WITH su AS (SELECT user_id, min(ts) AS signup_ts FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+                 pu AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+                        FROM events e JOIN su ON su.user_id = e.user_id
+                        WHERE e.event_type = 'purchase'
+                          AND e.ts > su.signup_ts
+                        GROUP BY e.user_id)
+            SELECT su.user_id, su.signup_ts, pu.purchase_ts,
+                   round((epoch_us(pu.purchase_ts)
+                          - epoch_us(su.signup_ts)) / 1000000.0, 6)
+                     AS conv_s
+            FROM su LEFT JOIN pu ON pu.user_id = su.user_id""",
         # local clustering coefficient: triangles per member node (each
         # 3-way-join triangle UNNESTed to a, b, c) over deg-choose-2
         "clustering_coeff": """

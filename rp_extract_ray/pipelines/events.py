@@ -2259,3 +2259,134 @@ def q_ks_statistic(sf_dir: str) -> pd.DataFrame:
             "ks": round_half_away(ks, 6),
         }
     )
+
+
+def q_scd2_intervals(sf_dir: str) -> Dataset:
+    """Slowly-changing-dimension type-2 history build: each user's value
+    changes become validity intervals [valid_from, valid_to) with the
+    latest row open (NULL valid_to) — the changelog-to-history shape (the
+    interval complement of cdc_merge's snapshot apply). Pure lead kernel
+    on the entity exchange. Oracle: lead(ts) window SQL."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            pdf["valid_to"] = np.array([], dtype="datetime64[us]")
+            return pdf.rename(columns={"ts": "valid_from"})
+        t = pdf["ts"].to_numpy().astype("datetime64[us]")
+        nxt = np.full(n, np.datetime64("NaT", "us"))
+        if n > 1:
+            same = starts[1:] == starts[:-1]
+            nxt[:-1][same] = t[1:][same]
+        out = pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy(),
+                "user_id": pdf["user_id"].to_numpy(),
+                "valid_from": t,
+                "valid_to": nxt,
+                "value": pdf["value"].to_numpy(),
+            }
+        )
+        return out
+
+    return partitioned_apply(
+        ds, fn, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )
+
+
+def q_type_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Jaccard similarity between event types over their USER SETS:
+    J(a,b) = |users(a) & users(b)| / |users(a) | users(b)| — the
+    segment-overlap matrix, assembled from the distinct co-membership
+    counts (stages/groupops.cooccurrence_pairs) plus per-type distinct
+    user counts; the |types|^2 driver fold is trivially bounded. Oracle:
+    distinct-pair self-join + per-type distinct counts."""
+    from rp_extract_ray.stages.groupops import cooccurrence_pairs, grouped_reduce
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    co = cooccurrence_pairs(
+        ds, ENTITY, "event_type", out_names=("t1", "t2"), num_partitions=NP
+    ).to_pandas()
+    # distinct (user, type) via one keyed count exchange, then per-type
+    # distinct-user counts (the bounded |types| table)
+    d1 = grouped_reduce(
+        ds, ["user_id", "event_type"], {"c": ("user_id", "count")},
+        num_partitions=NP,
+    )
+    per_type = (
+        grouped_reduce(
+            d1, "event_type", {"nu": ("user_id", "count")},
+            num_partitions=NP,
+        )
+        .to_pandas()
+        .set_index("event_type")["nu"]
+    )
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    inter = co["n"].to_numpy(dtype=np.float64)
+    na = co["t1"].map(per_type).to_numpy(dtype=np.float64)
+    nb = co["t2"].map(per_type).to_numpy(dtype=np.float64)
+    return pd.DataFrame(
+        {
+            "t1": co["t1"],
+            "t2": co["t2"],
+            "n_both": co["n"].astype(np.int64),
+            "jaccard": round_half_away(inter / (na + nb - inter), 6),
+        }
+    )
+
+
+def q_conversion_time(sf_dir: str) -> Dataset:
+    """Signup-to-first-purchase conversion latency per user: the
+    two-stage funnel timing — first signup ts, then the first purchase
+    STRICTLY AFTER it; users who signed up but never converted appear
+    with NULL conversion (the funnel-drop row). One entity exchange,
+    pure boundary kernel. Oracle: min-filter + correlated min."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        cols = ["user_id", "signup_ts", "purchase_ts", "conv_s"]
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        et = pdf["event_type"].to_numpy()
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = pdf["user_id"].to_numpy()
+        w = pd.DataFrame(
+            {
+                "user_id": uid,
+                "_su": np.where(et == "signup", t, np.iinfo(np.int64).max),
+            }
+        )
+        first_su = w.groupby("user_id", sort=False)["_su"].min()
+        su = first_su[first_su < np.iinfo(np.int64).max]
+        if len(su) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        su_arr = pd.Series(uid).map(su).to_numpy(dtype=np.float64)
+        is_p = (et == "purchase") & ~np.isnan(su_arr) & (t > su_arr)
+        w2 = pd.DataFrame(
+            {
+                "user_id": uid[is_p],
+                "_pu": t[is_p],
+            }
+        )
+        first_p = w2.groupby("user_id", sort=False)["_pu"].min()
+        out = pd.DataFrame({"user_id": su.index.to_numpy(),
+                            "_su": su.to_numpy()})
+        pu = out["user_id"].map(first_p).to_numpy(dtype=np.float64)
+        out["signup_ts"] = out["_su"].astype("datetime64[us]")
+        pts = np.full(len(out), np.datetime64("NaT", "us"))
+        got = ~np.isnan(pu)
+        pts[got] = pu[got].astype(np.int64).astype("datetime64[us]")
+        out["purchase_ts"] = pts
+        from rp_extract_ray.functions.rounding import round_half_away
+
+        out["conv_s"] = round_half_away(
+            (pu - out["_su"].to_numpy()) / 1e6, 6
+        )
+        return out[cols]
+
+    return partitioned_apply(
+        ds, fn, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )

@@ -453,3 +453,58 @@ def test_ks_statistic_matches_naive(tmp_path):
             abs((g <= v).mean() - (r <= v).mean()) for v in vals
         )
         np.testing.assert_allclose(out.loc[t, "ks"], ks, atol=2e-6)
+
+
+def test_scd2_intervals_tile_the_timeline(tmp_path):
+    from rp_extract_ray.pipelines.events import q_scd2_intervals
+
+    pdf = _events_frame(n=250, n_ent=5, seed=51, with_nulls=False)
+    pdf.assign(event_type="x", props="").to_parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = (
+        q_scd2_intervals(str(tmp_path))
+        .to_pandas()
+        .sort_values(["user_id", "valid_from", "event_id"],
+                     ignore_index=True)
+    )
+    assert len(out) == len(pdf)
+    for _, g in out.groupby("user_id"):
+        vf = g["valid_from"].to_numpy()
+        vt = g["valid_to"].to_numpy()
+        # exactly one open row per user, and it is the last one
+        assert pd.isna(vt[-1]) and (~pd.isna(vt[:-1])).all()
+        # each interval closes at the next row's start (gapless history)
+        assert (vt[:-1] == vf[1:]).all()
+
+
+def test_conversion_time_semantics(tmp_path):
+    from rp_extract_ray.pipelines.events import q_conversion_time
+
+    ts = np.array([0, 10, 20, 30, 40, 50], dtype="datetime64[s]").astype(
+        "datetime64[us]"
+    )
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "ts": ts,
+            # u0: purchase BEFORE signup only -> NULL conversion
+            # u1: signup then purchase (+30 s)
+            # u2: purchase only -> no row at all
+            "user_id": np.array([0, 0, 1, 1, 2, 2], dtype=np.int64),
+            "event_type": ["purchase", "signup", "signup", "purchase",
+                           "purchase", "view"],
+            "value": 1.0,
+            "props": "",
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    out = (
+        q_conversion_time(str(tmp_path))
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert set(out.index) == {0, 1}
+    assert pd.isna(out.loc[0, "purchase_ts"]) and pd.isna(out.loc[0, "conv_s"])
+    assert out.loc[1, "conv_s"] == 10.0
