@@ -1826,10 +1826,11 @@ def _covisit_edges(sf_dir: str) -> Dataset:
         )
 
     keyed = ds.map_batches(bucket, batch_format="pyarrow")
+    # pin the (small) edge list: every graph gate is multi-pass over it
     return covisit_edges(
         keyed, ["event_type", "_bk"], "user_id", out_names=("u", "v"),
         num_partitions=NP,
-    )
+    ).materialize()
 
 
 def q_pagerank(sf_dir: str) -> pd.DataFrame:

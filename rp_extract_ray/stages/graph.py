@@ -17,7 +17,38 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 from ray.data import Dataset
+
+_PR_MERGE_FAN = 64
+
+
+@ray.remote
+def _pr_prep(nodes: np.ndarray, *tbls: pa.Table):
+    """Pre-convert symmetric edge blocks to one (src_idx, dst_idx) pair.
+    Zero-row blocks arrive schema-less and would poison the concat."""
+    tbls = [t for t in tbls if t.num_rows]
+    if not tbls:
+        z = np.empty(0, dtype=np.int64)
+        return (z, z)
+    t = pa.concat_tables(tbls)
+    s = t.column("src").to_numpy(zero_copy_only=False)
+    d = t.column("dst").to_numpy(zero_copy_only=False)
+    return (
+        np.searchsorted(nodes, s).astype(np.int64),
+        np.searchsorted(nodes, d).astype(np.int64),
+    )
+
+
+@ray.remote
+def _pr_contrib(blk, share: np.ndarray) -> np.ndarray:
+    si, di = blk
+    return np.bincount(di, weights=share[si], minlength=len(share))
+
+
+@ray.remote
+def _pr_vec_merge(*vecs: np.ndarray) -> np.ndarray:
+    return np.sum(vecs, axis=0)
 
 
 def covisit_edges(
@@ -105,10 +136,7 @@ def pagerank(
     Returns the bounded path's pandas frame or the distributed Dataset:
     ``(node, rank)``.
     """
-    import ray
-
     from rp_extract_ray.stages.groupops import grouped_reduce
-    from rp_extract_ray.stages.partition import arrow_out
 
     def sym(b: pa.Table) -> pa.Table:
         uu = b.column(u_col).to_numpy(zero_copy_only=False)
@@ -120,7 +148,9 @@ def pagerank(
             }
         )
 
-    sedges = edges.map_batches(sym, batch_format="pyarrow")
+    # ONE full execution of the edge lineage; every later pass (degree,
+    # iterations, both scale paths) reads the pinned symmetric blocks
+    sedges = edges.map_batches(sym, batch_format="pyarrow").materialize()
     deg = grouped_reduce(
         sedges, "src", {"deg": ("dst", "count")},
         num_partitions=num_partitions,
@@ -131,37 +161,32 @@ def pagerank(
     base = (1.0 - damping) / n_nodes
 
     if n_nodes <= broadcast_nodes_limit:
-        # ---- bounded-node path: broadcast rank vector, edges never move
+        # ---- bounded-node path (the kmeans centroid-loop contract):
+        # edge blocks pre-convert ONCE to pinned (src_idx, dst_idx) index
+        # pairs; each iteration is plain Ray tasks folding per-block
+        # dense contribution vectors (np.bincount) through a fan-in tree
+        # merge — no Dataset machinery, no per-iteration exchange. The
+        # dense N-vector is rank-vector-sized, which the node budget
+        # already bounds.
         deg_pdf = deg.to_pandas().sort_values("src", ignore_index=True)
         nodes = deg_pdf["src"].to_numpy()
         degv = deg_pdf["deg"].to_numpy(dtype=np.float64)
         rank = np.full(n_nodes, 1.0 / n_nodes)
-        sedges = sedges.materialize()
+        nodes_ref = ray.put(nodes)
+        refs = sedges.to_arrow_refs()
+        blocks = [_pr_prep.remote(nodes_ref, *refs[i: i + 8])
+                  for i in range(0, len(refs), 8)]
         for _ in range(iterations):
             share_ref = ray.put(rank / degv)
-            nodes_ref = ray.put(nodes)
-
-            def contrib(b: pa.Table, _share=share_ref, _nodes=nodes_ref):
-                share = ray.get(_share)  # local object-store get per task
-                nds = ray.get(_nodes)
-                s = b.column("src").to_numpy(zero_copy_only=False)
-                t = b.column("dst").to_numpy(zero_copy_only=False)
-                w = share[np.searchsorted(nds, s)]
-                out = (
-                    pd.DataFrame({"node": t, "_s": w})
-                    .groupby("node", sort=True)
-                    .sum()
-                    .reset_index()
-                )
-                return arrow_out(out)
-
-            sums = grouped_reduce(
-                sedges.map_batches(contrib, batch_format="pyarrow"),
-                "node", {"_s": ("_s", "sum")},
-                num_partitions=num_partitions,
-            ).to_pandas().sort_values("node", ignore_index=True)
+            parts = [_pr_contrib.remote(b, share_ref) for b in blocks]
+            while len(parts) > _PR_MERGE_FAN:
+                parts = [
+                    _pr_vec_merge.remote(*parts[i: i + _PR_MERGE_FAN])
+                    for i in range(0, len(parts), _PR_MERGE_FAN)
+                ]
+            s = ray.get(_pr_vec_merge.remote(*parts))
             # every node has in-edges (symmetric graph) -> full vector
-            rank = base + damping * sums["_s"].to_numpy()
+            rank = base + damping * s
         if round_to is not None:
             from rp_extract_ray.functions.rounding import round_half_away
 
@@ -253,6 +278,10 @@ def triangle_count(
     from rp_extract_ray.stages.join import repartition_join
     from rp_extract_ray.stages.partition import partitioned_apply
 
+    # multi-pass algorithm (wedge side + closing side read the edges
+    # independently): pin the edge blocks once, kmeans-style
+    edges = edges.materialize()
+
     def tag(b: pa.Table) -> pa.Table:
         uu = b.column(u_col).to_numpy(zero_copy_only=False).astype(np.int64)
         vv = b.column(v_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -323,6 +352,9 @@ def per_node_triangles(
     from rp_extract_ray.stages.groupops import grouped_reduce
     from rp_extract_ray.stages.join import repartition_join
     from rp_extract_ray.stages.partition import partitioned_apply
+
+    # multi-pass: wedge side + closing side both read the edges
+    edges = edges.materialize()
 
     def tag(b: pa.Table) -> pa.Table:
         uu = b.column(u_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -405,6 +437,11 @@ def clustering_coefficient(
     ``(node, deg, triangles, lcc)``."""
     from rp_extract_ray.stages.groupops import grouped_reduce
     from rp_extract_ray.stages.join import repartition_join
+
+    # pin once: the degree pass and the triangle pipeline's two reads all
+    # hit the same edge blocks (materialize again inside
+    # per_node_triangles is then a no-op)
+    edges = edges.materialize()
 
     def sym(b: pa.Table) -> pa.Table:
         uu = b.column(u_col).to_numpy(zero_copy_only=False)
