@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_intervals": E.q_scd2_intervals,
         "type_jaccard": E.q_type_jaccard,
         "conversion_time": E.q_conversion_time,
+        "degree_histogram": E.q_degree_histogram,
+        "hashed_features": D.q_hashed_features,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1694,6 +1696,40 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn = 1 THEN role END) AS first_role,
                    min(CASE WHEN rn = nt THEN role END) AS last_role
             FROM o GROUP BY conv_id""",
+        # degree distribution of the co-visitation graph
+        "degree_histogram": """
+            WITH b AS (SELECT DISTINCT event_type,
+                              epoch_us(ts) // CAST(300000000 AS BIGINT)
+                                AS bk,
+                              user_id
+                       FROM events),
+                 e0 AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
+                        FROM b a JOIN b c USING (event_type, bk)
+                        WHERE a.user_id < c.user_id),
+                 e AS (SELECT u AS src FROM e0
+                       UNION ALL SELECT v FROM e0),
+                 deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                         FROM e GROUP BY src)
+            SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY deg""",
+        # hashing-trick features: the token_ids vocabulary folded mod 64,
+        # OOV (id 0) dropped, counted per (doc, bucket)
+        "hashed_features": r"""
+            WITH tok AS (
+              SELECT doc_id, ts[CAST(u.i AS INTEGER)] AS token
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[0-9a-z_]+') AS ts
+                    FROM documents),
+                   LATERAL unnest(range(1, len(ts) + 1)) AS u(i)),
+                 cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+                 vocab AS (SELECT token,
+                                  row_number() OVER (ORDER BY n DESC, token)
+                                    AS tid
+                           FROM cnt QUALIFY tid <= 1000)
+            SELECT t.doc_id, CAST(v.tid % 64 AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM tok t JOIN vocab v USING (token)
+            GROUP BY t.doc_id, v.tid % 64""",
         # SCD2 validity intervals: lead(ts) per user, latest row open
         "scd2_intervals": """
             SELECT event_id, user_id, ts AS valid_from,

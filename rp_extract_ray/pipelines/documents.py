@@ -922,3 +922,48 @@ def q_keyword_totals(sf_dir: str):
         _docs(sf_dir, ["text"]), "text",
         ["spark", "join", "window", "hash", "scan"],
     )
+
+
+def q_hashed_features(sf_dir: str) -> Dataset:
+    """Hashing-trick feature vectors: in-vocabulary token ids folded into
+    64 buckets (tid % 64), counted per (doc, bucket) — the fixed-width
+    bag-of-words encoder (OOV dropped; the id space is the deterministic
+    frequency vocabulary token_ids already gates, so the fold is
+    SQL-expressible). Composes encode_token_ids with one bounded
+    (doc, bucket) count exchange. Oracle: the token_ids CTE + modulo."""
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.textstage import encode_token_ids
+
+    ids = encode_token_ids(_docs(sf_dir, ["doc_id", "text"]), vocab_size=1000)
+
+    def fold(b: pa.Table) -> pa.Table:
+        tid = b.column("token_id")
+        keep = pc.greater(tid, 0)
+        b = b.filter(keep)
+        bucket = pc.cast(
+            pc.subtract(
+                b.column("token_id"),
+                pc.multiply(
+                    pc.divide(b.column("token_id"), 64), 64
+                ),
+            ),
+            pa.int64(),
+        )
+        return pa.table({"doc_id": b.column("doc_id"), "bucket": bucket})
+
+    folded = ids.map_batches(fold, batch_format="pyarrow")
+    out = grouped_reduce(
+        folded, ["doc_id", "bucket"], {"n": ("bucket", "count")},
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "bucket": b.column("bucket"),
+                "n": b.column("n").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

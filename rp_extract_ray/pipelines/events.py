@@ -2391,3 +2391,39 @@ def q_conversion_time(sf_dir: str) -> Dataset:
     return partitioned_apply(
         ds, fn, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
     )
+
+
+def q_degree_histogram(sf_dir: str) -> Dataset:
+    """Degree distribution of the co-visitation graph: node degree from
+    one count exchange over the symmetrized edges, then a second bounded
+    exchange counting nodes per degree value — the graph-shape sanity
+    gate (power-law eyeball at scale). Oracle: two GROUP BYs over the
+    symmetrized edge CTE."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    edges = _covisit_edges(sf_dir)
+
+    def sym(b: pa.Table) -> pa.Table:
+        uu = b.column("u").to_numpy(zero_copy_only=False)
+        vv = b.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"src": np.concatenate([uu, vv]),
+             "dst": np.concatenate([vv, uu])}
+        )
+
+    deg = grouped_reduce(
+        edges.map_batches(sym, batch_format="pyarrow"),
+        "src", {"deg": ("dst", "count")}, num_partitions=NP,
+    )
+    out = grouped_reduce(
+        deg, "deg", {"n_nodes": ("src", "count")}, num_partitions=NP
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "deg": b.column("deg").cast(pa.int64()),
+                "n_nodes": b.column("n_nodes").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
