@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_time": E.q_conversion_time,
         "degree_histogram": E.q_degree_histogram,
         "hashed_features": D.q_hashed_features,
+        "compression_ratio": D.q_compression_ratio,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -2617,6 +2618,7 @@ def oracle_sql() -> dict[str, str]:
         # (pipelines/oracle_literals.py; the golden-vector doctest strategy,
         # /root/reference/rp_extract.py:424-445)
         "fingerprint": _lit.fingerprint_sql(),
+        "compression_ratio": _lit.compression_sql(),
         # span-level dedup: 40-char window explode; a span is duplicated iff
         # it occurs in >=2 distinct docs (min != max doc id)
         "dup_spans": """

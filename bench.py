@@ -82,7 +82,7 @@ QUERY_NAMES = [
     "pct_change", "keyword_totals", "path_counts", "mann_whitney",
     "autocorr", "clustering_coeff", "response_latency", "group_geomean",
     "ks_statistic", "scd2_intervals", "type_jaccard", "conversion_time",
-    "degree_histogram", "hashed_features",
+    "degree_histogram", "hashed_features", "compression_ratio",
 ]
 
 

@@ -967,3 +967,16 @@ def q_hashed_features(sf_dir: str) -> Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def q_compression_ratio(sf_dir: str) -> Dataset:
+    """Per-document zlib compression ratio
+    (stages/textstage.compression_ratios) — the repetitiveness /
+    information-density curation signal. Oracle: literal-table
+    recompute (pipelines/oracle_literals.compression_sql — zlib has no
+    SQL equivalent; the golden-vector doctest strategy)."""
+    from rp_extract_ray.stages.textstage import compression_ratios
+
+    return compression_ratios(
+        _docs(sf_dir, ["doc_id", "text"]), "doc_id", "text"
+    )

@@ -517,3 +517,49 @@ def cms_user_counts_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
                CAST(cms.n_cms AS BIGINT) AS n_cms,
                CAST(coalesce(ex.n, 0) AS BIGINT) AS n_exact
         FROM cms LEFT JOIN ex USING (user_id)"""
+
+
+@lru_cache(maxsize=2)
+def _compression_rows(sf_dir: str) -> pd.DataFrame:
+    """Independent per-doc zlib recompute (plain loop, no engine imports;
+    zlib itself is the operator's contract, like np.fft for the FFT)."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        if text:
+            bs = text.encode("utf-8")
+            c = len(zlib.compress(bs, 6))
+            # half-AWAY rounding longhand (python round() is half-even;
+            # power-of-2 lengths make exact .5 boundaries at 6 dp real,
+            # e.g. 33/128) — the convention is part of the op's contract
+            import math
+
+            r6 = math.floor(c / len(bs) * 1e6 + 0.5) / 1e6
+            rows.append((doc_id, len(bs), c, r6))
+        else:
+            rows.append((doc_id, None, None, None))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "raw_len", "comp_len", "ratio"]
+    )
+
+
+def compression_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    df = _compression_rows(sf_dir)
+    vals = ",\n      ".join(
+        "("
+        + ", ".join(_sql_lit(v) for v in row)
+        + ")"
+        for row in df.itertuples(index=False)
+    )
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(raw_len AS BIGINT) AS raw_len,
+           CAST(comp_len AS BIGINT) AS comp_len,
+           CAST(ratio AS DOUBLE) AS ratio
+    FROM (VALUES {vals}) AS t(doc_id, raw_len, comp_len, ratio)"""

@@ -878,3 +878,61 @@ def keyword_totals(
     out["total"] = out["total"].astype(np.int64)
     out["n_docs"] = out["n_docs"].astype(np.int64)
     return out
+
+
+def compression_ratios(
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    level: int = 6,
+    round_to: int | None = 6,
+) -> Dataset:
+    """Per-document zlib compression ratio — the repetitiveness /
+    information-density quality signal (highly compressible text is
+    boilerplate or degenerate repetition; a standard training-data
+    filter). Zero shuffle: one stateless map pass; the per-doc C zlib
+    call is the work, the loop is just dispatch (same shape as the
+    per-doc regex miners). NULL text -> NULL outputs.
+
+    Output: ``(id, raw_len, comp_len, ratio)`` with ``ratio =
+    comp_len / raw_len`` over UTF-8 bytes (NULL for empty/NULL text).
+    """
+    import zlib
+
+    def fn(b: pa.Table) -> pa.Table:
+        txt = b.column(text_col)
+        if pa.types.is_null(txt.type):
+            txt = txt.cast(pa.string())
+        py = txt.to_pylist()
+        n = len(py)
+        raw = np.zeros(n, dtype=np.int64)
+        comp = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i, t in enumerate(py):
+            if t:
+                bs = t.encode("utf-8")
+                raw[i] = len(bs)
+                comp[i] = len(zlib.compress(bs, level))
+                ok[i] = True
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = np.where(ok, comp / np.maximum(raw, 1), np.nan)
+        if round_to is not None:
+            ratio = round_half_away(ratio, round_to)
+        valid = pa.array(ok)
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "raw_len": pc.if_else(
+                    valid, pa.array(raw), pa.scalar(None, pa.int64())
+                ),
+                "comp_len": pc.if_else(
+                    valid, pa.array(comp), pa.scalar(None, pa.int64())
+                ),
+                "ratio": pa.array(ratio),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )

@@ -508,3 +508,30 @@ def test_conversion_time_semantics(tmp_path):
     assert set(out.index) == {0, 1}
     assert pd.isna(out.loc[0, "purchase_ts"]) and pd.isna(out.loc[0, "conv_s"])
     assert out.loc[1, "conv_s"] == 10.0
+
+
+def test_compression_ratio_null_and_repetition_signal():
+    from rp_extract_ray.stages.textstage import compression_ratios
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["abc " * 200, None, "", "k9!q Zw@7 xV#2 mN$5 pL%8"],
+        }
+    )
+    out = (
+        compression_ratios(rd.from_pandas(pdf).repartition(2), "doc_id",
+                           "text")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # repetitive text compresses far better than high-entropy text
+    assert out.loc[0, "ratio"] < 0.1
+    assert out.loc[3, "ratio"] > 0.8
+    # NULL and empty text -> NULL outputs
+    for i in (1, 2):
+        assert pd.isna(out.loc[i, "ratio"]) and pd.isna(out.loc[i, "raw_len"])
+    import zlib
+
+    assert out.loc[0, "comp_len"] == len(zlib.compress(("abc " * 200).encode(), 6))
