@@ -248,75 +248,96 @@ def pagerank(
     return state.map_batches(fin, batch_format="pyarrow")
 
 
-def triangle_count(
+def _closed_triangles(
     edges: Dataset,
     *,
     u_col: str = "u",
     v_col: str = "v",
     num_partitions: int | None = None,
-) -> int:
-    """Count triangles in an undirected graph given as DISTINCT oriented
-    edges (u < v). Wedge-and-close, both steps keyed exchanges:
+    degree_orient_limit: int = 50_000_000,
+    deg: Dataset | None = None,
+) -> Dataset:
+    """Shared wedge-and-close core: returns the closed-triangle Dataset,
+    one row per triangle — ``(_k, _b)`` with ``_k`` the packed (lo_id,
+    hi_id) closing edge and ``_b`` the wedge center.
 
-    1. each edge ships to its potential wedge CENTER — (a,b) keyed by b
-       (low end of a wedge) and (b,c) keyed by b (high start) — so one
-       ``partitioned_apply`` co-locates every center's lower and upper
-       adjacency; the in-partition cross merge emits candidate closing
-       pairs (a, c) with a < b < c by construction. Each triangle has
-       exactly ONE valid center (its middle vertex), so multiplicity is
-       already correct.
-    2. candidates semi-join the edge list on the packed (a, c) key
-       (``repartition_join`` how='semi' — duplicates preserved: each
-       surviving wedge row IS one triangle), then a zero-shuffle partial
-       count.
-
-    The wedge fan-out is bounded by ``sum_b deg_lt(b) * deg_gt(b)`` —
-    the bucket-width guidance of :func:`covisit_edges` is the skew control.
-    Node ids must fit int32 (packed 64-bit closing key; raises otherwise —
-    a general deployment would widen the key to a string pair).
+    Orientation: every edge is assigned to its LOWER-RANK endpoint under
+    the total order rank(v) = (degree(v), v); wedges form only between a
+    center's two HIGHER-rank neighbors, so each triangle materializes
+    exactly once (at its min-rank vertex) and the wedge fan-out drops
+    from sum(deg_lo * deg_hi) to sum(higher-rank-deg choose 2) — the
+    classical O(m^1.5) bound, which is what keeps a power-law hub from
+    exploding the candidate set. The rank vector is node-table-sized and
+    broadcast (``ray.put``); above ``degree_orient_limit`` nodes the
+    orientation falls back to the id order (rank(v) = v) — same truth,
+    weaker bound — so the op never requires the driver to hold an
+    unbounded table. Ids must fit int32 (packed closing key).
     """
+    from rp_extract_ray.stages.groupops import grouped_reduce
     from rp_extract_ray.stages.join import repartition_join
     from rp_extract_ray.stages.partition import partitioned_apply
 
-    # multi-pass algorithm (wedge side + closing side read the edges
-    # independently): pin the edge blocks once, kmeans-style
+    # multi-pass (wedge side + closing side): pin the edge blocks once
     edges = edges.materialize()
+
+    refs = None
+    if degree_orient_limit:
+        if deg is None:
+            def sym(b: pa.Table) -> pa.Table:
+                uu = b.column(u_col).to_numpy(zero_copy_only=False)
+                vv = b.column(v_col).to_numpy(zero_copy_only=False)
+                return pa.table({"src": np.concatenate([uu, vv]),
+                                 "dst": np.concatenate([vv, uu])})
+
+            deg = grouped_reduce(
+                edges.map_batches(sym, batch_format="pyarrow"),
+                "src", {"deg": ("dst", "count")},
+                num_partitions=num_partitions,
+            )
+        deg = deg.materialize()  # count() + to_pandas() = ONE execution
+        n_nodes = deg.count()
+        if 0 < n_nodes <= degree_orient_limit:
+            dp = deg.to_pandas().sort_values("src", ignore_index=True)
+            nodes = dp["src"].to_numpy()
+            order = np.lexsort((nodes, dp["deg"].to_numpy()))
+            rank = np.empty(len(nodes), dtype=np.int64)
+            rank[order] = np.arange(len(nodes))
+            refs = (ray.put(nodes), ray.put(rank))
 
     def tag(b: pa.Table) -> pa.Table:
         uu = b.column(u_col).to_numpy(zero_copy_only=False).astype(np.int64)
         vv = b.column(v_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(uu) and (
-            uu.min() < 0 or vv.max() >= 2**31
-        ):
-            raise ValueError("triangle_count requires node ids in [0, 2^31)")
-        # role 0: edge (a, b) keyed by center b; role 1: (b, c) keyed by b
+        if len(uu) and (uu.min() < 0 or vv.max() >= 2**31):
+            raise ValueError("triangle ops require node ids in [0, 2^31)")
+        if refs is not None:
+            nodes = ray.get(refs[0])
+            rank = ray.get(refs[1])
+            ru = rank[np.searchsorted(nodes, uu)]
+            rv = rank[np.searchsorted(nodes, vv)]
+        else:
+            ru, rv = uu, vv
+        lo_is_u = ru < rv
         return pa.table(
             {
-                "_ctr": np.concatenate([vv, uu]),
-                "_other": np.concatenate([uu, vv]),
-                "_role": np.concatenate(
-                    [np.zeros(len(uu), np.int8), np.ones(len(uu), np.int8)]
-                ),
+                "_ctr": np.where(lo_is_u, uu, vv),
+                "_nb": np.where(lo_is_u, vv, uu),
             }
         )
 
-    tagged = edges.map_batches(tag, batch_format="pyarrow")
-
     def wedges(pdf: pd.DataFrame, starts) -> pd.DataFrame:
         if len(pdf) == 0:
-            return pd.DataFrame({"_k": pd.Series([], dtype=np.int64)})
-        lo = pdf[pdf["_role"] == 0][["_ctr", "_other"]].rename(
-            columns={"_other": "_a"}
-        )
-        hi = pdf[pdf["_role"] == 1][["_ctr", "_other"]].rename(
-            columns={"_other": "_c"}
-        )
-        w = lo.merge(hi, on="_ctr")
-        k = (w["_a"].to_numpy() << np.int64(32)) | w["_c"].to_numpy()
-        return pd.DataFrame({"_k": k})
+            return pd.DataFrame(
+                {"_k": pd.Series([], dtype=np.int64),
+                 "_b": pd.Series([], dtype=np.int64)}
+            )
+        w = pdf.merge(pdf, on="_ctr")
+        w = w[w["_nb_x"] < w["_nb_y"]]  # unordered pair once, packed by id
+        k = (w["_nb_x"].to_numpy() << np.int64(32)) | w["_nb_y"].to_numpy()
+        return pd.DataFrame({"_k": k, "_b": w["_ctr"].to_numpy()})
 
     cand = partitioned_apply(
-        tagged, wedges, entity_col="_ctr", order_cols=("_role", "_other"),
+        edges.map_batches(tag, batch_format="pyarrow"), wedges,
+        entity_col="_ctr", order_cols=("_nb",),
         num_partitions=num_partitions or 32,
     )
 
@@ -325,9 +346,28 @@ def triangle_count(
         vv = b.column(v_col).to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"_k": (uu << np.int64(32)) | vv})
 
-    closed = repartition_join(
+    return repartition_join(
         cand, edges.map_batches(ekey, batch_format="pyarrow"),
         on="_k", how="semi", num_partitions=num_partitions,
+    )
+
+
+def triangle_count(
+    edges: Dataset,
+    *,
+    u_col: str = "u",
+    v_col: str = "v",
+    num_partitions: int | None = None,
+    degree_orient_limit: int = 50_000_000,
+) -> int:
+    """Count triangles in an undirected graph given as DISTINCT oriented
+    edges (u < v): the :func:`_closed_triangles` wedge-and-close
+    (degree-ordered centers, packed-key semi-join — duplicates preserved,
+    each surviving wedge row IS one triangle) + a zero-shuffle partial
+    count."""
+    closed = _closed_triangles(
+        edges, u_col=u_col, v_col=v_col, num_partitions=num_partitions,
+        degree_orient_limit=degree_orient_limit,
     )
 
     def cnt(b: pa.Table) -> pa.Table:
@@ -343,68 +383,18 @@ def per_node_triangles(
     u_col: str = "u",
     v_col: str = "v",
     num_partitions: int | None = None,
+    degree_orient_limit: int = 50_000_000,
+    deg: Dataset | None = None,
 ) -> Dataset:
-    """Per-node triangle participation counts: the :func:`triangle_count`
-    wedge-and-close pipeline, but each surviving wedge keeps its center so
-    the closed triangle (a, b, c) explodes into its three member nodes and
-    ONE keyed count exchange yields ``(node, tri)``. Nodes in no triangle
-    are absent (left-join + fill downstream)."""
+    """Per-node triangle participation counts: each closed triangle
+    (a, b, c) from :func:`_closed_triangles` explodes into its three
+    member nodes and ONE keyed count exchange yields ``(node, tri)``.
+    Nodes in no triangle are absent (left-join + fill downstream)."""
     from rp_extract_ray.stages.groupops import grouped_reduce
-    from rp_extract_ray.stages.join import repartition_join
-    from rp_extract_ray.stages.partition import partitioned_apply
 
-    # multi-pass: wedge side + closing side both read the edges
-    edges = edges.materialize()
-
-    def tag(b: pa.Table) -> pa.Table:
-        uu = b.column(u_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        vv = b.column(v_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(uu) and (uu.min() < 0 or vv.max() >= 2**31):
-            raise ValueError(
-                "per_node_triangles requires node ids in [0, 2^31)"
-            )
-        return pa.table(
-            {
-                "_ctr": np.concatenate([vv, uu]),
-                "_other": np.concatenate([uu, vv]),
-                "_role": np.concatenate(
-                    [np.zeros(len(uu), np.int8), np.ones(len(uu), np.int8)]
-                ),
-            }
-        )
-
-    def wedges(pdf: pd.DataFrame, starts) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pd.DataFrame(
-                {
-                    "_k": pd.Series([], dtype=np.int64),
-                    "_b": pd.Series([], dtype=np.int64),
-                }
-            )
-        lo = pdf[pdf["_role"] == 0][["_ctr", "_other"]].rename(
-            columns={"_other": "_a"}
-        )
-        hi = pdf[pdf["_role"] == 1][["_ctr", "_other"]].rename(
-            columns={"_other": "_c"}
-        )
-        w = lo.merge(hi, on="_ctr")
-        k = (w["_a"].to_numpy() << np.int64(32)) | w["_c"].to_numpy()
-        return pd.DataFrame({"_k": k, "_b": w["_ctr"].to_numpy()})
-
-    cand = partitioned_apply(
-        edges.map_batches(tag, batch_format="pyarrow"), wedges,
-        entity_col="_ctr", order_cols=("_role", "_other"),
-        num_partitions=num_partitions or 32,
-    )
-
-    def ekey(b: pa.Table) -> pa.Table:
-        uu = b.column(u_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        vv = b.column(v_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"_k": (uu << np.int64(32)) | vv})
-
-    closed = repartition_join(
-        cand, edges.map_batches(ekey, batch_format="pyarrow"),
-        on="_k", how="semi", num_partitions=num_partitions,
+    closed = _closed_triangles(
+        edges, u_col=u_col, v_col=v_col, num_partitions=num_partitions,
+        degree_orient_limit=degree_orient_limit, deg=deg,
     )
 
     def explode(b: pa.Table) -> pa.Table:
@@ -449,12 +439,15 @@ def clustering_coefficient(
         return pa.table({"src": np.concatenate([uu, vv]),
                          "dst": np.concatenate([vv, uu])})
 
+    # deg is materialized ONCE and shared: it is both the output column
+    # and the rank source for the triangle core's degree orientation
     deg = grouped_reduce(
         edges.map_batches(sym, batch_format="pyarrow"),
         "src", {"deg": ("dst", "count")}, num_partitions=num_partitions,
-    )
+    ).materialize()
     tri = per_node_triangles(
-        edges, u_col=u_col, v_col=v_col, num_partitions=num_partitions
+        edges, u_col=u_col, v_col=v_col, num_partitions=num_partitions,
+        deg=deg,
     )
     joined = repartition_join(
         deg, tri, on="src", right_on="node", how="left_outer",
@@ -462,6 +455,10 @@ def clustering_coefficient(
         # explicit: a triangle-free graph yields a ZERO-BLOCK tri side
         # whose schema() is None (the empty-Dataset contract)
         right_cols=["node", "tri"],
+        # tri has at most one row per node: the materialized deg count is
+        # a metadata-only upper bound, so a bounded node table collapses
+        # this stitch to the zero-shuffle broadcast merge
+        size_hint=deg.count(), broadcast_limit=2_000_000,
     )
 
     def fin(b: pa.Table) -> pa.Table:

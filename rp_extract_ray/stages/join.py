@@ -431,6 +431,15 @@ def repartition_join(
         # multiplicity-preserving broadcast merge (broadcast_join dedups its
         # small side — right for dimension tables, wrong for a general join)
         small_pdf = right.to_pandas()
+        if right_on not in small_pdf.columns:
+            # zero-block right side loses its schema entirely; rebuild the
+            # declared empty frame so the merge keeps its column contract
+            # (same bug as the exchange path's absent-column fix)
+            rnames_b = (
+                list(right_cols) if right_cols is not None
+                else (right.schema().names if right.schema() else [right_on])
+            )
+            small_pdf = pd.DataFrame({c: pd.Series([]) for c in rnames_b})
         if right_on != on:
             small_pdf = small_pdf.rename(columns={right_on: on})
         small_pdf = small_pdf[small_pdf[on].notna()]  # SQL: nulls never match

@@ -535,3 +535,46 @@ def test_compression_ratio_null_and_repetition_signal():
     import zlib
 
     assert out.loc[0, "comp_len"] == len(zlib.compress(("abc " * 200).encode(), 6))
+
+
+def test_triangle_orientation_paths_agree():
+    """Degree-ordered wedge centers vs the id-order fallback must count
+    the same triangles (global and per-node)."""
+    from rp_extract_ray.stages.graph import per_node_triangles, triangle_count
+
+    e = _rand_graph(n_nodes=30, n_edges=200, seed=61)
+    ds = rd.from_pandas(e).repartition(4)
+    a = triangle_count(ds, num_partitions=6)
+    b = triangle_count(ds, num_partitions=6, degree_orient_limit=0)
+    assert a == b and a > 0
+    pa_ = (
+        per_node_triangles(ds, num_partitions=6)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    pb = (
+        per_node_triangles(ds, num_partitions=6, degree_orient_limit=0)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    assert pa_.equals(pb)
+
+
+def test_repartition_join_broadcast_collapse_zero_block_right():
+    """Regression: the size-hint broadcast collapse crashed (KeyError on
+    the join key) when the right side had ZERO blocks — to_pandas() of an
+    empty Dataset loses the schema."""
+    from rp_extract_ray.stages.join import repartition_join
+
+    deg = rd.from_pandas(pd.DataFrame({"src": [1, 2, 3], "deg": [2, 2, 2]}))
+    empty = rd.from_pandas(
+        pd.DataFrame(
+            {"node": pd.Series([], dtype=np.int64),
+             "tri": pd.Series([], dtype=np.int64)}
+        )
+    ).filter(lambda r: False)
+    out = repartition_join(
+        deg, empty, on="src", right_on="node", how="left_outer",
+        right_cols=["node", "tri"], size_hint=3, broadcast_limit=100,
+    ).to_pandas()
+    assert len(out) == 3 and "tri" in out.columns and out["tri"].isna().all()
