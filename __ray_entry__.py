@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram": E.q_degree_histogram,
         "hashed_features": D.q_hashed_features,
         "compression_ratio": D.q_compression_ratio,
+        "pagerank_weighted": E.q_pagerank_weighted,
+        "dq_violations": E.q_dq_violations,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1697,6 +1699,80 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn = 1 THEN role END) AS first_role,
                    min(CASE WHEN rn = nt THEN role END) AS last_role
             FROM o GROUP BY conv_id""",
+        # weight-proportional PageRank: edge weight = shared-cell count,
+        # W_s = total incident weight, contributions w/W-scaled
+        "pagerank_weighted": """
+            WITH b AS (SELECT DISTINCT event_type,
+                              epoch_us(ts) // CAST(300000000 AS BIGINT)
+                                AS bk,
+                              user_id
+                       FROM events),
+                 e0 AS (SELECT a.user_id AS u, c.user_id AS v,
+                               CAST(count(*) AS DOUBLE) AS w
+                        FROM b a JOIN b c USING (event_type, bk)
+                        WHERE a.user_id < c.user_id
+                        GROUP BY a.user_id, c.user_id),
+                 e AS (SELECT u AS src, v AS dst, w FROM e0
+                       UNION ALL SELECT v, u, w FROM e0),
+                 deg AS (SELECT src, sum(w) AS d FROM e GROUP BY src),
+                 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+                 r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r
+                        FROM deg),
+                 r1 AS (SELECT e.dst AS node,
+                               0.15 / (SELECT n FROM nn)
+                               + 0.85 * sum(p.r * e.w / deg.d) AS r
+                        FROM e JOIN r0 p ON p.node = e.src
+                               JOIN deg ON deg.src = e.src
+                        GROUP BY e.dst),
+                 r2 AS (SELECT e.dst AS node,
+                               0.15 / (SELECT n FROM nn)
+                               + 0.85 * sum(p.r * e.w / deg.d) AS r
+                        FROM e JOIN r1 p ON p.node = e.src
+                               JOIN deg ON deg.src = e.src
+                        GROUP BY e.dst),
+                 r3 AS (SELECT e.dst AS node,
+                               0.15 / (SELECT n FROM nn)
+                               + 0.85 * sum(p.r * e.w / deg.d) AS r
+                        FROM e JOIN r2 p ON p.node = e.src
+                               JOIN deg ON deg.src = e.src
+                        GROUP BY e.dst),
+                 r4 AS (SELECT e.dst AS node,
+                               0.15 / (SELECT n FROM nn)
+                               + 0.85 * sum(p.r * e.w / deg.d) AS r
+                        FROM e JOIN r3 p ON p.node = e.src
+                               JOIN deg ON deg.src = e.src
+                        GROUP BY e.dst),
+                 r5 AS (SELECT e.dst AS node,
+                               0.15 / (SELECT n FROM nn)
+                               + 0.85 * sum(p.r * e.w / deg.d) AS r
+                        FROM e JOIN r4 p ON p.node = e.src
+                               JOIN deg ON deg.src = e.src
+                        GROUP BY e.dst)
+            SELECT node AS user_id, round(r, 6) AS pr FROM r5""",
+        # data-quality expectation suite: per-rule violation counts
+        "dq_violations": """
+            SELECT 'value_null' AS rule,
+                   CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT)
+                     AS n FROM events
+            UNION ALL
+            SELECT 'value_range',
+                   CAST(count(*) FILTER (WHERE value < 0 OR value > 1000)
+                        AS BIGINT) FROM events
+            UNION ALL
+            SELECT 'type_domain',
+                   CAST(count(*) FILTER (WHERE event_type NOT IN
+                        ('click', 'error', 'purchase', 'signup', 'view')
+                        OR event_type IS NULL) AS BIGINT) FROM events
+            UNION ALL
+            SELECT 'ts_bounds',
+                   CAST(count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-01'
+                        OR ts >= TIMESTAMP '2031-01-01') AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'dup_event_id',
+                   CAST(coalesce(sum(c), 0) AS BIGINT)
+            FROM (SELECT count(*) AS c FROM events GROUP BY event_id
+                  HAVING count(*) > 1)""",
         # degree distribution of the co-visitation graph
         "degree_histogram": """
             WITH b AS (SELECT DISTINCT event_type,

@@ -83,6 +83,7 @@ QUERY_NAMES = [
     "autocorr", "clustering_coeff", "response_latency", "group_geomean",
     "ks_statistic", "scd2_intervals", "type_jaccard", "conversion_time",
     "degree_histogram", "hashed_features", "compression_ratio",
+    "pagerank_weighted", "dq_violations",
 ]
 
 

@@ -2427,3 +2427,124 @@ def q_degree_histogram(sf_dir: str) -> Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def q_pagerank_weighted(sf_dir: str) -> pd.DataFrame:
+    """Weight-proportional PageRank over the co-visitation graph: edge
+    weight = number of shared (event_type, bucket) cells, walk probability
+    proportional to weight (stages/graph.pagerank with weight_col) — the
+    strength-aware influence score. Oracle: the same unrolled iterations
+    with w/W ratios."""
+    from rp_extract_ray.stages.graph import covisit_edges, pagerank
+
+    ds = _events(sf_dir, ["ts", "user_id", "event_type"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "_bk": (t // np.int64(300_000_000)),
+                "user_id": b.column("user_id"),
+            }
+        )
+
+    edges = covisit_edges(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["event_type", "_bk"], "user_id", out_names=("u", "v"),
+        num_partitions=NP, keep_count=True,
+    ).materialize()
+    pr = pagerank(
+        edges, iterations=5, damping=0.85, round_to=6,
+        num_partitions=NP, weight_col="n",
+    )
+    return pd.DataFrame({"user_id": pr["node"], "pr": pr["rank"]})
+
+
+def q_dq_violations(sf_dir: str) -> pd.DataFrame:
+    """Data-quality expectation suite over events: per-rule violation
+    counts (null value, value out of range, unknown event type, timestamp
+    out of bounds, duplicate event id) — the ingest contract gate a
+    production pipeline runs before anything else. Four rules are
+    zero-shuffle vectorized predicates (one int per rule per block); the
+    uniqueness rule is one keyed count exchange. Oracle: per-rule SQL
+    counts UNION ALL."""
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    LO = np.datetime64("2024-01-01", "us")
+    HI = np.datetime64("2031-01-01", "us")
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("value")
+        ts = b.column("ts")
+        et = b.column("event_type")
+        n_null = v.null_count
+        rng = pc.sum(
+            pc.cast(
+                pc.or_kleene(pc.less(v, 0.0), pc.greater(v, 1000.0)),
+                pa.int64(),
+            )
+        ).as_py() or 0
+        dom = pc.sum(
+            pc.cast(
+                pc.fill_null(  # NULL type is a domain violation (oracle)
+                    pc.invert(pc.is_in(et, value_set=pa.array(TYPES))), True
+                ),
+                pa.int64(),
+            )
+        ).as_py() or 0
+        tsv = ts.cast(pa.int64())
+        tb = pc.sum(
+            pc.cast(
+                pc.or_kleene(
+                    pc.less(tsv, int(LO.astype(np.int64))),
+                    pc.greater_equal(tsv, int(HI.astype(np.int64))),
+                ),
+                pa.int64(),
+            )
+        ).as_py() or 0
+        return pa.table(
+            {
+                "rule": pa.array(
+                    ["value_null", "value_range", "type_domain", "ts_bounds"]
+                ),
+                "n": pa.array([n_null, rng, dom, tb], pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        .groupby("rule", sort=False).sum().reset_index()
+    )
+    # uniqueness: rows participating in duplicate event_ids
+    idc = grouped_reduce(
+        ds.select_columns(["event_id"]), "event_id",
+        {"c": ("event_id", "count")}, num_partitions=NP,
+    )
+
+    def dup_rows(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        c = b.column("c")
+        dups = pc2.sum(
+            pc2.if_else(pc2.greater(c, 1), c, pa.scalar(0, c.type))
+        ).as_py() or 0
+        return pa.table({"n": pa.array([dups], pa.int64())})
+
+    nd = int(
+        idc.map_batches(dup_rows, batch_format="pyarrow").to_pandas()["n"].sum()
+    )
+    out = pd.concat(
+        [parts, pd.DataFrame({"rule": ["dup_event_id"], "n": [nd]})],
+        ignore_index=True,
+    )
+    order = ["value_null", "value_range", "type_domain", "ts_bounds",
+             "dup_event_id"]
+    out["_o"] = out["rule"].map({r: i for i, r in enumerate(order)})
+    out = out.sort_values("_o", ignore_index=True).drop(columns="_o")
+    out["n"] = out["n"].astype(np.int64)
+    return out

@@ -25,25 +25,33 @@ _PR_MERGE_FAN = 64
 
 @ray.remote
 def _pr_prep(nodes: np.ndarray, *tbls: pa.Table):
-    """Pre-convert symmetric edge blocks to one (src_idx, dst_idx) pair.
-    Zero-row blocks arrive schema-less and would poison the concat."""
+    """Pre-convert symmetric edge blocks to one (src_idx, dst_idx[, w])
+    triple. Zero-row blocks arrive schema-less and would poison the
+    concat."""
     tbls = [t for t in tbls if t.num_rows]
     if not tbls:
         z = np.empty(0, dtype=np.int64)
-        return (z, z)
+        return (z, z, None)
     t = pa.concat_tables(tbls)
     s = t.column("src").to_numpy(zero_copy_only=False)
     d = t.column("dst").to_numpy(zero_copy_only=False)
+    w = (
+        t.column("_w").to_numpy(zero_copy_only=False).astype(np.float64)
+        if "_w" in t.column_names
+        else None
+    )
     return (
         np.searchsorted(nodes, s).astype(np.int64),
         np.searchsorted(nodes, d).astype(np.int64),
+        w,
     )
 
 
 @ray.remote
 def _pr_contrib(blk, share: np.ndarray) -> np.ndarray:
-    si, di = blk
-    return np.bincount(di, weights=share[si], minlength=len(share))
+    si, di, w = blk
+    c = share[si] if w is None else share[si] * w
+    return np.bincount(di, weights=c, minlength=len(share))
 
 
 @ray.remote
@@ -58,12 +66,14 @@ def covisit_edges(
     *,
     out_names: "tuple[str, str]" = ("u", "v"),
     num_partitions: int | None = None,
+    keep_count: bool = False,
 ) -> Dataset:
     """Distinct undirected co-visitation edges: one edge (u < v) per pair
     of items that ever share a group (e.g. users active in the same
     (event_type, time-bucket) cell). A thin orientation of
     :func:`rp_extract_ray.stages.groupops.cooccurrence_pairs` — the pair
-    COUNT is dropped, the distinct pair list is the graph.
+    COUNT is dropped unless ``keep_count`` (then it rides along as ``n``,
+    the natural edge weight).
 
     Skew note: the in-partition pair fan-out is bounded by
     ``sum(items_per_group^2)`` — pick the group granularity (bucket width)
@@ -96,7 +106,8 @@ def covisit_edges(
         keyed, key, item_col, out_names=out_names,
         num_partitions=num_partitions,
     )
-    return pairs.select_columns(list(out_names))
+    cols = list(out_names) + (["n"] if keep_count else [])
+    return pairs.select_columns(cols)
 
 
 def pagerank(
@@ -109,11 +120,16 @@ def pagerank(
     round_to: int | None = None,
     num_partitions: int | None = None,
     broadcast_nodes_limit: int = 2_000_000,
+    weight_col: str | None = None,
 ) -> pd.DataFrame | Dataset:
     """PageRank over an UNDIRECTED distinct edge list (each edge walks both
     ways), fixed ``iterations`` of the power method:
 
-        r' = (1 - d) / N  +  d * sum_{(s -> t)} r_s / deg_s
+        r' = (1 - d) / N  +  d * sum_{(s -> t)} w_st * r_s / W_s
+
+    With ``weight_col`` the walk is weight-proportional (``W_s`` = the
+    node's total incident weight); without it every weight is 1 and the
+    update reduces to the classic ``r_s / deg_s``.
 
     Dangling nodes cannot arise (symmetrization gives every node an
     out-edge), so the update is exactly the SQL-expressible join-aggregate
@@ -141,18 +157,25 @@ def pagerank(
     def sym(b: pa.Table) -> pa.Table:
         uu = b.column(u_col).to_numpy(zero_copy_only=False)
         vv = b.column(v_col).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "src": np.concatenate([uu, vv]),
-                "dst": np.concatenate([vv, uu]),
-            }
-        )
+        cols = {
+            "src": np.concatenate([uu, vv]),
+            "dst": np.concatenate([vv, uu]),
+        }
+        if weight_col is not None:
+            w = b.column(weight_col).to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            cols["_w"] = np.concatenate([w, w])
+        return pa.table(cols)
 
     # ONE full execution of the edge lineage; every later pass (degree,
     # iterations, both scale paths) reads the pinned symmetric blocks
     sedges = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    # "deg" is the walk normalizer: out-degree unweighted, total incident
+    # weight W_s when weighted
     deg = grouped_reduce(
-        sedges, "src", {"deg": ("dst", "count")},
+        sedges, "src",
+        {"deg": ("dst", "count") if weight_col is None else ("_w", "sum")},
         num_partitions=num_partitions,
     )
     n_nodes = deg.count()
@@ -212,6 +235,8 @@ def pagerank(
                 b.column("rank").to_numpy(zero_copy_only=False)
                 / b.column("deg").to_numpy(zero_copy_only=False)
             )
+            if "_w" in b.column_names:
+                w = w * b.column("_w").to_numpy(zero_copy_only=False)
             return pa.table({"node": b.column("dst"), "_s": pa.array(w)})
 
         sums = grouped_reduce(

@@ -578,3 +578,53 @@ def test_repartition_join_broadcast_collapse_zero_block_right():
         right_cols=["node", "tri"], size_hint=3, broadcast_limit=100,
     ).to_pandas()
     assert len(out) == 3 and "tri" in out.columns and out["tri"].isna().all()
+
+
+def test_pagerank_weighted_reduces_to_unweighted_on_unit_weights():
+    from rp_extract_ray.stages.graph import pagerank
+
+    e = _rand_graph(seed=71)
+    e["n"] = np.int64(1)
+    ds = rd.from_pandas(e).repartition(3)
+    a = pagerank(ds, iterations=4).sort_values("node", ignore_index=True)
+    b = pagerank(ds, iterations=4, weight_col="n").sort_values(
+        "node", ignore_index=True
+    )
+    np.testing.assert_allclose(
+        a["rank"].to_numpy(), b["rank"].to_numpy(), rtol=1e-12
+    )
+    # non-unit weights genuinely change the answer
+    e2 = e.copy()
+    e2["n"] = np.arange(1, len(e2) + 1, dtype=np.int64)
+    c = pagerank(
+        rd.from_pandas(e2).repartition(3), iterations=4, weight_col="n"
+    ).sort_values("node", ignore_index=True)
+    assert not np.allclose(a["rank"].to_numpy(), c["rank"].to_numpy())
+    np.testing.assert_allclose(c["rank"].sum(), 1.0, atol=1e-9)
+
+
+def test_dq_violations_detects_each_rule(tmp_path):
+    from rp_extract_ray.pipelines.events import q_dq_violations
+
+    pdf = pd.DataFrame(
+        {
+            # ids 0,1,2,2 -> 2 duplicate-participating rows
+            "event_id": np.array([0, 1, 2, 2, 3, 4], dtype=np.int64),
+            "ts": np.array(
+                ["2024-02-01", "2020-01-01", "2024-02-01", "2024-02-01",
+                 "2031-06-01", "2024-02-01"],
+                dtype="datetime64[us]",
+            ),
+            "user_id": np.zeros(6, dtype=np.int64),
+            "event_type": ["click", "bogus", "view", "view", "click", None],
+            "value": [1.0, -5.0, 2000.0, 3.0, np.nan, 4.0],
+            "props": "",
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    out = q_dq_violations(str(tmp_path)).set_index("rule")["n"]
+    assert out["value_null"] == 1
+    assert out["value_range"] == 2      # -5 and 2000
+    assert out["type_domain"] == 2      # bogus + NULL
+    assert out["ts_bounds"] == 2        # 2020 and 2031
+    assert out["dup_event_id"] == 2     # both rows with id 2
