@@ -76,7 +76,7 @@ QUERY_NAMES = [
     "cdc_merge", "chi_square", "mutual_information", "group_spearman",
     "cusum",
     "rolling_distinct",
-    # round-5 session-8 additions (117 -> 137 names)
+    # round-5 session-8 additions (117 -> 142 names)
     "ohlc_bars", "group_entropy", "welch_t", "role_report",
     "rolling_zscore", "pagerank", "triangle_count", "interval_gaps",
     "pct_change", "keyword_totals", "path_counts", "mann_whitney",

@@ -1805,12 +1805,13 @@ def q_rolling_zscore(sf_dir: str) -> Dataset:
     )
 
 
-def _covisit_edges(sf_dir: str) -> Dataset:
+def _covisit_edges(sf_dir: str, keep_count: bool = False) -> Dataset:
     """Shared co-visitation graph for the graph gates: distinct user pairs
     active in the same (event_type, 300 s bucket) cell
     (stages/graph.covisit_edges). 300 s keeps hot cells small (the
     bucket-width skew rule) while leaving a connected graph at every
-    testdata scale."""
+    testdata scale. ``keep_count`` keeps the shared-cell count ``n``
+    (the weighted gates' edge weight)."""
     from rp_extract_ray.stages.graph import covisit_edges
 
     ds = _events(sf_dir, ["ts", "user_id", "event_type"])
@@ -1829,8 +1830,22 @@ def _covisit_edges(sf_dir: str) -> Dataset:
     # pin the (small) edge list: every graph gate is multi-pass over it
     return covisit_edges(
         keyed, ["event_type", "_bk"], "user_id", out_names=("u", "v"),
-        num_partitions=NP,
+        num_partitions=NP, keep_count=keep_count,
     ).materialize()
+
+
+def _pr_named(pr):
+    """(node, rank) -> (user_id, pr) on either pagerank return type: the
+    bounded-path DataFrame, or the >2M-node path's distributed Dataset
+    (which must NOT be pulled to the driver)."""
+    if isinstance(pr, pd.DataFrame):
+        return pd.DataFrame({"user_id": pr["node"], "pr": pr["rank"]})
+    return pr.map_batches(
+        lambda b: pa.table(
+            {"user_id": b.column("node"), "pr": b.column("rank")}
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
@@ -1845,7 +1860,7 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
         _covisit_edges(sf_dir), iterations=5, damping=0.85, round_to=6,
         num_partitions=NP,
     )
-    return pd.DataFrame({"user_id": pr["node"], "pr": pr["rank"]})
+    return _pr_named(pr)
 
 
 def q_triangle_count(sf_dir: str) -> pd.DataFrame:
@@ -2088,7 +2103,15 @@ def q_autocorr(sf_dir: str) -> Dataset:
         denom = np.sqrt(vx * vy)
         with np.errstate(invalid="ignore", divide="ignore"):
             r = np.where(denom > 0, cov / denom, np.nan)
-        return pd.DataFrame({"user_id": m["user_id"], "ac1": r})
+        # EVERY user in the frame gets a row — a user with zero valid
+        # (value, lag) pairs emits NULL ac1, exactly like SQL corr() over
+        # an all-dropped group (oracle row-count parity)
+        users = pd.Series(pdf["user_id"].to_numpy()[starts == np.arange(n)])
+        out = pd.DataFrame({"user_id": users})
+        out["ac1"] = out["user_id"].map(
+            pd.Series(r, index=m["user_id"])
+        ).to_numpy()
+        return out
 
     out = partitioned_apply(
         ds, fn, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
@@ -2202,6 +2225,9 @@ def q_group_geomean(sf_dir: str) -> pd.DataFrame:
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     g = parts.groupby("event_type", sort=False).sum().reset_index()
+    # a type with NO positive values has no SQL group at all (the WHERE
+    # clause removed every row) — drop it rather than emit (n=0, NaN)
+    g = g[g["_n"] > 0].reset_index(drop=True)
     from rp_extract_ray.functions.rounding import round_half_away
 
     return pd.DataFrame(
@@ -2435,30 +2461,13 @@ def q_pagerank_weighted(sf_dir: str) -> pd.DataFrame:
     proportional to weight (stages/graph.pagerank with weight_col) — the
     strength-aware influence score. Oracle: the same unrolled iterations
     with w/W ratios."""
-    from rp_extract_ray.stages.graph import covisit_edges, pagerank
+    from rp_extract_ray.stages.graph import pagerank
 
-    ds = _events(sf_dir, ["ts", "user_id", "event_type"])
-
-    def bucket(b: pa.Table) -> pa.Table:
-        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "event_type": b.column("event_type"),
-                "_bk": (t // np.int64(300_000_000)),
-                "user_id": b.column("user_id"),
-            }
-        )
-
-    edges = covisit_edges(
-        ds.map_batches(bucket, batch_format="pyarrow"),
-        ["event_type", "_bk"], "user_id", out_names=("u", "v"),
-        num_partitions=NP, keep_count=True,
-    ).materialize()
     pr = pagerank(
-        edges, iterations=5, damping=0.85, round_to=6,
-        num_partitions=NP, weight_col="n",
+        _covisit_edges(sf_dir, keep_count=True), iterations=5,
+        damping=0.85, round_to=6, num_partitions=NP, weight_col="n",
     )
-    return pd.DataFrame({"user_id": pr["node"], "pr": pr["rank"]})
+    return _pr_named(pr)
 
 
 def q_dq_violations(sf_dir: str) -> pd.DataFrame:

@@ -59,6 +59,31 @@ def _pr_vec_merge(*vecs: np.ndarray) -> np.ndarray:
     return np.sum(vecs, axis=0)
 
 
+def _symmetrize(
+    edges: Dataset,
+    u_col: str = "u",
+    v_col: str = "v",
+    weight_col: str | None = None,
+) -> Dataset:
+    """Undirected edge list -> both directed arcs (src, dst[, _w])."""
+
+    def sym(b: pa.Table) -> pa.Table:
+        uu = b.column(u_col).to_numpy(zero_copy_only=False)
+        vv = b.column(v_col).to_numpy(zero_copy_only=False)
+        cols = {
+            "src": np.concatenate([uu, vv]),
+            "dst": np.concatenate([vv, uu]),
+        }
+        if weight_col is not None:
+            w = b.column(weight_col).to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            cols["_w"] = np.concatenate([w, w])
+        return pa.table(cols)
+
+    return edges.map_batches(sym, batch_format="pyarrow")
+
+
 def covisit_edges(
     ds: Dataset,
     group_cols,
@@ -154,30 +179,17 @@ def pagerank(
     """
     from rp_extract_ray.stages.groupops import grouped_reduce
 
-    def sym(b: pa.Table) -> pa.Table:
-        uu = b.column(u_col).to_numpy(zero_copy_only=False)
-        vv = b.column(v_col).to_numpy(zero_copy_only=False)
-        cols = {
-            "src": np.concatenate([uu, vv]),
-            "dst": np.concatenate([vv, uu]),
-        }
-        if weight_col is not None:
-            w = b.column(weight_col).to_numpy(zero_copy_only=False).astype(
-                np.float64
-            )
-            cols["_w"] = np.concatenate([w, w])
-        return pa.table(cols)
-
     # ONE full execution of the edge lineage; every later pass (degree,
     # iterations, both scale paths) reads the pinned symmetric blocks
-    sedges = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    sedges = _symmetrize(edges, u_col, v_col, weight_col).materialize()
     # "deg" is the walk normalizer: out-degree unweighted, total incident
-    # weight W_s when weighted
+    # weight W_s when weighted. Materialized: count(), the bounded-path
+    # to_pandas(), and the large path's per-iteration joins all reuse it.
     deg = grouped_reduce(
         sedges, "src",
         {"deg": ("dst", "count") if weight_col is None else ("_w", "sum")},
         num_partitions=num_partitions,
-    )
+    ).materialize()
     n_nodes = deg.count()
     if n_nodes == 0:
         return pd.DataFrame({"node": [], "rank": []})
@@ -308,14 +320,8 @@ def _closed_triangles(
     refs = None
     if degree_orient_limit:
         if deg is None:
-            def sym(b: pa.Table) -> pa.Table:
-                uu = b.column(u_col).to_numpy(zero_copy_only=False)
-                vv = b.column(v_col).to_numpy(zero_copy_only=False)
-                return pa.table({"src": np.concatenate([uu, vv]),
-                                 "dst": np.concatenate([vv, uu])})
-
             deg = grouped_reduce(
-                edges.map_batches(sym, batch_format="pyarrow"),
+                _symmetrize(edges, u_col, v_col),
                 "src", {"deg": ("dst", "count")},
                 num_partitions=num_partitions,
             )
@@ -458,16 +464,10 @@ def clustering_coefficient(
     # per_node_triangles is then a no-op)
     edges = edges.materialize()
 
-    def sym(b: pa.Table) -> pa.Table:
-        uu = b.column(u_col).to_numpy(zero_copy_only=False)
-        vv = b.column(v_col).to_numpy(zero_copy_only=False)
-        return pa.table({"src": np.concatenate([uu, vv]),
-                         "dst": np.concatenate([vv, uu])})
-
     # deg is materialized ONCE and shared: it is both the output column
     # and the rank source for the triangle core's degree orientation
     deg = grouped_reduce(
-        edges.map_batches(sym, batch_format="pyarrow"),
+        _symmetrize(edges, u_col, v_col),
         "src", {"deg": ("dst", "count")}, num_partitions=num_partitions,
     ).materialize()
     tri = per_node_triangles(

@@ -852,7 +852,9 @@ def grouped_entropy(
                 "_nlogn": n * np.log(n),
             }
         )
-        g = work.groupby(group_col, sort=False).sum().reset_index()
+        g = work.groupby(
+            group_col, sort=False, dropna=False
+        ).sum().reset_index()
         tot = g["n"].to_numpy(dtype=np.float64)
         h = np.log(tot) - g["_nlogn"].to_numpy() / tot
         if round_to is not None:

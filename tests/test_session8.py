@@ -628,3 +628,48 @@ def test_dq_violations_detects_each_rule(tmp_path):
     assert out["type_domain"] == 2      # bogus + NULL
     assert out["ts_bounds"] == 2        # 2020 and 2031
     assert out["dup_event_id"] == 2     # both rows with id 2
+
+
+def test_autocorr_emits_null_for_pairless_users(tmp_path):
+    """Oracle parity: a user with a single event (or no valid pair) still
+    gets a row, with NULL ac1 — SQL corr() over an all-dropped group."""
+    from rp_extract_ray.pipelines.events import q_autocorr
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(5, dtype=np.int64),
+            "ts": np.arange(5).astype("datetime64[s]").astype("datetime64[us]"),
+            "user_id": np.array([0, 0, 0, 1, 2], dtype=np.int64),
+            "event_type": "x",
+            "value": [1.0, 2.0, 4.0, 7.0, np.nan],
+            "props": "",
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    out = q_autocorr(str(tmp_path)).to_pandas().set_index("user_id")
+    assert set(out.index) == {0, 1, 2}
+    assert not np.isnan(out.loc[0, "ac1"])
+    assert np.isnan(out.loc[1, "ac1"]) and np.isnan(out.loc[2, "ac1"])
+
+
+def test_pagerank_query_wrappers_survive_large_node_path(tmp_path, monkeypatch):
+    """The >2M-node pagerank path returns a Dataset; the query wrappers
+    must pass it through (renamed) instead of crashing."""
+    import rp_extract_ray.stages.graph as G
+    from rp_extract_ray.pipelines import events as EV
+
+    pdf = _events_frame(n=200, n_ent=10, seed=77, with_nulls=False)
+    pdf.assign(event_type="click", props="").to_parquet(
+        str(tmp_path / "events.parquet")
+    )
+    orig = G.pagerank
+
+    def forced(*a, **kw):
+        kw["broadcast_nodes_limit"] = 0
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(G, "pagerank", forced)
+    out = EV.q_pagerank(str(tmp_path))
+    pdf_out = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    assert set(pdf_out.columns) == {"user_id", "pr"}
+    assert len(pdf_out) > 0
