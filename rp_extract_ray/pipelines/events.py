@@ -2425,20 +2425,11 @@ def q_degree_histogram(sf_dir: str) -> Dataset:
     exchange counting nodes per degree value — the graph-shape sanity
     gate (power-law eyeball at scale). Oracle: two GROUP BYs over the
     symmetrized edge CTE."""
+    from rp_extract_ray.stages.graph import _symmetrize
     from rp_extract_ray.stages.groupops import grouped_reduce
 
-    edges = _covisit_edges(sf_dir)
-
-    def sym(b: pa.Table) -> pa.Table:
-        uu = b.column("u").to_numpy(zero_copy_only=False)
-        vv = b.column("v").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {"src": np.concatenate([uu, vv]),
-             "dst": np.concatenate([vv, uu])}
-        )
-
     deg = grouped_reduce(
-        edges.map_batches(sym, batch_format="pyarrow"),
+        _symmetrize(_covisit_edges(sf_dir), "u", "v"),
         "src", {"deg": ("dst", "count")}, num_partitions=NP,
     )
     out = grouped_reduce(
