@@ -174,6 +174,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": D.q_compression_ratio,
         "pagerank_weighted": E.q_pagerank_weighted,
         "dq_violations": E.q_dq_violations,
+        "top_terms_per_lang": D.q_top_terms_per_lang,
+        "embedding_drift": D.q_embedding_drift,
+        "group_winsorize": E.q_group_winsorize,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1699,6 +1702,44 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn = 1 THEN role END) AS first_role,
                    min(CASE WHEN rn = nt THEN role END) AS last_role
             FROM o GROUP BY conv_id""",
+        # top-5 tokens per language, (n DESC, token) tie order
+        "top_terms_per_lang": """
+            WITH tok AS (SELECT lang,
+                                unnest(string_split(text, ' ')) AS token
+                         FROM documents WHERE text IS NOT NULL),
+                 c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+                       FROM tok GROUP BY lang, token),
+                 r AS (SELECT *, row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY n DESC, token) AS rn
+                       FROM c)
+            SELECT lang, token, n FROM r WHERE rn <= 5""",
+        # consecutive-vector cosine drift (vector LAG via vec_id + 1
+        # self-join). Longhand DOUBLE dot/norms — list_cosine_similarity
+        # computes in float32 and missed the 4-dp gate by 1e-4 at sf0.1;
+        # the denominator is (sqrt * sqrt), the engine's exact expression
+        "embedding_drift": """
+            SELECT a.vec_id,
+                   round(
+                       list_sum(list_transform(
+                           list_zip(a.embedding, b.embedding),
+                           x -> CAST(x[1] AS DOUBLE)
+                                * CAST(x[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(a.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(b.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                       4) AS drift
+            FROM embeddings a
+            JOIN embeddings b ON b.vec_id = a.vec_id + 1""",
+        # per-type winsorize: clip to the type's [p05, p95] band
+        "group_winsorize": """
+            SELECT event_id, user_id, event_type,
+                   round(least(greatest(value,
+                       quantile_cont(value, 0.05) OVER w),
+                       quantile_cont(value, 0.95) OVER w), 6) AS value_w
+            FROM events
+            WINDOW w AS (PARTITION BY event_type)""",
         # weight-proportional PageRank: edge weight = shared-cell count,
         # W_s = total incident weight, contributions w/W-scaled
         "pagerank_weighted": """

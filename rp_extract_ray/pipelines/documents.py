@@ -980,3 +980,102 @@ def q_compression_ratio(sf_dir: str) -> Dataset:
     return compression_ratios(
         _docs(sf_dir, ["doc_id", "text"]), "doc_id", "text"
     )
+
+
+def q_top_terms_per_lang(sf_dir: str) -> Dataset:
+    """Grouped text mining: top-5 tokens per language by count
+    (deterministic (n DESC, token) tie order) — the per-group
+    generalization of the global top_terms gate; token explode ->
+    distinct (lang, token) count exchange -> map-side-pruned grouped
+    top-k. Oracle: string_split UNNEST + row_number per lang."""
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.stages.explode import explode_tokens
+    from rp_extract_ray.stages.groupops import grouped_reduce, grouped_topk
+
+    ds = _docs(sf_dir, ["lang", "text"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("text"))),
+        batch_format="pyarrow",
+    )
+    toks = explode_tokens(ds, text_col="text", id_col="lang")
+    counts = grouped_reduce(
+        toks.select_columns(["lang", "token"]),
+        ["lang", "token"], {"n": ("token", "count")},
+    )
+    out = grouped_topk(
+        counts, "lang", ["n", "token"], descending=[True, False], k=5
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "lang": b.column("lang"),
+                "token": b.column("token"),
+                "n": b.column("n").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_embedding_drift(sf_dir: str) -> Dataset:
+    """Consecutive-vector cosine drift: cos(e_i, e_{i+1}) under vec_id
+    order — the corpus-evolution / embedding-stability probe (a vector
+    LAG). Distributed as ONE keyed self-join (right side keyed on
+    vec_id - 1 rides the task-shuffle exchange), then a per-partition
+    matrix kernel (rowwise dot / norms, float64). Rounded to 4 dp like
+    the other cosine gates (list_cosine_similarity precision). Oracle:
+    self-join on vec_id + 1."""
+    from rp_extract_ray.stages.join import repartition_join
+
+    emb = _emb(sf_dir)
+
+    def left_side(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vec_id": b.column("vec_id"), "emb_a": b.column("embedding")}
+        )
+
+    def right_side(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "_k": pc.subtract(b.column("vec_id"), 1),
+                "emb_b": b.column("embedding"),
+            }
+        )
+
+    joined = repartition_join(
+        emb.map_batches(left_side, batch_format="pyarrow"),
+        emb.map_batches(right_side, batch_format="pyarrow"),
+        on="vec_id", right_on="_k", how="inner",
+        right_cols=["_k", "emb_b"],
+    )
+
+    def cos(pdf) -> pa.Table:
+        import pandas as pd
+
+        from rp_extract_ray.functions.rounding import round_half_away
+
+        if len(pdf) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "drift": pa.array([], pa.float64())}
+            )
+        A = np.stack(pdf["emb_a"].to_numpy()).astype(np.float64)
+        B = np.stack(pdf["emb_b"].to_numpy()).astype(np.float64)
+        d = (A * B).sum(axis=1)
+        na = np.sqrt((A * A).sum(axis=1))
+        nb = np.sqrt((B * B).sum(axis=1))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            c = d / (na * nb)
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    pdf["vec_id"].to_numpy(dtype=np.int64)
+                ),
+                "drift": pa.array(round_half_away(c, 4)),
+            }
+        )
+
+    return joined.map_batches(cos, batch_format="pandas")

@@ -2548,3 +2548,39 @@ def q_dq_violations(sf_dir: str) -> pd.DataFrame:
     out = out.sort_values("_o", ignore_index=True).drop(columns="_o")
     out["n"] = out["n"].astype(np.int64)
     return out
+
+
+def q_group_winsorize(sf_dir: str) -> Dataset:
+    """Per-group winsorization: value clipped to each event type's
+    [p05, p95] band — the grouped form of the global winsorize gate.
+    Thresholds come from one grouped-quantiles exchange (bounded |types|
+    rows), broadcast back as a lookup, clip is a zero-shuffle vectorized
+    map. Oracle: quantile_cont window aggregates + LEAST/GREATEST."""
+    import ray
+
+    from rp_extract_ray.stages.groupops import grouped_quantiles
+
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value"])
+    th = grouped_quantiles(
+        ds, "event_type", "value", [0.05, 0.95],
+        out_names=["p05", "p95"],
+    ).to_pandas()  # bounded: one row per type
+    lut = (
+        dict(zip(th["event_type"], th["p05"])),
+        dict(zip(th["event_type"], th["p95"])),
+    )
+    ref = ray.put(lut)
+
+    def clip(pdf: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        lo_m, hi_m = _ray.get(ref)
+        lo = pdf["event_type"].map(lo_m).to_numpy(dtype=np.float64)
+        hi = pdf["event_type"].map(hi_m).to_numpy(dtype=np.float64)
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        pdf = pdf[["event_id", "user_id", "event_type"]].copy()
+        pdf["value_w"] = np.minimum(np.maximum(v, lo), hi)
+        return pdf
+
+    out = ds.map_batches(clip, batch_format="pandas")
+    return _round(out, {"value_w": 6})
