@@ -177,6 +177,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_lang": D.q_top_terms_per_lang,
         "embedding_drift": D.q_embedding_drift,
         "group_winsorize": E.q_group_winsorize,
+        "window_argmax": E.q_window_argmax,
+        "interarrival_hist": E.q_interarrival_hist,
+        "daily_change": E.q_daily_change,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1702,6 +1705,42 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn = 1 THEN role END) AS first_role,
                    min(CASE WHEN rn = nt THEN role END) AS last_role
             FROM o GROUP BY conv_id""",
+        # per-(user, day) argmax with deterministic event_id tiebreak
+        "window_argmax": """
+            WITH d AS (SELECT event_id, user_id, value,
+                              make_timestamp(
+                                  (epoch_us(ts) // 86400000000)
+                                  * 86400000000) AS day,
+                              row_number() OVER (
+                                  PARTITION BY user_id,
+                                      epoch_us(ts) // 86400000000
+                                  ORDER BY value DESC, event_id) AS rn
+                       FROM events)
+            SELECT user_id, day, event_id, round(value, 6) AS value
+            FROM d WHERE rn = 1""",
+        # log2-binned inter-arrival gaps per user (sub-second clamps to 0)
+        "interarrival_hist": """
+            WITH g AS (SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id))
+                           / 1000000.0 AS gap_s
+                       FROM events),
+                 b AS (SELECT CAST(greatest(floor(log2(gap_s)), 0)
+                                   AS BIGINT) AS bin
+                       FROM g WHERE gap_s > 0)
+            SELECT bin, CAST(count(*) AS BIGINT) AS n_gaps
+            FROM b GROUP BY bin""",
+        # daily volume + day-over-day percent change
+        "daily_change": """
+            WITH c AS (SELECT make_timestamp(
+                                  (epoch_us(ts) // 86400000000)
+                                  * 86400000000) AS day,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1)
+            SELECT day, n,
+                   round((n - lag(n) OVER (ORDER BY day))
+                         / CAST(lag(n) OVER (ORDER BY day) AS DOUBLE),
+                         6) AS pct_change
+            FROM c""",
         # top-5 tokens per language, (n DESC, token) tie order
         "top_terms_per_lang": """
             WITH tok AS (SELECT lang,

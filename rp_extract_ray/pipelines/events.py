@@ -2584,3 +2584,101 @@ def q_group_winsorize(sf_dir: str) -> Dataset:
 
     out = ds.map_batches(clip, batch_format="pandas")
     return _round(out, {"value_w": 6})
+
+
+def q_window_argmax(sf_dir: str) -> Dataset:
+    """Per-(user, day) argmax: the single highest-value event of each
+    user-day with a deterministic event_id tiebreak — the grouped-top-1
+    resample shape (stages/groupops.grouped_topk with a derived bucket
+    key; map-side prune means at most one row per (user, day) per block
+    reaches the exchange). Oracle: row_number per (user, day)."""
+    from rp_extract_ray.stages.groupops import grouped_topk
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def day(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = (t // np.int64(86_400_000_000)) * np.int64(86_400_000_000)
+        return b.append_column("day", pa.array(d).cast(pa.timestamp("us")))
+
+    keyed = ds.map_batches(day, batch_format="pyarrow")
+    out = grouped_topk(
+        keyed, ["user_id", "day"], ["value", "event_id"],
+        descending=[True, False], k=1,
+    )
+    out = out.select_columns(["user_id", "day", "event_id", "value"])
+    return _round(out, {"value": 6})
+
+
+def q_interarrival_hist(sf_dir: str) -> Dataset:
+    """Log-binned inter-arrival-time histogram: per-user gaps between
+    consecutive events, bucketed at floor(log2(gap_s)) and counted — the
+    traffic-shape fingerprint (one entity exchange for the gaps, one
+    bounded bin exchange for the counts; sub-second gaps clamp to bin 0).
+    Oracle: lag + floor(log2) + GROUP BY."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def gaps(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame({"bin": pd.Series([], dtype=np.int64)})
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        interior = np.zeros(n, dtype=bool)
+        if n > 1:
+            interior[1:] = starts[1:] == starts[:-1]
+        g = np.full(n, np.nan)
+        g[1:] = (t[1:] - t[:-1]) / 1e6
+        g = g[interior & (g > 0)]
+        b = np.maximum(np.floor(np.log2(g)), 0.0).astype(np.int64)
+        return pd.DataFrame({"bin": b})
+
+    binned = partitioned_apply(
+        ds, gaps, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )
+    out = grouped_reduce(
+        binned, "bin", {"n_gaps": ("bin", "count")}, num_partitions=NP
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "bin": b.column("bin").cast(pa.int64()),
+                "n_gaps": b.column("n_gaps").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_daily_change(sf_dir: str) -> pd.DataFrame:
+    """Daily event volume with day-over-day percent change — the
+    monitoring dashboard primitive. Distinct-day count exchange (bounded
+    by the calendar), driver lag over the tiny day table. Oracle:
+    GROUP BY day + lag window."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    ds = _events(sf_dir, ["ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = (t // np.int64(86_400_000_000)) * np.int64(86_400_000_000)
+        return pa.table({"day": pa.array(d)})
+
+    counts = grouped_reduce(
+        ds.map_batches(day, batch_format="pyarrow"),
+        "day", {"n": ("day", "count")}, num_partitions=NP,
+    ).to_pandas().sort_values("day", ignore_index=True)  # bounded: calendar
+    n = counts["n"].to_numpy(dtype=np.float64)
+    prev = np.full(len(n), np.nan)
+    prev[1:] = n[:-1]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        chg = (n - prev) / prev
+    return pd.DataFrame(
+        {
+            "day": counts["day"].to_numpy().astype("datetime64[us]"),
+            "n": counts["n"].astype(np.int64),
+            "pct_change": round_half_away(chg, 6),
+        }
+    )
