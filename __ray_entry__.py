@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_argmax": E.q_window_argmax,
         "interarrival_hist": E.q_interarrival_hist,
         "daily_change": E.q_daily_change,
+        "sorted_neighborhood": D.q_sorted_neighborhood,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1705,6 +1706,16 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn = 1 THEN role END) AS first_role,
                    min(CASE WHEN rn = nt THEN role END) AS last_role
             FROM o GROUP BY conv_id""",
+        # sorted-neighborhood blocking: rank under (n_chars, doc_id),
+        # candidate pairs within rank distance <= 3
+        "sorted_neighborhood": """
+            WITH r AS (SELECT doc_id,
+                              row_number() OVER (ORDER BY n_chars, doc_id)
+                                AS rk
+                       FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(b.rk - a.rk AS BIGINT) AS dist
+            FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3""",
         # per-(user, day) argmax with deterministic event_id tiebreak
         "window_argmax": """
             WITH d AS (SELECT event_id, user_id, value,

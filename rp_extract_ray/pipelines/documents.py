@@ -1079,3 +1079,27 @@ def q_embedding_drift(sf_dir: str) -> Dataset:
         )
 
     return joined.map_batches(cos, batch_format="pandas")
+
+
+def q_sorted_neighborhood(sf_dir: str) -> Dataset:
+    """Sorted-neighborhood blocking candidates over documents ordered by
+    (n_chars, doc_id) — rank-window <= 3 pairs
+    (stages/dedup.sorted_neighborhood_pairs; the composite sort key packs
+    as n_chars << 32 | doc_id, exact for ids < 2^31). Oracle: row_number
+    rank + rank-distance self-join."""
+    import pyarrow.compute as pc
+
+    from rp_extract_ray.stages.dedup import sorted_neighborhood_pairs
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def pack_key(b: pa.Table) -> pa.Table:
+        nc = b.column("n_chars").cast(pa.int64())
+        did = b.column("doc_id").cast(pa.int64())
+        key = pc.bit_wise_or(pc.shift_left(nc, 32), did)
+        return pa.table({"_key": key, "doc_id": b.column("doc_id")})
+
+    return sorted_neighborhood_pairs(
+        ds.map_batches(pack_key, batch_format="pyarrow"),
+        "_key", "doc_id", window=3,
+    )

@@ -2012,3 +2012,110 @@ def dup_span_counts(
         )
 
     return out.map_batches(fill, batch_format="pyarrow")
+
+
+def sorted_neighborhood_pairs(
+    ds: Dataset,
+    key_col: str,
+    id_col: str,
+    *,
+    window: int = 3,
+    num_partitions: int = 32,
+    sample_rate: float = 0.2,
+    seed: int = 1,
+) -> Dataset:
+    """Sorted-neighborhood dedup blocking: global rank under ``key_col``
+    order (unique int64 — pack a composite sort key upstream), candidate
+    pairs = rows within rank distance <= ``window`` — the classic
+    record-linkage blocking method (complement of the prefix/LSH blocks
+    above: neighborhood blocking catches near-keys that share NO prefix
+    or bucket).
+
+    Scale shape: the global rank is the pack_sequences two-pass ordered
+    prefix (range partition by sampled bounds -> order-free per-partition
+    COUNT totals -> P offsets broadcast -> one exchange, in-partition sort
+    + arange) — nothing driver-side but P ints; pair generation is a
+    fixed ``window``-fan explode on the rank + ONE task-shuffle join back
+    onto the ranked table (no ghost rows, no boundary cases). Output:
+    ``(id_a, id_b, dist)`` with ``id_a`` the LOWER-rank row, dist in
+    [1, window].
+    """
+    import ray
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.join import repartition_join
+    from rp_extract_ray.stages.partition import (
+        RANGE_PART_COL,
+        add_range_part,
+        range_partition_bounds,
+    )
+
+    slim = ds.select_columns([key_col, id_col]).materialize()
+    bounds = range_partition_bounds(
+        slim, key_col, num_partitions, sample_rate=sample_rate, seed=seed
+    )
+    parted = add_range_part(slim, key_col, bounds)
+    totals = grouped_reduce(
+        parted.select_columns([RANGE_PART_COL, key_col]),
+        RANGE_PART_COL,
+        {"tot": (key_col, "count")},
+    ).to_pandas()
+    offsets = np.zeros(num_partitions + 1, dtype=np.int64)
+    for p, t in zip(totals[RANGE_PART_COL], totals["tot"]):
+        offsets[int(p) + 1] = int(t)
+    offsets = np.cumsum(offsets)
+    off_ref = ray.put(offsets)
+
+    def assign(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.schema(
+                [pa.field("_rk", pa.int64()),
+                 group.schema.field(id_col)]
+            ).empty_table()
+        part = int(group.column(RANGE_PART_COL)[0].as_py())
+        group = group.drop_columns([RANGE_PART_COL]).sort_by(
+            [(key_col, "ascending")]
+        )
+        rk = (
+            np.arange(len(group), dtype=np.int64)
+            + ray.get(off_ref)[part]
+            + 1
+        )
+        return pa.table({"_rk": rk, id_col: group.column(id_col)})
+
+    ranked = (
+        parted.groupby(RANGE_PART_COL)
+        .map_groups(assign, batch_format="pyarrow")
+        .materialize()  # two consumers: probe side + fan-out side
+    )
+
+    def fan(b: pa.Table) -> pa.Table:
+        rk = b.column("_rk").to_numpy(zero_copy_only=False)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(b)
+        ks = np.arange(1, window + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "_tgt": np.repeat(rk, window) + np.tile(ks, n),
+                "id_a": np.repeat(ids, window),
+                "dist": np.tile(ks, n),
+            }
+        )
+
+    pairs = repartition_join(
+        ranked.map_batches(fan, batch_format="pyarrow"),
+        ranked, on="_tgt", right_on="_rk",
+        right_cols=["_rk", id_col],
+        num_partitions=num_partitions,
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": b.column("id_a"),
+                "id_b": b.column(id_col),
+                "dist": b.column("dist").cast(pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(fin, batch_format="pyarrow")

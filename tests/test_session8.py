@@ -673,3 +673,39 @@ def test_pagerank_query_wrappers_survive_large_node_path(tmp_path, monkeypatch):
     pdf_out = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
     assert set(pdf_out.columns) == {"user_id", "pr"}
     assert len(pdf_out) > 0
+
+
+def test_sorted_neighborhood_partition_invariant_and_complete():
+    from rp_extract_ray.stages.dedup import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(83)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "_key": rng.permutation(n).astype(np.int64) * 7 + 1,
+            "doc_id": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = rd.from_pandas(pdf).repartition(5)
+
+    def run(np_):
+        return (
+            sorted_neighborhood_pairs(
+                ds, "_key", "doc_id", window=2, num_partitions=np_
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+
+    got = run(8)
+    assert got.equals(run(2)), "partition invariance"
+    # naive: sort by key, pairs within rank distance <= 2
+    order = pdf.sort_values("_key", ignore_index=True)
+    exp = set()
+    for i in range(n):
+        for k in (1, 2):
+            if i + k < n:
+                exp.add(
+                    (order["doc_id"][i], order["doc_id"][i + k], k)
+                )
+    assert set(zip(got.id_a, got.id_b, got.dist)) == exp
