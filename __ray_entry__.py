@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_hist": E.q_interarrival_hist,
         "daily_change": E.q_daily_change,
         "sorted_neighborhood": D.q_sorted_neighborhood,
+        "survival_km": E.q_survival_km,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1706,6 +1707,43 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn = 1 THEN role END) AS first_role,
                    min(CASE WHEN rn = nt THEN role END) AS last_role
             FROM o GROUP BY conv_id""",
+        # Kaplan-Meier: time to first purchase, 5-day administrative
+        # censoring; surv = exp(running sum of ln(1 - d/n_risk))
+        "survival_km": """
+            WITH f AS (SELECT user_id, min(ts) AS f0 FROM events
+                       GROUP BY user_id),
+                 p AS (SELECT user_id, min(ts) AS pt FROM events
+                       WHERE event_type = 'purchase' GROUP BY user_id),
+                 u AS (SELECT f.user_id,
+                              CASE WHEN p.pt IS NOT NULL
+                                    AND epoch(p.pt - f.f0) < 432000
+                                   THEN CAST(floor(epoch(p.pt - f.f0)
+                                                   / 86400.0) AS BIGINT)
+                                   ELSE 5 END AS t,
+                              CASE WHEN p.pt IS NOT NULL
+                                    AND epoch(p.pt - f.f0) < 432000
+                                   THEN 1 ELSE 0 END AS death
+                       FROM f LEFT JOIN p USING (user_id)),
+                 d AS (SELECT t, CAST(count(*) AS BIGINT) AS d FROM u
+                       WHERE death = 1 GROUP BY t),
+                 r AS (SELECT d.t, d.d,
+                              (SELECT CAST(count(*) AS BIGINT) FROM u
+                               WHERE u.t >= d.t) AS n_risk
+                       FROM d),
+                 s AS (SELECT t, d, n_risk,
+                              -- d = n_risk (everyone remaining converts)
+                              -- can only be the LAST step: contribute
+                              -- ln(1)=0 there and CASE the row to 0
+                              CASE WHEN d = n_risk THEN 0.0
+                                   ELSE exp(sum(ln(CASE WHEN d = n_risk
+                                                THEN 1.0
+                                                ELSE 1 - CAST(d AS DOUBLE)
+                                                         / n_risk END))
+                                            OVER (ORDER BY t)) END AS surv
+                       FROM r)
+            SELECT t AS t_day, n_risk, d AS d_events,
+                   round(surv, 6) AS surv
+            FROM s""",
         # sorted-neighborhood blocking: rank under (n_chars, doc_id),
         # candidate pairs within rank distance <= 3
         "sorted_neighborhood": """

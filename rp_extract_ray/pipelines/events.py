@@ -2682,3 +2682,86 @@ def q_daily_change(sf_dir: str) -> pd.DataFrame:
             "pct_change": round_half_away(chg, 6),
         }
     )
+
+
+def q_survival_km(sf_dir: str) -> pd.DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase with 5-day
+    administrative censoring: per-user event time t = floor(days from
+    first event to first purchase) if within 5 days, else censored at
+    t=5 — the retention/conversion lifetime estimator. One entity
+    exchange folds each user to (t, death); a bounded (t, death) count
+    exchange reaches the driver (day grid x 2 rows) where the product
+    fold runs as exp(cumsum(ln(1 - d/n))) — the exact expression the
+    window-SQL oracle evaluates. Output: one row per death day."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.partition import arrow_out
+
+    HORIZON_S = 5 * 86400
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def fold(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"t": [], "death": [], "_n": []})
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = pdf["user_id"].to_numpy()
+        et = pdf["event_type"].to_numpy()
+        w = pd.DataFrame(
+            {
+                "u": uid,
+                "_f": t,
+                "_p": np.where(
+                    et == "purchase", t, np.iinfo(np.int64).max
+                ),
+            }
+        )
+        g = w.groupby("u", sort=False).min()
+        dt_s = (g["_p"].to_numpy() - g["_f"].to_numpy()) / 1e6
+        death = (g["_p"].to_numpy() < np.iinfo(np.int64).max) & (
+            dt_s < HORIZON_S
+        )
+        tday = np.where(death, np.floor(dt_s / 86400.0), 5.0).astype(
+            np.int64
+        )
+        out = pd.DataFrame(
+            {"t": tday, "death": death.astype(np.int64)}
+        )
+        c = out.value_counts().rename("_n").reset_index()
+        return c
+
+    per_user = partitioned_apply(
+        ds, fold, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )
+    counts = grouped_reduce(
+        per_user, ["t", "death"], {"n": ("_n", "sum")}
+    ).to_pandas()  # bounded: day grid x {death, censored}
+    counts["n"] = counts["n"].astype(np.int64)
+    deaths = (
+        counts[counts["death"] == 1]
+        .sort_values("t", ignore_index=True)[["t", "n"]]
+    )
+    total = counts["n"].sum()
+    # n_risk(t) = users with t_i >= t (deaths and censored alike)
+    all_t = counts.groupby("t", sort=True)["n"].sum()
+    below = np.concatenate([[0], np.cumsum(all_t.to_numpy())[:-1]])
+    at_risk = total - pd.Series(below, index=all_t.index)
+    n_risk = deaths["t"].map(at_risk).to_numpy(dtype=np.float64)
+    d = deaths["n"].to_numpy(dtype=np.float64)
+    # d == n_risk (everyone remaining converts) can only be the LAST
+    # step: contribute ln(1)=0 there and pin that row's surv to 0 —
+    # the exact guard the SQL oracle evaluates (DuckDB ln(0) errors)
+    zero = d == n_risk
+    surv = np.exp(
+        np.cumsum(np.log(np.where(zero, 1.0, 1.0 - d / n_risk)))
+    )
+    surv = np.where(zero, 0.0, surv)
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    return pd.DataFrame(
+        {
+            "t_day": deaths["t"].astype(np.int64),
+            "n_risk": n_risk.astype(np.int64),
+            "d_events": deaths["n"].astype(np.int64),
+            "surv": round_half_away(surv, 6),
+        }
+    )

@@ -709,3 +709,64 @@ def test_sorted_neighborhood_partition_invariant_and_complete():
                     (order["doc_id"][i], order["doc_id"][i + k], k)
                 )
     assert set(zip(got.id_a, got.id_b, got.dist)) == exp
+
+
+def test_survival_km_matches_naive_and_handles_full_conversion(tmp_path):
+    from rp_extract_ray.pipelines.events import q_survival_km
+
+    rng = np.random.default_rng(91)
+    rows = []
+    eid = 0
+    # 20 users: first event at day 0; some purchase on day u%7, some never
+    for u in range(20):
+        rows.append((eid, np.datetime64("2024-01-01", "us"), u, "view", 1.0))
+        eid += 1
+        if u % 4 != 0:  # 15 users purchase at day (u % 5)
+            rows.append(
+                (
+                    eid,
+                    np.datetime64("2024-01-01", "us")
+                    + np.timedelta64(int((u % 5) * 86400 + 3600), "s"),
+                    u, "purchase", 1.0,
+                )
+            )
+            eid += 1
+        # keep every user active later (events beyond horizon)
+        rows.append(
+            (eid, np.datetime64("2024-01-20", "us"), u, "click", 1.0)
+        )
+        eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pdf["props"] = ""
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    out = q_survival_km(str(tmp_path)).set_index("t_day")
+    # naive KM
+    t = {u: (u % 5 if u % 4 != 0 else 5) for u in range(20)}
+    death = {u: u % 4 != 0 for u in range(20)}
+    surv = 1.0
+    for day in sorted(set(v for u, v in t.items() if death[u])):
+        n_risk = sum(1 for u in t if t[u] >= day)
+        d = sum(1 for u in t if t[u] == day and death[u])
+        surv *= 1 - d / n_risk
+        assert out.loc[day, "n_risk"] == n_risk
+        assert out.loc[day, "d_events"] == d
+        np.testing.assert_allclose(out.loc[day, "surv"], surv, atol=1e-6)
+
+    # full conversion: everyone purchases day 0 -> single row surv 0.0
+    pdf2 = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "ts": [np.datetime64("2024-01-01", "us"),
+                   np.datetime64("2024-01-01T01", "us")] * 2,
+            "user_id": np.array([0, 0, 1, 1], dtype=np.int64),
+            "event_type": ["view", "purchase"] * 2,
+            "value": 1.0,
+            "props": "",
+        }
+    )
+    p2 = str(tmp_path / "p2"); import os; os.makedirs(p2, exist_ok=True)
+    pdf2.to_parquet(p2 + "/events.parquet")
+    out2 = q_survival_km(p2)
+    assert len(out2) == 1 and out2["surv"].iloc[0] == 0.0
