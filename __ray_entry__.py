@@ -182,6 +182,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_change": E.q_daily_change,
         "sorted_neighborhood": D.q_sorted_neighborhood,
         "survival_km": E.q_survival_km,
+        "ccf_profile": E.q_ccf_profile,
+        "transition_entropy": E.q_transition_entropy,
+        "burstiness": E.q_burstiness,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1707,6 +1710,69 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn = 1 THEN role END) AS first_role,
                    min(CASE WHEN rn = nt THEN role END) AS last_role
             FROM o GROUP BY conv_id""",
+        # autocorrelation function at lags 1..3 per user
+        "ccf_profile": """
+            WITH L AS (SELECT user_id, value,
+                              lag(value, 1) OVER w AS p1,
+                              lag(value, 2) OVER w AS p2,
+                              lag(value, 3) OVER w AS p3
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id))
+            SELECT user_id, CAST(1 AS BIGINT) AS k,
+                   round(corr(value, p1), 6) AS ccf
+            FROM L GROUP BY user_id
+            UNION ALL
+            SELECT user_id, CAST(2 AS BIGINT),
+                   round(corr(value, p2), 6)
+            FROM L GROUP BY user_id
+            UNION ALL
+            SELECT user_id, CAST(3 AS BIGINT),
+                   round(corr(value, p3), 6)
+            FROM L GROUP BY user_id""",
+        # Markov conditional entropy H(next|prev) + marginal H(next)
+        "transition_entropy": """
+            WITH t AS (SELECT event_type AS b,
+                              lag(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS a
+                       FROM events),
+                 c AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS n
+                       FROM t WHERE a IS NOT NULL GROUP BY a, b),
+                 tot AS (SELECT sum(n) AS s FROM c),
+                 na AS (SELECT a, sum(n) AS sa FROM c GROUP BY a),
+                 hc AS (SELECT -sum((c.n / (SELECT s FROM tot))
+                                    * ln(c.n / na.sa)) AS h
+                        FROM c JOIN na USING (a)),
+                 nb AS (SELECT b, sum(n) AS sb FROM c GROUP BY b),
+                 hn AS (SELECT -sum((sb / (SELECT s FROM tot))
+                                    * ln(sb / (SELECT s FROM tot))) AS h
+                        FROM nb)
+            SELECT round((SELECT h FROM hc), 6) AS h_cond,
+                   round((SELECT h FROM hn), 6) AS h_next,
+                   round((SELECT h FROM hn) - (SELECT h FROM hc), 6)
+                     AS info_gain""",
+        # Goh-Barabasi burstiness of inter-arrival times (population
+        # sigma, identical moment expression both sides)
+        "burstiness": """
+            WITH g AS (SELECT user_id,
+                              (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id)) / 1000000.0
+                                AS gap
+                       FROM events),
+                 m AS (SELECT user_id,
+                              CAST(count(gap) AS BIGINT) AS n_gaps,
+                              sum(gap) AS s, sum(gap * gap) AS ss
+                       FROM g GROUP BY user_id)
+            SELECT user_id, n_gaps,
+                   CASE WHEN n_gaps >= 2 THEN round(
+                       (sqrt(greatest(ss / n_gaps
+                                      - (s / n_gaps) * (s / n_gaps), 0))
+                        - s / n_gaps)
+                       / (sqrt(greatest(ss / n_gaps
+                                        - (s / n_gaps) * (s / n_gaps), 0))
+                          + s / n_gaps), 6) END AS b
+            FROM m""",
         # Kaplan-Meier: time to first purchase, 5-day administrative
         # censoring; surv = exp(running sum of ln(1 - d/n_risk))
         "survival_km": """

@@ -76,7 +76,7 @@ QUERY_NAMES = [
     "cdc_merge", "chi_square", "mutual_information", "group_spearman",
     "cusum",
     "rolling_distinct",
-    # round-5 session-8 additions (117 -> 150 names)
+    # round-5 session-8 additions (117 -> 153 names)
     "ohlc_bars", "group_entropy", "welch_t", "role_report",
     "rolling_zscore", "pagerank", "triangle_count", "interval_gaps",
     "pct_change", "keyword_totals", "path_counts", "mann_whitney",
@@ -86,7 +86,7 @@ QUERY_NAMES = [
     "pagerank_weighted", "dq_violations", "top_terms_per_lang",
     "embedding_drift", "group_winsorize", "window_argmax",
     "interarrival_hist", "daily_change", "sorted_neighborhood",
-    "survival_km",
+    "survival_km", "ccf_profile", "transition_entropy", "burstiness",
 ]
 
 

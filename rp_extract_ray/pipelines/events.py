@@ -2765,3 +2765,162 @@ def q_survival_km(sf_dir: str) -> pd.DataFrame:
             "surv": round_half_away(surv, 6),
         }
     )
+
+
+def q_ccf_profile(sf_dir: str) -> Dataset:
+    """Per-user cross-correlation profile: Pearson corr(value_t,
+    value_{t-k}) for lags k = 1..3 — the autocorrelation function
+    (autocorr's k=1 generalized; the serial-structure fingerprint).
+    One entity exchange; the kernel folds all three lags' moment sums in
+    one pass over the runs. Rows with a NULL on either side of a pair
+    drop (SQL corr). Oracle: one lag CTE per k, UNION ALL."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    LAGS = (1, 2, 3)
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame({"user_id": [], "k": [], "ccf": []})
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        uid = pdf["user_id"].to_numpy()
+        outs = []
+        for k in LAGS:
+            prev = np.full(n, np.nan)
+            prev[k:] = v[:-k]
+            interior = np.zeros(n, dtype=bool)
+            interior[k:] = starts[k:] == starts[:-k]
+            ok = interior & ~np.isnan(v) & ~np.isnan(prev)
+            w = pd.DataFrame(
+                {
+                    "user_id": uid,
+                    "n": ok.astype(np.int64),
+                    "sx": np.where(ok, v, 0.0),
+                    "sy": np.where(ok, prev, 0.0),
+                    "sxx": np.where(ok, v * v, 0.0),
+                    "syy": np.where(ok, prev * prev, 0.0),
+                    "sxy": np.where(ok, v * prev, 0.0),
+                }
+            )
+            m = w.groupby("user_id", sort=False).sum().reset_index()
+            cn = m["n"].to_numpy(dtype=np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cov = m["sxy"] - m["sx"] * m["sy"] / cn
+                vx = m["sxx"] - m["sx"] ** 2 / cn
+                vy = m["syy"] - m["sy"] ** 2 / cn
+                denom = np.sqrt(vx * vy)
+                r = np.where(denom > 0, cov / denom, np.nan)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "user_id": m["user_id"],
+                        "k": np.full(len(m), k, dtype=np.int64),
+                        "ccf": r,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    out = partitioned_apply(
+        ds, fn, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )
+    return _round(out, {"ccf": 6})
+
+
+def q_transition_entropy(sf_dir: str) -> pd.DataFrame:
+    """Conditional entropy of the event-type Markov chain: H(next | prev)
+    = -sum p(a,b) ln(p(b|a)) over adjacent same-user transitions — the
+    sequence-predictability scalar (low = rigid flows, high = random).
+    Per-run shifted-view transition counts, one bounded (a, b) exchange
+    (|types|^2 cells), driver arithmetic from integer counts — the same
+    float expression the oracle evaluates. Output: one row (plus the
+    marginal next-entropy H(next) and the information gain)."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.partition import arrow_out
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def trans(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame({"a": [], "b": [], "_n": []})
+        et = pdf["event_type"].to_numpy()
+        interior = np.zeros(n, dtype=bool)
+        if n > 1:
+            interior[1:] = starts[1:] == starts[:-1]
+        w = pd.DataFrame(
+            {"a": np.roll(et, 1)[interior], "b": et[interior]}
+        )
+        c = w.value_counts().rename("_n").reset_index()
+        c["_n"] = c["_n"].astype(np.int64)
+        return c
+
+    pairs = partitioned_apply(
+        ds, trans, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )
+    c = grouped_reduce(
+        pairs, ["a", "b"], {"n": ("_n", "sum")}
+    ).to_pandas()  # bounded: |types|^2
+    n = c["n"].to_numpy(dtype=np.float64)
+    tot = n.sum()
+    na = c.groupby("a")["n"].transform("sum").to_numpy(dtype=np.float64)
+    nb = c.groupby("b")["n"].sum()
+    h_cond = -np.sum((n / tot) * np.log(n / na))
+    pb = nb.to_numpy(dtype=np.float64) / tot
+    h_next = -np.sum(pb * np.log(pb))
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    return pd.DataFrame(
+        {
+            "h_cond": [round_half_away(h_cond, 6)],
+            "h_next": [round_half_away(h_next, 6)],
+            "info_gain": [round_half_away(h_next - h_cond, 6)],
+        }
+    )
+
+
+def q_burstiness(sf_dir: str) -> Dataset:
+    """Per-user burstiness index B = (sigma - mu) / (sigma + mu) of the
+    inter-arrival times (Goh-Barabasi): -1 = periodic, 0 = Poisson,
+    -> 1 = bursty. Gap moments fold per run in one entity exchange;
+    population sigma (the classical definition), NULL for < 2 gaps.
+    Oracle: lag-gap CTE + aggregate moments."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame({"user_id": [], "n_gaps": [], "b": []})
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = pdf["user_id"].to_numpy()
+        interior = np.zeros(n, dtype=bool)
+        if n > 1:
+            interior[1:] = starts[1:] == starts[:-1]
+        g = np.zeros(n)
+        g[1:] = (t[1:] - t[:-1]) / 1e6
+        w = pd.DataFrame(
+            {
+                "user_id": uid,
+                "n": interior.astype(np.int64),
+                "s": np.where(interior, g, 0.0),
+                "ss": np.where(interior, g * g, 0.0),
+            }
+        )
+        m = w.groupby("user_id", sort=False).sum().reset_index()
+        cn = m["n"].to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mu = m["s"] / cn
+            var = np.maximum(m["ss"] / cn - mu * mu, 0.0)
+            sd = np.sqrt(var)
+            b = np.where(cn >= 2, (sd - mu) / (sd + mu), np.nan)
+        return pd.DataFrame(
+            {
+                "user_id": m["user_id"],
+                "n_gaps": m["n"].astype(np.int64),
+                "b": b,
+            }
+        )
+
+    out = partitioned_apply(
+        ds, fn, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )
+    return _round(out, {"b": 6})
