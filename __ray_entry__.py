@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccf_profile": E.q_ccf_profile,
         "transition_entropy": E.q_transition_entropy,
         "burstiness": E.q_burstiness,
+        "active_users": E.q_active_users,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1710,6 +1711,23 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn = 1 THEN role END) AS first_role,
                    min(CASE WHEN rn = nt THEN role END) AS last_role
             FROM o GROUP BY conv_id""",
+        # DAU / trailing-7-day WAU / stickiness per activity day
+        "active_users": """
+            WITH du AS (SELECT DISTINCT
+                            epoch_us(ts) // CAST(86400000000 AS BIGINT)
+                              AS day,
+                            user_id
+                        FROM events),
+                 dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                         FROM du GROUP BY day),
+                 f AS (SELECT DISTINCT du.day + u.j AS day, du.user_id
+                       FROM du, UNNEST([0, 1, 2, 3, 4, 5, 6]) AS u(j)),
+                 wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+                         FROM f GROUP BY day)
+            SELECT dau.day, dau.dau, wau.wau,
+                   round(CAST(dau.dau AS DOUBLE) / wau.wau, 6)
+                     AS stickiness
+            FROM dau JOIN wau USING (day)""",
         # autocorrelation function at lags 1..3 per user
         "ccf_profile": """
             WITH L AS (SELECT user_id, value,

@@ -2924,3 +2924,82 @@ def q_burstiness(sf_dir: str) -> Dataset:
         ds, fn, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
     )
     return _round(out, {"b": 6})
+
+
+def q_active_users(sf_dir: str) -> Dataset:
+    """DAU / WAU / stickiness: distinct daily actives, trailing-7-day
+    distinct actives, and their ratio per activity day — the
+    product-analytics engagement triple. Scale shape: ONE distinct
+    (day, user) exchange (8+8 B/pair), a bounded per-day count, a fixed
+    7-fan window explode re-deduped through a second distinct exchange
+    (a user active on several window days counts once), and a
+    calendar-bounded join. Oracle: DISTINCT day-user CTE + UNNEST 7-day
+    replication."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.join import repartition_join
+
+    ds = _events(sf_dir, ["ts", "user_id"])
+
+    def day(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": t // np.int64(86_400_000_000),
+                "user_id": b.column("user_id"),
+            }
+        )
+
+    du = grouped_reduce(
+        ds.map_batches(day, batch_format="pyarrow"),
+        ["day", "user_id"], {"_c": ("user_id", "count")},
+        num_partitions=NP,
+    ).select_columns(["day", "user_id"]).materialize()  # distinct pairs
+
+    dau = grouped_reduce(
+        du, "day", {"dau": ("user_id", "count")}, num_partitions=NP
+    )
+
+    def fan(b: pa.Table) -> pa.Table:
+        d = b.column("day").to_numpy(zero_copy_only=False)
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        ks = np.arange(7, dtype=np.int64)
+        n = len(b)
+        return pa.table(
+            {
+                "day": np.repeat(d, 7) + np.tile(ks, n),
+                "user_id": np.repeat(u, 7),
+            }
+        )
+
+    win_distinct = grouped_reduce(
+        du.map_batches(fan, batch_format="pyarrow"),
+        ["day", "user_id"], {"_c": ("user_id", "count")},
+        num_partitions=NP,
+    ).select_columns(["day", "user_id"])
+    wau = grouped_reduce(
+        win_distinct, "day", {"wau": ("user_id", "count")},
+        num_partitions=NP,
+    )
+    joined = repartition_join(
+        dau, wau, on="day", num_partitions=NP, right_cols=["day", "wau"]
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        from rp_extract_ray.functions.rounding import round_half_away
+
+        da = b.column("dau").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        wa = b.column("wau").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "day": b.column("day").cast(pa.int64()),
+                "dau": b.column("dau").cast(pa.int64()),
+                "wau": b.column("wau").cast(pa.int64()),
+                "stickiness": pa.array(round_half_away(da / wa, 6)),
+            }
+        )
+
+    return joined.map_batches(fin, batch_format="pyarrow")
