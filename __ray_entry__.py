@@ -186,6 +186,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_entropy": E.q_transition_entropy,
         "burstiness": E.q_burstiness,
         "active_users": E.q_active_users,
+        "new_vs_returning": E.q_new_vs_returning,
+        "activity_gini": E.q_activity_gini,
+        "daily_quantiles": E.q_daily_quantiles,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1711,6 +1714,40 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn = 1 THEN role END) AS first_role,
                    min(CASE WHEN rn = nt THEN role END) AS last_role
             FROM o GROUP BY conv_id""",
+        # new vs returning distinct actives per day (first-seen split)
+        "new_vs_returning": """
+            WITH du AS (SELECT DISTINCT
+                            epoch_us(ts) // CAST(86400000000 AS BIGINT)
+                              AS day,
+                            user_id
+                        FROM events),
+                 f AS (SELECT user_id, min(day) AS fday FROM du
+                       GROUP BY user_id)
+            SELECT du.day,
+                   CAST(sum(CASE WHEN du.day = f.fday THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   CAST(sum(CASE WHEN du.day = f.fday THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_ret
+            FROM du JOIN f USING (user_id) GROUP BY du.day""",
+        # Gini of per-user event counts via the sorted-rank closed form
+        "activity_gini": """
+            WITH c AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n
+                       FROM events GROUP BY user_id),
+                 r AS (SELECT n, row_number() OVER (ORDER BY n) AS i
+                       FROM c)
+            SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_users,
+                   round(2.0 * sum(i * n)
+                         / ((SELECT count(*) FROM c) * sum(n))
+                         - ((SELECT count(*) FROM c) + 1.0)
+                           / (SELECT count(*) FROM c), 6) AS gini
+            FROM r""",
+        # per-day p50/p90 value bands (quantile_cont == np.quantile linear)
+        "daily_quantiles": """
+            SELECT epoch_us(ts) // CAST(86400000000 AS BIGINT) AS day,
+                   CAST(count(value) AS BIGINT) AS n,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90
+            FROM events GROUP BY 1""",
         # DAU / trailing-7-day WAU / stickiness per activity day
         "active_users": """
             WITH du AS (SELECT DISTINCT

@@ -3003,3 +3003,126 @@ def q_active_users(sf_dir: str) -> Dataset:
         )
 
     return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def q_new_vs_returning(sf_dir: str) -> Dataset:
+    """New vs returning actives per day: each user's FIRST-SEEN day (one
+    bounded min exchange) splits that day's distinct actives — the
+    acquisition/retention monitor. Distinct (day, user) pairs ride one
+    exchange; the first-seen table rides a second bounded min reduce;
+    the split is a broadcast membership probe. Oracle: min-day CTE +
+    conditional counts."""
+    import ray
+
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    ds = _events(sf_dir, ["ts", "user_id"])
+
+    def day(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": t // np.int64(86_400_000_000),
+                "user_id": b.column("user_id"),
+            }
+        )
+
+    dued = ds.map_batches(day, batch_format="pyarrow")
+    du = grouped_reduce(
+        dued, ["day", "user_id"], {"_c": ("user_id", "count")},
+        num_partitions=NP,
+    ).select_columns(["day", "user_id"]).materialize()
+    first = grouped_reduce(
+        du, "user_id", {"fday": ("day", "min")}, num_partitions=NP
+    ).to_pandas()  # bounded: one row per user
+    fmap = dict(zip(first["user_id"], first["fday"]))
+    ref = ray.put(fmap)
+
+    def tag(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        m = _ray.get(ref)
+        d = b.column("day").to_numpy(zero_copy_only=False)
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        fd = pd.Series(u).map(m).to_numpy(dtype=np.int64)
+        new = (d == fd).astype(np.int64)
+        return pa.table(
+            {"day": d, "n_new": new, "n_ret": 1 - new}
+        )
+
+    out = grouped_reduce(
+        du.map_batches(tag, batch_format="pyarrow"),
+        "day", {"n_new": ("n_new", "sum"), "n_ret": ("n_ret", "sum")},
+        num_partitions=NP,
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "day": b.column("day").cast(pa.int64()),
+                "n_new": b.column("n_new").cast(pa.int64()),
+                "n_ret": b.column("n_ret").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_activity_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of per-user event counts — the activity-inequality
+    scalar (how concentrated the corpus is in heavy users; the Lorenz
+    summary a curation pass checks before capping). Per-user counts are
+    one bounded exchange (|users| rows to the driver); the sorted-rank
+    formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n runs on the bounded
+    table, ties broken by count order only (rank formula is
+    tie-invariant). Oracle: the same closed form via row_number."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    ds = _events(sf_dir, ["user_id"])
+    counts = grouped_reduce(
+        ds, "user_id", {"n": ("user_id", "count")}, num_partitions=NP
+    ).to_pandas()  # bounded: per-user totals
+    x = np.sort(counts["n"].to_numpy(dtype=np.float64))
+    n = len(x)
+    i = np.arange(1, n + 1, dtype=np.float64)
+    g = 2.0 * np.sum(i * x) / (n * np.sum(x)) - (n + 1.0) / n
+    return pd.DataFrame(
+        {
+            "n_users": np.array([n], dtype=np.int64),
+            "gini": [round_half_away(g, 6)],
+        }
+    )
+
+
+def q_daily_quantiles(sf_dir: str) -> Dataset:
+    """Per-day value quantile bands (p50 / p90) — the monitoring
+    time-series of distribution drift (stages/groupops.grouped_quantiles
+    keyed on the derived day). Oracle: quantile_cont GROUP BY day."""
+    from rp_extract_ray.stages.groupops import grouped_quantiles
+
+    ds = _events(sf_dir, ["ts", "value"])
+
+    def day(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": t // np.int64(86_400_000_000),
+                "value": b.column("value"),
+            }
+        )
+
+    out = grouped_quantiles(
+        ds.map_batches(day, batch_format="pyarrow"),
+        "day", "value", [0.5, 0.9], out_names=["p50", "p90"], round_to=6,
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "day": b.column("day").cast(pa.int64()),
+                "n": b.column("n").cast(pa.int64()),
+                "p50": b.column("p50"),
+                "p90": b.column("p90"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
