@@ -2694,7 +2694,6 @@ def q_survival_km(sf_dir: str) -> pd.DataFrame:
     fold runs as exp(cumsum(ln(1 - d/n))) — the exact expression the
     window-SQL oracle evaluates. Output: one row per death day."""
     from rp_extract_ray.stages.groupops import grouped_reduce
-    from rp_extract_ray.stages.partition import arrow_out
 
     HORIZON_S = 5 * 86400
 
@@ -2735,6 +2734,15 @@ def q_survival_km(sf_dir: str) -> pd.DataFrame:
     counts = grouped_reduce(
         per_user, ["t", "death"], {"n": ("_n", "sum")}
     ).to_pandas()  # bounded: day grid x {death, censored}
+    if len(counts) == 0 or "n" not in counts.columns:
+        # empty corpus: a zero-block reduce loses its schema; the SQL
+        # oracle evaluates cleanly to zero rows
+        return pd.DataFrame(
+            {"t_day": pd.Series([], dtype=np.int64),
+             "n_risk": pd.Series([], dtype=np.int64),
+             "d_events": pd.Series([], dtype=np.int64),
+             "surv": pd.Series([], dtype=np.float64)}
+        )
     counts["n"] = counts["n"].astype(np.int64)
     deaths = (
         counts[counts["death"] == 1]
@@ -2835,7 +2843,6 @@ def q_transition_entropy(sf_dir: str) -> pd.DataFrame:
     float expression the oracle evaluates. Output: one row (plus the
     marginal next-entropy H(next) and the information gain)."""
     from rp_extract_ray.stages.groupops import grouped_reduce
-    from rp_extract_ray.stages.partition import arrow_out
 
     ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
 
@@ -2860,6 +2867,12 @@ def q_transition_entropy(sf_dir: str) -> pd.DataFrame:
     c = grouped_reduce(
         pairs, ["a", "b"], {"n": ("_n", "sum")}
     ).to_pandas()  # bounded: |types|^2
+    if len(c) == 0 or "n" not in c.columns:
+        # zero same-user transitions: the oracle's empty-aggregate row
+        # is (NULL, NULL, NULL)
+        return pd.DataFrame(
+            {"h_cond": [np.nan], "h_next": [np.nan], "info_gain": [np.nan]}
+        )
     n = c["n"].to_numpy(dtype=np.float64)
     tot = n.sum()
     na = c.groupby("a")["n"].transform("sum").to_numpy(dtype=np.float64)
@@ -3006,15 +3019,15 @@ def q_active_users(sf_dir: str) -> Dataset:
 
 
 def q_new_vs_returning(sf_dir: str) -> Dataset:
-    """New vs returning actives per day: each user's FIRST-SEEN day (one
-    bounded min exchange) splits that day's distinct actives — the
-    acquisition/retention monitor. Distinct (day, user) pairs ride one
-    exchange; the first-seen table rides a second bounded min reduce;
-    the split is a broadcast membership probe. Oracle: min-day CTE +
-    conditional counts."""
-    import ray
-
+    """New vs returning actives per day: each user's FIRST-SEEN day splits
+    that day's distinct actives — the acquisition/retention monitor.
+    Distinct (day, user) pairs ride one exchange; the first-seen table is
+    a second keyed min reduce that REJOINS DISTRIBUTED (task-shuffle join
+    on user_id — the first-seen table is user-table-sized, NOT a
+    broadcast candidate at corpus scale); the split folds in a bounded
+    per-day count exchange. Oracle: min-day CTE + conditional counts."""
     from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.join import repartition_join
 
     ds = _events(sf_dir, ["ts", "user_id"])
 
@@ -3033,25 +3046,27 @@ def q_new_vs_returning(sf_dir: str) -> Dataset:
         num_partitions=NP,
     ).select_columns(["day", "user_id"]).materialize()
     first = grouped_reduce(
-        du, "user_id", {"fday": ("day", "min")}, num_partitions=NP
-    ).to_pandas()  # bounded: one row per user
-    fmap = dict(zip(first["user_id"], first["fday"]))
-    ref = ray.put(fmap)
+        du.map_batches(
+            lambda b: pa.table(
+                {"user_id": b.column("user_id"), "fday": b.column("day")}
+            ),
+            batch_format="pyarrow",
+        ),
+        "user_id", {"fday": ("fday", "min")}, num_partitions=NP,
+    )
+    joined = repartition_join(
+        du, first, on="user_id", num_partitions=NP,
+        right_cols=["user_id", "fday"],
+    )
 
     def tag(b: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        m = _ray.get(ref)
         d = b.column("day").to_numpy(zero_copy_only=False)
-        u = b.column("user_id").to_numpy(zero_copy_only=False)
-        fd = pd.Series(u).map(m).to_numpy(dtype=np.int64)
+        fd = b.column("fday").to_numpy(zero_copy_only=False)
         new = (d == fd).astype(np.int64)
-        return pa.table(
-            {"day": d, "n_new": new, "n_ret": 1 - new}
-        )
+        return pa.table({"day": d, "n_new": new, "n_ret": 1 - new})
 
     out = grouped_reduce(
-        du.map_batches(tag, batch_format="pyarrow"),
+        joined.map_batches(tag, batch_format="pyarrow"),
         "day", {"n_new": ("n_new", "sum"), "n_ret": ("n_ret", "sum")},
         num_partitions=NP,
     )
@@ -3082,6 +3097,11 @@ def q_activity_gini(sf_dir: str) -> pd.DataFrame:
     counts = grouped_reduce(
         ds, "user_id", {"n": ("user_id", "count")}, num_partitions=NP
     ).to_pandas()  # bounded: per-user totals
+    if len(counts) == 0 or "n" not in counts.columns:
+        # empty corpus: the oracle emits (n_users=0, gini NULL)
+        return pd.DataFrame(
+            {"n_users": np.array([0], dtype=np.int64), "gini": [np.nan]}
+        )
     x = np.sort(counts["n"].to_numpy(dtype=np.float64))
     n = len(x)
     i = np.arange(1, n + 1, dtype=np.float64)

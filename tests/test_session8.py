@@ -770,3 +770,48 @@ def test_survival_km_matches_naive_and_handles_full_conversion(tmp_path):
     pdf2.to_parquet(p2 + "/events.parquet")
     out2 = q_survival_km(p2)
     assert len(out2) == 1 and out2["surv"].iloc[0] == 0.0
+
+
+def test_degenerate_inputs_match_oracle_semantics(tmp_path):
+    """Empty corpus / zero-transition corpus: the bounded reduces lose
+    their schema on zero blocks; the queries must degrade to the SQL
+    oracle's answer instead of crashing (review findings)."""
+    import os
+
+    from rp_extract_ray.pipelines.events import (
+        q_activity_gini,
+        q_survival_km,
+        q_transition_entropy,
+    )
+
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype=np.int64),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "user_id": pd.Series([], dtype=np.int64),
+            "event_type": pd.Series([], dtype=str),
+            "value": pd.Series([], dtype=np.float64),
+            "props": pd.Series([], dtype=str),
+        }
+    )
+    p1 = str(tmp_path / "empty"); os.makedirs(p1)
+    empty.to_parquet(p1 + "/events.parquet")
+    g = q_activity_gini(p1)
+    assert g["n_users"].iloc[0] == 0 and pd.isna(g["gini"].iloc[0])
+    assert len(q_survival_km(p1)) == 0
+
+    # three users, one event each: zero same-user transitions
+    one = pd.DataFrame(
+        {
+            "event_id": np.arange(3, dtype=np.int64),
+            "ts": np.zeros(3, dtype="datetime64[us]"),
+            "user_id": np.arange(3, dtype=np.int64),
+            "event_type": ["click", "view", "error"],
+            "value": 1.0,
+            "props": "",
+        }
+    )
+    p2 = str(tmp_path / "one"); os.makedirs(p2)
+    one.to_parquet(p2 + "/events.parquet")
+    te = q_transition_entropy(p2)
+    assert len(te) == 1 and te.isna().all(axis=None)
