@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_vs_returning": E.q_new_vs_returning,
         "activity_gini": E.q_activity_gini,
         "daily_quantiles": E.q_daily_quantiles,
+        "group_trimmed_mean": E.q_group_trimmed_mean,
+        "median_centered": E.q_median_centered,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1714,6 +1716,29 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn = 1 THEN role END) AS first_role,
                    min(CASE WHEN rn = nt THEN role END) AS last_role
             FROM o GROUP BY conv_id""",
+        # 10-90 trimmed mean per type (inclusive interior, quantile_cont)
+        "group_trimmed_mean": """
+            WITH q AS (SELECT event_type, value,
+                              quantile_cont(value, 0.1)
+                                OVER (PARTITION BY event_type) AS lo,
+                              quantile_cont(value, 0.9)
+                                OVER (PARTITION BY event_type) AS hi
+                       FROM events WHERE value IS NOT NULL)
+            SELECT event_type,
+                   CAST(count(*) FILTER (WHERE value >= lo
+                                           AND value <= hi) AS BIGINT)
+                     AS n_kept,
+                   round(avg(value) FILTER (WHERE value >= lo
+                                              AND value <= hi), 6)
+                     AS trimmed_mean
+            FROM q GROUP BY event_type""",
+        # value minus its type's median (median == np.quantile linear)
+        "median_centered": """
+            SELECT event_id, user_id, event_type,
+                   round(value - median(value)
+                             OVER (PARTITION BY event_type), 6)
+                     AS centered
+            FROM events""",
         # new vs returning distinct actives per day (first-seen split)
         "new_vs_returning": """
             WITH du AS (SELECT DISTINCT

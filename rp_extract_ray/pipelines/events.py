@@ -3146,3 +3146,72 @@ def q_daily_quantiles(sf_dir: str) -> Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def q_group_trimmed_mean(sf_dir: str) -> Dataset:
+    """Per-type 10-90 trimmed mean: the robust location estimate over the
+    [p10, p90] interior (inclusive bounds, quantile_cont interpolation on
+    BOTH sides) — one grouped holistic exchange (values co-located per
+    type), vectorized np.quantile + masked mean per group. Oracle:
+    window-quantile filter + AVG."""
+    from rp_extract_ray.stages.partition import partitioned_apply
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        cols = ["event_type", "n_kept", "trimmed_mean"]
+        if len(pdf) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        out = []
+        for t, g in pdf.groupby("event_type", sort=False):
+            v = g["value"].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            if len(v) == 0:
+                out.append((t, 0, np.nan))
+                continue
+            lo = np.quantile(v, 0.1)
+            hi = np.quantile(v, 0.9)
+            keep = v[(v >= lo) & (v <= hi)]
+            out.append((t, len(keep), keep.mean()))
+        res = pd.DataFrame(out, columns=cols)
+        res["n_kept"] = res["n_kept"].astype(np.int64)
+        from rp_extract_ray.functions.rounding import round_half_away
+
+        res["trimmed_mean"] = round_half_away(
+            res["trimmed_mean"].to_numpy(), 6
+        )
+        return res
+
+    return partitioned_apply(
+        ds, fn, entity_col="event_type", order_cols=("value",),
+        num_partitions=NP,
+    )
+
+
+def q_median_centered(sf_dir: str) -> Dataset:
+    """Row-level robust centering: value minus its event type's median —
+    the MAD-family residual feature. The medians come from ONE grouped
+    holistic exchange (bounded |types| rows), broadcast back; the
+    centering is a zero-shuffle vectorized map. Oracle: median window
+    aggregate per type."""
+    import ray
+
+    from rp_extract_ray.stages.groupops import grouped_mad
+
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value"])
+    med = grouped_mad(ds, "event_type", "value").to_pandas()
+    lut = dict(zip(med["event_type"], med["med"]))
+    ref = ray.put(lut)
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        m = _ray.get(ref)
+        md = pdf["event_type"].map(m).to_numpy(dtype=np.float64)
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        out = pdf[["event_id", "user_id", "event_type"]].copy()
+        out["centered"] = v - md
+        return out
+
+    out = ds.map_batches(center, batch_format="pandas")
+    return _round(out, {"centered": 6})
