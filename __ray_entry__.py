@@ -191,6 +191,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_quantiles": E.q_daily_quantiles,
         "group_trimmed_mean": E.q_group_trimmed_mean,
         "median_centered": E.q_median_centered,
+        "lorenz_deciles": E.q_lorenz_deciles,
+        "hourly_profile": E.q_hourly_profile,
+        "sessions_per_user": E.q_sessions_per_user,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1716,6 +1719,39 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn = 1 THEN role END) AS first_role,
                    min(CASE WHEN rn = nt THEN role END) AS last_role
             FROM o GROUP BY conv_id""",
+        # Lorenz decile shares: users ordered by (activity, id), ntile(10)
+        "lorenz_deciles": """
+            WITH c AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n
+                       FROM events GROUP BY user_id),
+                 t AS (SELECT n, ntile(10) OVER (ORDER BY n, user_id)
+                                AS decile
+                       FROM c)
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   round(sum(n) / (SELECT sum(n) FROM c), 6) AS share
+            FROM t GROUP BY decile""",
+        # hour-of-day activity counts per type
+        "hourly_profile": """
+            SELECT event_type,
+                   (epoch_us(ts) // CAST(3600000000 AS BIGINT)) % 24
+                     AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, hour""",
+        # sessions-per-user histogram (30-min gap islands)
+        "sessions_per_user": """
+            WITH g AS (SELECT user_id,
+                              CASE WHEN epoch_us(ts)
+                                        - lag(epoch_us(ts)) OVER (
+                                            PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                                        > 1800000000
+                                   THEN 1 ELSE 0 END AS brk
+                       FROM events),
+                 s AS (SELECT user_id,
+                              CAST(1 + sum(brk) AS BIGINT) AS n_sessions
+                       FROM g GROUP BY user_id)
+            SELECT n_sessions, CAST(count(*) AS BIGINT) AS n_users
+            FROM s GROUP BY n_sessions""",
         # 10-90 trimmed mean per type (inclusive interior, quantile_cont)
         "group_trimmed_mean": """
             WITH q AS (SELECT event_type, value,

@@ -3215,3 +3215,122 @@ def q_median_centered(sf_dir: str) -> Dataset:
 
     out = ds.map_batches(center, batch_format="pandas")
     return _round(out, {"centered": 6})
+
+
+def q_lorenz_deciles(sf_dir: str) -> pd.DataFrame:
+    """Lorenz curve by user decile: share of total events contributed by
+    each decile of users ordered by activity — the curve behind the Gini
+    scalar (which decile to cap is THE curation question). Bounded
+    per-user count exchange, driver ntile fold with the same
+    deterministic (n, user_id) order as the SQL. Oracle: ntile(10) +
+    share-of-sum."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    ds = _events(sf_dir, ["user_id"])
+    counts = grouped_reduce(
+        ds, "user_id", {"n": ("user_id", "count")}, num_partitions=NP
+    ).to_pandas()  # bounded: per-user totals
+    counts = counts.sort_values(
+        ["n", "user_id"], ignore_index=True
+    )
+    m = len(counts)
+    # SQL ntile: the FIRST (m % 10) tiles get floor(m/10)+1 rows
+    q, r = divmod(m, 10)
+    sizes = np.array([q + 1] * r + [q] * (10 - r), dtype=np.int64)
+    counts["decile"] = np.repeat(np.arange(1, 11), sizes)
+    g = counts.groupby("decile", sort=True)["n"].agg(["sum", "count"])
+    tot = float(counts["n"].sum())
+    return pd.DataFrame(
+        {
+            "decile": g.index.to_numpy().astype(np.int64),
+            "n_users": g["count"].to_numpy().astype(np.int64),
+            "share": round_half_away(g["sum"].to_numpy() / tot, 6),
+        }
+    )
+
+
+def q_hourly_profile(sf_dir: str) -> Dataset:
+    """Hour-of-day activity profile per event type — the diurnal-shape
+    fingerprint; one bounded (type, hour) count exchange. Oracle:
+    GROUP BY type, hour."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    ds = _events(sf_dir, ["ts", "event_type"])
+
+    def hour(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "hour": (t // np.int64(3_600_000_000)) % np.int64(24),
+            }
+        )
+
+    out = grouped_reduce(
+        ds.map_batches(hour, batch_format="pyarrow"),
+        ["event_type", "hour"], {"n": ("hour", "count")},
+        num_partitions=NP,
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "hour": b.column("hour").cast(pa.int64()),
+                "n": b.column("n").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_sessions_per_user(sf_dir: str) -> Dataset:
+    """Distribution of session counts: how many users have exactly k
+    sessions (30-min inactivity gap — the same threshold the sessionize
+    gate uses) — the engagement-depth histogram. The boundary count folds
+    inside the ONE entity exchange (sessions per user = 1 + gap
+    violations), then a bounded per-k count exchange. Oracle:
+    gaps-and-islands count per user + histogram."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def fn(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame({"n_sessions": pd.Series([], dtype=np.int64),
+                                 "_c": pd.Series([], dtype=np.int64)})
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        interior = np.zeros(n, dtype=bool)
+        if n > 1:
+            interior[1:] = starts[1:] == starts[:-1]
+        gap = np.zeros(n)
+        gap[1:] = (t[1:] - t[:-1]) / 1e6
+        brk = interior & (gap > 1800.0)
+        w = pd.DataFrame(
+            {
+                "u": pdf["user_id"].to_numpy(),
+                "b": brk.astype(np.int64),
+            }
+        )
+        per_user = w.groupby("u", sort=False)["b"].sum() + 1
+        c = per_user.value_counts().rename("_c").reset_index()
+        c.columns = ["n_sessions", "_c"]
+        c["_c"] = c["_c"].astype(np.int64)
+        return c
+
+    per = partitioned_apply(
+        ds, fn, entity_col=ENTITY, order_cols=ORDER, num_partitions=NP
+    )
+    out = grouped_reduce(
+        per, "n_sessions", {"n_users": ("_c", "sum")}, num_partitions=NP
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "n_sessions": b.column("n_sessions").cast(pa.int64()),
+                "n_users": b.column("n_users").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
