@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lorenz_deciles": E.q_lorenz_deciles,
         "hourly_profile": E.q_hourly_profile,
         "sessions_per_user": E.q_sessions_per_user,
+        "user_zscore": E.q_user_zscore,
+        "conversion_ci": E.q_conversion_ci,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1719,6 +1721,36 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn = 1 THEN role END) AS first_role,
                    min(CASE WHEN rn = nt THEN role END) AS last_role
             FROM o GROUP BY conv_id""",
+        # two-level aggregate: user means standardized vs the population
+        # of user means
+        "user_zscore": """
+            WITH u AS (SELECT user_id,
+                              CAST(sum(CAST(round(value * 100) AS BIGINT))
+                                   AS DOUBLE) / count(value) / 100.0 AS um
+                       FROM events
+                       WHERE value IS NOT NULL GROUP BY user_id),
+                 s AS (SELECT avg(um) AS m, stddev_samp(um) AS sd FROM u)
+            SELECT user_id, round(um, 6) AS user_mean,
+                   round((um - s.m) / s.sd, 6) AS z
+            FROM u, s""",
+        # purchase share per segment with a 95% Wald interval
+        "conversion_ci": """
+            WITH c AS (SELECT user_id % 4 AS segment,
+                              CAST(count(*) FILTER (
+                                  WHERE event_type = 'purchase')
+                                AS DOUBLE) AS conv,
+                              CAST(count(*) AS DOUBLE) AS n
+                       FROM events GROUP BY user_id % 4)
+            SELECT CAST(segment AS BIGINT) AS segment,
+                   CAST(n AS BIGINT) AS n,
+                   round(conv / n, 6) AS rate,
+                   round(conv / n
+                         - 1.96 * sqrt((conv / n) * (1 - conv / n) / n),
+                         6) AS ci_lo,
+                   round(conv / n
+                         + 1.96 * sqrt((conv / n) * (1 - conv / n) / n),
+                         6) AS ci_hi
+            FROM c""",
         # Lorenz decile shares: users ordered by (activity, id), ntile(10)
         "lorenz_deciles": """
             WITH c AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n

@@ -3334,3 +3334,98 @@ def q_sessions_per_user(sf_dir: str) -> Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def q_user_zscore(sf_dir: str) -> Dataset:
+    """Two-level aggregation: each user's mean value standardized against
+    the population of USER MEANS (not raw rows) — the
+    aggregate-of-aggregates shape (cohort outlier screening). Level 1:
+    per-user (n, mean) in one keyed exchange; level 2: population moments
+    of the means as a bounded driver fold; the standardized score maps
+    back without a second exchange. Oracle: per-user CTE + AVG/STDDEV
+    window over it."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    ds = _events(sf_dir, ["user_id", "value"])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"user_id": [], "_n": [], "_s": []})
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        # exact integer-cents fold (the target_encode fixed-point rule):
+        # float sums of 2-decimal values land on 6-dp half boundaries
+        cents = np.where(ok, np.round(v * 100), 0.0).astype(np.int64)
+        w = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "_n": ok.astype(np.int64),
+                "_s": cents,
+            }
+        )
+        return w.groupby("user_id", sort=False).sum().reset_index()
+
+    from rp_extract_ray.stages.partition import arrow_out
+
+    per_user = grouped_reduce(
+        ds.map_batches(
+            lambda b: arrow_out(partial(b.to_pandas())),
+            batch_format="pyarrow",
+        ),
+        "user_id", {"_n": ("_n", "sum"), "_s": ("_s", "sum")},
+        num_partitions=NP,
+    ).to_pandas()  # bounded: one row per user
+    per_user = per_user[per_user["_n"] > 0].reset_index(drop=True)
+    mu_u = (
+        per_user["_s"].to_numpy(dtype=np.float64)
+        / per_user["_n"].to_numpy()
+        / 100.0
+    )
+    m = mu_u.mean()
+    sd = mu_u.std(ddof=1)
+    z = (mu_u - m) / sd
+    return pd.DataFrame(
+        {
+            "user_id": per_user["user_id"],
+            "user_mean": round_half_away(mu_u, 6),
+            "z": round_half_away(z, 6),
+        }
+    )
+
+
+def q_conversion_ci(sf_dir: str) -> pd.DataFrame:
+    """Purchase-share per user segment (user_id % 4) with a 95% Wald
+    confidence interval — the A/B readout shape (rate, half-width, and
+    bounds from bounded (segment, conversions, n) partials; zero
+    shuffle). Oracle: conditional counts + the same closed form."""
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"segment": [], "_c": [], "_n": []})
+        seg = pdf["user_id"].to_numpy() % 4
+        conv = (pdf["event_type"].to_numpy() == "purchase").astype(
+            np.int64
+        )
+        w = pd.DataFrame(
+            {"segment": seg, "_c": conv, "_n": np.ones(len(pdf), np.int64)}
+        )
+        return w.groupby("segment", sort=False).sum().reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("segment", sort=True).sum().reset_index()
+    n = g["_n"].to_numpy(dtype=np.float64)
+    p = g["_c"].to_numpy(dtype=np.float64) / n
+    half = 1.96 * np.sqrt(p * (1.0 - p) / n)
+    return pd.DataFrame(
+        {
+            "segment": g["segment"].astype(np.int64),
+            "n": g["_n"].astype(np.int64),
+            "rate": round_half_away(p, 6),
+            "ci_lo": round_half_away(p - half, 6),
+            "ci_hi": round_half_away(p + half, 6),
+        }
+    )
