@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions_per_user": E.q_sessions_per_user,
         "user_zscore": E.q_user_zscore,
         "conversion_ci": E.q_conversion_ci,
+        "cohort_ltv": E.q_cohort_ltv,
         "dense_grid": E.q_dense_grid,
         "rollup_orders": R.q_rollup_orders,
         "group_corr": R.q_group_corr,
@@ -1721,6 +1722,26 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn = 1 THEN role END) AS first_role,
                    min(CASE WHEN rn = nt THEN role END) AS last_role
             FROM o GROUP BY conv_id""",
+        # cohort LTV: cumulative cents by (first-seen cohort, age)
+        "cohort_ltv": """
+            WITH f AS (SELECT user_id,
+                              min(epoch_us(ts)
+                                  // CAST(86400000000 AS BIGINT)) AS fd
+                       FROM events GROUP BY user_id),
+                 e AS (SELECT f.fd AS cohort,
+                              epoch_us(ts) // CAST(86400000000 AS BIGINT)
+                                - f.fd AS age,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events JOIN f USING (user_id)),
+                 g AS (SELECT cohort, age,
+                              CAST(count(*) AS BIGINT) AS n_events,
+                              coalesce(sum(cents), 0) AS cents
+                       FROM e GROUP BY cohort, age)
+            SELECT cohort, age, n_events,
+                   round(CAST(sum(cents) OVER (PARTITION BY cohort
+                                               ORDER BY age) AS DOUBLE)
+                         / 100.0, 6) AS cum_value
+            FROM g""",
         # two-level aggregate: user means standardized vs the population
         # of user means
         "user_zscore": """

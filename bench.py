@@ -76,7 +76,7 @@ QUERY_NAMES = [
     "cdc_merge", "chi_square", "mutual_information", "group_spearman",
     "cusum",
     "rolling_distinct",
-    # round-5 session-8 additions (117 -> 164 names)
+    # round-5 session-8 additions (117 -> 165 names)
     "ohlc_bars", "group_entropy", "welch_t", "role_report",
     "rolling_zscore", "pagerank", "triangle_count", "interval_gaps",
     "pct_change", "keyword_totals", "path_counts", "mann_whitney",
@@ -89,7 +89,7 @@ QUERY_NAMES = [
     "survival_km", "ccf_profile", "transition_entropy", "burstiness",
     "active_users", "new_vs_returning", "activity_gini", "daily_quantiles",
     "group_trimmed_mean", "median_centered", "lorenz_deciles",
-    "hourly_profile", "sessions_per_user", "user_zscore", "conversion_ci",
+    "hourly_profile", "sessions_per_user", "user_zscore", "conversion_ci", "cohort_ltv",
 ]
 
 

@@ -3429,3 +3429,78 @@ def q_conversion_ci(sf_dir: str) -> pd.DataFrame:
             "ci_hi": round_half_away(p + half, 6),
         }
     )
+
+
+def q_cohort_ltv(sf_dir: str) -> pd.DataFrame:
+    """Cohort LTV matrix: cumulative value by (first-seen-day cohort,
+    days-since-first-seen age) — the retention-revenue readout next to
+    cohort_retention's user counts. First-seen day is a keyed min reduce
+    REJOINED DISTRIBUTED onto the events (user-table-sized side); cell
+    sums fold in EXACT integer cents through one bounded (cohort, age)
+    exchange; the running sum over age runs on the calendar-bounded grid
+    driver-side. Oracle: min-day CTE + window cumsum."""
+    from rp_extract_ray.stages.groupops import grouped_reduce
+    from rp_extract_ray.stages.join import repartition_join
+    from rp_extract_ray.functions.rounding import round_half_away
+
+    ds = _events(sf_dir, ["ts", "user_id", "value"])
+
+    def day(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        cents = np.where(
+            np.isnan(v), 0, np.round(np.nan_to_num(v) * 100)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "day": t // np.int64(86_400_000_000),
+                "user_id": b.column("user_id"),
+                "cents": cents,
+            }
+        )
+
+    dued = ds.map_batches(day, batch_format="pyarrow").materialize()
+    first = grouped_reduce(
+        dued.map_batches(
+            lambda b: pa.table(
+                {"user_id": b.column("user_id"), "fd": b.column("day")}
+            ),
+            batch_format="pyarrow",
+        ),
+        "user_id", {"fd": ("fd", "min")}, num_partitions=NP,
+    )
+    joined = repartition_join(
+        dued, first, on="user_id", num_partitions=NP,
+        right_cols=["user_id", "fd"],
+    )
+
+    def cell(b: pa.Table) -> pa.Table:
+        d = b.column("day").to_numpy(zero_copy_only=False)
+        fd = b.column("fd").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cohort": fd,
+                "age": d - fd,
+                "cents": b.column("cents"),
+                "_one": np.ones(len(b), dtype=np.int64),
+            }
+        )
+
+    g = grouped_reduce(
+        joined.map_batches(cell, batch_format="pyarrow"),
+        ["cohort", "age"],
+        {"n_events": ("_one", "sum"), "cents": ("cents", "sum")},
+        num_partitions=NP,
+    ).to_pandas()  # bounded: calendar x calendar grid
+    g = g.sort_values(["cohort", "age"], ignore_index=True)
+    g["_cum"] = g.groupby("cohort", sort=False)["cents"].cumsum()
+    return pd.DataFrame(
+        {
+            "cohort": g["cohort"].astype(np.int64),
+            "age": g["age"].astype(np.int64),
+            "n_events": g["n_events"].astype(np.int64),
+            "cum_value": round_half_away(
+                g["_cum"].to_numpy(dtype=np.float64) / 100.0, 6
+            ),
+        }
+    )
