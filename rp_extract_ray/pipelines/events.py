@@ -747,7 +747,7 @@ def q_trend_slope(sf_dir: str) -> Dataset:
 
     def moments(b: pa.Table) -> pa.Table:
         x = (
-            b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
             - base_us
         ) / 1e6
         y = b.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -1185,7 +1185,7 @@ def q_connected_components(sf_dir: str) -> Dataset:
 
     def mk(b: pa.Table) -> pa.Table:
         b = b.filter(pc.equal(b.column("event_type"), "purchase"))
-        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
         bucket = (t // 60_000_000) * 60_000_000
         return pa.table(
             {"bucket": pa.array(bucket), "user_id": b.column("user_id")}
@@ -1817,7 +1817,7 @@ def _covisit_edges(sf_dir: str, keep_count: bool = False) -> Dataset:
     ds = _events(sf_dir, ["ts", "user_id", "event_type"])
 
     def bucket(b: pa.Table) -> pa.Table:
-        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "event_type": b.column("event_type"),
@@ -2597,7 +2597,7 @@ def q_window_argmax(sf_dir: str) -> Dataset:
     ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
 
     def day(b: pa.Table) -> pa.Table:
-        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
         d = (t // np.int64(86_400_000_000)) * np.int64(86_400_000_000)
         return b.append_column("day", pa.array(d).cast(pa.timestamp("us")))
 
@@ -2662,7 +2662,7 @@ def q_daily_change(sf_dir: str) -> pd.DataFrame:
     ds = _events(sf_dir, ["ts"])
 
     def day(b: pa.Table) -> pa.Table:
-        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
         d = (t // np.int64(86_400_000_000)) * np.int64(86_400_000_000)
         return pa.table({"day": pa.array(d)})
 
@@ -2954,7 +2954,7 @@ def q_active_users(sf_dir: str) -> Dataset:
     ds = _events(sf_dir, ["ts", "user_id"])
 
     def day(b: pa.Table) -> pa.Table:
-        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "day": t // np.int64(86_400_000_000),
@@ -3032,7 +3032,7 @@ def q_new_vs_returning(sf_dir: str) -> Dataset:
     ds = _events(sf_dir, ["ts", "user_id"])
 
     def day(b: pa.Table) -> pa.Table:
-        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "day": t // np.int64(86_400_000_000),
@@ -3123,7 +3123,7 @@ def q_daily_quantiles(sf_dir: str) -> Dataset:
     ds = _events(sf_dir, ["ts", "value"])
 
     def day(b: pa.Table) -> pa.Table:
-        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "day": t // np.int64(86_400_000_000),
@@ -3167,7 +3167,8 @@ def q_group_trimmed_mean(sf_dir: str) -> Dataset:
             v = g["value"].to_numpy(dtype=np.float64)
             v = v[~np.isnan(v)]
             if len(v) == 0:
-                out.append((t, 0, np.nan))
+                # all-NULL type: the oracle's WHERE removed every row,
+                # so no group exists (the q_group_geomean rule)
                 continue
             lo = np.quantile(v, 0.1)
             hi = np.quantile(v, 0.9)
@@ -3198,7 +3199,10 @@ def q_median_centered(sf_dir: str) -> Dataset:
 
     from rp_extract_ray.stages.groupops import grouped_mad
 
-    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value"])
+    # two consumers (median lineage + centering map): read once
+    ds = _events(
+        sf_dir, ["event_id", "user_id", "event_type", "value"]
+    ).materialize()
     med = grouped_mad(ds, "event_type", "value").to_pandas()
     lut = dict(zip(med["event_type"], med["med"]))
     ref = ray.put(lut)
@@ -3259,7 +3263,7 @@ def q_hourly_profile(sf_dir: str) -> Dataset:
     ds = _events(sf_dir, ["ts", "event_type"])
 
     def hour(b: pa.Table) -> pa.Table:
-        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "event_type": b.column("event_type"),
@@ -3336,7 +3340,7 @@ def q_sessions_per_user(sf_dir: str) -> Dataset:
     )
 
 
-def q_user_zscore(sf_dir: str) -> Dataset:
+def q_user_zscore(sf_dir: str) -> pd.DataFrame:
     """Two-level aggregation: each user's mean value standardized against
     the population of USER MEANS (not raw rows) — the
     aggregate-of-aggregates shape (cohort outlier screening). Level 1:
@@ -3446,11 +3450,11 @@ def q_cohort_ltv(sf_dir: str) -> pd.DataFrame:
     ds = _events(sf_dir, ["ts", "user_id", "value"])
 
     def day(b: pa.Table) -> pa.Table:
-        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
         v = b.column("value").to_numpy(zero_copy_only=False)
-        cents = np.where(
-            np.isnan(v), 0, np.round(np.nan_to_num(v) * 100)
-        ).astype(np.int64)
+        cents = np.where(np.isnan(v), 0.0, np.round(v * 100)).astype(
+            np.int64
+        )
         return pa.table(
             {
                 "day": t // np.int64(86_400_000_000),

@@ -815,3 +815,83 @@ def test_degenerate_inputs_match_oracle_semantics(tmp_path):
     one.to_parquet(p2 + "/events.parquet")
     te = q_transition_entropy(p2)
     assert len(te) == 1 and te.isna().all(axis=None)
+
+
+def test_late_gates_semantics_and_degenerates(tmp_path):
+    """Pytest coverage for the final gate batch (third review): all-NULL
+    value groups vanish from trimmed mean (the SQL-WHERE rule), lorenz
+    ntile fill with m < 10 users, sessions-per-user hand check, cohort
+    LTV cumulative exactness, conversion CI closed form."""
+    import os
+
+    from rp_extract_ray.pipelines.events import (
+        q_cohort_ltv,
+        q_conversion_ci,
+        q_group_trimmed_mean,
+        q_lorenz_deciles,
+        q_median_centered,
+        q_sessions_per_user,
+        q_user_zscore,
+    )
+
+    base = np.datetime64("2024-01-01", "us")
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(8, dtype=np.int64),
+            "ts": [base, base + np.timedelta64(10, "m"),
+                   base + np.timedelta64(50, "m"),  # 40-min gap: 2nd session
+                   base, base + np.timedelta64(86400 + 60, "s"),
+                   base, base, base + np.timedelta64(1, "h")],
+            "user_id": np.array([0, 0, 0, 1, 1, 2, 3, 3], dtype=np.int64),
+            "event_type": ["click", "purchase", "view", "purchase",
+                           "click", "error", "view", "view"],
+            # type 'error' has only a NULL value -> no trimmed-mean group
+            "value": [10.0, 20.0, 30.0, 40.0, 50.0, np.nan, 60.0, 70.0],
+            "props": "",
+        }
+    )
+    p = str(tmp_path / "late"); os.makedirs(p)
+    pdf.to_parquet(p + "/events.parquet")
+
+    tm = q_group_trimmed_mean(p).to_pandas()
+    assert "error" not in set(tm["event_type"])
+
+    mc = q_median_centered(p).to_pandas()
+    v = mc[mc.event_type == "view"].set_index("event_id")["centered"]
+    # view median = 60 (30, 60, 70)
+    assert v.loc[2] == -30.0 and v.loc[6] == 0.0 and v.loc[7] == 10.0
+
+    lz = q_lorenz_deciles(p)
+    # 4 users, ntile(10): tiles 1..4 get one user each; empty tiles
+    # produce no group on either side
+    assert list(lz["decile"]) == [1, 2, 3, 4]
+    assert list(lz["n_users"]) == [1, 1, 1, 1]
+    np.testing.assert_allclose(lz["share"].sum(), 1.0, atol=1e-9)
+
+    sp = q_sessions_per_user(p).to_pandas().set_index("n_sessions")
+    # 30-min gap rule: u0 (40-min gap), u1 (1-day gap), u3 (1-hour gap)
+    # each have 2 sessions; u2 (single event) has 1
+    assert sp.loc[1, "n_users"] == 1 and sp.loc[2, "n_users"] == 3
+
+    ci = q_conversion_ci(p).set_index("segment")
+    # segment 0 (u0): 1 purchase of 3; segment 1 (u1): 1 of 2
+    assert ci.loc[0, "n"] == 3 and ci.loc[1, "n"] == 2
+    pr = 1 / 3
+    np.testing.assert_allclose(
+        ci.loc[0, "ci_hi"] - ci.loc[0, "rate"],
+        round(1.96 * np.sqrt(pr * (1 - pr) / 3), 6), atol=2e-6,
+    )
+
+    ltv = q_cohort_ltv(p).set_index(["cohort", "age"])
+    c0 = int(pdf.ts.min().to_datetime64().astype("datetime64[D]")
+             .astype("datetime64[us]").astype(np.int64)
+             // 86400000000)
+    # cohort day-0 cell: all day-0 events (users 0,1,2,3) = 10+20+30+40+60+70
+    assert ltv.loc[(c0, 0), "cum_value"] == 230.0
+    # age-1 cumulative adds user 1's 50
+    assert ltv.loc[(c0, 1), "cum_value"] == 280.0
+
+    uz = q_user_zscore(p)
+    assert isinstance(uz, pd.DataFrame)
+    # user 2's all-NULL mean row is dropped
+    assert set(uz["user_id"]) == {0, 1, 3}
