@@ -74,7 +74,9 @@ def target_encode_past(
     representable at ``1/scale`` resolution (asserted per block)."""
 
     def add_ots(t: pa.Table) -> pa.Table:
-        return t.append_column(_OTS, t.column(ts_col).cast(pa.int64()))
+        return t.append_column(
+            _OTS, t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        )
 
     keyed = ds.map_batches(add_ots, batch_format="pyarrow").materialize()
     # three consumers (bounds sample, totals, final pass) — pack.py rule

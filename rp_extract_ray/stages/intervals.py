@@ -165,13 +165,13 @@ def interval_concurrency(
             return out_schema.empty_table()
         iv = group.filter(pa.array(~pmask))
         ent_p = pp.column(entity_col).to_numpy(zero_copy_only=False)
-        t_p = pp.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t_p = pp.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
         if len(iv):
             ent_i = iv.column(entity_col).to_numpy(zero_copy_only=False)
-            t_s = iv.column(start_col).cast(pa.int64()).to_numpy(
+            t_s = iv.column(start_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
                 zero_copy_only=False
             )
-            t_e = iv.column(end_col).cast(pa.int64()).to_numpy(
+            t_e = iv.column(end_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
                 zero_copy_only=False
             )
         else:

@@ -25,7 +25,7 @@ def add_time_bucket(
     us = np.int64(interval_s * 1e6)
 
     def f(b: pa.Table) -> pa.Table:
-        t = b.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = b.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
         start = (t // us) * us
         return b.append_column(
             bucket_col, pa.array(start).cast(pa.timestamp("us"))
@@ -323,7 +323,7 @@ def hopping_window_aggregate(
     offsets = (np.arange(n_win, dtype=np.int64) * hop_us)[::-1].copy()
 
     def explode(b: pa.Table) -> pa.Table:
-        t = b.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = b.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
         base = (t // hop_us) * hop_us  # latest window containing the event
         n = len(b)
         ws = np.repeat(base, n_win) - np.tile(offsets, n)
@@ -385,7 +385,7 @@ def hopping_window_distinct(
     offsets = (np.arange(n_win, dtype=np.int64) * hop_us)[::-1].copy()
 
     def explode(b: pa.Table) -> pa.Table:
-        t = b.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = b.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
         base = (t // hop_us) * hop_us
         n = len(b)
         ws = np.repeat(base, n_win) - np.tile(offsets, n)
