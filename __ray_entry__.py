@@ -476,6 +476,7 @@ def _flagship_sql() -> str:
     pieces, outs = [], []
     for s in ("text_len", "token_est", "gap_s"):
         mag = 2 if s == "gap_s" else 6  # see q_flagship: magnitude-bound
+        magv = -2 if s == "gap_s" else 6  # variance is QUADRATIC in gap
         pieces.append(
             f"""avg({s}) OVER wf AS {s}_e1,
              avg({s}*{s}) OVER wf AS {s}_e2,
@@ -491,11 +492,13 @@ def _flagship_sql() -> str:
         )
         outs.append(
             f"""round({s}_e1, {mag}) AS {s}_wmean,
-           round({s}_v, {mag}) AS {s}_wvar,
+           round({s}_v, {magv}) AS {s}_wvar,
            round(CASE WHEN {s}_v <= 0 THEN 0.0
+                      WHEN {s}_wcount = 2 THEN 0.0
                       ELSE ({s}_e3 - 3*{s}_e1*{s}_e2 + 2*{s}_e1*{s}_e1*{s}_e1)
                            / pow({s}_v, 1.5) END, 6) + 0 AS {s}_wskew,
            round(CASE WHEN {s}_v <= 0 THEN 0.0
+                      WHEN {s}_wcount = 2 THEN 1.0
                       ELSE ({s}_e4 - 4*{s}_e1*{s}_e3 + 6*{s}_e1*{s}_e1*{s}_e2
                             - 3*pow({s}_e1, 4)) / ({s}_v*{s}_v) END, 6) + 0
              AS {s}_wkurt,
@@ -636,9 +639,11 @@ def oracle_sql() -> dict[str, str]:
                    round(e1, 6) AS value_wmean,
                    round(v, 6) AS value_wvar,
                    round(CASE WHEN v <= 0 THEN 0.0
+                              WHEN value_wcount = 2 THEN 0.0
                               ELSE (e3 - 3*e1*e2 + 2*e1*e1*e1) / pow(v, 1.5)
                          END, 6) + 0 AS value_wskew,  -- +0: -0.0 -> 0.0
                    round(CASE WHEN v <= 0 THEN 0.0
+                              WHEN value_wcount = 2 THEN 1.0
                               ELSE (e4 - 4*e1*e3 + 6*e1*e1*e2 - 3*pow(e1, 4))
                                    / (v*v)
                          END, 6) + 0 AS value_wkurt,
@@ -676,9 +681,11 @@ def oracle_sql() -> dict[str, str]:
                    round(e1, 6) AS value_wmean,
                    round(v, 6) AS value_wvar,
                    round(CASE WHEN v <= 0 THEN 0.0
+                              WHEN value_wcount = 2 THEN 0.0
                               ELSE (e3 - 3*e1*e2 + 2*e1*e1*e1) / pow(v, 1.5)
                          END, 6) + 0 AS value_wskew,
                    round(CASE WHEN v <= 0 THEN 0.0
+                              WHEN value_wcount = 2 THEN 1.0
                               ELSE (e4 - 4*e1*e3 + 6*e1*e1*e2 - 3*pow(e1, 4))
                                    / (v*v)
                          END, 6) + 0 AS value_wkurt,
@@ -2990,7 +2997,7 @@ def oracle_sql() -> dict[str, str]:
                  uni AS (SELECT token AS w, count(*) AS n FROM tok GROUP BY 1),
                  tot AS (SELECT CAST(count(*) AS DOUBLE) AS nu FROM tok)
             SELECT bi.w1, bi.w2, CAST(bi.n_ab AS BIGINT) AS n_ab,
-                   round(ln(bi.n_ab * nu / (ua.n * ub.n)), 4) AS pmi
+                   round(ln(bi.n_ab * nu / (ua.n * ub.n)), 4) + 0 AS pmi
             FROM bi JOIN uni ua ON ua.w = bi.w1
                     JOIN uni ub ON ub.w = bi.w2, tot""",
         # token-id encode: rank-ordered frequency vocab (count desc, token

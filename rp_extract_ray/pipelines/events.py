@@ -261,12 +261,20 @@ def q_ring_stream(sf_dir: str, k: int = 8, n_shards: int = 1) -> Dataset:
          "value_wmedian", "value_wmin", "value_wmax", "value_wcount",
          "value_wp25", "value_wp75"]
     )
-    return _round(
+    final = _round(
         out,
         {"gap_s": 6, "value_wmean": 6, "value_wvar": 6, "value_wskew": 6,
          "value_wkurt": 6, "value_wmedian": 6, "value_wp25": 6,
          "value_wp75": 6},
     )
+    # preserve_order must be set on the FINAL consumed Dataset: each op
+    # captures its own DataContext COPY, so the flag the ring stage set on
+    # ITS output does not survive the shape/select/round wrappers — found
+    # as run-to-run nondeterminism in the sharded path at sf0.1 (an
+    # entity's stream split across unordered block delivery resets the
+    # ring state mid-conversation)
+    final.context.execution_options.preserve_order = True
+    return final
 
 
 def q_ring_stream_sharded(sf_dir: str, k: int = 8) -> Dataset:
@@ -333,8 +341,13 @@ def q_flagship(sf_dir: str) -> Dataset:
         # decimal there is beyond double precision, so round magnitude-bound
         # columns to 2; normalized skew/kurt stay at 6
         mag = 2 if s == "gap_s" else 6
+        # the VARIANCE is quadratic in the gap: windows reach ~5e9 s^2,
+        # where even the 2nd decimal is ~1e-12 relative — beyond what two
+        # differently-ordered float sums can agree on (found at sf0.1:
+        # two cells off by 0.01). Hundreds are the honest precision there.
+        magv = -2 if s == "gap_s" else 6
         for st, nd in (
-            ("wmean", mag), ("wvar", mag), ("wskew", 6), ("wkurt", 6),
+            ("wmean", mag), ("wvar", magv), ("wskew", 6), ("wkurt", 6),
             ("wmedian", mag), ("wp25", mag), ("wp75", mag),
         ):
             rnd[f"{s}_{st}"] = nd

@@ -207,7 +207,20 @@ def streaming_window_features(
     sort/shuffle/materialize between them and this call), Ray Data fuses
     them INTO this concurrency-1 actor and the whole upstream runs
     single-threaded. Put a barrier (``ds.materialize()``, or any shuffle)
-    before this stage so only the state actor is serial."""
+    before this stage so only the state actor is serial.
+
+    Ordering contract: ``preserve_order`` governs OUTPUT block order, not
+    the ARRIVAL order of inputs at a mid-plan operator — with a parallel
+    upstream (a sort's reduce tasks, a sharded filter) the actor's input
+    queue fills in task-completion order, which races run to run (found
+    at sf0.1: an entity's stream delivered split re-set the ring state
+    mid-conversation, nondeterministically). The stream is therefore
+    coalesced to ONE block here — the actor slices it into ordered
+    batches internally — which is exactly the stream-sized memory the
+    single state actor already implies. At production scale, shard first
+    (``streaming_window_features_sharded``: one block PER SHARD) or use
+    the partition-as-state-boundary path (stages/partition.py)."""
+    ds = ds.repartition(1)
     out = ds.map_batches(
         RingFeaturizer,
         fn_constructor_kwargs={

@@ -44,7 +44,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif df[c].dtype.kind in "iu":
             df[c] = df[c].astype(np.int64)
         elif df[c].dtype.kind == "f":
-            df[c] = df[c].astype(np.float64)
+            # + 0.0 folds -0.0 to +0.0, and NaNs re-write to the ONE
+            # canonical quiet NaN: both classes compare equal but hash
+            # their raw bits (found via bigram_pmi's zero-pmi row and
+            # flagship_backfill's NaN windows at sf0.1)
+            v = df[c].astype(np.float64).to_numpy(copy=True) + 0.0
+            v[np.isnan(v)] = np.nan
+            df[c] = v
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
